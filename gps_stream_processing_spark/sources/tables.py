@@ -1,0 +1,56 @@
+"""Parquet scan layer over the driver test tables (SURVEY §2.1, FIXTURES.md §B).
+
+The reference's only source is per-line push ingest
+(``ParseLine``, ``class.nmea.parser.php:103-114``); our engine's
+primary source is the columnar parquet scan — predicate pushdown and
+column pruning reach the row-group level for free via Catalyst.
+
+At 100 TB the fact tables (``lineitem``, ``orders``, ``events``) would
+be date-partitioned on disk (``l_shipdate``/``o_orderdate``/``ts``) so
+static + dynamic partition pruning applies; the loader below is
+layout-agnostic — ``spark.read.parquet`` handles both flat and
+hive-partitioned layouts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gps_stream_processing_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at every scale factor the
+# TPC-H-ish schema supports (region/nation are bounded; the others grow
+# sublinearly vs the facts). Fact tables must never be broadcast.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown testdata table {name!r}; known: {TESTDATA_TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def read_json_events(spark: SparkSession, path: str) -> DataFrame:
+    """Auxiliary JSON ingestion (SURVEY §2.1 csv/json read) with an
+    explicit schema — schema inference is a full extra pass at scale."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)
