@@ -1,38 +1,80 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship NMEA windowed query (SURVEY §7 step 1)
+plus an events-table twin at sf0.001. ``queries()``/``oracle_sql()``
+expose the full SURVEY §2 operator inventory from the engine's plan
+registry (gps_stream_processing_spark.plans) — one entry per operator,
+each SQL-expressible one paired with its DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gps_stream_processing_spark import plans  # noqa: E402  (populates registry)
+from gps_stream_processing_spark.operators.gps_fix import (  # noqa: E402
+    dop_quality_band,
+    flagship_query,
+)
+from gps_stream_processing_spark.sources.nmea import nmea_fixture_df  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Two layers fused: the NMEA fixture stream through the full
+    parse→forward-fill→merge pipeline into the per-track 5-minute
+    quality-banded window agg, unioned with the analogous windowed agg
+    over the sf0.001 events table (same output schema) — exercising
+    source→project→scalar→merge→window-agg→filter in one plan.
+    """
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.sources.tables import load_table
+
+    gps = flagship_query(nmea_fixture_df(spark, n_tracks=3, n_seconds=120))
+    events = load_table(spark, SF_SMOKE, "events")
+    ev = (
+        events.groupBy(
+            F.col("user_id").alias("track_id"),
+            F.window("ts", "5 minutes").alias("win"),
+            dop_quality_band(F.col("value") / 50.0).alias("quality"),
+        )
+        .agg(
+            F.count("*").alias("n_fixes"),
+            F.round(F.avg("value"), 3).alias("avg_speed_knots"),
+            F.round(F.avg(F.col("value") / 50.0), 3).alias("avg_hdop"),
+            F.round(F.avg("user_id"), 3).alias("avg_sats"),
+        )
+        .select(
+            "track_id",
+            F.col("win.start").alias("window_start"),
+            "quality",
+            "n_fixes",
+            "avg_speed_knots",
+            "avg_hdop",
+            "avg_sats",
+        )
+    )
+    return gps.unionByName(ev)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (engine plan
+    registry; every computed column aliased to match the oracle)."""
+    return plans.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each SQL-expressible query;
+    rows-only operators (streaming-stateful, sketch/hash-seeded,
+    UDF-surface, NMEA-fixture-backed) are omitted per the contract."""
+    return plans.oracle_sql()

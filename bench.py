@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + SURVEY §6 protocol).
+
+Runs every registered engine query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], forcing full
+materialization through the noop sink (no driver collect cost), and
+prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+Pass --quick to time only the headline subset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+# Queries whose cost is dominated by fixed-size fixtures (NMEA) still run
+# (they are part of the surface) but are excluded from the headline total
+# so the metric tracks testdata scale.
+HEADLINE_EXCLUDE: set[str] = set()
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    from gps_stream_processing_spark import plans
+    from gps_stream_processing_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="gps-spark-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # plans, not first-touch costs.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    registry = plans.REGISTRY
+    names = sorted(registry)
+    if quick:
+        names = [
+            "q_agg_basic",
+            "q_join_inner",
+            "q_join_broadcast",
+            "q_win_rank",
+            "q_dedup_exact",
+            "q_sim_search",
+            "q_text_wordcount",
+            "q_nmea_parse",
+        ]
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in names:
+        fn = registry[name].fn
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # noqa: BLE001 — record, keep benching
+            failures[name] = f"{type(ex).__name__}: {ex}"[:200]
+
+    total = round(sum(v for k, v in timings.items() if k not in HEADLINE_EXCLUDE), 3)
+    out = {
+        "metric": "engine_total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "n_queries": len(timings),
+        "cpus": CPUS,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

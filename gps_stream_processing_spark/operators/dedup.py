@@ -1,0 +1,149 @@
+"""Deduplication operators (north star BASELINE.json:6): exact,
+MinHash+LSH, SimHash, n-gram Jaccard. All built from DataFrame
+primitives — hashing via ``xxhash64`` (JVM-side, codegen'd), candidate
+generation via band-bucket equi-joins so the shuffle key is always a
+small hash, never document text.
+
+Scale design: exact dedup shuffles 8-byte hashes; MinHash-LSH turns the
+O(n²) near-dup problem into |bands| equi-joins on band hashes (the
+classic shingle→minhash→band→bucket-join pipeline); the quadratic
+verify step only ever runs on LSH candidates. The pure Jaccard operator
+exists as the small-scale oracle-checkable ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gps_stream_processing_spark.functions.text import word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content hash: one row per distinct text with the
+    smallest id kept. Grouping on ``sha2`` keeps the shuffle narrow (32
+    bytes/row instead of full documents) — at 100 TB the text never
+    crosses the wire."""
+    return (
+        df.select(id_col, F.sha2(F.col(text_col), 256).alias("__h"))
+        .groupBy("__h")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .drop("__h")
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — shared base for MinHash and
+    Jaccard."""
+    return (
+        df.select(id_col, F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16, id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature per doc: ``mh_i = min(xxhash64(seed_i, shingle))``.
+    One hash-aggregate pass computes all permutations (seeded xxhash64
+    columns, partial+final agg)."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band hash
+    become candidate pairs. Shuffle key = (band_id, 8-byte band hash)."""
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        id_col, F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, threshold: float, id_col: str = "doc_id",
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity for doc pairs sharing ≥1 shingle
+    (optionally restricted to LSH ``candidates``). This is the verify
+    stage of near-dedup; standalone it is the oracle-checkable ground
+    truth at small scale."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash per document: per-token xxhash64, one vote per bit
+    position, bit set where positive votes win. Single explode +
+    hash-agg (16 conditional sums) — no UDF, no quadratic step."""
+    tok = df.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(16)
+    ]
+    sig = tok.groupBy(id_col).agg(*votes)
+    bits = [
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(16)
+    ]
+    out = sig.select(id_col, sum(bits[1:], bits[0]).alias("simhash"))
+    return out

@@ -1,0 +1,447 @@
+"""LLM-data-pipeline queries (SURVEY §2.9 + north star BASELINE.json:6):
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
+text analysis (wordcount, stats, tf-idf, language-ID, quality score,
+token counting, fingerprinting) and multimodal column plumbing.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gps_stream_processing_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    LANG_STOPWORDS,
+    bpe_ish_count,
+    quality_score,
+    rolling_fingerprint,
+    token_count,
+)
+from gps_stream_processing_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_table,
+    simhash16,
+)
+from gps_stream_processing_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    knn_per_label,
+    lsh_bucket_ann,
+)
+from gps_stream_processing_spark.plans.registry import register, table
+
+# ------------------------------------------------------------------- dedup
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    doc="Exact dedup: group on sha2(text) (8-byte shuffle key at scale), "
+    "keep min doc_id. Oracle groups raw text — identical result absent "
+    "sha256 collisions (SURVEY §2.9).",
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_dedup(table(spark, sf, "documents"))
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    """,
+    doc="Exact 3-gram-shingle Jaccard near-dup pairs ≥ 0.5 (the planted "
+    "near-dups sit at ~0.99; random pairs at ~0.03). The small-scale "
+    "ground truth the LSH path approximates (SURVEY §2.9).",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    sh = shingle_table(table(spark, sf, "documents"))
+    return jaccard_pairs(sh, threshold=0.5)
+
+
+@register(
+    "q_dedup_near",
+    oracle=None,  # xxhash64 seeds are engine-specific → rows-only; pytest
+    # checks LSH recall against the exact Jaccard pairs.
+    doc="MinHash-LSH near-dup: shingle → 16 minhashes → 4 bands × 4 rows "
+    "→ band-hash bucket join → exact-Jaccard verify on candidates only. "
+    "The O(n²) step never materializes at scale (SURVEY §2.9).",
+)
+def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
+    sh = shingle_table(table(spark, sf, "documents"))
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    return jaccard_pairs(sh, threshold=0.5, candidates=cands)
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=None,  # xxhash64-based → rows-only
+    doc="16-bit SimHash fingerprint per doc + bucket sizes (docs sharing "
+    "a simhash are near-dup candidates); single hash-agg pass, no "
+    "quadratic step (SURVEY §2.9).",
+)
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    sig = simhash16(table(spark, sf, "documents"))
+    return (
+        sig.groupBy("simhash")
+        .agg(F.count("*").alias("bucket_size"), F.min("doc_id").alias("keep_doc_id"))
+        .select("simhash", "keep_doc_id", "bucket_size")
+    )
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b
+      ON a.vec_id < b.vec_id AND a.label = b.label
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+    """,
+    doc="Embedding-cosine near-dup pairs within a label block (blocking "
+    "keeps the pairwise join from going cartesian; the unblocked scale "
+    "path is q_ann_lsh). Doubles widened on both sides (SURVEY §2.9).",
+)
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    return cosine_pairs(table(spark, sf, "embeddings"), threshold=0.3)
+
+
+# ------------------------------------------------------------- similarity
+
+
+@register(
+    "q_sim_search",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, ROUND(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    doc="Brute-force exact cosine top-10 against a stored query vector "
+    "(broadcast 1-row query side; single scan + TakeOrderedAndProject; "
+    "SURVEY §2.9).",
+)
+def q_sim_search(spark: SparkSession, sf: str) -> DataFrame:
+    return cosine_topk(table(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+@register(
+    "q_ann_lsh",
+    oracle=None,  # approximate by construction → rows-only; pytest checks
+    # recall vs the exact top-k.
+    doc="ANN scale path: random-hyperplane sign-LSH bucket, exact re-rank "
+    "within the query's bucket only (SURVEY §2.9 'IVF/LSH variant').",
+)
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return lsh_bucket_ann(table(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+@register(
+    "q_knn",
+    oracle=None,  # rows-only per SURVEY §2.9
+    doc="k-NN per label block: pairwise cosine within label, row_number "
+    "≤ k per anchor (SURVEY §2.9).",
+)
+def q_knn(spark: SparkSession, sf: str) -> DataFrame:
+    return knn_per_label(table(spark, sf, "embeddings"), k=3)
+
+
+# ----------------------------------------------------------- text analysis
+
+
+@register(
+    "q_text_wordcount",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+    doc="Tokenize + word count — explode + hash-agg (SURVEY §2.9).",
+)
+def q_text_wordcount(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+    doc="Per-(lang, source) corpus statistics (SURVEY §2.9).",
+)
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(token_count(F.col("text"))), 6).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "q_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY word
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT t.doc_id, t.word,
+           ROUND(t.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf t JOIN df ON t.word = df.word CROSS JOIN n
+    WHERE t.doc_id < 20
+    """,
+    doc="tf-idf: term frequency × ln(N/df). The df side is a tiny "
+    "vocabulary dim → broadcast join; idf factors computed once "
+    "(SURVEY §2.9).",
+)
+def q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_t = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # driver-side scalar (metadata-cheap count)
+    return (
+        tf.filter(F.col("doc_id") < 20)
+        .join(F.broadcast(df_t), "word")
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+def _lang_scores_sql() -> str:
+    cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        cols.append(
+            f"ROUND(CAST(len(list_filter(w, t -> t IN ({words}))) AS DOUBLE)"
+            f" / len(w), 6) AS s_{lang}"
+        )
+    return ",\n           ".join(cols)
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+           {_lang_scores_sql()}
+      FROM tok
+    )
+    SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+           CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+                WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+                WHEN s_fr THEN 'fr' ELSE 'zh' END AS pred_lang
+    FROM scored
+    """,
+    doc="Lexicon language-ID heuristic: per-language stopword hit ratio, "
+    "argmax with alphabetical tie-break. (The synthetic corpus vocabulary "
+    "is English-ish, so the heuristic's accuracy is incidental — the "
+    "operator contract is determinism + parity; SURVEY §2.9.)",
+)
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    toks = F.split(F.lower("text"), " ")
+
+    def hit_ratio(words: tuple[str, ...]):
+        # single-arg lambda (a 2-arg lambda would be read as (elem, idx))
+        return F.round(
+            F.size(F.filter(toks, lambda t: t.isin(*words))) / F.size(toks), 6
+        )
+
+    score_cols = {lang: hit_ratio(ws) for lang, ws in sorted(LANG_STOPWORDS.items())}
+    scored = d.select(
+        "doc_id", "lang", *[c.alias(f"s_{lang}") for lang, c in score_cols.items()]
+    )
+    mx = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(LANG_STOPWORDS)])
+    pred = F.when(F.col("s_de") == mx, "de")
+    for lang in ("en", "es", "fr"):
+        pred = pred.when(F.col(f"s_{lang}") == mx, lang)
+    return scored.withColumn("pred_lang", pred.otherwise("zh"))
+
+
+@register(
+    "q_quality_score",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(lower(text), ' ') AS w,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_alpha,
+             CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS DOUBLE)
+               AS n_punct,
+             CAST(length(text) AS DOUBLE) AS n_len
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER) AS n_tokens,
+           ROUND(n_alpha / len(w), 6) AS avg_token_len,
+           ROUND(n_punct / n_len, 6) AS punct_ratio,
+           ROUND(CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is','to')))
+                 AS DOUBLE) / len(w), 6) AS stopword_ratio,
+           ROUND(0.4 * least(1.0, len(w) / 100.0)
+               + 0.3 * (1.0 - n_punct / n_len)
+               + 0.3 * least(1.0, 5.0 * len(list_filter(w,
+                     t -> t IN ('the','a','of','and','is','to'))) / len(w)), 6)
+             AS quality
+    FROM base
+    """,
+    doc="Document quality scoring: token count, avg token length, "
+    "punctuation ratio, stopword ratio, weighted composite (SURVEY §2.9).",
+)
+def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.functions.text import (
+        avg_token_len,
+        punct_ratio,
+        stopword_ratio,
+    )
+
+    d = table(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.round(avg_token_len(t), 6).alias("avg_token_len"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}'))
+                AS INTEGER) AS bpe_ish_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace + BPE-ish regex pre-tokenizer "
+    "(letter runs | digit runs | single symbol; SURVEY §2.9).",
+)
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+    doc="Rolling polynomial document fingerprint "
+    "(acc*31 + ascii) mod 1e9+7 — JVM-side aggregate fold in Spark, "
+    "list_reduce with prepended-0 init in DuckDB (SURVEY §2.9).",
+)
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ------------------------------------------------------------- multimodal
+
+
+MULTIMODAL_FEATURE_SCHEMA = (
+    "doc_id long, modality string, n_bytes int, meta_lang string, fake_feature double"
+)
+
+
+def _decode_batch(it):
+    """Multimodal decode stage (mapInPandas). The real image/audio decode
+    libraries are not in this container — per the build contract this
+    stage is a STUB with a deterministic fake feature; the Spark-side
+    plumbing (binary column, Arrow batches, schema, partitioning) is
+    real. A production decoder drops in by replacing `_fake_feature`.
+    """
+
+    def _fake_feature(payload: bytes) -> float:
+        # deterministic stand-in for a decoded-feature statistic
+        return round(sum(payload[:64]) / max(1, min(len(payload), 64)) / 255.0, 6)
+
+    for pdf in it:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                "n_bytes": [len(b) for b in pdf["payload"]],
+                "meta_lang": [m["lang"] for m in pdf["meta"]],
+                "fake_feature": [_fake_feature(bytes(b)) for b in pdf["payload"]],
+            }
+        )
+
+
+@register(
+    "q_multimodal",
+    oracle=None,  # binary plumbing + pandas stage → rows-only
+    doc="Multimodal columns: text encoded as an opaque binary payload + "
+    "typed metadata struct, pushed through an Arrow-batched mapInPandas "
+    "decode/feature stage (decode stubbed — libs absent; SURVEY §2.9).",
+)
+def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    packed = d.select(
+        "doc_id",
+        F.lit("text").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),  # opaque binary column
+        F.struct("lang", "source", "n_chars").alias("meta"),
+    )
+    return packed.mapInPandas(_decode_batch, schema=MULTIMODAL_FEATURE_SCHEMA)

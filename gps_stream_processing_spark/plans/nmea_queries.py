@@ -1,0 +1,169 @@
+"""NMEA-path queries (SURVEY §2.1/§2.2/§2.5/§2.10). These run the
+reference's actual domain — the deterministic NMEA fixture stream — so
+they are rows-only for the driver (the fixture is not among the DuckDB
+oracle views); their value-level correctness is pinned by the golden-
+sentence unit tests (tests/test_nmea_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gps_stream_processing_spark.functions.nmea import nmea_checksum_ok
+from gps_stream_processing_spark.operators.gps_fix import (
+    flagship_query,
+    good_enough,
+    gps_fix_pipeline,
+    parse_sentences,
+    quality_filter,
+)
+from gps_stream_processing_spark.plans.registry import register
+from gps_stream_processing_spark.sources.nmea import nmea_fixture_df
+
+# One deterministic fixture shape for every NMEA query (seed pinned in
+# the generator): 3 tracks × 120 s ≈ 2.4k sentences.
+_FIXTURE_KW = dict(n_tracks=3, n_seconds=120)
+
+
+def _fixture(spark: SparkSession) -> DataFrame:
+    return nmea_fixture_df(spark, **_FIXTURE_KW)
+
+
+@register(
+    "q_nmea_parse",
+    oracle=None,
+    doc="The reference's entire engine end-to-end (ParseLine → demux → "
+    "extract → $CurrentUTC forward-fill → upsert-merge; "
+    "class.nmea.parser.php:103-114,170-328): raw sentence stream → typed "
+    "gps_fix table. Arrays projected to stable scalars for the driver's "
+    "schema check.",
+)
+def q_nmea_parse(spark: SparkSession, sf: str) -> DataFrame:
+    fixes = gps_fix_pipeline(_fixture(spark))
+    return fixes.select(
+        "track_id",
+        "utc",
+        "ts",
+        "lat",
+        "lon",
+        "alt_m",
+        "gps_qual",
+        "num_sat",
+        "hdop",
+        "pdop",
+        "vdop",
+        "speed_knots",
+        "speed_kmh",
+        "track_deg_true",
+        F.size("sat_prns").alias("n_sat_prns"),
+        F.size("sat_info").alias("n_sat_info"),
+        F.array_join("sentence_types", ",").alias("sentence_types_csv"),
+    )
+
+
+@register(
+    "q_fix_complete",
+    oracle=None,
+    doc="GoodEnough() completeness predicate (class.nmea.parser.php:"
+    "126-129) + the declared-but-unenforced quality filters (:40-77) "
+    "applied to the merged fix table.",
+)
+def q_fix_complete(spark: SparkSession, sf: str) -> DataFrame:
+    fixes = quality_filter(good_enough(gps_fix_pipeline(_fixture(spark))))
+    return fixes.select("track_id", "utc", "ts", "lat", "lon", "num_sat", "hdop")
+
+
+@register(
+    "q_nmea_checksum",
+    oracle=None,
+    doc="NMEA checksum validation (XOR fold between $ and *, no UDF — "
+    "SURVEY §2.6): per-sentence-type validity counts over the fixture "
+    "(malformed lines fail, golden lines pass).",
+)
+def q_nmea_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    raw = _fixture(spark)
+    return (
+        raw.select(
+            F.upper(F.trim(F.substring("value", 2, 5))).alias("stype"),
+            nmea_checksum_ok(F.col("value")).alias("ok"),
+        )
+        .groupBy("stype", "ok")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_nmea_flagship",
+    oracle=None,
+    doc="Flagship windowed query (SURVEY §7 step 1): per-track 5-minute "
+    "avg speed / fix count / DOP quality banding over quality-filtered "
+    "merged fixes.",
+)
+def q_nmea_flagship(spark: SparkSession, sf: str) -> DataFrame:
+    return flagship_query(_fixture(spark))
+
+
+@register(
+    "q_pandas_udf",
+    oracle=None,
+    doc="Sanctioned Arrow-vectorized scalar pandas_udf (SURVEY §2.10): "
+    "numpy haversine over per-fix successive positions, cross-checked "
+    "against the pure-column implementation in pytest.",
+)
+def q_pandas_udf(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from gps_stream_processing_spark.functions.pandas_udfs import haversine_km_np as hav_np
+
+    fixes = good_enough(gps_fix_pipeline(_fixture(spark)))
+    w = W.partitionBy("track_id").orderBy("ts")
+    steps = fixes.select(
+        "track_id",
+        "ts",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).filter(F.col("plat").isNotNull())
+    return steps.select(
+        "track_id",
+        "ts",
+        F.round(hav_np("plat", "plon", "lat", "lon"), 6).alias("step_km"),
+    )
+
+
+@register(
+    "q_udtf_gsv",
+    oracle=None,
+    doc="Python UDTF (SURVEY §2.10): one GSV sentence → one row per "
+    "satellite, the set-returning fix for the reference's multi-part "
+    "overwrite bug (class.nmea.parser.php:261-272).",
+)
+def q_udtf_gsv(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="prn int, elev int, azim int, snr int")
+    class GsvExpand:
+        def eval(self, line: str):
+            if not line or not line.startswith("$GPGSV"):
+                return
+            body = line[1:].split("*")[0]
+            toks = body.split(",")
+            for g in range(4):
+                grp = toks[4 + g * 4 : 8 + g * 4]
+                if len(grp) == 4 and grp[0].strip():
+                    try:
+                        yield tuple(int(x) for x in grp)
+                    except ValueError:
+                        continue
+
+    spark.udtf.register("gsv_expand", GsvExpand)
+    raw = _fixture(spark).filter(F.col("value").startswith("$GPGSV"))
+    raw.createOrReplaceTempView("gsv_lines")
+    return spark.sql(
+        """
+        SELECT l.line_no, l.track_id, s.prn, s.elev, s.azim, s.snr
+        FROM gsv_lines l, LATERAL gsv_expand(l.value) s
+        """
+    )

@@ -1,0 +1,828 @@
+"""Relational operator inventory (SURVEY §2.1-2.4, §2.7) over the driver
+star schema. Each query registers a Spark plan and its DuckDB oracle.
+
+The reference performs no relational joins/aggregations (its only
+join-like behavior is the UTC-key merge, SURVEY §2.3/§2.5) — every row
+here is engine surface (`ext`), the absence established by SURVEY §0
+(the repo's only code file is class.nmea.parser.php:1-399).
+
+Scale notes applied throughout:
+- dimension joins use explicit ``F.broadcast`` (region/nation/part/
+  customer/supplier stay broadcast-able at 100 TB fact scale);
+- fact-fact joins are plain equi-joins → AQE picks SMJ/shuffle-hash
+  and splits skew;
+- every window partitions by a real key (never a global orderBy,
+  except the global-sort operator itself, which is bounded by LIMIT
+  and executes as TakeOrderedAndProject);
+- aggregation rounding is applied on BOTH sides to absorb
+  floating-point reassociation across partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from gps_stream_processing_spark.operators.asof import asof_join
+from gps_stream_processing_spark.plans.registry import register, table
+
+# ---------------------------------------------------------------- §2.1 scans
+
+
+@register(
+    "q_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+    doc="Parquet scan + projection + pushdown predicate (SURVEY §2.1). "
+    "`.explain` shows PushedFilters on l_shipdate and a 4-column ReadSchema.",
+)
+def q_scan(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "q_read_json",
+    oracle=None,  # exercises the JSON source itself → rows-only
+    doc="JSON source round-trip (SURVEY §2.1): events → json lines on disk "
+    "→ spark.read.json with explicit schema (no inference pass) → counts.",
+)
+def q_read_json(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import os
+
+    out = f"/tmp/gps_spark_json_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    if not os.path.exists(out):
+        table(spark, sf, "events").coalesce(4).write.mode("overwrite").json(out)
+    from gps_stream_processing_spark.sources.tables import read_json_events
+
+    return (
+        read_json_events(spark, out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# ------------------------------------------------------- §2.2 filters / proj
+
+
+@register(
+    "q_filter_pred",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size
+    FROM part
+    WHERE p_size BETWEEN 10 AND 40
+      AND (p_brand IN ('Brand#1','Brand#12','Brand#23')
+           OR NOT (p_type LIKE 'ECO%'))
+      AND p_name IS NOT NULL
+    """,
+    doc="Compound predicates: AND/OR/NOT, IN, BETWEEN, LIKE, IS NULL "
+    "(the reference *declared* min-sat/max-DOP filters, never enforced: "
+    "class.nmea.parser.php:40-77, header :13).",
+)
+def q_filter_pred(spark: SparkSession, sf: str) -> DataFrame:
+    p = table(spark, sf, "part")
+    return p.filter(
+        F.col("p_size").between(10, 40)
+        & (
+            F.col("p_brand").isin("Brand#1", "Brand#12", "Brand#23")
+            | ~F.col("p_type").like("ECO%")
+        )
+        & F.col("p_name").isNotNull()
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+@register(
+    "q_case_when",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value < 10 THEN 'low'
+                WHEN value < 100 THEN 'mid'
+                ELSE 'high' END AS band,
+           COALESCE(NULLIF(event_type, 'view'), 'none') AS masked_type,
+           CASE WHEN value IS NULL THEN 'missing' ELSE 'present' END AS presence
+    FROM events
+    """,
+    doc="CASE WHEN banding (DOP-band spec comment class.nmea.parser.php:44-50) "
+    "+ coalesce/nullif conditionals (SURVEY §2.6).",
+)
+def q_case_when(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("value") < 10, "low")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("high")
+        .alias("band"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("view")), F.lit("none")).alias(
+            "masked_type"
+        ),
+        F.when(F.col("value").isNull(), "missing").otherwise("present").alias("presence"),
+    )
+
+
+@register(
+    "q_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    doc="Duplicate elimination (SURVEY §2.2).",
+)
+def q_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return table(spark, sf, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ---------------------------------------------------------------- §2.3 joins
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,
+           l.l_quantity, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+    doc="Fact-fact inner equi-join; planner's choice of SMJ/shuffle-hash, "
+    "AQE handles skew (SURVEY §2.3).",
+)
+def q_join_inner(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem").filter(F.col("l_shipdate") < "1997-01-01")
+    o = table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    return l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus", "l_quantity", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="Broadcast hash join: part is a small dim → explicit broadcast() "
+    "hint keeps the fact side shuffle-free (SURVEY §2.3).",
+)
+def q_join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q_join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+    doc="Full outer join with unmatched rows surviving on both sides "
+    "(left/right are restrictions of the same operator; SURVEY §2.3).",
+)
+def q_join_outer(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").filter(F.col("c_acctbal") > 5000)
+    o = table(spark, sf, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    doc="Left semi join (EXISTS; SURVEY §2.3).",
+)
+def q_join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    doc="Left anti join (NOT EXISTS; SURVEY §2.3).",
+)
+def q_join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    WHERE r.r_regionkey <> n.n_regionkey
+    """,
+    doc="Cross join + theta filter (BNLJ; both sides tiny — the only "
+    "place a cartesian is acceptable; SURVEY §2.3).",
+)
+def q_join_cross(spark: SparkSession, sf: str) -> DataFrame:
+    r = table(spark, sf, "region")
+    n = table(spark, sf, "nation")
+    return r.crossJoin(n).filter(F.col("r_regionkey") != F.col("n_regionkey")).select(
+        "r_name", "n_name"
+    )
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT b.band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e
+    JOIN (VALUES (0.0, 50.0, 'tiny'), (50.0, 150.0, 'small'),
+                 (150.0, 300.0, 'mid'), (300.0, 1000.0, 'big')) b(lo, hi, band)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+    doc="Non-equi range join: events banded by value interval. The band "
+    "dim is broadcast → a broadcast nested-loop with a tiny inner, the "
+    "right physical plan at any fact scale (SURVEY §2.3).",
+)
+def q_join_range(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    bands = spark.createDataFrame(
+        [(0.0, 50.0, "tiny"), (50.0, 150.0, "small"), (150.0, 300.0, "mid"), (300.0, 1000.0, "big")],
+        "lo double, hi double, band string",
+    )
+    return (
+        e.join(F.broadcast(bands), (e.value >= bands.lo) & (e.value < bands.hi))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, ts, ROUND(SUM(value), 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, p.ts AS asof_ts, p.purchase_value AS asof_purchase_value
+    FROM clicks c ASOF JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="As-of join: each click matched to the user's latest purchase at "
+    "or before it — union+ordered-window formulation (operators/asof.py), "
+    "the streaming analog of the reference's $CurrentUTC forward-fill "
+    "(class.nmea.parser.php:226). Oracle: DuckDB native ASOF JOIN.",
+)
+def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.sum("value"), 2).alias("purchase_value"))
+    )
+    return asof_join(clicks, purch, by=["user_id"], ts_col="ts", how="inner").select(
+        "event_id", "user_id", "asof_ts", "asof_purchase_value"
+    )
+
+
+@register(
+    "q_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           value - lag(value) OVER w AS delta_value,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lag/lead per-track deltas (SURVEY §2.3 self-join row, expressed "
+    "as the preferred single-shuffle window; tie-break on event_id makes "
+    "it deterministic).",
+)
+def q_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+# ----------------------------------------------------------------- §2.4 aggs
+
+
+@register(
+    "q_agg_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order,
+           ROUND(MIN(l_quantity), 2) AS min_qty,
+           ROUND(MAX(l_quantity), 2) AS max_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped hash aggregate: sum/avg/min/max/count with "
+    "Tungsten partial+final aggregation (SURVEY §2.4).",
+)
+def q_agg_basic(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+
+
+@register(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact count-distinct (expand+two-phase agg in Spark; SURVEY §2.4).",
+)
+def q_agg_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q_agg_approx_cd",
+    oracle=None,  # HLL++ sketch values are engine-specific → rows-only
+    doc="approx_count_distinct (HLL++): sketch result differs across "
+    "engines by design; the driver checks rows/schema, pytest checks "
+    "the ±5% envelope vs exact (SURVEY §2.4).",
+)
+def q_agg_approx_cd(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical subtotals (SURVEY §2.4).",
+)
+def q_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="All grouping-set combinations (SURVEY §2.4).",
+)
+def q_agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+    SELECT l_suppkey, ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY l_suppkey
+    HAVING SUM(l_quantity) > 15000
+    """,
+    doc="HAVING = post-aggregation filter (SURVEY §2.4).",
+)
+def q_agg_having(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+        .filter(F.col("sum_qty") > 15000)
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 6) AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles/median (both engines use linear "
+    "interpolation; approx_percentile is covered rows-only via "
+    "q_agg_approx_cd's family; SURVEY §2.4).",
+)
+def q_agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 6).alias("median_qty"),
+            F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"),
+            F.round(F.percentile("l_extendedprice", 0.5), 6).alias("p50_price"),
+        )
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+           ROUND(var_samp(l_quantity), 6) AS var_qty,
+           ROUND(stddev_samp(l_discount), 6) AS sd_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Sample stddev/variance (SURVEY §2.4).",
+)
+def q_agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+        )
+    )
+
+
+@register(
+    "q_fix_merge",
+    oracle="""
+    WITH enriched AS (
+      SELECT user_id, date_trunc('day', ts) AS day, ts, event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_n,
+             event_type
+      FROM events
+    ), filled AS (
+      SELECT user_id, day,
+             last_value(value_n IGNORE NULLS) OVER w AS last_good_value,
+             ROUND(AVG(value_n) OVER w, 6) AS avg_good_value,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_events,
+             row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rn
+      FROM enriched
+      WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day, last_good_value, avg_good_value, n_events
+    FROM filled WHERE rn = 1
+    """,
+    doc="The reference's per-key upsert-merge combinator (last non-null "
+    "wins by arrival order, class.nmea.parser.php:173-187) lifted to the "
+    "events table: per (user, day) merge with the exact full-frame-window "
+    "formulation operators/gps_fix.py::merge_fixes uses (SURVEY §2.4/§2.5).",
+)
+def q_fix_merge(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events").select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value_n"),
+    )
+    wfull = (
+        W.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    filled = e.select(
+        "user_id",
+        "day",
+        F.last("value_n", ignorenulls=True).over(wfull).alias("last_good_value"),
+        F.round(F.avg("value_n").over(wfull), 6).alias("avg_good_value"),
+        F.count("*").over(wfull).alias("n_events"),
+        F.row_number().over(W.partitionBy("user_id", "day").orderBy("ts", "event_id")).alias("rn"),
+    )
+    return filled.filter(F.col("rn") == 1).drop("rn")
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    doc="collect_list sorted for determinism, string-joined so the hash "
+    "compares engine-neutrally (SURVEY §2.4).",
+)
+def q_agg_collect(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("l_linenumber")), ",").alias("linenumbers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot event_type → columns, generalizing the reference's "
+    "['type'][sentence]=true provenance map (class.nmea.parser.php:173). "
+    "Explicit pivot values → no extra distinct-scan job (SURVEY §2.4).",
+)
+def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+# ---------------------------------------------- §2.7 windows/sort/limit/set
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           row_number()   OVER w AS rn,
+           rank()         OVER tie AS rnk,
+           dense_rank()   OVER tie AS drnk,
+           ntile(4)       OVER w AS quartile,
+           ROUND(percent_rank() OVER tie, 6) AS pct_rank,
+           ROUND(cume_dist()    OVER tie, 6) AS cdist
+    FROM customer
+    WINDOW w   AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+           tie AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+    """,
+    doc="Ranking family (SURVEY §2.7). row_number/ntile use a total order "
+    "(tie-break c_custkey); rank/dense_rank/percent_rank/cume_dist use the "
+    "tie-sensitive order on purpose.",
+)
+def q_win_rank(spark: SparkSession, sf: str) -> DataFrame:
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    tie = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return table(spark, sf, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(tie).alias("rnk"),
+        F.dense_rank().over(tie).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(tie), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(tie), 6).alias("cdist"),
+    )
+
+
+@register(
+    "q_win_frames",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER run, 4) AS running_sum,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4) AS moving_avg_10m,
+           first_value(event_type) OVER run AS first_type,
+           last_value(event_type)  OVER run AS latest_type
+    FROM events
+    WINDOW run AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Window frames: running ROWS sum, 10-minute RANGE moving average "
+    "over epoch seconds, first/last_value (SURVEY §2.7).",
+)
+def q_win_frames(spark: SparkSession, sf: str) -> DataFrame:
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    rng = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-600, 0)
+    )
+    return table(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(run), 4).alias("running_sum"),
+        F.round(F.avg("value").over(rng), 4).alias("moving_avg_10m"),
+        F.first("event_type").over(run).alias("first_type"),
+        F.last("event_type").over(run).alias("latest_type"),
+    )
+
+
+@register(
+    "q_topk_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 5
+    """,
+    doc="Top-K per group via row_number ≤ K — shuffles once on the group "
+    "key; no global sort (SURVEY §2.7).",
+)
+def q_topk_group(spark: SparkSession, sf: str) -> DataFrame:
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        table(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="Global top-K: orderBy+limit → TakeOrderedAndProject (per-partition "
+    "heaps + driver merge; never a full global sort; SURVEY §2.7).",
+)
+def q_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_sort",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice,
+           CAST(row_number() OVER (ORDER BY o_orderdate DESC, o_totalprice, o_orderkey)
+                AS BIGINT) AS sort_pos
+    FROM (
+      SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      WHERE o_orderstatus = 'F'
+      ORDER BY o_orderdate DESC, o_totalprice, o_orderkey LIMIT 100
+    )
+    """,
+    doc="Multi-key global sort, made hash-observable by materializing the "
+    "sort position of the top-100 slice (order-insensitive hashing would "
+    "otherwise not see ordering; SURVEY §2.7). The inner sort runs as "
+    "TakeOrderedAndProject; row_number touches only 100 rows.",
+)
+def q_sort(spark: SparkSession, sf: str) -> DataFrame:
+    top = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .orderBy(F.col("o_orderdate").desc(), "o_totalprice", "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+    w = W.orderBy(F.col("o_orderdate").desc(), "o_totalprice", "o_orderkey")
+    return top.withColumn("sort_pos", F.row_number().over(w).cast("long"))
+
+
+@register(
+    "q_set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="Union distinct (SURVEY §2.7).",
+)
+def q_set_union(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "q_set_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="Union all (multiset; SURVEY §2.7).",
+)
+def q_set_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s)
+
+
+@register(
+    "q_set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="Intersect distinct (SURVEY §2.7).",
+)
+def q_set_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "q_set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="Except-all (multiset difference; SURVEY §2.7).",
+)
+def q_set_except(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)

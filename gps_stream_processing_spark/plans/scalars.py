@@ -1,0 +1,311 @@
+"""Scalar-function family queries (SURVEY §2.6): the reference's scalars
+(degree2decimal, NMEA time, unit conversion) plus the engine's
+string/date/math/array/json families, each verified against the same
+arithmetic in DuckDB. All pure column expressions — zero UDFs, fully
+whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gps_stream_processing_spark.functions.geo import (
+    bearing_deg,
+    degree2decimal,
+    haversine_km,
+    knots_to_kmh,
+)
+from gps_stream_processing_spark.functions.nmea import nmea_time_to_timestamp
+from gps_stream_processing_spark.plans.registry import register, table
+
+
+@register(
+    "q_deg2dec",
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber,
+             ROUND(fmod(l_extendedprice, 9000.0) + 100.0, 4) AS ddmm,
+             CASE WHEN l_returnflag = 'R' THEN 'S' ELSE 'N' END AS hemi
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROUND(CASE WHEN hemi IN ('S','W')
+                      THEN -(floor(ddmm/100) + (ddmm - floor(ddmm/100)*100)/60)
+                      ELSE  (floor(ddmm/100) + (ddmm - floor(ddmm/100)*100)/60)
+                 END, 6) AS dec_deg
+    FROM src
+    """,
+    doc="The reference's degree2decimal (class.nmea.parser.php:339-351: "
+    "deg=int(x/100); dec=deg+(x-deg*100)/60; negate S/W; 6dp) applied to "
+    "synthesized ddmm.mmmm values from lineitem — engine fn vs plain SQL "
+    "arithmetic.",
+)
+def q_deg2dec(spark: SparkSession, sf: str) -> DataFrame:
+    src = table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") % 9000.0 + 100.0, 4).alias("ddmm"),
+        F.when(F.col("l_returnflag") == "R", "S").otherwise("N").alias("hemi"),
+    )
+    return src.select(
+        "l_orderkey",
+        "l_linenumber",
+        degree2decimal(F.col("ddmm"), F.col("hemi")).alias("dec_deg"),
+    )
+
+
+@register(
+    "q_nmea_time",
+    oracle="""
+    SELECT event_id,
+           strptime(strftime(ts, '%d%m%y') || strftime(ts, '%H%M%S'),
+                    '%d%m%y%H%M%S') AS ts_roundtrip
+    FROM events
+    """,
+    doc="NMEAtoUnixTime (class.nmea.parser.php:86-95): events timestamps "
+    "formatted to the reference's ddmmyy + hhmmss wire format and parsed "
+    "back through the engine's nmea_time_to_timestamp (2-digit-year POSIX "
+    "pivot) — round-trip equals date_trunc('second').",
+)
+def q_nmea_time(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events").select(
+        "event_id",
+        F.date_format("ts", "ddMMyy").alias("d"),
+        F.date_format("ts", "HHmmss").alias("u"),
+    )
+    return e.select(
+        "event_id",
+        nmea_time_to_timestamp(F.col("u"), F.col("d")).alias("ts_roundtrip"),
+    )
+
+
+@register(
+    "q_string_fns",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           trim(p_type) AS type_trim,
+           substring(p_name, 1, 5) AS name_pfx,
+           split_part(p_name, ' ', 1) AS first_word,
+           p_brand || '/' || p_type AS brand_type,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           CASE WHEN p_type LIKE '%O%' THEN 1 ELSE 0 END AS has_o
+    FROM part
+    """,
+    doc="String family: upper/lower/trim/substring/split/concat/regexp_"
+    "extract/length/like (the reference uses substr/trim/strtoupper/"
+    "explode at class.nmea.parser.php:138,171; SURVEY §2.6).",
+)
+def q_string_fns(spark: SparkSession, sf: str) -> DataFrame:
+    return table(spark, sf, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim("p_type").alias("type_trim"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.length("p_name").alias("name_len"),
+        F.when(F.col("p_type").like("%O%"), 1).otherwise(0).alias("has_o"),
+    )
+
+
+@register(
+    "q_date_fns",
+    oracle="""
+    SELECT event_id,
+           CAST(year(ts) AS INTEGER) AS y,
+           CAST(month(ts) AS INTEGER) AS m,
+           CAST(day(ts) AS INTEGER) AS d,
+           CAST(hour(ts) AS INTEGER) AS h,
+           CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           date_trunc('day', ts) AS day_ts,
+           CAST(floor(epoch(ts)) AS BIGINT) AS unix_s,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER)
+             AS days_since_ny
+    FROM events
+    """,
+    doc="Date/time family (SURVEY §2.6). Convention alignment: Spark "
+    "dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday → oracle adds 1.",
+)
+def q_date_fns(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.dayofweek("ts").alias("dow"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.unix_timestamp("ts").alias("unix_s"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since_ny"
+        ),
+    )
+
+
+@register(
+    "q_math_fns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_r1,
+           ROUND(abs(l_quantity - 25.0), 6) AS qty_dev,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           ROUND(sqrt(l_quantity), 6) AS qty_sqrt,
+           ROUND(ln(l_extendedprice), 6) AS price_ln,
+           ROUND(pow(l_discount, 2), 6) AS disc_sq,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod
+    FROM lineitem
+    """,
+    doc="Math family: round/abs/floor/sqrt/ln/pow/mod (the reference's "
+    "int-cast arithmetic, class.nmea.parser.php:340-343; SURVEY §2.6).",
+)
+def q_math_fns(spark: SparkSession, sf: str) -> DataFrame:
+    return table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.round(F.abs(F.col("l_quantity") - 25.0), 6).alias("qty_dev"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow("l_discount", 2), 6).alias("disc_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+# Synthesized coordinates: deterministic lat/lon pairs derived from keys
+# so geo scalars are verifiable against DuckDB with integer-exact inputs.
+_COORDS_SQL = """
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_orderkey % 170 - 85 AS DOUBLE) AS lat1,
+             CAST(l_partkey % 360 - 180 AS DOUBLE) AS lon1,
+             CAST(l_suppkey % 170 - 85 AS DOUBLE) AS lat2,
+             CAST((l_orderkey + l_partkey) % 360 - 180 AS DOUBLE) AS lon2
+      FROM lineitem
+"""
+
+
+@register(
+    "q_haversine",
+    oracle=f"""
+    WITH c AS ({_COORDS_SQL})
+    SELECT l_orderkey, l_linenumber,
+           ROUND(2 * 6371.0 * asin(least(1.0, sqrt(
+             pow(sin(radians(lat2 - lat1) / 2), 2)
+             + cos(radians(lat1)) * cos(radians(lat2))
+               * pow(sin(radians(lon2 - lon1) / 2), 2)))), 6) AS dist_km
+    FROM c
+    """,
+    doc="Haversine great-circle distance — the canonical GPS-analytics "
+    "scalar (SURVEY §2.6 q_haversine), pure column arithmetic.",
+)
+def q_haversine(spark: SparkSession, sf: str) -> DataFrame:
+    c = _coords(spark, sf)
+    return c.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")), 6).alias(
+            "dist_km"
+        ),
+    )
+
+
+def _coords(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") % 170 - 85).cast("double").alias("lat1"),
+        (F.col("l_partkey") % 360 - 180).cast("double").alias("lon1"),
+        (F.col("l_suppkey") % 170 - 85).cast("double").alias("lat2"),
+        ((F.col("l_orderkey") + F.col("l_partkey")) % 360 - 180).cast("double").alias("lon2"),
+    )
+
+
+@register(
+    "q_unit_conv",
+    oracle=f"""
+    WITH c AS ({_COORDS_SQL})
+    SELECT l_orderkey, l_linenumber,
+           ROUND(CAST(l_orderkey % 50 AS DOUBLE) * 1.852, 6) AS speed_kmh,
+           ROUND(fmod(degrees(atan2(
+               sin(radians(lon2 - lon1)) * cos(radians(lat2)),
+               cos(radians(lat1)) * sin(radians(lat2))
+                 - sin(radians(lat1)) * cos(radians(lat2)) * cos(radians(lon2 - lon1))
+             )) + 360.0, 360.0), 6) AS bearing
+    FROM c
+    """,
+    doc="Unit conversion (knots→km/h ×1.852, mirroring the reference's "
+    "spdknots/spdkmph pair, class.nmea.parser.php:324-326) + initial "
+    "bearing via atan2 (SURVEY §2.6).",
+)
+def q_unit_conv(spark: SparkSession, sf: str) -> DataFrame:
+    c = _coords(spark, sf)
+    return c.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(knots_to_kmh((F.col("l_orderkey") % 50).cast("double")), 6).alias("speed_kmh"),
+        F.round(
+            bearing_deg(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")), 6
+        ).alias("bearing"),
+    )
+
+
+@register(
+    "q_array_fns",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+           ROUND(list_sum(embedding::DOUBLE[]), 6) AS vec_sum,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS vec_min,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS vec_max,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
+    FROM embeddings
+    """,
+    doc="Array family over embeddings: size/element_at/aggregate-fold "
+    "sum/min/max/filter (SURVEY §2.6). Floats widened to double on both "
+    "sides so the left-to-right fold matches bit-for-bit.",
+)
+def q_array_fns(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(vec, 1), 6).alias("first_elem"),
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("vec_sum"),
+        F.round(F.array_min(vec), 6).alias("vec_min"),
+        F.round(F.array_max(vec), 6).alias("vec_max"),
+        F.size(F.filter(vec, lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@register(
+    "q_json_fns",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS INTEGER) AS k_val,
+           CASE WHEN CAST(props->>'$.k' AS INTEGER) >= 50 THEN 'hi' ELSE 'lo' END AS k_band
+    FROM events
+    """,
+    doc="JSON extraction from events.props (SURVEY §2.6): "
+    "get_json_object ↔ DuckDB ->> path extraction.",
+)
+def q_json_fns(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        k.alias("k_val"),
+        F.when(k >= 50, "hi").otherwise("lo").alias("k_band"),
+    )

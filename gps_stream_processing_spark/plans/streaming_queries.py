@@ -1,0 +1,128 @@
+"""Structured Streaming queries (SURVEY §2.8). Tumbling/sliding run as
+true streams (availableNow replay → memory sink) with batch-SQL oracles;
+session windows use the same session_window operator in batch form with
+a gaps-and-islands oracle; watermarked dedup is rows-only.
+
+The reference *is* a stream processor (push-based ParseLine,
+class.nmea.parser.php:103) with no windows/watermarks — these are the
+engine surface the north star mandates on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gps_stream_processing_spark.plans.registry import register, table
+from gps_stream_processing_spark.streaming.runner import events_stream, run_available_now
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-day window aggregate executed as a real stream "
+    "(availableNow replay); oracle is the batch date_trunc equivalent "
+    "(SURVEY §2.8).",
+)
+def q_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    agg = (
+        events_stream(spark, sf)
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    out = run_available_now(agg, output_mode="complete")
+    return out.select(
+        F.col("win.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM (
+      SELECT unnest([date_trunc('day', ts) - INTERVAL 1 DAY,
+                     date_trunc('day', ts)]) AS window_start,
+             event_type, value
+      FROM events
+    ) GROUP BY 1, 2
+    """,
+    doc="Sliding window (2-day window, 1-day slide) as a real stream; "
+    "each event belongs to 2 windows — oracle expands them via unnest "
+    "(SURVEY §2.8).",
+)
+def q_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    agg = (
+        events_stream(spark, sf)
+        .groupBy(F.window("ts", "2 days", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    out = run_available_now(agg, output_mode="complete")
+    return out.select(
+        F.col("win.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0
+             END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    doc="Gap-based sessionization (30-min gap) via the session_window "
+    "operator — the trajectory/session splitter for GPS tracks; oracle "
+    "is the classic gaps-and-islands SQL. New session when the gap is "
+    "≥ the timeout, matching Spark's [ts, ts+gap) extension semantics "
+    "(SURVEY §2.8).",
+)
+def q_stream_session(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q_stream_dedup",
+    oracle=None,  # the dedup-under-watermark semantics are streaming-only
+    doc="Streaming dedup: watermark + dropDuplicates on event_id over the "
+    "event stream (SURVEY §2.8); batch twin is q_distinct.",
+)
+def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    dedup = (
+        events_stream(spark, sf)
+        .withWatermark("ts", "1 day")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+    return run_available_now(dedup, output_mode="complete")

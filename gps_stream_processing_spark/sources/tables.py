@@ -31,7 +31,20 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}; known: {TESTDATA_TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
+        # truncate to micros with integer division (`div`, not `/` — the
+        # ns epoch ≈ 1.7e18 exceeds double's 53-bit mantissa), matching
+        # DuckDB's ns→µs truncation bit-for-bit.
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -1,0 +1,74 @@
+"""Structured Streaming helpers (SURVEY §2.8).
+
+``run_available_now`` drives a streaming DataFrame to completion with
+the availableNow trigger and a memory sink, returning the final result
+as a batch DataFrame — the synchronous smoke-mode the driver contract
+needs. In production the same plans run unchanged with a real trigger
+and a parquet/kafka sink; availableNow is Spark's sanctioned
+batch-replay of a stream (respecting watermarks & state), so the plans
+verified here are the plans that would run live.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file stream (FIXTURES.md: events doubles as
+    the streaming fixture). Schema passed explicitly — a streaming
+    source must never infer."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    # ts is TIMESTAMP(NANOS) on disk → read as long, truncate to micros
+    # (see sources/tables.load_table for the rationale).
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The streaming file source requires a *directory*; the testdata is a
+    # single file (read-only) → expose it through a symlink dir.
+    stream_dir = _stream_dir(os.path.join(sf_dir, "events.parquet"))
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _stream_dir(parquet_file: str) -> str:
+    import hashlib
+
+    d = f"/tmp/gps_spark_stream_{hashlib.md5(parquet_file.encode()).hexdigest()[:8]}"
+    link = os.path.join(d, "events.parquet")
+    os.makedirs(d, exist_ok=True)
+    if not os.path.exists(link):
+        os.symlink(parquet_file, link)
+    return d
+
+
+def run_available_now(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a streaming plan to exhaustion (availableNow) into a memory
+    sink; return the sink table. Memory sink is driver-resident — smoke
+    scale only; production sinks are parquet/kafka via the same plan."""
+    spark = sdf.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

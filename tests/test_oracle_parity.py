@@ -1,0 +1,102 @@
+"""Differential harness (SURVEY §5.2.1, local twin of the driver's t2
+gate): run every registered query in Spark AND its DuckDB oracle on the
+same parquet tables, compare row count, column names, and exact values
+(order-insensitive). Rows-only queries are checked for executability +
+stable schema + rows >= 0.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from gps_stream_processing_spark.plans import REGISTRY
+from gps_stream_processing_spark.schemas import TESTDATA_TABLES
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, normalize dtypes, sort rows — an
+    order-insensitive canonical form for exact comparison."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _assert_frames_equal(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> None:
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: column mismatch spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+    )
+    assert len(sdf) == len(odf), f"{name}: row count spark={len(sdf)} oracle={len(odf)}"
+    a, b = _canon(sdf), _canon(odf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av):
+            ok = np.isclose(
+                av.to_numpy(dtype=float),
+                bv.to_numpy(dtype=float),
+                rtol=0,
+                atol=0,
+                equal_nan=True,
+            )
+        else:
+            ok = (av.isna() & bv.isna()) | (av == bv)
+            ok = ok.to_numpy()
+        if not ok.all():
+            bad = int(np.argmin(ok))
+            raise AssertionError(
+                f"{name}: value mismatch col={c} row={bad}: "
+                f"spark={av.iloc[bad]!r} oracle={bv.iloc[bad]!r}"
+            )
+
+
+ORACLE_KEYS = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+ROWS_ONLY_KEYS = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_parity(spark, ddb, name):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, SF_DIR).toPandas()
+    odf = ddb.execute(q.oracle).df()
+    _assert_frames_equal(name, sdf, odf)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
+def test_rows_only_queries_run(spark, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    out = e.entry(spark)
+    assert out.count() > 0
+    assert len(e.queries()) == len(REGISTRY)
+    assert set(e.oracle_sql()).issubset(set(e.queries()))
