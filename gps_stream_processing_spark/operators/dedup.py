@@ -58,12 +58,17 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16, id_col: str = 
 
 def lsh_candidate_pairs(
     signatures: DataFrame,
-    bands: int = 4,
-    rows_per_band: int = 4,
+    bands: int = 8,
+    rows_per_band: int = 2,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band hash
-    become candidate pairs. Shuffle key = (band_id, 8-byte band hash)."""
+    become candidate pairs. Shuffle key = (band_id, 8-byte band hash).
+
+    Banding picks the S-curve: with 16 hashes, 8 bands × 2 rows gives
+    P(candidate) = 1-(1-J²)⁸ ≈ 0.90 at J=0.5 and ≈ 1.0 at J≥0.8, while
+    J=0.1 pairs surface only 7.7% of the time (and the exact-Jaccard
+    verify step removes them)."""
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),

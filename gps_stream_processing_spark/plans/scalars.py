@@ -291,6 +291,45 @@ def q_array_fns(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_geofence",
+    oracle=f"""
+    WITH c AS ({_COORDS_SQL})
+    SELECT g.fence, CAST(COUNT(*) AS BIGINT) AS n_inside
+    FROM c
+    JOIN (VALUES ('equator_band', -10.0, 10.0, -180.0, 180.0),
+                 ('north_box',     40.0, 60.0,    0.0,  40.0),
+                 ('west_box',     -60.0,  0.0, -120.0, -60.0))
+         g(fence, min_lat, max_lat, min_lon, max_lon)
+      ON c.lat1 BETWEEN g.min_lat AND g.max_lat
+     AND c.lon1 BETWEEN g.min_lon AND g.max_lon
+    GROUP BY g.fence
+    """,
+    doc="Geofence containment (SURVEY §7 step 4, FIXTURES.md §A.3): "
+    "point-in-bbox join against a broadcast fence dim — broadcast "
+    "nested-loop with a 3-row inner, the right plan at any scale.",
+)
+def q_geofence(spark: SparkSession, sf: str) -> DataFrame:
+    fences = spark.createDataFrame(
+        [
+            ("equator_band", -10.0, 10.0, -180.0, 180.0),
+            ("north_box", 40.0, 60.0, 0.0, 40.0),
+            ("west_box", -60.0, 0.0, -120.0, -60.0),
+        ],
+        "fence string, min_lat double, max_lat double, min_lon double, max_lon double",
+    )
+    c = _coords(spark, sf)
+    return (
+        c.join(
+            F.broadcast(fences),
+            F.col("lat1").between(F.col("min_lat"), F.col("max_lat"))
+            & F.col("lon1").between(F.col("min_lon"), F.col("max_lon")),
+        )
+        .groupBy("fence")
+        .agg(F.count("*").alias("n_inside"))
+    )
+
+
+@register(
     "q_json_fns",
     oracle="""
     SELECT event_id,

@@ -112,6 +112,34 @@ def q_stream_session(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_stream_fix_merge",
+    oracle=None,  # order-dependent stateful streaming op → rows-only;
+    # streaming-vs-batch equivalence is pinned in tests/test_streaming.py
+    doc="The reference's core stateful op in streaming form (SURVEY "
+    "§2.5/§2.8): NMEA sentences as an offset-bearing JSON stream → "
+    "parse_sentences → applyInPandasWithState keyed per track "
+    "($CurrentUTC forward-fill + last-wins merge inside the state fn).",
+)
+def q_stream_fix_merge(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    from gps_stream_processing_spark.operators.gps_fix import parse_sentences
+    from gps_stream_processing_spark.streaming.stateful import (
+        nmea_json_stream,
+        streaming_fix_merge,
+        write_nmea_fixture_json,
+    )
+
+    d = f"/tmp/gps_spark_nmea_stream_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    import os
+
+    if not os.path.exists(os.path.join(d, "nmea.jsonl")):
+        write_nmea_fixture_json(d, n_tracks=3, n_seconds=120)
+    parsed = parse_sentences(nmea_json_stream(spark, d))
+    return run_available_now(streaming_fix_merge(parsed), output_mode="update")
+
+
+@register(
     "q_stream_dedup",
     oracle=None,  # the dedup-under-watermark semantics are streaming-only
     doc="Streaming dedup: watermark + dropDuplicates on event_id over the "

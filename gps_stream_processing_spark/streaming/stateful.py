@@ -1,0 +1,169 @@
+"""Streaming stateful fix-merge (SURVEY §2.5/§2.8): the reference's core
+operator — fold NMEA sentences into one record per (receiver, UTC
+second), with the timestamp-less sentences adopting the forward-filled
+current key (``$CurrentUTC``, class.nmea.parser.php:172,226,264,319) —
+expressed as ``applyInPandasWithState`` keyed on ``track_id``.
+
+This is one of the engine's two sanctioned pandas escape hatches
+(SURVEY §3.4): the merge is inherently order-dependent per receiver, so
+it cannot be a plain streaming aggregation. State per track is tiny
+(the single open fix + the running date), so at 1000 receivers × 100 TB
+the state store stays O(#tracks), exactly like the reference's
+O(#distinct-seconds) map but bounded by emission.
+
+Ordering contract: rows carry ``line_no`` (the per-receiver arrival
+order — in production the Kafka partition offset); the merge sorts each
+micro-batch by it. Emission: a fix closes when a later UTC key appears
+on its track; open fixes are also emitted (``is_final = false``) so an
+availableNow replay over a finite fixture reproduces the batch pipeline
+exactly (verified in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Scalar fields the streaming merge carries (a representative subset of
+# GPS_FIX_SCHEMA — arrays stay in the batch path).
+MERGE_FIELDS = (
+    "date",
+    "lat",
+    "lon",
+    "gps_qual",
+    "num_sat",
+    "hdop",
+    "speed_knots",
+    "speed_kmh",
+    "track_deg_true",
+)
+
+OUTPUT_SCHEMA = (
+    "track_id long, utc string, date string, lat double, lon double, "
+    "gps_qual int, num_sat int, hdop double, speed_knots double, "
+    "speed_kmh double, track_deg_true double, sentence_types string, "
+    "is_final boolean"
+)
+
+# state: the per-track open-record map {utc: fields} (the reference's
+# $Nmea store, class.nmea.parser.php:18, bounded by eviction) + the
+# forward-filled current utc/date cursor.
+STATE_SCHEMA = "cur_utc string, cur_date string, blob string"
+
+# Max open fix-seconds kept per track before the oldest are finalized —
+# the streaming analog of a watermark; the reference's map is unbounded
+# (SURVEY §4.1 'spill/memory mgmt: none'), ours is not.
+MAX_OPEN_FIXES = 64
+
+
+def _row_to_fix(track_id: int, utc: str, fields: dict[str, Any], final: bool) -> dict:
+    out = {
+        "track_id": track_id,
+        "utc": utc,
+        "sentence_types": ",".join(sorted(fields.get("__types", []))),
+        "is_final": final,
+    }
+    for f in MERGE_FIELDS:
+        out[f] = fields.get(f)
+    return out
+
+
+def merge_fix_groups(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-track stateful merge: last-non-null-wins by line order into a
+    per-UTC record map (the reference's overwrite upsert into
+    ``$Nmea[utc]``, class.nmea.parser.php:173-187 — revisiting a key
+    merges into the existing record, it does not open a second one)."""
+    (track_id,) = key
+    if state.exists:
+        cur_utc, cur_date, blob = state.get
+        records: dict[str, dict[str, Any]] = json.loads(blob)
+    else:
+        cur_utc, cur_date, records = None, None, {}
+
+    evicted: list[dict] = []
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values("line_no", kind="stable")
+    for row in batch.itertuples(index=False):
+        utc = getattr(row, "utc", None)
+        if utc is not None and not pd.isna(utc):
+            cur_utc = utc
+            if cur_utc not in records:
+                records[cur_utc] = {"__types": [], "date": cur_date}
+                if len(records) > MAX_OPEN_FIXES:  # finalize oldest (arrival order)
+                    old_key = next(iter(records))
+                    if old_key != cur_utc:
+                        evicted.append(
+                            _row_to_fix(track_id, old_key, records.pop(old_key), True)
+                        )
+        if cur_utc is None:
+            continue  # pre-key sentence: no home record (batch twin drops too)
+        fields = records[cur_utc]
+        for f in MERGE_FIELDS:
+            v = getattr(row, f, None)
+            if v is not None and not pd.isna(v):
+                fields[f] = v
+                if f == "date":
+                    cur_date = v
+        st = getattr(row, "stype", None)
+        if st is not None and not pd.isna(st) and st not in fields["__types"]:
+            fields["__types"].append(st)
+
+    # snapshot every open record (update mode: latest version wins
+    # downstream); an availableNow replay over a finite fixture therefore
+    # reproduces the batch pipeline exactly.
+    out = evicted + [
+        _row_to_fix(track_id, utc, fields, False) for utc, fields in records.items()
+    ]
+    state.update((cur_utc, cur_date, json.dumps(records)))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def streaming_fix_merge(parsed: DataFrame) -> DataFrame:
+    """Wire the stateful merge over a *streaming* parsed-sentence frame
+    (the output of operators.gps_fix.parse_sentences on a stream)."""
+    cols = ["line_no", "track_id", "stype", "utc", *MERGE_FIELDS]
+    slim = parsed.select(*cols)
+    return slim.groupBy("track_id").applyInPandasWithState(
+        merge_fix_groups,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def write_nmea_fixture_json(path: str, **kwargs) -> None:
+    """Persist the NMEA fixture as JSON lines with explicit
+    (line_no, track_id) — the streaming source format (offset-bearing,
+    like a Kafka topic per receiver)."""
+    import os
+
+    from gps_stream_processing_spark.sources.nmea import generate_nmea_rows
+
+    os.makedirs(path, exist_ok=True)
+    rows = generate_nmea_rows(**kwargs)
+    with open(os.path.join(path, "nmea.jsonl"), "w") as f:
+        for line_no, track_id, value in rows:
+            f.write(json.dumps({"line_no": line_no, "track_id": track_id, "value": value}) + "\n")
+
+
+def nmea_json_stream(spark, path: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("line_no", T.LongType()),
+            T.StructField("track_id", T.LongType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
+    return spark.readStream.schema(schema).json(path)

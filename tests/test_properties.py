@@ -1,0 +1,177 @@
+"""Property-based tests (SURVEY §5.2.3, hypothesis): numeric round-trips
+of the reference scalars, merge order-invariance, and recall bounds for
+the approximate operators.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gps_stream_processing_spark.sources.nmea import nmea_checksum
+
+
+def _deg2dec_py(ddmm: float, direction: str) -> float:
+    deg = int(ddmm / 100)
+    dec = deg + (ddmm - deg * 100) / 60.0
+    if direction in ("S", "W"):
+        dec = -dec
+    return round(dec, 6)
+
+
+def _dec2ddmm(dec: float) -> tuple[float, str]:
+    d = abs(dec)
+    deg = int(d)
+    minutes = (d - deg) * 60.0
+    return deg * 100 + minutes, ("S" if dec < 0 else "N")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(min_value=-89.999999, max_value=89.999999))
+def test_degree_roundtrip_python_model(dec):
+    """decimal → ddmm.mmmm → degree2decimal round-trips within 1e-6
+    (the reference's own precision, class.nmea.parser.php:349)."""
+    ddmm, hemi = _dec2ddmm(dec)
+    back = _deg2dec_py(ddmm, hemi)
+    assert abs(back - round(dec, 6)) <= 1e-6
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.datetimes(
+        min_value=datetime(1970, 1, 1),
+        max_value=datetime(2068, 12, 31, 23, 59, 59),
+    )
+)
+def test_nmea_time_python_model(dt):
+    """NMEAtoUnixTime model: ddmmyy+hhmmss → epoch matches Python
+    datetime under the POSIX 2-digit-year pivot (69→1969, 68→2068)."""
+    utc = dt.strftime("%H%M%S")
+    date = dt.strftime("%d%m%y")
+    yy = int(date[4:6])
+    year = yy + (1900 if yy >= 69 else 2000)
+    rebuilt = datetime(
+        year, int(date[2:4]), int(date[0:2]),
+        int(utc[0:2]), int(utc[2:4]), int(utc[4:6]), tzinfo=timezone.utc,
+    )
+    expected = dt.replace(microsecond=0, tzinfo=timezone.utc)
+    if 1969 <= dt.year <= 2068:
+        assert rebuilt == expected
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=80))
+def test_checksum_model_is_xor(body):
+    body = body.replace("*", "").replace("$", "")
+    acc = 0
+    for ch in body:
+        acc ^= ord(ch)
+    assert nmea_checksum(body) == f"{acc:02X}"
+
+
+def _spark_deg2dec(spark, pairs):
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.functions.geo import degree2decimal
+
+    df = spark.createDataFrame(pairs, "ddmm double, hemi string")
+    return [
+        r.d for r in df.select(degree2decimal(F.col("ddmm"), F.col("hemi")).alias("d")).collect()
+    ]
+
+
+def test_spark_deg2dec_matches_python_model(spark):
+    import random
+
+    rng = random.Random(11)
+    pairs = [
+        (round(rng.uniform(0, 17999.9999), 4), rng.choice(["N", "S", "E", "W"]))
+        for _ in range(300)
+    ]
+    got = _spark_deg2dec(spark, pairs)
+    want = [_deg2dec_py(d, h) for d, h in pairs]
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_merge_order_invariance_for_timestamped(spark):
+    """Timestamp-bearing sentences of DIFFERENT seconds produce the same
+    fix table regardless of arrival order (the per-key merge is keyed by
+    event time, not arrival; class.nmea.parser.php:172)."""
+    from gps_stream_processing_spark.operators.gps_fix import gps_fix_pipeline
+    from gps_stream_processing_spark.schemas import NMEA_LINE_SCHEMA
+
+    s1 = "$GPGGA,120001,4807.038,N,01131.000,E,1,08,0.9,545.4,M,46.9,M,,"
+    s2 = "$GPGGA,120002,4807.100,N,01131.100,E,1,09,1.0,546.0,M,46.9,M,,"
+    a = spark.createDataFrame([(0, 1, s1), (1, 1, s2)], NMEA_LINE_SCHEMA)
+    b = spark.createDataFrame([(0, 1, s2), (1, 1, s1)], NMEA_LINE_SCHEMA)
+    fa = gps_fix_pipeline(a).select("utc", "lat", "num_sat").orderBy("utc").collect()
+    fb = gps_fix_pipeline(b).select("utc", "lat", "num_sat").orderBy("utc").collect()
+    assert fa == fb
+
+
+def test_lsh_neardup_recall(spark):
+    """MinHash-LSH: no false positives (verify step filters), and every
+    high-similarity pair (J ≥ 0.8 — the planted dups are ~0.99; 8×2
+    banding makes P(miss) ≈ (1-J²)⁸ < 1e-3 there) is recalled."""
+    from gps_stream_processing_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact_rows = REGISTRY["q_dedup_ngram_jaccard"].fn(spark, sf).collect()
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in exact_rows}
+    lsh = {
+        (r.doc_a, r.doc_b) for r in REGISTRY["q_dedup_near"].fn(spark, sf).collect()
+    }
+    assert lsh.issubset(set(exact))  # verified candidates only
+    high = {p for p, j in exact.items() if j >= 0.8}
+    assert high, "fixture should contain planted near-dups"
+    assert high.issubset(lsh)
+
+
+def test_ann_lsh_results_subset_of_exact_ranking(spark):
+    from gps_stream_processing_spark.operators.similarity import cosine_topk, lsh_bucket_ann
+    from gps_stream_processing_spark.plans.registry import table
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    exact = {r.vec_id: r.cos_sim for r in cosine_topk(emb, 0, k=50).collect()}
+    approx = lsh_bucket_ann(emb, 0, k=10).collect()
+    assert len(approx) > 0
+    for r in approx:
+        if r.vec_id in exact:
+            assert abs(exact[r.vec_id] - r.cos_sim) < 1e-9
+
+
+def test_approx_count_distinct_envelope(spark):
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.plans.registry import table
+
+    sf = "/root/testdata/sf0.01"
+    l = table(spark, sf, "lineitem")
+    got = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("a"),
+        F.countDistinct("l_partkey").alias("x"),
+    )
+    for r in got.collect():
+        assert abs(r.a - r.x) / r.x < 0.05
+
+
+def test_pandas_udf_haversine_matches_column_impl(spark):
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.functions.geo import haversine_km
+    from gps_stream_processing_spark.functions.pandas_udfs import haversine_km_np
+
+    df = spark.createDataFrame(
+        [(48.1, 11.5, 48.2, 11.6), (-33.9, 151.2, 40.7, -74.0), (0.0, 0.0, 0.0, 180.0)],
+        "lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    rows = df.select(
+        haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("c"),
+        haversine_km_np("lat1", "lon1", "lat2", "lon2").alias("p"),
+    ).collect()
+    for r in rows:
+        assert r.c == pytest.approx(r.p, abs=1e-9)

@@ -1,0 +1,159 @@
+"""Streaming tests (SURVEY §5.2.4): streaming-vs-batch equivalence for
+the stateful fix-merge, plus window/watermark behavior smoke checks.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def stream_fixture_dir(tmp_path_factory):
+    from gps_stream_processing_spark.streaming.stateful import write_nmea_fixture_json
+
+    d = str(tmp_path_factory.mktemp("nmea_stream"))
+    write_nmea_fixture_json(d, n_tracks=2, n_seconds=60)
+    return d
+
+
+def test_streaming_fix_merge_equals_batch(spark, stream_fixture_dir, nmea_df):
+    """Same NMEA lines through the streaming stateful merge and the batch
+    pipeline → identical merged fixes (SURVEY §5.2.4). The batch fixture
+    (nmea_df) and json stream share the generator with the same shape."""
+    from gps_stream_processing_spark.operators.gps_fix import (
+        gps_fix_pipeline,
+        parse_sentences,
+    )
+    from gps_stream_processing_spark.streaming.runner import run_available_now
+    from gps_stream_processing_spark.streaming.stateful import (
+        nmea_json_stream,
+        streaming_fix_merge,
+    )
+
+    parsed = parse_sentences(nmea_json_stream(spark, stream_fixture_dir))
+    stream_out = run_available_now(streaming_fix_merge(parsed), output_mode="update")
+    s = (
+        stream_out.select(
+            "track_id", "utc", "lat", "lon", "num_sat", "hdop", "speed_knots"
+        )
+        .toPandas()
+        .sort_values(["track_id", "utc"], ignore_index=True)
+    )
+
+    batch = gps_fix_pipeline(nmea_df)  # nmea_df: n_tracks=2, n_seconds=60
+    b = (
+        batch.select("track_id", "utc", "lat", "lon", "num_sat", "hdop", "speed_knots")
+        .toPandas()
+        .sort_values(["track_id", "utc"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(s, b, check_dtype=False)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late (beyond-watermark) rows are dropped: run 1 finalizes the
+    10:00-10:10 window (watermark → 10:21); run 2 — same checkpoint —
+    delivers a 10:03 row, which must NOT re-open the finalized window."""
+    import json
+    import os
+    import uuid
+
+    d = tmp_path / "late"
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d)
+    early = [{"event_id": i, "ts": f"2024-01-01 10:{m:02d}:00", "k": "a"}
+             for i, m in enumerate([0, 1, 2, 30, 31])]
+    late = [{"event_id": 99, "ts": "2024-01-01 10:03:00", "k": "a"}]  # 28 min late
+    with open(d / "b1.jsonl", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in early)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("k", T.StringType()),
+        ]
+    )
+
+    def run():
+        emitted = []
+        sdf = (
+            spark.readStream.schema(schema)
+            .json(str(d))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes"), "k")
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            sdf.writeStream.foreachBatch(
+                lambda df, epoch: emitted.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return emitted
+
+    out1 = run()
+    # run 1: only the 10:00-10:10 window is final (end ≤ watermark 10:21)
+    assert len(out1) == 1 and out1[0].n == 3
+
+    with open(d / "b2.jsonl", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in late)
+    out2 = run()  # same checkpoint → watermark state carried over
+    # run 2: the late row falls in the already-finalized window → dropped;
+    # no new finalized windows are emitted.
+    assert len(out2) == 0
+
+
+def test_stream_static_join(spark):
+    """Stream-static enrichment join (SURVEY §2.8)."""
+    from gps_stream_processing_spark.streaming.runner import (
+        events_stream,
+        run_available_now,
+    )
+    from gps_stream_processing_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    static_dim = spark.createDataFrame(
+        [("click", "interactive"), ("view", "passive"), ("purchase", "revenue")],
+        "event_type string, kind string",
+    )
+    joined = (
+        events_stream(spark, sf)
+        .join(F.broadcast(static_dim), "event_type")
+        .groupBy("kind")
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_available_now(joined, output_mode="complete").toPandas()
+    e = load_table(spark, sf, "events").toPandas()
+    expect = {
+        "interactive": (e.event_type == "click").sum(),
+        "passive": (e.event_type == "view").sum(),
+        "revenue": (e.event_type == "purchase").sum(),
+    }
+    got = dict(zip(out["kind"], out["n"]))
+    assert got == expect
+
+
+def test_tumbling_stream_matches_batch(spark):
+    from gps_stream_processing_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    stream_res = REGISTRY["q_stream_tumbling"].fn(spark, sf).toPandas()
+    from gps_stream_processing_spark.sources.tables import load_table
+
+    batch = (
+        load_table(spark, sf, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .toPandas()
+    )
+    s = stream_res.sort_values(["window_start", "event_type"], ignore_index=True)
+    b = batch.sort_values(["window_start", "event_type"], ignore_index=True)
+    pd.testing.assert_frame_equal(s, b, check_dtype=False)
