@@ -102,21 +102,34 @@ def jaccard_pairs(shingles: DataFrame, threshold: float, id_col: str = "doc_id",
     stage of near-dedup; standalone it is the oracle-checkable ground
     truth at small scale."""
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        # Push the candidate restriction BELOW the intersection join:
+        # candidates ⋈ shingles(doc_a) ⋈ shingles(doc_b, shingle). The
+        # expensive co-shingle join then touches only candidate pairs
+        # (LSH output), never the full corpus — this is what makes
+        # verify-on-candidates sub-quadratic at scale.
+        sa = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
+        sb = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
+        inter = (
+            candidates.join(sa, "doc_a")
+            .join(sb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
     return (
