@@ -105,6 +105,45 @@ def q_nmea_flagship(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_track_speed",
+    oracle=None,
+    doc="GPS analytics (SURVEY §7 step 4): speed-from-positions — "
+    "haversine over successive fixes / Δt — cross-checked against the "
+    "receiver-reported GPRMC speed (class.nmea.parser.php:295), with "
+    "bearing per step. Per-track window, single shuffle.",
+)
+def q_track_speed(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from gps_stream_processing_spark.functions.geo import bearing_deg, haversine_km
+
+    fixes = good_enough(gps_fix_pipeline(_fixture(spark)))
+    w = W.partitionBy("track_id").orderBy("ts")
+    steps = fixes.select(
+        "track_id",
+        "ts",
+        "lat",
+        "lon",
+        "speed_knots",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("ts").over(w).alias("pts"),
+    ).filter(F.col("plat").isNotNull())
+    dt_h = (F.col("ts").cast("double") - F.col("pts").cast("double")) / 3600.0
+    dist = haversine_km(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon"))
+    return steps.select(
+        "track_id",
+        "ts",
+        F.round(dist, 6).alias("step_km"),
+        F.round(dist / dt_h / F.lit(1.852), 3).alias("derived_speed_knots"),
+        F.col("speed_knots").alias("reported_speed_knots"),
+        F.round(
+            bearing_deg(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon")), 3
+        ).alias("bearing"),
+    )
+
+
+@register(
     "q_pandas_udf",
     oracle=None,
     doc="Sanctioned Arrow-vectorized scalar pandas_udf (SURVEY §2.10): "

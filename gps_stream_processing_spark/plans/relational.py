@@ -72,6 +72,52 @@ def q_read_json(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_read_csv",
+    oracle=None,  # exercises the CSV source itself → rows-only
+    doc="CSV source round-trip (SURVEY §2.1): nation dim → csv on disk → "
+    "spark.read.csv with explicit schema (no inference) → join-shaped "
+    "projection.",
+)
+def q_read_csv(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import os
+
+    out = f"/tmp/gps_spark_csv_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    if not os.path.exists(out):
+        table(spark, sf, "nation").coalesce(1).write.mode("overwrite").option(
+            "header", True
+        ).csv(out)
+    n = spark.read.schema("n_nationkey int, n_name string, n_regionkey int").option(
+        "header", True
+    ).csv(out)
+    return n.groupBy("n_regionkey").agg(F.count("*").alias("n_nations"))
+
+
+@register(
+    "q_sink_parquet",
+    oracle=None,  # exercises the partitioned sink → rows-only
+    doc="Partitioned parquet sink + partition-pruned re-read (SURVEY "
+    "§2.1): orders written partitionBy(o_orderstatus); the re-read scan "
+    "of one partition prunes the others (the on-disk layout a 100 TB "
+    "deployment uses for its date keys).",
+)
+def q_sink_parquet(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    out = f"/tmp/gps_spark_sink_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    (
+        table(spark, sf, "orders")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+    )
+
+
 # ------------------------------------------------------- §2.2 filters / proj
 
 
