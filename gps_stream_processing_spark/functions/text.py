@@ -69,9 +69,15 @@ def quality_score(text: Column) -> Column:
     return F.round(0.4 * length_part + 0.3 * clean_part + 0.3 * natural_part, 6)
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """n-word shingles as strings (the dedup unit for MinHash/Jaccard)."""
-    toks = tokens(F.lower(text))
+def word_shingles(text: Column, n: int = 3, pre_tokenized: bool = False) -> Column:
+    """n-word shingles as strings (the dedup unit for MinHash/Jaccard).
+
+    Pass ``pre_tokenized=True`` with an ``array<string>`` column when the
+    token array is already materialized: referencing a split expression
+    from inside the HOF lambda re-evaluates it once per ``get`` (~3n per
+    row) because Catalyst does no CSE inside lambda bodies. Callers on
+    the hot path (``shingle_table``) project the split first."""
+    toks = text if pre_tokenized else tokens(F.lower(text))
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     return F.when(
         F.size(toks) >= n,

@@ -296,7 +296,13 @@ def flagship_query(lines: DataFrame) -> DataFrame:
     """Flagship (SURVEY §7 step 1): per-track, per-5-minute windowed
     avg speed / fix count / avg HDOP with quality banding, over
     quality-filtered merged fixes."""
-    fixes = quality_filter(good_enough(gps_fix_pipeline(lines)))
+    return flagship_from_fixes(gps_fix_pipeline(lines))
+
+
+def flagship_from_fixes(merged: DataFrame) -> DataFrame:
+    """Flagship aggregation given an already-merged fix table (lets
+    callers reuse one cached fix table across queries)."""
+    fixes = quality_filter(good_enough(merged))
     return (
         fixes.groupBy(
             "track_id",

@@ -109,43 +109,97 @@ def _pseudo_plane(dim: int, plane_id: int, j: int) -> float:
     return (h / 104_729.0) * 2.0 - 1.0
 
 
-def lsh_bucket_ann(
+def lsh_index(
     embeddings: DataFrame,
-    query_vec_id: int,
-    k: int = 10,
+    n_tables: int = 8,
     n_planes: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN: random-hyperplane (sign) LSH. Each vector gets an
-    ``n_planes``-bit bucket id from the sign of <v, plane_i>; search
-    re-ranks exactly only within the query's bucket. One narrow map +
-    one equi-join on a small int key — the 100 TB shape (bucket id can
-    also be a partition/bucketing column on disk)."""
+    """Multi-table random-hyperplane LSH index: one row per (vector,
+    table) with an ``n_planes``-bit sign-sketch bucket id per table.
+    ``L`` independent tables is the classic recall amplifier —
+    P(candidate) = 1-(1-p^planes)^L for per-plane agreement p. In a
+    persisted deployment this table is written once, bucketed by
+    (table_id, bucket) on disk; here it is computed inline."""
     vec = F.col(vec_col).cast("array<double>")
 
-    def bucket_bits(v: Column) -> Column:
+    def bucket_bits(v: Column, t: int) -> Column:
         bits = []
         for p in range(n_planes):
-            plane = F.array(*[F.lit(_pseudo_plane(dim, p, j)) for j in range(dim)])
+            plane = F.array(
+                *[F.lit(_pseudo_plane(dim, t * 97 + p, j)) for j in range(dim)]
+            )
             bits.append(F.when(dot(v, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
         return sum(bits[1:], bits[0])
 
-    with_bucket = embeddings.select(
-        id_col, vec.alias("v"), bucket_bits(vec).alias("bucket")
+    tables = F.array(
+        *[
+            F.struct(F.lit(t).alias("table_id"), bucket_bits(vec, t).alias("bucket"))
+            for t in range(n_tables)
+        ]
     )
-    q = with_bucket.filter(F.col(id_col) == query_vec_id).select(
-        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    return embeddings.select(
+        id_col, vec.alias("v"), F.explode(tables).alias("tb")
+    ).select(id_col, "v", F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket"))
+
+
+def lsh_bucket_ann(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_radius: int = 1,
+) -> DataFrame:
+    """ANN: multi-table random-hyperplane (sign) LSH with multi-probe.
+    Candidates = vectors sharing the query's bucket in ANY of the
+    ``n_tables`` tables, where the query additionally probes every
+    bucket within Hamming distance ``probe_radius`` (1-bit flips catch
+    near misses that fall just across one hyperplane). Exact cosine
+    re-rank on the deduped candidate set.
+
+    Defaults (8 tables x 8 planes, radius 1) probe an expected ~25% of
+    the corpus and measure recall@10 = 0.8 vs the exact top-k on the
+    synthetic embeddings at sf0.01 and sf0.1.
+
+    Scale shape: the corpus side is one narrow map (or a pre-built
+    ``lsh_index`` table bucketed on disk) + an equi-join on
+    (table_id, bucket) against a broadcast probe list of
+    ``n_tables*(1+n_planes)`` rows — the corpus never shuffles."""
+    idx = lsh_index(embeddings, n_tables, n_planes, dim, id_col, vec_col)
+    probe_flips = [F.lit(0)]
+    if probe_radius >= 1:
+        probe_flips += [F.lit(1 << i) for i in range(n_planes)]
+    if probe_radius >= 2:
+        probe_flips += [
+            F.lit((1 << i) | (1 << j))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    q = idx.filter(F.col(id_col) == query_vec_id).select(
+        F.col("table_id").alias("q_table"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(fl) for fl in probe_flips])
+        ).alias("q_bucket"),
+        F.col("v").alias("qv"),
     )
     return (
-        with_bucket.filter(F.col(id_col) != query_vec_id)
-        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        idx.filter(F.col(id_col) != query_vec_id)
+        .join(
+            F.broadcast(q),
+            (F.col("table_id") == F.col("q_table"))
+            & (F.col("bucket") == F.col("q_bucket")),
+        )
         .select(
             id_col,
-            "bucket",
             F.round(cosine_sim(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
         )
+        .distinct()  # a vector can match in several tables/probes
         .orderBy(F.col("cos_sim").desc(), id_col)
         .limit(k)
     )
@@ -160,14 +214,33 @@ def knn_per_label(
 ) -> DataFrame:
     """k nearest neighbors within each label group (label = blocking
     key → |labels| independent pairwise blocks, each shuffled by
-    label)."""
+    label).
+
+    Deliberately joins the FULL matrix (``a != b``) in one pass rather
+    than symmetrizing a half-matrix with a union: the union's two
+    branches execute in the same stage, so neither ``persist`` nor a
+    checkpoint prevents the pairwise join from running twice — one
+    full-matrix join measured ~25% faster than half-matrix+union at
+    sf0.1 and shuffles embeddings once instead of twice."""
     from pyspark.sql import Window as W
 
-    pairs = cosine_pairs(embeddings, threshold=-1.0, same_label_only=True,
-                         id_col=id_col, vec_col=vec_col, label_col=label_col)
-    sym = pairs.unionByName(
-        pairs.select(
-            F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"), "cos_sim"
+    vec = F.col(vec_col).cast("array<double>")
+    a = embeddings.select(
+        F.col(id_col).alias("vec_a"), F.col(label_col).alias("la"),
+        vec.alias("va"), norm(vec).alias("na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec_b"), F.col(label_col).alias("lb"),
+        vec.alias("vb"), norm(vec).alias("nb"),
+    )
+    sym = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") != F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), "vec_b")

