@@ -173,9 +173,25 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_knn",
-    oracle=None,  # rows-only per SURVEY §2.9
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT vec_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+    FROM ranked WHERE rank <= 3
+    """,
     doc="k-NN per label block: pairwise cosine within label, row_number "
-    "≤ k per anchor (SURVEY §2.9).",
+    "≤ k per anchor (SURVEY §2.9). Both sides rank on the 6-dp-rounded "
+    "similarity with neighbor-id tie-break, so the ordering is "
+    "deterministic and engine-independent.",
 )
 def q_knn(spark: SparkSession, sf: str) -> DataFrame:
     return knn_per_label(table(spark, sf, "embeddings"), k=3)

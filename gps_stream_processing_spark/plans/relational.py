@@ -872,3 +872,92 @@ def q_set_except(spark: SparkSession, sf: str) -> DataFrame:
     c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.exceptAll(s)
+
+
+@register(
+    "q_sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE substring(md5(o_orderkey::VARCHAR), 1, 1) IN ('0', '1')
+    """,
+    doc="Deterministic hash sampling (~1/8) — the reproducible sampling "
+    "primitive a training-data pipeline needs (rerunning the pipeline "
+    "yields the SAME sample, unlike rand()-based Bernoulli sampling). "
+    "md5 is bit-identical across engines, so this has an exact oracle; "
+    "the predicate is a pushdown-friendly scan filter — no shuffle.",
+)
+def q_sample_hash(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    return o.select("o_orderkey", "o_custkey", "o_totalprice").filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Fixed-width histogram over a value column (portable arithmetic "
+    "bucketing, one hash-agg pass with map-side partials — the "
+    "distribution-profiling primitive for data-quality dashboards).",
+)
+def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 5000.0).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Skew-mitigated (salted) equi-join: the fact side derives a "
+    "deterministic salt in [0,4) from its row (pmod(l_linenumber,4)); "
+    "the dim side is exploded 4x, one replica per salt; the join key "
+    "becomes (orderkey, salt) so one hot orderkey spreads over 4 "
+    "reducer partitions. Result provably identical to the unsalted "
+    "join (oracle = plain join). At 100 TB this is the manual fallback "
+    "when AQE skew-split can't help (e.g. skewed keys inside one "
+    "partition of a pre-shuffled dataset).",
+)
+def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
+    n_salt = 4
+    o = table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt")
+    )
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.col("l_linenumber"), F.lit(n_salt)).cast("int").alias("salt"),
+    )
+    return (
+        li.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey")) & (li["salt"] == o["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
