@@ -108,3 +108,23 @@ def test_sim_search_broadcasts_query_vector(spark):
     plan = plan_of(REGISTRY["q_sim_search"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_lsh_corpus_side_broadcast_join(spark):
+    """The ANN probe join must broadcast the tiny probe list; the corpus
+    (index) side must not shuffle."""
+    plan = plan_of(REGISTRY["q_ann_lsh"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_join_is_equi(spark):
+    plan = plan_of(REGISTRY["q_join_salted"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_hash_no_shuffle(spark):
+    """Deterministic hash sampling is a pure scan+filter — no Exchange."""
+    plan = plan_of(REGISTRY["q_sample_hash"].fn(spark, SF))
+    assert "Exchange" not in plan
