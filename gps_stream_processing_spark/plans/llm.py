@@ -468,3 +468,31 @@ def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
         F.struct("lang", "source", "n_chars").alias("meta"),
     )
     return packed.mapInPandas(_decode_batch, schema=MULTIMODAL_FEATURE_SCHEMA)
+
+
+@register(
+    "q_ngrams",
+    oracle="""
+    WITH tok AS (
+      SELECT string_split(lower(text), ' ') AS w FROM documents
+    )
+    SELECT w[i] || ' ' || w[i+1] AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+    WHERE len(w) >= 2
+    GROUP BY 1
+    """,
+    doc="Bigram counting over the corpus (n-gram surface of SURVEY §2.9; "
+    "same materialize-tokens-then-transform shape as the shingle path).",
+)
+def q_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.functions.text import word_shingles
+
+    d = table(spark, sf, "documents")
+    toks = d.select(F.split(F.lower("text"), " ").alias("__t"))
+    return (
+        toks.select(
+            F.explode(word_shingles(F.col("__t"), 2, pre_tokenized=True)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )

@@ -961,3 +961,57 @@ def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         )
     )
+
+
+def _views(spark: SparkSession, sf: str, *names: str) -> None:
+    for n in names:
+        table(spark, sf, n).createOrReplaceTempView(n)
+
+
+@register(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    doc="Uncorrelated scalar subquery through the spark.sql entry point "
+    "— Catalyst plans the aggregate once and broadcasts the scalar "
+    "(ReusedSubquery/Subquery node), no per-row re-evaluation "
+    "(SURVEY §4.2 'subquery decorrelation').",
+)
+def q_subquery_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    _views(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "q_subquery_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+    """,
+    doc="Correlated EXISTS subquery — Catalyst decorrelates it into a "
+    "left-semi hash join (no per-row probe loop). Same SQL text runs on "
+    "both engines.",
+)
+def q_subquery_exists(spark: SparkSession, sf: str) -> DataFrame:
+    _views(spark, sf, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+        """
+    )
