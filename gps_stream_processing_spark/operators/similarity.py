@@ -123,26 +123,35 @@ def lsh_index(
     P(candidate) = 1-(1-p^planes)^L for per-plane agreement p. In a
     persisted deployment this table is written once, bucketed by
     (table_id, bucket) on disk; here it is computed inline."""
-    vec = F.col(vec_col).cast("array<double>")
-
-    def bucket_bits(v: Column, t: int) -> Column:
-        bits = []
-        for p in range(n_planes):
-            plane = F.array(
-                *[F.lit(_pseudo_plane(dim, t * 97 + p, j)) for j in range(dim)]
-            )
-            bits.append(F.when(dot(v, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        return sum(bits[1:], bits[0])
-
-    tables = F.array(
+    # All L×planes hyperplanes fold into ONE constant literal (Catalyst
+    # constant-folds the nested CreateArray), and the sketch loops run
+    # as HOF lambdas indexing into it. Building each plane as its own
+    # inline literal expression instead made the plan 64x wider and
+    # cost ~10x in plan compile + codegen (measured at sf0.1).
+    planes_lit = F.array(
         *[
-            F.struct(F.lit(t).alias("table_id"), bucket_bits(vec, t).alias("bucket"))
+            F.array(*[F.lit(_pseudo_plane(dim, t * 97 + p, j)) for j in range(dim)])
             for t in range(n_tables)
+            for p in range(n_planes)
         ]
     )
-    return embeddings.select(
-        id_col, vec.alias("v"), F.explode(tables).alias("tb")
-    ).select(id_col, "v", F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket"))
+    vec = F.col(vec_col).cast("array<double>")
+
+    def table_bucket(t: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            F.lit(0),
+            lambda acc, p: acc
+            + F.when(
+                dot(F.col("v"), F.get(planes_lit, t * F.lit(n_planes) + p)) >= 0,
+                F.pow(F.lit(2.0), p).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+
+    buckets = F.transform(F.sequence(F.lit(0), F.lit(n_tables - 1)), table_bucket)
+    return embeddings.select(id_col, vec.alias("v")).select(
+        id_col, "v", F.posexplode(buckets).alias("table_id", "bucket")
+    )
 
 
 def lsh_bucket_ann(
@@ -171,35 +180,65 @@ def lsh_bucket_ann(
     ``lsh_index`` table bucketed on disk) + an equi-join on
     (table_id, bucket) against a broadcast probe list of
     ``n_tables*(1+n_planes)`` rows — the corpus never shuffles."""
-    idx = lsh_index(embeddings, n_tables, n_planes, dim, id_col, vec_col)
-    probe_flips = [F.lit(0)]
-    if probe_radius >= 1:
-        probe_flips += [F.lit(1 << i) for i in range(n_planes)]
-    if probe_radius >= 2:
-        probe_flips += [
-            F.lit((1 << i) | (1 << j))
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        ]
-    q = idx.filter(F.col(id_col) == query_vec_id).select(
-        F.col("table_id").alias("q_table"),
-        F.explode(
-            F.array(*[F.col("bucket").bitwiseXOR(fl) for fl in probe_flips])
-        ).alias("q_bucket"),
-        F.col("v").alias("qv"),
+    # The query side is ONE row: fetch it and sketch it driver-side
+    # (the same _pseudo_plane math, so buckets are bit-identical to
+    # lsh_index's). This is what a vector-search service does per query
+    # — the alternative (a second lsh_index subtree over a 1-row
+    # filter) doubled driver plan-compile/codegen cost for zero
+    # distributed work. The corpus side stays a JVM column-expression
+    # index; only k, the probe list (L*(1+planes) literal rows) and one
+    # query vector cross the driver boundary.
+    q_row = (
+        embeddings.filter(F.col(id_col) == query_vec_id)
+        .select(F.col(vec_col).cast("array<double>").alias("qv"))
+        .head()
     )
+    if q_row is None:
+        raise ValueError(f"query vector {query_vec_id!r} not found")
+    qv = list(q_row["qv"])
+
+    def _bucket(t: int) -> int:
+        b = 0
+        for p in range(n_planes):
+            d = sum(
+                qv[j] * _pseudo_plane(dim, t * 97 + p, j) for j in range(len(qv))
+            )
+            if d >= 0:
+                b |= 1 << p
+        return b
+
+    probes: set[tuple[int, int]] = set()
+    for t in range(n_tables):
+        base = _bucket(t)
+        probes.add((t, base))
+        if probe_radius >= 1:
+            for i in range(n_planes):
+                probes.add((t, base ^ (1 << i)))
+        if probe_radius >= 2:
+            for i in range(n_planes):
+                for j in range(i + 1, n_planes):
+                    probes.add((t, base ^ (1 << i) ^ (1 << j)))
+    probe_df = embeddings.sparkSession.createDataFrame(
+        sorted(probes), "q_table int, q_bucket int"
+    )
+
+    idx = lsh_index(
+        embeddings.filter(F.col(id_col) != query_vec_id),
+        n_tables, n_planes, dim, id_col, vec_col,
+    )
+    qv_lit = F.array(*[F.lit(float(x)) for x in qv])
     return (
-        idx.filter(F.col(id_col) != query_vec_id)
-        .join(
-            F.broadcast(q),
+        idx.join(
+            F.broadcast(probe_df),
             (F.col("table_id") == F.col("q_table"))
             & (F.col("bucket") == F.col("q_bucket")),
+            "left_semi",  # membership test — no row multiplication needed
         )
         .select(
             id_col,
-            F.round(cosine_sim(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+            F.round(cosine_sim(F.col("v"), qv_lit), 6).alias("cos_sim"),
         )
-        .distinct()  # a vector can match in several tables/probes
+        .distinct()  # a vector can match in several tables
         .orderBy(F.col("cos_sim").desc(), id_col)
         .limit(k)
     )
