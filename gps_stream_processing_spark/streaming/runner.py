@@ -57,18 +57,33 @@ def _stream_dir(parquet_file: str) -> str:
     return d
 
 
-def run_available_now(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_available_now(
+    sdf: DataFrame, output_mode: str = "complete", state_partitions: int = 8
+) -> DataFrame:
     """Run a streaming plan to exhaustion (availableNow) into a memory
     sink; return the sink table. Memory sink is driver-resident — smoke
-    scale only; production sinks are parquet/kafka via the same plan."""
+    scale only; production sinks are parquet/kafka via the same plan.
+
+    ``state_partitions`` bounds the stateful-operator partition count
+    for this query (Spark pins it per checkpoint at first start, so it
+    is a deliberate per-stream sizing decision, not a global default):
+    each stateful operator initializes one state store per partition,
+    and at smoke scale 32 stores per operator cost more than the data
+    (measured 4x on the dedup stream). At production state volumes the
+    same knob scales UP with keyspace size."""
     spark = sdf.sparkSession
     name = f"mem_{uuid.uuid4().hex[:10]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
