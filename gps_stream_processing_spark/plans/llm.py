@@ -424,46 +424,93 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 
 MULTIMODAL_FEATURE_SCHEMA = (
-    "doc_id long, modality string, n_bytes int, meta_lang string, fake_feature double"
+    "doc_id long, modality string, n_bytes int, meta_lang string, "
+    "fake_feature double, width int, height int, n_frames int, "
+    "frame_offsets array<int>"
 )
 
 
 def _decode_batch(it):
-    """Multimodal decode stage (mapInPandas). The real image/audio decode
-    libraries are not in this container — per the build contract this
-    stage is a STUB with a deterministic fake feature; the Spark-side
-    plumbing (binary column, Arrow batches, schema, partitioning) is
-    real. A production decoder drops in by replacing `_fake_feature`.
+    """Multimodal decode / feature-extract / resize / frame-sample stage
+    (one Arrow-batched mapInPandas pass). The real media libraries
+    (PIL/ffmpeg/torchaudio) are not in this container — per the build
+    contract each decode is a STUB producing a deterministic fake, while
+    the Spark-side plumbing (opaque binary column, typed metadata
+    struct, Arrow batch shape, per-modality dispatch, output schema) is
+    real. A production decoder drops in by replacing the `_fake_*`
+    helpers; the plan does not change.
+
+    Per-modality outputs:
+      text  -> fake_feature (byte-mean statistic)
+      image -> "decoded" dims + resize-target dims (width/height)
+      audio -> fake_feature as pseudo-duration
+      video -> frame-sample: n_frames + uniformly-sampled frame offsets
     """
 
     def _fake_feature(payload: bytes) -> float:
         # deterministic stand-in for a decoded-feature statistic
         return round(sum(payload[:64]) / max(1, min(len(payload), 64)) / 255.0, 6)
 
+    def _fake_dims(payload: bytes) -> tuple[int, int]:
+        # deterministic stand-in for decode+resize: pretend the payload
+        # header carries dims, clamp to a 256-max thumbnail edge
+        w = 64 + (payload[0] if payload else 0) * 7 % 1985
+        h = 64 + (payload[-1] if payload else 0) * 11 % 1985
+        scale = max(w, h) / 256.0
+        return int(w / max(1.0, scale)), int(h / max(1.0, scale))
+
+    def _fake_frames(payload: bytes) -> list[int]:
+        # deterministic stand-in for frame sampling: 4 uniform offsets
+        # over a pseudo frame count derived from payload length
+        n = max(1, len(payload) // 16)
+        return [int(i * n / 4) for i in range(4)]
+
     for pdf in it:
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "modality": pdf["modality"],
-                "n_bytes": [len(b) for b in pdf["payload"]],
-                "meta_lang": [m["lang"] for m in pdf["meta"]],
-                "fake_feature": [_fake_feature(bytes(b)) for b in pdf["payload"]],
+        rows = []
+        for doc_id, modality, payload, meta in zip(
+            pdf["doc_id"], pdf["modality"], pdf["payload"], pdf["meta"]
+        ):
+            b = bytes(payload)
+            row = {
+                "doc_id": doc_id,
+                "modality": modality,
+                "n_bytes": len(b),
+                "meta_lang": meta["lang"],
+                "fake_feature": _fake_feature(b),
+                "width": None,
+                "height": None,
+                "n_frames": None,
+                "frame_offsets": None,
             }
-        )
+            if modality == "image":
+                row["width"], row["height"] = _fake_dims(b)
+            elif modality == "video":
+                offs = _fake_frames(b)
+                row["n_frames"], row["frame_offsets"] = len(offs), offs
+            rows.append(row)
+        yield pd.DataFrame(rows)
 
 
 @register(
     "q_multimodal",
     oracle=None,  # binary plumbing + pandas stage → rows-only
-    doc="Multimodal columns: text encoded as an opaque binary payload + "
-    "typed metadata struct, pushed through an Arrow-batched mapInPandas "
-    "decode/feature stage (decode stubbed — libs absent; SURVEY §2.9).",
+    doc="Multimodal columns: opaque binary payload + typed metadata "
+    "struct, pushed through one Arrow-batched mapInPandas "
+    "decode/feature-extract/resize/frame-sample stage with per-modality "
+    "dispatch (decodes stubbed deterministically — media libs absent; "
+    "SURVEY §2.9). Modality assigned round-robin so every branch runs.",
 )
 def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents")
+    modality = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, "image")
+        .when(F.pmod("doc_id", F.lit(4)) == 1, "video")
+        .when(F.pmod("doc_id", F.lit(4)) == 2, "audio")
+        .otherwise("text")
+    )
     packed = d.select(
         "doc_id",
-        F.lit("text").alias("modality"),
+        modality.alias("modality"),
         F.encode("text", "utf-8").alias("payload"),  # opaque binary column
         F.struct("lang", "source", "n_chars").alias("meta"),
     )

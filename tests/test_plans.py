@@ -128,3 +128,43 @@ def test_sample_hash_no_shuffle(spark):
     """Deterministic hash sampling is a pure scan+filter — no Exchange."""
     plan = plan_of(REGISTRY["q_sample_hash"].fn(spark, SF))
     assert "Exchange" not in plan
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """The 100 TB co-location strategy: both fact tables written
+    bucketed (+ sorted) on the join key join WITHOUT any Exchange —
+    bucket-aware scans line up partitions. (Broadcast disabled so the
+    test exercises the bucketed SMJ path, not dim broadcast.)"""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", str(tmp_path / "b_orders")
+    ).mode("overwrite").saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", str(tmp_path / "b_lineitem")
+    ).mode("overwrite").saveAsTable("b_lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("b_lineitem")
+            .join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select("l_orderkey", "l_quantity", "o_orderpriority")
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan  # co-located: neither side shuffles
+        # and the result matches the plain (shuffled) join
+        plain = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        assert j.exceptAll(plain).count() == 0 and plain.exceptAll(j).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
