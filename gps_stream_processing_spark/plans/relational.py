@@ -1015,3 +1015,25 @@ def q_subquery_exists(spark: SparkSession, sf: str) -> DataFrame:
                         AND o.o_totalprice > 400000)
         """
     )
+
+
+@register(
+    "q_agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_on_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Bivariate statistics aggregates (corr / covar_samp / "
+    "regr_slope) — single hash-agg pass with map-side partials, same "
+    "family as q_agg_stats (SURVEY §2.4).",
+)
+def q_agg_corr(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_price_on_qty"),
+    )

@@ -168,3 +168,11 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_sink_reread_prunes(spark):
+    """q_sink_parquet's re-read of one o_orderstatus partition must show
+    a partition filter at the scan (directory pruning, not row filtering)."""
+    plan = plan_of(REGISTRY["q_sink_parquet"].fn(spark, SF))
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "o_orderstatus" in pf
