@@ -154,3 +154,29 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_unique"))
     )
     return run_available_now(dedup, output_mode="complete")
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c.c_nationkey, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static join (SURVEY §2.8): the event stream enriched "
+    "with the static customer dim (broadcast — the dim is loaded once "
+    "per micro-batch, never shuffled) then aggregated; availableNow "
+    "replay makes the result deterministic, so this streaming operator "
+    "carries a full batch-SQL oracle.",
+)
+def q_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    dim = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    agg = (
+        events_stream(spark, sf)
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    return run_available_now(agg, output_mode="complete")
