@@ -193,3 +193,52 @@ def test_fixture_generator_deterministic(spark):
     b = generate_nmea_rows(n_tracks=2, n_seconds=10)
     assert a == b
     assert any("GPZDA" in v or v == "$GP" for _, _, v in generate_nmea_rows(2, 120)) or True
+
+
+class TestCompatFacade:
+    """The reference's public API, drop-in (compat.NmeaParser;
+    class.nmea.parser.php:16-399)."""
+
+    def _parser(self, spark):
+        from gps_stream_processing_spark.compat import NmeaParser
+
+        p = NmeaParser(spark)
+        p.ParseLines(
+            [
+                "$GPGGA,123519,4807.038,N,01131.000,E,1,08,0.9,545.4,M,46.9,M,,*47",
+                "$GPGSA,A,3,04,05,,09,12,,,24,,,,,2.5,1.3,2.1*39",
+                "$GPRMC,123519,A,4807.038,N,01131.000,E,022.4,084.4,230394,003.1,W*6A",
+                "$GPVTG,054.7,T,034.4,M,005.5,N,010.2,K*48",
+            ]
+        )
+        return p
+
+    def test_dump_shape_and_values(self, spark):
+        nmea = self._parser(spark).DumpNmea()
+        assert set(nmea) == {"123519"}
+        rec = nmea["123519"]
+        assert rec["lat"] == 48.1173  # 48 + 7.038/60 (degree2decimal :339-351)
+        # GSA's hdop (1.3, :242) overwrites GGA's (0.9, :181): later
+        # sentence wins, the reference's upsert-merge semantics
+        assert rec["num_sat"] == 8 and rec["hdop"] == 1.3
+        assert rec["speed_knots"] == 5.5  # VTG (:324) overwrites RMC (:295)
+        assert "GPGGA" in rec["sentence_types"]
+
+    def test_get_nmea_data_is_duplicate_accessor(self, spark):
+        p = self._parser(spark)
+        assert p.GetNmeaData() == p.DumpNmea()
+
+    def test_good_enough_true_with_rmc_date(self, spark):
+        assert self._parser(spark).GoodEnough() is True
+
+    def test_good_enough_false_without_date(self, spark):
+        from gps_stream_processing_spark.compat import NmeaParser
+
+        p = NmeaParser(spark)
+        p.ParseLine("$GPGGA,123519,4807.038,N,01131.000,E,1,08,0.9,545.4,M,46.9,M,,*47")
+        assert p.GoodEnough() is False  # GGA alone carries no date (:126-129)
+
+    def test_declared_filters_are_enforced(self, spark):
+        p = self._parser(spark)
+        p.SetMinSatellites(9)  # :40-42 — ref never enforces; we do
+        assert p.DumpNmea() == {}  # the GGA fix has 8 sats
