@@ -549,3 +549,97 @@ def q_ngrams(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "q_pipeline_curation",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             string_split(lower(text), ' ') AS w,
+             CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) AS DOUBLE)
+               / length(text) AS punct,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  t -> t IN ('the','a','of','and','is','to'))) AS DOUBLE)
+               / len(string_split(lower(text), ' ')) AS stop_ratio
+      FROM documents
+    ), quality AS (
+      SELECT doc_id, lang, text, len(w) AS n_tokens,
+             ROUND(0.4 * least(1.0, len(w) / 100.0)
+                 + 0.3 * (1.0 - punct)
+                 + 0.3 * least(1.0, 5.0 * stop_ratio), 6) AS q
+      FROM scored
+    ), kept AS (
+      SELECT * FROM quality WHERE q >= 0.5 AND n_tokens >= 20
+    ), deduped AS (
+      SELECT MIN(doc_id) AS doc_id, ANY_VALUE(lang) AS lang,
+             ANY_VALUE(n_tokens) AS n_tokens, ANY_VALUE(q) AS q
+      FROM kept GROUP BY text
+    ), sampled AS (
+      SELECT * FROM deduped
+      WHERE substring(md5(doc_id::VARCHAR), 1, 1) IN
+            ('0','1','2','3','4','5','6','7')
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(q), 6) AS avg_quality
+    FROM sampled GROUP BY lang
+    """,
+    doc="End-to-end training-data curation pipeline (the north-star "
+    "composite): quality gate (composite score >= 0.5, >= 20 tokens) -> "
+    "exact dedup keeping the smallest doc_id per text -> deterministic "
+    "md5 half-sample -> per-language token/quality accounting. Every "
+    "stage is deterministic, so the whole pipeline carries one exact "
+    "oracle. Plan shape at 100 TB: narrow scoring map (pushdown-friendly "
+    "predicates), one dedup shuffle on the 32-byte sha2 (oracle groups "
+    "raw text - same result absent collisions), scan-side sample "
+    "filter, final partial+final agg (SURVEY §2.9).",
+)
+def q_pipeline_curation(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf, "documents")
+    # stage 1: quality gate — token array materialized once (no-CSE-in-
+    # lambda discipline), score as pure column arithmetic
+    tokd = d.select(
+        "doc_id", "lang", "text", F.split(F.lower("text"), " ").alias("__t")
+    )
+    toks = F.col("__t")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "is", "to"))
+    )
+    punct = (
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[^a-z0-9\s]"), 0)).cast(
+            "double"
+        )
+        / F.length("text")
+    )
+    q = F.round(
+        0.4 * F.least(F.lit(1.0), F.size(toks) / F.lit(100.0))
+        + 0.3 * (F.lit(1.0) - punct)
+        + 0.3 * F.least(F.lit(1.0), 5.0 * stop_hits / F.size(toks)),
+        6,
+    )
+    kept = tokd.select(
+        "doc_id", "lang", "text", F.size(toks).alias("n_tokens"), q.alias("q")
+    ).filter((F.col("q") >= 0.5) & (F.col("n_tokens") >= 20))
+    # stage 2: exact dedup, smallest doc_id survives (sha2 shuffle key)
+    w = W.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "text")
+    )
+    # stage 3: deterministic half-sample (reproducible across engines)
+    sampled = deduped.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            *"01234567"
+        )
+    )
+    # stage 4: corpus accounting
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+    )
