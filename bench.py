@@ -39,8 +39,16 @@ def main() -> None:
         app_name="gps-spark-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
     )
     # Warm the JVM + parquet footers once so per-query numbers measure the
-    # plans, not first-touch costs.
+    # plans, not first-touch costs (SURVEY §6 protocol: warm runs).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from gps_stream_processing_spark.schemas import TESTDATA_TABLES
+    from gps_stream_processing_spark.sources.tables import load_table
+
+    for t in TESTDATA_TABLES:
+        try:
+            load_table(spark, SF_DIR, t).count()
+        except Exception:  # noqa: BLE001 — a missing table is the query's problem
+            pass
 
     registry = plans.REGISTRY
     names = sorted(registry)

@@ -188,3 +188,63 @@ def test_pandas_udf_haversine_matches_column_impl(spark):
     ).collect()
     for r in rows:
         assert r.c == pytest.approx(r.p, abs=1e-9)
+
+
+def test_haversine_invariants(spark):
+    """Symmetry, identity (d(x,x)=0), and nonnegativity of the column
+    haversine over deterministic pseudo-random coordinates."""
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.functions.geo import haversine_km
+
+    pts = spark.range(500).select(
+        ((F.col("id") * 7919) % 170 - 85).cast("double").alias("lat1"),
+        ((F.col("id") * 104729) % 360 - 180).cast("double").alias("lon1"),
+        ((F.col("id") * 31 + 13) % 170 - 85).cast("double").alias("lat2"),
+        ((F.col("id") * 17 + 101) % 360 - 180).cast("double").alias("lon2"),
+    )
+    d_fwd = haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2"))
+    d_rev = haversine_km(F.col("lat2"), F.col("lon2"), F.col("lat1"), F.col("lon1"))
+    d_self = haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat1"), F.col("lon1"))
+    bad = pts.filter(
+        (F.abs(d_fwd - d_rev) > 1e-9) | (d_self > 1e-9) | (d_fwd < 0)
+        | (d_fwd > 20015.1)  # half circumference
+    ).count()
+    assert bad == 0
+
+
+def test_hash_sample_deterministic_and_unbiased(spark):
+    """q_sample_hash must return the identical row set on re-run (the
+    pipeline-reproducibility contract) and ~1/8 of the table."""
+    from gps_stream_processing_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    a = {r.o_orderkey for r in REGISTRY["q_sample_hash"].fn(spark, sf).collect()}
+    b = {r.o_orderkey for r in REGISTRY["q_sample_hash"].fn(spark, sf).collect()}
+    assert a == b
+    total = spark.read.parquet(f"{sf}/orders.parquet").count()
+    assert 0.08 <= len(a) / total <= 0.17  # 2/16 expected = 0.125
+
+
+def test_asof_join_invariants(spark):
+    """Every matched as-of row satisfies right.ts <= left.ts, and the
+    matched ts is the max such right ts per key (spot-checked against a
+    per-key python model)."""
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t) for k in range(5) for t in range(0, 100, 7)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(k, t, t * 10) for k in range(5) for t in range(0, 100, 13)],
+        "k int, ts int, v int",
+    )
+    out = asof_join(left, right, by=["k"], ts_col="ts").collect()
+    rights = {(k, t): v for k in range(5) for t, v in
+              [(t, t * 10) for t in range(0, 100, 13)]}
+    for row in out:
+        assert row["asof_ts"] <= row["ts"]
+        best = max(t for (k, t) in rights if k == row["k"] and t <= row["ts"])
+        assert row["asof_ts"] == best and row["asof_v"] == best * 10
