@@ -34,11 +34,13 @@ def _fixture(spark: SparkSession) -> DataFrame:
 # consume the same parse→forward-fill→merge pipeline over the same
 # fixture; without this each re-runs all three stages (~1-2 s each in
 # bench). The cached table is a few thousand narrow rows.
-_MERGED_CACHE: dict[int, DataFrame] = {}
+_MERGED_CACHE: dict[str, DataFrame] = {}
 
 
 def _merged(spark: SparkSession) -> DataFrame:
-    key = id(spark)
+    # applicationId is unique per SparkContext (id(spark) could be
+    # reused by the allocator after a session is stopped and GC'd)
+    key = spark.sparkContext.applicationId
     if key not in _MERGED_CACHE:
         _MERGED_CACHE[key] = gps_fix_pipeline(_fixture(spark)).persist()
     return _MERGED_CACHE[key]
