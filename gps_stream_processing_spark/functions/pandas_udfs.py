@@ -22,3 +22,15 @@ def haversine_km_np(
     dlon = np.radians(lon2 - lon1)
     a = np.sin(dlat / 2) ** 2 + np.cos(rl1) * np.cos(rl2) * np.sin(dlon / 2) ** 2
     return pd.Series(2 * 6371.0 * np.arcsin(np.minimum(1.0, np.sqrt(a))))
+
+
+@F.pandas_udf("double")
+def trimmed_mean_10(v: pd.Series) -> float:
+    """Grouped-agg pandas UDF (SURVEY §2.10): mean of the middle 80%
+    (drop the bottom/top decile) — a robust-statistics aggregate with no
+    Spark builtin. One Arrow batch per group; at scale the group count,
+    not group size, drives parallelism."""
+    s = v.dropna().sort_values()
+    k = int(len(s) * 0.1)
+    trimmed = s.iloc[k : len(s) - k] if len(s) > 2 * k else s
+    return float(trimmed.mean()) if len(trimmed) else float("nan")

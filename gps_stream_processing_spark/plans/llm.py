@@ -643,3 +643,44 @@ def q_pipeline_curation(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("q"), 6).alias("avg_quality"),
     )
+
+
+CENTROID_SCHEMA = "label long, dim_idx int, centroid double"
+
+
+def _centroid_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Batch applyInPandas stage (SURVEY §2.10): per-label embedding
+    centroid via numpy column means — one Arrow batch per label group.
+    Kahan-style pairwise summation in numpy matches a sequential-sum
+    oracle at 6 dp for these magnitudes (pinned by the driver check)."""
+    import numpy as np
+
+    m = np.stack(pdf["v"].to_numpy())
+    mean = m.mean(axis=0)
+    return pd.DataFrame(
+        {
+            "label": pdf["label"].iloc[0],
+            "dim_idx": range(len(mean)),
+            "centroid": np.round(mean, 6),
+        }
+    )
+
+
+@register(
+    "q_applyinpandas_centroid",
+    oracle="""
+    SELECT label, CAST(t.i - 1 AS INTEGER) AS dim_idx,
+           ROUND(AVG(CAST(embedding[t.i] AS DOUBLE)), 6) AS centroid
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY 1, 2
+    """,
+    doc="Batch applyInPandas (SURVEY §2.10): per-label embedding "
+    "centroid, one numpy mean per Arrow group batch - the vectorized "
+    "escape hatch for group-shaped linear algebra. Oracle unnests and "
+    "averages per (label, dim).",
+)
+def q_applyinpandas_centroid(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return e.groupBy("label").applyInPandas(_centroid_groups, schema=CENTROID_SCHEMA)

@@ -222,3 +222,21 @@ def q_udtf_gsv(spark: SparkSession, sf: str) -> DataFrame:
         FROM gsv_lines l, LATERAL gsv_expand(l.value) s
         """
     )
+
+
+@register(
+    "q_pandas_grouped_agg",
+    oracle=None,  # Arrow grouped-agg UDF surface → rows-only; pytest
+    # cross-checks the trimmed mean against the exact column computation.
+    doc="Grouped-aggregate pandas UDF (SURVEY §2.10): per-track 10% "
+    "trimmed mean of speed over the merged fixes — an aggregate Spark "
+    "has no builtin for, computed in one Arrow batch per group.",
+)
+def q_pandas_grouped_agg(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.functions.pandas_udfs import trimmed_mean_10
+
+    fixes = good_enough(_merged(spark))
+    return (
+        fixes.groupBy("track_id")
+        .agg(F.round(trimmed_mean_10("speed_knots"), 6).alias("trimmed_mean_speed"))
+    )

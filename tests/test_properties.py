@@ -248,3 +248,25 @@ def test_asof_join_invariants(spark):
         assert row["asof_ts"] <= row["ts"]
         best = max(t for (k, t) in rights if k == row["k"] and t <= row["ts"])
         assert row["asof_ts"] == best and row["asof_v"] == best * 10
+
+
+def test_trimmed_mean_grouped_agg_matches_exact(spark):
+    """The grouped-agg pandas UDF trimmed mean equals a driver-side
+    pandas computation over the same groups."""
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.functions.pandas_udfs import trimmed_mean_10
+
+    df = spark.createDataFrame(
+        [(i % 3, float(i * 7 % 50)) for i in range(300)], "g int, v double"
+    )
+    got = {
+        r.g: r.tm
+        for r in df.groupBy("g").agg(F.round(trimmed_mean_10("v"), 6).alias("tm")).collect()
+    }
+    pdf = df.toPandas()
+    for g, grp in pdf.groupby("g"):
+        s = grp["v"].dropna().sort_values()
+        k = int(len(s) * 0.1)
+        want = round(float(s.iloc[k : len(s) - k].mean()), 6)
+        assert got[g] == want
