@@ -137,7 +137,13 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     "path is q_ann_lsh). Doubles widened on both sides (SURVEY §2.9).",
 )
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    return cosine_pairs(table(spark, sf, "embeddings"), threshold=0.3)
+    from gps_stream_processing_spark.operators.similarity import pairwise_cosine_np
+
+    # numpy gram-matrix path (~6x the per-pair column fold at sf0.1);
+    # cosine_pairs remains the pure-column twin, cross-checked in pytest
+    return pairwise_cosine_np(table(spark, sf, "embeddings")).filter(
+        F.col("cos_sim") >= 0.3
+    )
 
 
 # ------------------------------------------------------------- similarity
@@ -194,7 +200,22 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     "deterministic and engine-independent.",
 )
 def q_knn(spark: SparkSession, sf: str) -> DataFrame:
-    return knn_per_label(table(spark, sf, "embeddings"), k=3)
+    from pyspark.sql import Window as W
+
+    from gps_stream_processing_spark.operators.similarity import pairwise_cosine_np
+
+    sym = pairwise_cosine_np(table(spark, sf, "embeddings"), symmetric=True)
+    w = W.partitionBy("vec_a").orderBy(F.col("cos_sim").desc(), "vec_b")
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("vec_a").alias("vec_id"),
+            F.col("rn").alias("rank"),
+            F.col("vec_b").alias("neighbor_id"),
+            "cos_sim",
+        )
+    )
 
 
 # ----------------------------------------------------------- text analysis

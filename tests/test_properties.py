@@ -270,3 +270,24 @@ def test_trimmed_mean_grouped_agg_matches_exact(spark):
         k = int(len(s) * 0.1)
         want = round(float(s.iloc[k : len(s) - k].mean()), 6)
         assert got[g] == want
+
+
+def test_pairwise_np_equals_column_path(spark):
+    """The numpy gram-matrix pairwise cosine (applyInPandas) is
+    bit-identical (at the shared 6-dp rounding) to the pure-column
+    zip_with/aggregate implementation."""
+    from gps_stream_processing_spark.operators.similarity import (
+        cosine_pairs,
+        pairwise_cosine_np,
+    )
+    from gps_stream_processing_spark.plans.registry import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    col_rows = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in cosine_pairs(emb, threshold=-1.0).collect()
+    }
+    np_rows = {
+        (r.vec_a, r.vec_b): r.cos_sim for r in pairwise_cosine_np(emb).collect()
+    }
+    assert col_rows == np_rows
