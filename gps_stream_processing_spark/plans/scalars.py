@@ -348,3 +348,30 @@ def q_json_fns(spark: SparkSession, sf: str) -> DataFrame:
         k.alias("k_val"),
         F.when(k >= 50, "hi").otherwise("lo").alias("k_band"),
     )
+
+
+@register(
+    "q_map_fns",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+           CAST(props->>'$.k' AS INTEGER) AS k_val
+    FROM events
+    """,
+    doc="Map family (SURVEY §2.6): events.props JSON decoded to a typed "
+    "map<string,int> (from_json with explicit type — never schema_of_json "
+    "per row), then size/map_keys/element_at; DuckDB twin via json_keys.",
+)
+def q_map_fns(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    m = F.from_json("props", "map<string,int>")
+    # materialize the parsed map once; three references below would
+    # re-parse the JSON per column otherwise
+    withm = e.select("event_id", m.alias("__m"))
+    return withm.select(
+        "event_id",
+        F.size("__m").alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys("__m")), ",").alias("keys_csv"),
+        F.element_at("__m", "k").alias("k_val"),
+    )
