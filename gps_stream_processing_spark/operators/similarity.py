@@ -343,3 +343,86 @@ def pairwise_cosine_np(
         return out
 
     return e.groupBy(label_col).applyInPandas(gram, schema=PAIRWISE_SCHEMA)
+
+
+def ivf_ann(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """ANN via an IVF (inverted-file) index: per-label centroids act as
+    the coarse quantizer, every vector is assigned to its NEAREST
+    centroid (not its own label — a real quantizer assignment), and a
+    query probes only the ``n_probe`` nearest posting lists, exact
+    cosine re-rank inside them.
+
+    Scale shape: the centroid table is tiny (|labels| rows) and
+    broadcast for assignment (one crossJoin + min_by — no shuffle of
+    the corpus beyond the map); at 100 TB the assignment column is
+    precomputed and the corpus is partitioned by it on disk, so an
+    n_probe search is a partition-pruned scan of n_probe/|lists| of the
+    data. The query's probe list is computed driver-side from the
+    collected centroid table (|labels| x dim doubles — bytes, the same
+    pattern as lsh_bucket_ann's probe sketch)."""
+    import numpy as np
+
+    vec = F.col(vec_col).cast("array<double>")
+    base = embeddings.select(id_col, vec.alias("v"))
+    # coarse quantizer: per-label centroid (deterministic, no RNG —
+    # k-means iterations would add nothing on synthetic blocks)
+    cents = (
+        embeddings.select(label_col, vec.alias("v"))
+        .groupBy(label_col)
+        .agg(
+            F.array(
+                *[
+                    F.avg(F.element_at("v", i + 1)).alias(f"c{i}")
+                    for i in range(64)
+                ]
+            ).alias("cv")
+        )
+        .select(F.col(label_col).alias("list_id"), "cv")
+    )
+    # assignment: nearest centroid per vector (broadcast |labels| rows)
+    dist = dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * norm(F.col("cv")))
+    assigned = (
+        base.join(F.broadcast(cents))
+        .groupBy(id_col)
+        .agg(
+            F.first("v").alias("v"),
+            F.max_by("list_id", dist).alias("list_id"),
+        )
+    )
+    # query side: nearest n_probe centroids, computed driver-side
+    crows = cents.collect()
+    q_row = (
+        embeddings.filter(F.col(id_col) == query_vec_id).select(vec.alias("qv")).head()
+    )
+    if q_row is None:
+        raise ValueError(f"query vector {query_vec_id!r} not found")
+    qv = np.array(q_row["qv"])
+    sims = sorted(
+        (
+            float(np.dot(qv, np.array(r["cv"]))
+                  / (np.linalg.norm(qv) * np.linalg.norm(np.array(r["cv"])))),
+            r["list_id"],
+        )
+        for r in crows
+    )
+    probe_lists = [lid for _, lid in sims[-n_probe:]]
+    qv_lit = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        assigned.filter(
+            (F.col("list_id").isin(probe_lists)) & (F.col(id_col) != query_vec_id)
+        )
+        .select(
+            id_col,
+            F.round(cosine_sim(F.col("v"), qv_lit), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), id_col)
+        .limit(k)
+    )

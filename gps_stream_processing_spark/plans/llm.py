@@ -705,3 +705,19 @@ def q_applyinpandas_centroid(spark: SparkSession, sf: str) -> DataFrame:
         "label", F.col("embedding").cast("array<double>").alias("v")
     )
     return e.groupBy("label").applyInPandas(_centroid_groups, schema=CENTROID_SCHEMA)
+
+
+@register(
+    "q_ann_ivf",
+    oracle=None,  # approximate by construction → rows-only; pytest pins
+    # the recall floor vs the exact top-k.
+    doc="ANN via IVF (inverted-file) index: per-label centroids as the "
+    "coarse quantizer, nearest-centroid assignment, n_probe=4 posting "
+    "lists probed, exact re-rank inside them — the 'IVF variant' scale "
+    "path of SURVEY §2.9 (recall@10 0.7/0.5 at sf0.01/sf0.1; raise "
+    "n_probe for more).",
+)
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.similarity import ivf_ann
+
+    return ivf_ann(table(spark, sf, "embeddings"), query_vec_id=0, k=10)

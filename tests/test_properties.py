@@ -291,3 +291,16 @@ def test_pairwise_np_equals_column_path(spark):
         (r.vec_a, r.vec_b): r.cos_sim for r in pairwise_cosine_np(emb).collect()
     }
     assert col_rows == np_rows
+
+
+def test_ann_ivf_recall_floor(spark):
+    """IVF ANN (per-label centroids, n_probe=4 of 10 lists) must beat
+    chance clearly — measured 0.7 at sf0.01; pinned at >= 0.4."""
+    from gps_stream_processing_spark.operators.similarity import cosine_topk, ivf_ann
+    from gps_stream_processing_spark.plans.registry import table
+
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {r.vec_id for r in cosine_topk(emb, 0, k=10).collect()}
+    got = {r.vec_id for r in ivf_ann(emb, 0, k=10).collect()}
+    assert len(got) == 10
+    assert len(got & exact) / 10 >= 0.4
