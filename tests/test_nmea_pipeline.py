@@ -242,3 +242,50 @@ class TestCompatFacade:
         p = self._parser(spark)
         p.SetMinSatellites(9)  # :40-42 — ref never enforces; we do
         assert p.DumpNmea() == {}  # the GGA fix has 8 sats
+
+
+def test_fuzz_garbage_and_mutated_sentences(spark):
+    """1500 fuzzed lines (random ASCII garbage, truncated/mutated golden
+    sentences, blank fields, wrong checksums) must flow through the full
+    pipeline without throwing (ANSI mode is ON — any non-try cast would
+    fail this), and the surviving fixes must satisfy basic invariants."""
+    import random
+
+    from gps_stream_processing_spark.operators.gps_fix import gps_fix_pipeline
+    from gps_stream_processing_spark.schemas import NMEA_LINE_SCHEMA
+
+    rng = random.Random(1234)
+    golden = [
+        "$GPGGA,123519,4807.038,N,01131.000,E,1,08,0.9,545.4,M,46.9,M,,*47",
+        "$GPGLL,4916.45,N,12311.12,W,225444,A,*1D",
+        "$GPGSA,A,3,04,05,,09,12,,,24,,,,,2.5,1.3,2.1*39",
+        "$GPGSV,2,1,08,01,40,083,46,02,17,308,41,12,07,344,39,14,22,228,45*75",
+        "$GPRMC,123519,A,4807.038,N,01131.000,E,022.4,084.4,230394,003.1,W*6A",
+        "$GPVTG,054.7,T,034.4,M,005.5,N,010.2,K*48",
+    ]
+    lines = []
+    for i in range(1500):
+        kind = rng.random()
+        if kind < 0.25:  # pure garbage
+            lines.append("".join(rng.choice(" abc$,*.0123XYZ") for _ in range(rng.randint(0, 40))))
+        elif kind < 0.5:  # truncated golden
+            g = rng.choice(golden)
+            lines.append(g[: rng.randint(1, len(g))])
+        elif kind < 0.75:  # field-mutated golden
+            toks = rng.choice(golden).split(",")
+            j = rng.randrange(len(toks))
+            toks[j] = rng.choice(["", "zz", "-999999", "1e309", "NaN", "🛰"])
+            lines.append(",".join(toks))
+        else:  # golden as-is (so some fixes survive)
+            lines.append(rng.choice(golden))
+    df = spark.createDataFrame(
+        [(i, i % 7, ln) for i, ln in enumerate(lines)], NMEA_LINE_SCHEMA
+    )
+    rows = gps_fix_pipeline(df).collect()  # must not raise
+    assert rows, "golden lines should still produce fixes"
+    for r in rows:
+        assert r["utc"] is not None
+        if r["lat"] is not None:
+            assert -90.5 <= r["lat"] <= 90.5
+        if r["lon"] is not None:
+            assert -180.5 <= r["lon"] <= 180.5
