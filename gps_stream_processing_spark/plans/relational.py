@@ -52,9 +52,17 @@ def q_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_read_json",
-    oracle=None,  # exercises the JSON source itself → rows-only
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
     doc="JSON source round-trip (SURVEY §2.1): events → json lines on disk "
-    "→ spark.read.json with explicit schema (no inference pass) → counts.",
+    "→ spark.read.json with explicit schema (no inference pass) → counts. "
+    "Full oracle: Spark's JSON writer emits exact-round-trip doubles and "
+    "ISO timestamps, so the aggregate over the round-tripped rows equals "
+    "the aggregate over the original table.",
 )
 def q_read_json(spark: SparkSession, sf: str) -> DataFrame:
     import hashlib
@@ -74,10 +82,14 @@ def q_read_json(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_read_csv",
-    oracle=None,  # exercises the CSV source itself → rows-only
+    oracle="""
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
     doc="CSV source round-trip (SURVEY §2.1): nation dim → csv on disk → "
-    "spark.read.csv with explicit schema (no inference) → join-shaped "
-    "projection.",
+    "spark.read.csv with explicit schema (no inference) → grouped counts. "
+    "Full oracle over the original table (integer columns survive the "
+    "csv round-trip exactly).",
 )
 def q_read_csv(spark: SparkSession, sf: str) -> DataFrame:
     import hashlib
