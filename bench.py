@@ -24,9 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
-# Queries whose cost is dominated by fixed-size fixtures (NMEA) still run
-# (they are part of the surface) but are excluded from the headline total
-# so the metric tracks testdata scale.
+# Hook for excluding queries from the headline total (all queries are
+# currently included — the fixed-size NMEA-fixture queries cost ~4s
+# combined and are part of the contract surface).
 HEADLINE_EXCLUDE: set[str] = set()
 
 
