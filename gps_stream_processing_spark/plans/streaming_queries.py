@@ -180,3 +180,52 @@ def q_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
     return run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "q_stream_session_true",
+    oracle=None,  # append mode holds trailing sessions in state past the
+    # final watermark → stream ⊆ batch by design; the equivalence test
+    # pins that every emitted session matches the batch result exactly.
+    doc="TRUE streaming session window (SURVEY §2.8): watermark + "
+    "session_window in append mode — only watermark-closed sessions "
+    "emit (9525 of 9549 at sf0.01; the rest are open state at stream "
+    "end). Batch twin with exact oracle: q_stream_session.",
+)
+def q_stream_session_true(spark: SparkSession, sf: str) -> DataFrame:
+    agg = (
+        events_stream(spark, sf)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_available_now(agg, output_mode="append")
+    return out.select(
+        F.col("win.start").alias("session_start"), "user_id", "n_events"
+    )
+
+
+@register(
+    "q_stream_foreachbatch",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="foreachBatch parquet sink (SURVEY §2.8 'output modes / sinks'): "
+    "the event stream lands in a parquet directory batch-by-batch (the "
+    "production emission path — atomic per micro-batch, partitionable), "
+    "then the re-read rows aggregate to exactly the batch result (full "
+    "oracle).",
+)
+def q_stream_foreachbatch(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    from gps_stream_processing_spark.streaming.runner import run_foreach_batch_parquet
+
+    out_dir = f"/tmp/gps_spark_fb_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    landed = run_foreach_batch_parquet(events_stream(spark, sf), out_dir)
+    return landed.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )

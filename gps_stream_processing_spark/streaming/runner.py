@@ -87,3 +87,31 @@ def run_available_now(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+def run_foreach_batch_parquet(
+    sdf: DataFrame, out_dir: str, state_partitions: int = 8
+) -> DataFrame:
+    """Production-shaped sink: drive the stream with availableNow through
+    ``foreachBatch``, each micro-batch appended to a parquet directory
+    (partitionable, atomic per batch); return the re-read result. This is
+    the emission path SCALE.md prescribes over the driver-resident memory
+    sink — the same code runs unchanged under a real trigger."""
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spark = sdf.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(
+                lambda batch_df, batch_id: batch_df.write.mode("append").parquet(out_dir)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out_dir)

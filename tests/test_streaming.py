@@ -157,3 +157,25 @@ def test_tumbling_stream_matches_batch(spark):
     s = stream_res.sort_values(["window_start", "event_type"], ignore_index=True)
     b = batch.sort_values(["window_start", "event_type"], ignore_index=True)
     pd.testing.assert_frame_equal(s, b, check_dtype=False)
+
+
+def test_true_streaming_sessions_subset_of_batch(spark):
+    """Append-mode session windows: every emitted session must match the
+    batch session_window result exactly; only trailing (still-open at
+    stream end) sessions may be absent."""
+    from gps_stream_processing_spark.plans.registry import REGISTRY, table
+
+    sf = "/root/testdata/sf0.01"
+    stream = REGISTRY["q_stream_session_true"].fn(spark, sf).collect()
+    batch = (
+        table(spark, sf, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("session_start"), "user_id", "n_events")
+        .collect()
+    )
+    s = {(r.session_start, r.user_id, r.n_events) for r in stream}
+    b = {(r.session_start, r.user_id, r.n_events) for r in batch}
+    assert s, "stream must emit sessions"
+    assert s.issubset(b)
+    assert len(b - s) < 0.02 * len(b)  # only the trailing open tail missing
