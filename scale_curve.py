@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Scaling-curve experiment (SCALE.md 'Measured scaling'): replicate the
+sf0.1 facts 1x/2x/4x in memory and time representative operator shapes.
+The claim under test is the SHAPE of the curve (near-linear for
+scan/agg/join/window; candidate-bounded for LSH dedup), not the absolute
+seconds. Prints one JSON line per (shape, factor).
+
+Usage: python scale_curve.py  [SPARK_GRAFT_SF_DIR to change base data]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTORS = (1, 2, 4)
+REPS = 2  # timed repetitions (after one warm run)
+
+
+def replicate(df, key_cols, factor, offset=10_000_000):
+    from pyspark.sql import functions as F
+
+    parts = []
+    for i in range(factor):
+        p = df
+        for k in key_cols:
+            p = p.withColumn(k, F.col(k) + F.lit(i * offset))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def timed(make_df):
+    best = None
+    make_df().write.format("noop").mode("overwrite").save()  # warm
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        make_df().write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def main() -> None:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_table,
+    )
+    from gps_stream_processing_spark.session import get_spark
+    from gps_stream_processing_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="scale-curve")
+    li0 = load_table(spark, SF_DIR, "lineitem")
+    o0 = load_table(spark, SF_DIR, "orders")
+    ev0 = load_table(spark, SF_DIR, "events")
+    docs0 = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    results = []
+    for f in FACTORS:
+        li = replicate(li0, ["l_orderkey"], f).cache()
+        o = replicate(o0, ["o_orderkey", "o_custkey"], f).cache()
+        ev = replicate(ev0, ["event_id", "user_id"], f).cache()
+        docs = replicate(docs0, ["doc_id"], f).cache()
+        for d in (li, o, ev, docs):
+            d.count()  # materialize the cache so IO is out of the timing
+
+        shapes = {
+            "hash_agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
+                F.sum("l_quantity").alias("s"), F.avg("l_extendedprice").alias("a")
+            ),
+            "fact_join": lambda: li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n")),
+            "window_lag": lambda: ev.select(
+                "event_id",
+                (F.col("value") - F.lag("value").over(
+                    W.partitionBy("user_id").orderBy("ts", "event_id")
+                )).alias("d"),
+            ),
+            "lsh_neardup": lambda: (
+                lambda sh: jaccard_pairs(
+                    sh, 0.5, candidates=lsh_candidate_pairs(minhash_signatures(sh))
+                )
+            )(shingle_table(docs).localCheckpoint(eager=True)),
+        }
+        for name, mk in shapes.items():
+            sec = timed(mk)
+            rec = {"shape": name, "factor": f, "sec": sec}
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+        for d in (li, o, ev, docs):
+            d.unpersist()
+
+    # scaling exponent between 1x and 4x: log4(t4/t1)
+    import math
+
+    print("--- scaling exponents (1 = linear) ---")
+    for name in {r["shape"] for r in results}:
+        t = {r["factor"]: r["sec"] for r in results if r["shape"] == name}
+        exp = math.log(t[4] / t[1], 4) if t[1] > 0 else float("nan")
+        print(json.dumps({"shape": name, "t1": t[1], "t4": t[4],
+                          "exponent": round(exp, 2)}))
+
+
+if __name__ == "__main__":
+    main()
