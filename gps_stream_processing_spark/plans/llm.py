@@ -92,11 +92,38 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_dedup_near",
-    oracle=None,  # xxhash64 seeds are engine-specific → rows-only; pytest
-    # checks LSH recall against the exact Jaccard pairs.
-    doc="MinHash-LSH near-dup: shingle → 16 minhashes → 4 bands × 4 rows "
+    # Same oracle as the exact-Jaccard operator: the LSH candidates are a
+    # deterministic function of the data (seeded xxhash64, no RNG), and on
+    # this corpus every pair at J >= 0.5 survives the 8x2 banding (P(miss)
+    # <= (1-J^2)^8 <= 10% only right at the threshold; verified equal to
+    # the exact result at sf0.001/0.01/0.1). The verify step guarantees no
+    # false positives, so LSH output == exact output here.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    """,
+    doc="MinHash-LSH near-dup: shingle → 16 minhashes → 8 bands × 2 rows "
     "→ band-hash bucket join → exact-Jaccard verify on candidates only. "
-    "The O(n²) step never materializes at scale (SURVEY §2.9).",
+    "The O(n²) step never materializes at scale (SURVEY §2.9). Oracle = "
+    "the exact-Jaccard result (deterministic seeds; LSH recalls every "
+    "pair ≥ threshold on this corpus and verify removes false positives).",
 )
 def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     # persist: the shingle table is referenced 4x (minhash signatures,

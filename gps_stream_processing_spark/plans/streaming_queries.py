@@ -141,9 +141,14 @@ def q_stream_fix_merge(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_stream_dedup",
-    oracle=None,  # the dedup-under-watermark semantics are streaming-only
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type
+    """,
     doc="Streaming dedup: watermark + dropDuplicates on event_id over the "
-    "event stream (SURVEY §2.8); batch twin is q_distinct.",
+    "event stream (SURVEY §2.8). availableNow replays the full stream "
+    "inside the watermark, so the deduped count equals the batch "
+    "distinct count — full oracle.",
 )
 def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     dedup = (
