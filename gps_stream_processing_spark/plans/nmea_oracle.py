@@ -1,0 +1,329 @@
+"""DuckDB SQL twin of the NMEA pipeline (SURVEY §2.5, §5.2.1).
+
+The committed fixture parquet (``data/nmea_fixture_3x120.parquet``, pinned
+to ``generate_nmea_rows(n_tracks=3, n_seconds=120, seed=42)`` by
+``tests/test_nmea_pipeline.py``) lets the driver's DuckDB oracle re-run
+the reference's entire dataflow — demux (``class.nmea.parser.php:105-113``),
+per-sentence tokenize/project (``:170-328``), ``degree2decimal``
+(``:339-351``), ``fixUTC`` (``:391-394``), ``$CurrentUTC`` forward-fill
+(``:172,226,264,319``), per-second upsert-merge (``:173-187``) and
+``NMEAtoUnixTime`` (``:86-95``) — **independently in SQL**, so the NMEA
+queries get full value-hash oracles instead of rows-only checks.
+
+Every expression mirrors ``operators/gps_fix.py`` token for token (Spark
+0-based ``F.get(toks, i)`` == DuckDB 1-based ``t[i+1]``); rounding is
+identical on both sides (``round(_, 6)``).
+"""
+
+from __future__ import annotations
+
+from gps_stream_processing_spark.sources.nmea import fixture_parquet_path
+
+
+def _tok(i: int) -> str:
+    """Spark 0-based token ``i`` → DuckDB 1-based list index; blank → null."""
+    return f"nullif(trim(t[{i + 1}]), '')"
+
+
+def _num(i: int) -> str:
+    return f"try_cast({_tok(i)} AS DOUBLE)"
+
+
+def _int(i: int) -> str:
+    return f"try_cast({_tok(i)} AS INTEGER)"
+
+
+def _deg2dec(x: str, hem: str) -> str:
+    """degree2decimal (class.nmea.parser.php:339-351): deg=int(x/100);
+    dec=deg+(x-deg*100)/60; negate S/W; round 6."""
+    d = f"(floor({x}/100) + ({x} - floor({x}/100)*100)/60.0)"
+    return f"round(CASE WHEN upper({hem}) IN ('S','W') THEN -{d} ELSE {d} END, 6)"
+
+
+def _last_nn(c: str) -> str:
+    """'last non-null wins by arrival order' — the reference's per-field
+    overwrite upsert (class.nmea.parser.php:173-187) as a DuckDB ordered
+    aggregate; twin of Spark's last(c, ignorenulls=True) over the
+    full-frame line_no window."""
+    return f"last({c} ORDER BY line_no) FILTER (WHERE {c} IS NOT NULL)"
+
+
+def raw_cte() -> str:
+    return f"""
+raw AS (
+  SELECT line_no, track_id, value
+  FROM read_parquet('{fixture_parquet_path()}')
+)"""
+
+
+def fixes_cte() -> str:
+    """WITH-chain ending in ``fixes``: the merged gps_fix table (one row
+    per track × fix-second) with every field the NMEA queries consume."""
+    n_group = " + ".join(
+        f"(CASE WHEN try_cast(nullif(trim(t[{5 + 4 * g}]), '') AS INTEGER)"
+        " IS NOT NULL THEN 1 ELSE 0 END)"
+        for g in range(4)
+    )
+    return f"""
+WITH {raw_cte()},
+typed AS (
+  -- SetNmeaType demux (:137-140); unknown types dropped (default: return, :112)
+  SELECT line_no, track_id,
+         upper(trim(substr(value, 2, 5))) AS stype,
+         string_split(split_part(substr(value, 2, 1048576), '*', 1), ',') AS t
+  FROM raw
+  WHERE value LIKE '$%'
+    AND upper(trim(substr(value, 2, 5))) IN
+        ('GPGGA','GPGLL','GPGSA','GPGSV','GPRMC','GPVTG')
+),
+parsed AS (
+  -- per-sentence tokenize/project, token positions per the handlers
+  -- (GPGGA :170-188, GPGLL :201-207, GPGSA :224-244, GPGSV :262-272,
+  --  GPRMC :289-302, GPVTG :317-328); fixUTC strips fractions (:391-394)
+  SELECT line_no, track_id, stype,
+    nullif(split_part(CASE WHEN stype IN ('GPGGA','GPRMC') THEN {_tok(1)}
+                           WHEN stype = 'GPGLL' THEN {_tok(5)} END,
+                      '.', 1), '') AS utc,
+    CASE WHEN stype = 'GPRMC' THEN {_tok(9)} END AS date,
+    CASE WHEN stype = 'GPGGA' THEN {_deg2dec(_num(2), _tok(3))}
+         WHEN stype = 'GPGLL' THEN {_deg2dec(_num(1), _tok(2))}
+         WHEN stype = 'GPRMC' THEN {_deg2dec(_num(3), _tok(4))} END AS lat,
+    CASE WHEN stype = 'GPGGA' THEN {_deg2dec(_num(4), _tok(5))}
+         WHEN stype = 'GPGLL' THEN {_deg2dec(_num(3), _tok(4))}
+         WHEN stype = 'GPRMC' THEN {_deg2dec(_num(5), _tok(6))} END AS lon,
+    CASE WHEN stype = 'GPGGA' THEN {_num(9)} END AS alt_m,
+    CASE WHEN stype = 'GPGGA' THEN {_int(6)} END AS gps_qual,
+    CASE WHEN stype = 'GPGGA' THEN {_int(7)} END AS num_sat,
+    CASE WHEN stype = 'GPGGA' THEN {_num(8)}
+         WHEN stype = 'GPGSA' THEN {_num(16)} END AS hdop,
+    CASE WHEN stype = 'GPGSA' THEN {_num(15)} END AS pdop,
+    CASE WHEN stype = 'GPGSA' THEN {_num(17)} END AS vdop,
+    CASE WHEN stype = 'GPGSA' THEN CAST(len(list_filter(
+           list_transform(t[4:15], x -> try_cast(nullif(trim(x), '') AS INTEGER)),
+           x -> x IS NOT NULL)) AS INTEGER) END AS n_prns,
+    CASE WHEN stype = 'GPRMC' THEN {_num(7)}
+         WHEN stype = 'GPVTG' THEN {_num(5)} END AS speed_knots,
+    CASE WHEN stype = 'GPVTG' THEN {_num(7)}
+         WHEN stype = 'GPRMC' THEN round({_num(7)} * 1.852, 1) END AS speed_kmh,
+    CASE WHEN stype = 'GPRMC' THEN {_num(8)}
+         WHEN stype = 'GPVTG' THEN {_num(1)} END AS track_deg_true,
+    CASE WHEN stype = 'GPGSV' THEN CAST({n_group} AS INTEGER) END AS n_sat_groups
+  FROM typed
+),
+keyed AS (
+  -- $CurrentUTC / date forward-fill per track (:172,226,264,319; :300-301)
+  SELECT *,
+    last_value(utc IGNORE NULLS) OVER (
+      PARTITION BY track_id ORDER BY line_no
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS utc_key,
+    last_value(date IGNORE NULLS) OVER (
+      PARTITION BY track_id ORDER BY line_no
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS date_key
+  FROM parsed
+  QUALIFY utc_key IS NOT NULL
+),
+merged AS (
+  SELECT track_id, utc_key AS utc,
+    {_last_nn('date_key')} AS date,
+    {_last_nn('lat')} AS lat,
+    {_last_nn('lon')} AS lon,
+    {_last_nn('alt_m')} AS alt_m,
+    {_last_nn('gps_qual')} AS gps_qual,
+    {_last_nn('num_sat')} AS num_sat,
+    {_last_nn('hdop')} AS hdop,
+    {_last_nn('pdop')} AS pdop,
+    {_last_nn('vdop')} AS vdop,
+    {_last_nn('speed_knots')} AS speed_knots,
+    {_last_nn('speed_kmh')} AS speed_kmh,
+    {_last_nn('track_deg_true')} AS track_deg_true,
+    {_last_nn('n_prns')} AS n_sat_prns,
+    CAST(coalesce(sum(n_sat_groups), 0) AS INTEGER) AS n_sat_info,
+    array_to_string(list_sort(list(DISTINCT stype)), ',') AS sentence_types_csv,
+    min(line_no) AS first_line
+  FROM keyed GROUP BY track_id, utc_key
+),
+fixes AS (
+  -- NMEAtoUnixTime (:86-95): ddmmyy + hhmmss, POSIX 2-digit-year pivot
+  SELECT *,
+    make_timestamp(
+      CAST(CASE WHEN try_cast(substr(date, 5, 2) AS INTEGER) >= 69
+                THEN try_cast(substr(date, 5, 2) AS INTEGER) + 1900
+                ELSE try_cast(substr(date, 5, 2) AS INTEGER) + 2000 END AS BIGINT),
+      CAST(try_cast(substr(date, 3, 2) AS INTEGER) AS BIGINT),
+      CAST(try_cast(substr(date, 1, 2) AS INTEGER) AS BIGINT),
+      CAST(try_cast(substr(utc, 1, 2) AS INTEGER) AS BIGINT),
+      CAST(try_cast(substr(utc, 3, 2) AS INTEGER) AS BIGINT),
+      try_cast(substr(utc, 5, 2) AS DOUBLE)) AS ts
+  FROM merged
+),
+good AS (
+  -- GoodEnough() (:126-129): date, utc, lat, long present
+  SELECT * FROM fixes
+  WHERE date IS NOT NULL AND utc IS NOT NULL
+    AND lat IS NOT NULL AND lon IS NOT NULL
+),
+qual AS (
+  -- the declared-but-unenforced filters (:40-77) as predicates
+  SELECT * FROM good
+  WHERE num_sat >= 4 AND hdop <= 10 AND coalesce(vdop, 0.0) <= 10
+)"""
+
+
+def _haversine(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Same expression tree as functions/geo.py::haversine_km."""
+    a = (
+        f"pow(sin(radians({lat2} - {lat1})/2), 2)"
+        f" + cos(radians({lat1}))*cos(radians({lat2}))"
+        f"*pow(sin(radians({lon2} - {lon1})/2), 2)"
+    )
+    return f"(2.0*6371.0) * asin(least(1.0, sqrt({a})))"
+
+
+def _bearing(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Same expression tree as functions/geo.py::bearing_deg."""
+    y = f"sin(radians({lon2} - {lon1}))*cos(radians({lat2}))"
+    x = (
+        f"cos(radians({lat1}))*sin(radians({lat2}))"
+        f" - sin(radians({lat1}))*cos(radians({lat2}))*cos(radians({lon2} - {lon1}))"
+    )
+    return f"(degrees(atan2({y}, {x})) + 360.0) % 360.0"
+
+
+ORACLE_NMEA_PARSE = fixes_cte() + """
+SELECT track_id, utc, ts, lat, lon, alt_m, gps_qual, num_sat, hdop, pdop, vdop,
+       speed_knots, speed_kmh, track_deg_true, n_sat_prns, n_sat_info,
+       sentence_types_csv
+FROM fixes
+"""
+
+ORACLE_FIX_COMPLETE = fixes_cte() + """
+SELECT track_id, utc, ts, lat, lon, num_sat, hdop FROM qual
+"""
+
+ORACLE_FLAGSHIP = fixes_cte() + """
+SELECT track_id,
+       make_timestamp(CAST(floor(epoch(ts)/300)*300*1000000 AS BIGINT)) AS window_start,
+       CASE WHEN hdop <= 1 THEN 'ideal' WHEN hdop <= 2 THEN 'excellent'
+            WHEN hdop <= 5 THEN 'good' WHEN hdop <= 10 THEN 'moderate'
+            WHEN hdop <= 20 THEN 'fair' ELSE 'poor' END AS quality,
+       CAST(COUNT(*) AS BIGINT) AS n_fixes,
+       round(avg(speed_knots), 3) AS avg_speed_knots,
+       round(avg(hdop), 3) AS avg_hdop,
+       round(avg(num_sat), 3) AS avg_sats
+FROM qual GROUP BY 1, 2, 3
+"""
+
+_STEPS_CTE = (
+    fixes_cte()
+    + """,
+steps AS (
+  SELECT track_id, ts, lat, lon, speed_knots,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon, lag(ts) OVER w AS pts
+  FROM good WINDOW w AS (PARTITION BY track_id ORDER BY ts)
+)"""
+)
+
+ORACLE_TRACK_SPEED = _STEPS_CTE + f"""
+SELECT track_id, ts,
+       round({_haversine('plat', 'plon', 'lat', 'lon')}, 6) AS step_km,
+       round({_haversine('plat', 'plon', 'lat', 'lon')}
+             / ((epoch(ts) - epoch(pts))/3600.0) / 1.852, 3) AS derived_speed_knots,
+       speed_knots AS reported_speed_knots,
+       round({_bearing('plat', 'plon', 'lat', 'lon')}, 3) AS bearing
+FROM steps WHERE plat IS NOT NULL
+"""
+
+ORACLE_PANDAS_UDF = _STEPS_CTE + f"""
+SELECT track_id, ts,
+       round({_haversine('plat', 'plon', 'lat', 'lon')}, 6) AS step_km
+FROM steps WHERE plat IS NOT NULL
+"""
+
+# trimmed_mean_10 (functions/pandas_udfs.py): drop k = int(0.1*n) values
+# from each end of the sorted non-null speeds (keep all when n <= 2k).
+ORACLE_TRIMMED_MEAN = (
+    fixes_cte()
+    + """,
+rk AS (
+  SELECT track_id, speed_knots,
+         row_number() OVER (PARTITION BY track_id ORDER BY speed_knots) AS rn,
+         COUNT(*) OVER (PARTITION BY track_id) AS n
+  FROM good WHERE speed_knots IS NOT NULL
+)
+SELECT track_id, round(avg(speed_knots), 6) AS trimmed_mean_speed
+FROM rk
+WHERE n <= 2*CAST(floor(n*0.1) AS BIGINT)
+   OR (rn > CAST(floor(n*0.1) AS BIGINT)
+       AND rn <= n - CAST(floor(n*0.1) AS BIGINT))
+GROUP BY track_id
+"""
+)
+
+# XOR checksum fold (functions/nmea.py::nmea_checksum_ok): acc over chars
+# between $ and *, compared to the trailing *XX hex suffix.
+ORACLE_CHECKSUM = f"""
+WITH {raw_cte()},
+calc AS (
+  SELECT upper(trim(substr(value, 2, 5))) AS stype,
+         split_part(substr(value, 2, 1048576), '*', 1) AS body,
+         upper(string_split(value, '*')[len(string_split(value, '*'))]) AS claimed,
+         contains(value, '*') AS has_star
+  FROM raw
+),
+folded AS (
+  SELECT stype, claimed, has_star,
+    CASE WHEN length(body) = 0 THEN 0
+         ELSE list_reduce(list_transform(generate_series(1, length(body)),
+                                         i -> ascii(substr(body, i, 1))),
+                          (a, b) -> xor(a, b)) END AS acc
+  FROM calc
+)
+SELECT stype,
+       (has_star AND length(claimed) = 2
+        AND claimed = lpad(upper(to_hex(acc)), 2, '0')) AS ok,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM folded GROUP BY stype, ok
+"""
+
+# Streaming stateful fix-merge (streaming/stateful.py): availableNow over
+# the finite fixture reproduces the batch merge (stream==batch is pinned
+# by tests/test_streaming.py), so the oracle is the batch fixes table.
+# is_final mirrors the MAX_OPEN_FIXES=64 eviction: a fix finalizes when
+# 64 newer keys have opened on its track (keys open in first-arrival
+# order), so exactly the last 64 keys per track remain open at stream end.
+ORACLE_STREAM_FIX_MERGE = (
+    fixes_cte()
+    + """,
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY track_id ORDER BY first_line DESC) AS rdesc
+  FROM fixes
+)
+SELECT track_id, utc, date, lat, lon, gps_qual, num_sat, hdop,
+       speed_knots, speed_kmh, track_deg_true,
+       sentence_types_csv AS sentence_types,
+       (rdesc > 64) AS is_final
+FROM rk
+"""
+)
+
+# GSV expansion (plans/nmea_queries.py::q_udtf_gsv): one row per complete
+# (prn, elev, azim, snr) group, up to 4 groups per sentence part.
+ORACLE_UDTF_GSV = f"""
+WITH {raw_cte()},
+g AS (
+  SELECT line_no, track_id,
+         string_split(split_part(substr(value, 2, 1048576), '*', 1), ',') AS t
+  FROM raw WHERE value LIKE '$GPGSV%'
+)
+SELECT line_no, track_id,
+       try_cast(t[5 + 4*gi] AS INTEGER) AS prn,
+       try_cast(t[6 + 4*gi] AS INTEGER) AS elev,
+       try_cast(t[7 + 4*gi] AS INTEGER) AS azim,
+       try_cast(t[8 + 4*gi] AS INTEGER) AS snr
+FROM g, UNNEST([0, 1, 2, 3]) AS u(gi)
+WHERE try_cast(t[5 + 4*gi] AS INTEGER) IS NOT NULL
+  AND try_cast(t[6 + 4*gi] AS INTEGER) IS NOT NULL
+  AND try_cast(t[7 + 4*gi] AS INTEGER) IS NOT NULL
+  AND try_cast(t[8 + 4*gi] AS INTEGER) IS NOT NULL
+"""

@@ -1,8 +1,11 @@
 """NMEA-path queries (SURVEY §2.1/§2.2/§2.5/§2.10). These run the
-reference's actual domain — the deterministic NMEA fixture stream — so
-they are rows-only for the driver (the fixture is not among the DuckDB
-oracle views); their value-level correctness is pinned by the golden-
-sentence unit tests (tests/test_nmea_pipeline.py).
+reference's actual domain — the deterministic NMEA fixture stream.
+The fixture is committed as ``data/nmea_fixture_3x120.parquet`` (pinned
+to the generator by tests/test_nmea_pipeline.py), which lets the DuckDB
+oracle re-run the reference's entire pipeline independently in SQL
+(plans/nmea_oracle.py) — so these carry FULL value-hash oracles, not
+rows-only checks. Golden-sentence values are additionally pinned by
+tests/test_nmea_pipeline.py.
 """
 
 from __future__ import annotations
@@ -18,6 +21,7 @@ from gps_stream_processing_spark.operators.gps_fix import (
     parse_sentences,
     quality_filter,
 )
+from gps_stream_processing_spark.plans import nmea_oracle as _orc
 from gps_stream_processing_spark.plans.registry import register
 from gps_stream_processing_spark.sources.nmea import nmea_fixture_df
 
@@ -48,7 +52,7 @@ def _merged(spark: SparkSession) -> DataFrame:
 
 @register(
     "q_nmea_parse",
-    oracle=None,
+    oracle=_orc.ORACLE_NMEA_PARSE,
     doc="The reference's entire engine end-to-end (ParseLine → demux → "
     "extract → $CurrentUTC forward-fill → upsert-merge; "
     "class.nmea.parser.php:103-114,170-328): raw sentence stream → typed "
@@ -80,7 +84,7 @@ def q_nmea_parse(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_fix_complete",
-    oracle=None,
+    oracle=_orc.ORACLE_FIX_COMPLETE,
     doc="GoodEnough() completeness predicate (class.nmea.parser.php:"
     "126-129) + the declared-but-unenforced quality filters (:40-77) "
     "applied to the merged fix table.",
@@ -92,7 +96,7 @@ def q_fix_complete(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_nmea_checksum",
-    oracle=None,
+    oracle=_orc.ORACLE_CHECKSUM,
     doc="NMEA checksum validation (XOR fold between $ and *, no UDF — "
     "SURVEY §2.6): per-sentence-type validity counts over the fixture "
     "(malformed lines fail, golden lines pass).",
@@ -111,7 +115,7 @@ def q_nmea_checksum(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_nmea_flagship",
-    oracle=None,
+    oracle=_orc.ORACLE_FLAGSHIP,
     doc="Flagship windowed query (SURVEY §7 step 1): per-track 5-minute "
     "avg speed / fix count / DOP quality banding over quality-filtered "
     "merged fixes.",
@@ -122,7 +126,7 @@ def q_nmea_flagship(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_track_speed",
-    oracle=None,
+    oracle=_orc.ORACLE_TRACK_SPEED,
     doc="GPS analytics (SURVEY §7 step 4): speed-from-positions — "
     "haversine over successive fixes / Δt — cross-checked against the "
     "receiver-reported GPRMC speed (class.nmea.parser.php:295), with "
@@ -161,7 +165,7 @@ def q_track_speed(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_pandas_udf",
-    oracle=None,
+    oracle=_orc.ORACLE_PANDAS_UDF,
     doc="Sanctioned Arrow-vectorized scalar pandas_udf (SURVEY §2.10): "
     "numpy haversine over per-fix successive positions, cross-checked "
     "against the pure-column implementation in pytest.",
@@ -190,7 +194,7 @@ def q_pandas_udf(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_udtf_gsv",
-    oracle=None,
+    oracle=_orc.ORACLE_UDTF_GSV,
     doc="Python UDTF (SURVEY §2.10): one GSV sentence → one row per "
     "satellite, the set-returning fix for the reference's multi-part "
     "overwrite bug (class.nmea.parser.php:261-272).",
@@ -226,8 +230,7 @@ def q_udtf_gsv(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_pandas_grouped_agg",
-    oracle=None,  # Arrow grouped-agg UDF surface → rows-only; pytest
-    # cross-checks the trimmed mean against the exact column computation.
+    oracle=_orc.ORACLE_TRIMMED_MEAN,
     doc="Grouped-aggregate pandas UDF (SURVEY §2.10): per-track 10% "
     "trimmed mean of speed over the merged fixes — an aggregate Spark "
     "has no builtin for, computed in one Arrow batch per group.",

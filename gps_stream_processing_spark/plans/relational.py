@@ -108,11 +108,16 @@ def q_read_csv(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_sink_parquet",
-    oracle=None,  # exercises the partitioned sink → rows-only
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    """,
     doc="Partitioned parquet sink + partition-pruned re-read (SURVEY "
     "§2.1): orders written partitionBy(o_orderstatus); the re-read scan "
     "of one partition prunes the others (the on-disk layout a 100 TB "
-    "deployment uses for its date keys).",
+    "deployment uses for its date keys). The round-trip is lossless, so "
+    "the re-read aggregate carries a full oracle over the source table.",
 )
 def q_sink_parquet(spark: SparkSession, sf: str) -> DataFrame:
     import hashlib

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gps_stream_processing_spark.plans.nmea_oracle import ORACLE_STREAM_FIX_MERGE
 from gps_stream_processing_spark.plans.registry import register, table
 from gps_stream_processing_spark.streaming.runner import events_stream, run_available_now
 
@@ -113,12 +114,14 @@ def q_stream_session(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_stream_fix_merge",
-    oracle=None,  # order-dependent stateful streaming op → rows-only;
-    # streaming-vs-batch equivalence is pinned in tests/test_streaming.py
+    oracle=ORACLE_STREAM_FIX_MERGE,
     doc="The reference's core stateful op in streaming form (SURVEY "
     "§2.5/§2.8): NMEA sentences as an offset-bearing JSON stream → "
     "parse_sentences → applyInPandasWithState keyed per track "
-    "($CurrentUTC forward-fill + last-wins merge inside the state fn).",
+    "($CurrentUTC forward-fill + last-wins merge inside the state fn). "
+    "Full oracle: availableNow replay over the committed fixture "
+    "reproduces the batch merge (plans/nmea_oracle.py), with is_final "
+    "mirroring the 64-open-fix eviction bound.",
 )
 def q_stream_fix_merge(spark: SparkSession, sf: str) -> DataFrame:
     import hashlib

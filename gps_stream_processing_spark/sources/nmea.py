@@ -145,6 +145,44 @@ def nmea_fixture_df(spark: SparkSession, **kwargs) -> DataFrame:
     return spark.createDataFrame(generate_nmea_rows(**kwargs), schema=NMEA_LINE_SCHEMA)
 
 
+def fixture_parquet_path() -> str:
+    """Path of the committed canonical fixture parquet
+    (``generate_nmea_rows(n_tracks=3, n_seconds=120, seed=42)``) — the
+    SAME rows every NMEA query consumes via ``nmea_fixture_df``. Having
+    it on disk lets the DuckDB oracles re-run the reference's pipeline
+    (parse → $CurrentUTC forward-fill → upsert-merge,
+    class.nmea.parser.php:103-328) independently in SQL and hash-match
+    the Spark results. A pytest pins file == generator output."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "data",
+        "nmea_fixture_3x120.parquet",
+    )
+
+
+def write_fixture_parquet(path: str | None = None) -> str:
+    """Regenerate the canonical fixture parquet (pure pyarrow, no Spark)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = path or fixture_parquet_path()
+    rows = generate_nmea_rows(n_tracks=3, n_seconds=120, seed=42)
+    table = pa.table(
+        {
+            "line_no": pa.array([r[0] for r in rows], pa.int64()),
+            "track_id": pa.array([r[1] for r in rows], pa.int64()),
+            "value": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(table, path)
+    return path
+
+
 def write_nmea_fixture(spark: SparkSession, path: str, **kwargs) -> None:
     """Persist the fixture as text files, one per track — the file-per-track
     layout is what makes the streaming/forward-fill path partition-parallel

@@ -289,3 +289,25 @@ def test_fuzz_garbage_and_mutated_sentences(spark):
             assert -90.5 <= r["lat"] <= 90.5
         if r["lon"] is not None:
             assert -180.5 <= r["lon"] <= 180.5
+
+
+def test_committed_fixture_parquet_matches_generator():
+    """The committed fixture parquet is the DuckDB oracles' input
+    (plans/nmea_oracle.py); it must stay bit-identical to what
+    nmea_fixture_df feeds the Spark queries."""
+    import pyarrow.parquet as pq
+
+    from gps_stream_processing_spark.sources.nmea import (
+        fixture_parquet_path,
+        generate_nmea_rows,
+    )
+
+    t = pq.read_table(fixture_parquet_path())
+    on_disk = list(
+        zip(
+            t.column("line_no").to_pylist(),
+            t.column("track_id").to_pylist(),
+            t.column("value").to_pylist(),
+        )
+    )
+    assert on_disk == generate_nmea_rows(n_tracks=3, n_seconds=120, seed=42)
