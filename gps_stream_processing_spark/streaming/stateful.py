@@ -74,23 +74,21 @@ def _row_to_fix(track_id: int, utc: str, fields: dict[str, Any], final: bool) ->
     return out
 
 
-def merge_fix_groups(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Per-track stateful merge: last-non-null-wins by line order into a
-    per-UTC record map (the reference's overwrite upsert into
-    ``$Nmea[utc]``, class.nmea.parser.php:173-187 — revisiting a key
-    merges into the existing record, it does not open a second one)."""
-    (track_id,) = key
-    if state.exists:
-        cur_utc, cur_date, blob = state.get
-        records: dict[str, dict[str, Any]] = json.loads(blob)
-    else:
-        cur_utc, cur_date, records = None, None, {}
-
+def merge_lines(
+    track_id: int,
+    batch: pd.DataFrame,
+    cur_utc: str | None,
+    cur_date: str | None,
+    records: dict[str, dict[str, Any]],
+) -> tuple[list[dict], str | None, str | None]:
+    """The merge core shared by BOTH stateful APIs
+    (``applyInPandasWithState`` and ``transformWithStateInPandas``):
+    last-non-null-wins by line order into a per-UTC record map (the
+    reference's overwrite upsert into ``$Nmea[utc]``,
+    class.nmea.parser.php:173-187 — revisiting a key merges into the
+    existing record, it does not open a second one). Mutates
+    ``records``; returns (evicted_final_fixes, cur_utc, cur_date)."""
     evicted: list[dict] = []
-    batch = pd.concat(list(pdfs), ignore_index=True)
-    batch = batch.sort_values("line_no", kind="stable")
     for row in batch.itertuples(index=False):
         utc = getattr(row, "utc", None)
         if utc is not None and not pd.isna(utc):
@@ -116,6 +114,23 @@ def merge_fix_groups(
         if st is not None and not pd.isna(st) and st not in fields["__types"]:
             fields["__types"].append(st)
 
+    return evicted, cur_utc, cur_date
+
+
+def merge_fix_groups(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """``applyInPandasWithState`` wrapper around :func:`merge_lines`."""
+    (track_id,) = key
+    if state.exists:
+        cur_utc, cur_date, blob = state.get
+        records: dict[str, dict[str, Any]] = json.loads(blob)
+    else:
+        cur_utc, cur_date, records = None, None, {}
+
+    batch = pd.concat(list(pdfs), ignore_index=True).sort_values("line_no", kind="stable")
+    evicted, cur_utc, cur_date = merge_lines(track_id, batch, cur_utc, cur_date, records)
+
     # snapshot every open record (update mode: latest version wins
     # downstream); an availableNow replay over a finite fixture therefore
     # reproduces the batch pipeline exactly.
@@ -138,6 +153,58 @@ def streaming_fix_merge(parsed: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def make_fix_merge_processor():
+    """The same merge as :func:`merge_fix_groups`, on Spark 4's
+    ``transformWithStateInPandas`` API (SURVEY §2.8/§2.10): typed state
+    handles (here one ValueState) on the RocksDB state store, with
+    timers/TTL available for production eviction policies."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _FixMergeProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("fix_state", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (track_id,) = key
+            if self._state.exists():
+                cur_utc, cur_date, blob = self._state.get()
+                records: dict[str, dict[str, Any]] = json.loads(blob)
+            else:
+                cur_utc, cur_date, records = None, None, {}
+            batch = pd.concat(list(rows), ignore_index=True).sort_values(
+                "line_no", kind="stable"
+            )
+            evicted, cur_utc, cur_date = merge_lines(
+                track_id, batch, cur_utc, cur_date, records
+            )
+            out = evicted + [
+                _row_to_fix(track_id, utc, fields, False)
+                for utc, fields in records.items()
+            ]
+            self._state.update((cur_utc, cur_date, json.dumps(records)))
+            if out:
+                yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return _FixMergeProcessor()
+
+
+def streaming_fix_merge_tws(parsed: DataFrame) -> DataFrame:
+    """:func:`streaming_fix_merge` on ``transformWithStateInPandas``.
+    Requires the RocksDB state store provider (the API's backing store;
+    callers set ``spark.sql.streaming.stateStore.providerClass``)."""
+    cols = ["line_no", "track_id", "stype", "utc", *MERGE_FIELDS]
+    slim = parsed.select(*cols)
+    return slim.groupBy("track_id").transformWithStateInPandas(
+        make_fix_merge_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )
 
 

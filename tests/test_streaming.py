@@ -51,6 +51,61 @@ def test_streaming_fix_merge_equals_batch(spark, stream_fixture_dir, nmea_df):
     pd.testing.assert_frame_equal(s, b, check_dtype=False)
 
 
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (absent here); "
+    "the merge core it shares with applyInPandasWithState is covered by "
+    "test_streaming_fix_merge_equals_batch",
+)
+def test_tws_fix_merge_equals_batch(spark, stream_fixture_dir, nmea_df):
+    """transformWithStateInPandas twin of the merge-equality test: the
+    Spark 4 stateful API over the same merge core must reproduce the
+    batch pipeline exactly (RocksDB state store provider)."""
+    from gps_stream_processing_spark.operators.gps_fix import (
+        gps_fix_pipeline,
+        parse_sentences,
+    )
+    from gps_stream_processing_spark.streaming.runner import run_available_now
+    from gps_stream_processing_spark.streaming.stateful import (
+        nmea_json_stream,
+        streaming_fix_merge_tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        parsed = parse_sentences(nmea_json_stream(spark, stream_fixture_dir))
+        stream_out = run_available_now(
+            streaming_fix_merge_tws(parsed), output_mode="update"
+        )
+        cols = ["track_id", "utc", "lat", "lon", "num_sat", "hdop", "speed_knots"]
+        s = stream_out.select(*cols).toPandas().sort_values(
+            ["track_id", "utc"], ignore_index=True
+        )
+        b = gps_fix_pipeline(nmea_df).select(*cols).toPandas().sort_values(
+            ["track_id", "utc"], ignore_index=True
+        )
+        pd.testing.assert_frame_equal(s, b, check_dtype=False)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Late (beyond-watermark) rows are dropped: run 1 finalizes the
     10:00-10:10 window (watermark → 10:21); run 2 — same checkpoint —
