@@ -248,14 +248,103 @@ def q_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_stream_stream_join",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+               FROM events)
+    SELECT v.event_id AS view_id, c.event_id AS click_id,
+           v.user_id AS user_id,
+           (epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS lag_sec
+    FROM e v JOIN e c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR
+    """,
+    doc="Stream-stream interval join (SURVEY §2.8): view events joined "
+    "to click events of the same user within 12 hours, both sides "
+    "watermarked 1 hour. Spark shuffles both streams onto user_id and "
+    "keeps per-partition join state bounded by watermark + range bound "
+    "(views ~13h, clicks ~1h) — the state-cleanup contract that makes "
+    "this run forever at scale. availableNow over the finite fixture "
+    "emits every qualifying pair → exact batch-SQL oracle.",
+)
+def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    views = (
+        events_stream(spark, sf)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        events_stream(spark, sf)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = click_user_id AND click_ts >= view_ts "
+            "AND click_ts <= view_ts + INTERVAL 12 HOURS"
+        ),
+    )
+    out = run_available_now(joined, output_mode="append")
+    return out.select(
+        "view_id",
+        "click_id",
+        "user_id",
+        F.expr(
+            "(unix_micros(click_ts) - unix_micros(view_ts)) div 1000000"
+        ).alias("lag_sec"),
+    )
+
+
+@register(
     "q_stream_session_true",
-    oracle=None,  # append mode holds trailing sessions in state past the
-    # final watermark → stream ⊆ batch by design; the equivalence test
-    # pins that every emitted session matches the batch result exactly.
+    # Append mode emits exactly the watermark-closed sessions, and the
+    # final watermark of an availableNow run is itself deterministic:
+    # floor_ms(max event time) - delay (EventTimeWatermarkExec tracks
+    # max in ms; the eviction predicate is session_end <= watermark).
+    # So the oracle is the gaps-and-islands SQL filtered to sessions
+    # with end <= that watermark — exact, not rows-only.
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    mx AS (SELECT to_timestamp(floor(epoch_ms(max(ts)) / 1000.0 * 1000) / 1000.0)
+                  - INTERVAL 1 HOUR AS wm
+           FROM e),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0
+             END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ), agg AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sessions GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, n_events FROM agg, mx
+    WHERE session_end <= wm
+    """,
     doc="TRUE streaming session window (SURVEY §2.8): watermark + "
     "session_window in append mode — only watermark-closed sessions "
     "emit (9525 of 9549 at sf0.01; the rest are open state at stream "
-    "end). Batch twin with exact oracle: q_stream_session.",
+    "end). Exact oracle: gaps-and-islands SQL filtered to sessions "
+    "closed under the final deterministic watermark.",
 )
 def q_stream_session_true(spark: SparkSession, sf: str) -> DataFrame:
     agg = (
