@@ -168,12 +168,19 @@ def jaccard_pairs(shingles: DataFrame, threshold: float, id_col: str = "doc_id",
 
 
 def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """16-bit SimHash per document: per-token xxhash64, one vote per bit
+    """16-bit SimHash per document: per-token hash, one vote per bit
     position, bit set where positive votes win. Single explode +
-    hash-agg (16 conditional sums) — no UDF, no quadratic step."""
+    hash-agg (16 conditional sums) — no UDF, no quadratic step.
+
+    The token hash is the first 16 bits of md5 (not xxhash64): md5 is
+    the one hash both Spark and DuckDB compute identically, which makes
+    the whole fingerprint engine-portable and the query exactly
+    oracle-checkable (same trick as the md5-prefix hash sampler)."""
     tok = df.select(
         id_col, F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("int")
+    )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

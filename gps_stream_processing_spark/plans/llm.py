@@ -133,12 +133,40 @@ def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_pairs(sh, threshold=0.5, candidates=cands)
 
 
+_SIMHASH_VOTES = ",\n         ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(16)
+)
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+)
+
+
 @register(
     "q_dedup_simhash",
-    oracle=None,  # xxhash64-based → rows-only
+    # Exact oracle: the per-token hash is the first 16 bits of md5,
+    # which DuckDB computes identically — the full fingerprint pipeline
+    # (hash → bit votes → threshold) re-derives in portable SQL.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 4)) AS INTEGER) AS h
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+            FROM documents)
+    ), votes AS (
+      SELECT doc_id,
+         {_SIMHASH_VOTES}
+      FROM tok GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM votes
+    )
+    SELECT simhash, MIN(doc_id) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS bucket_size
+    FROM sig GROUP BY simhash
+    """,
     doc="16-bit SimHash fingerprint per doc + bucket sizes (docs sharing "
     "a simhash are near-dup candidates); single hash-agg pass, no "
-    "quadratic step (SURVEY §2.9).",
+    "quadratic step (SURVEY §2.9). md5-derived token hash → the "
+    "fingerprint is engine-portable, giving an exact oracle.",
 )
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     sig = simhash16(table(spark, sf, "documents"))
@@ -547,12 +575,52 @@ def _decode_batch(it):
 
 @register(
     "q_multimodal",
-    oracle=None,  # binary plumbing + pandas stage → rows-only
+    # Exact oracle: the stub decodes are deterministic arithmetic over
+    # the utf-8 payload bytes, and the corpus is pure ASCII (pinned by
+    # pytest), so byte k == ascii(char k) and the whole fake-decode
+    # stage re-derives in SQL. A real media decoder is NOT
+    # SQL-expressible — swapping one in demotes this to rows-only; the
+    # point here is to pin the Spark-side plumbing (binary column,
+    # struct metadata, Arrow batch shape, dispatch, output schema).
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+                             WHEN 2 THEN 'audio' ELSE 'text' END AS modality,
+             text AS t, CAST(strlen(text) AS INT) AS len, lang
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, modality, len AS n_bytes, lang AS meta_lang,
+             ROUND(COALESCE(list_sum(list_transform(
+                       range(1, least(len, 64) + 1),
+                       i -> ascii(substr(t, CAST(i AS INT), 1)))), 0)
+                   / greatest(1, least(len, 64)) / 255.0, 6) AS fake_feature,
+             64 + CASE WHEN len > 0 THEN ascii(substr(t, 1, 1)) ELSE 0 END
+                  * 7 % 1985 AS w,
+             64 + CASE WHEN len > 0 THEN ascii(substr(t, len, 1)) ELSE 0 END
+                  * 11 % 1985 AS h,
+             greatest(1, len // 16) AS nf
+      FROM base
+    )
+    SELECT doc_id, modality, n_bytes, meta_lang, fake_feature,
+           CASE WHEN modality = 'image'
+                THEN CAST(trunc(w / greatest(1.0, greatest(w, h) / 256.0)) AS INT)
+           END AS width,
+           CASE WHEN modality = 'image'
+                THEN CAST(trunc(h / greatest(1.0, greatest(w, h) / 256.0)) AS INT)
+           END AS height,
+           CASE WHEN modality = 'video' THEN 4 END AS n_frames,
+           CAST(CASE WHEN modality = 'video'
+                THEN list_transform(range(0, 4), i -> CAST(trunc(i * nf / 4) AS INT))
+           END AS VARCHAR) AS frame_offsets
+    FROM feat
+    """,
     doc="Multimodal columns: opaque binary payload + typed metadata "
     "struct, pushed through one Arrow-batched mapInPandas "
     "decode/feature-extract/resize/frame-sample stage with per-modality "
     "dispatch (decodes stubbed deterministically — media libs absent; "
-    "SURVEY §2.9). Modality assigned round-robin so every branch runs.",
+    "SURVEY §2.9). Modality assigned round-robin so every branch runs. "
+    "The deterministic stubs are byte arithmetic → exact SQL oracle.",
 )
 def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents")
@@ -568,7 +636,12 @@ def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),  # opaque binary column
         F.struct("lang", "source", "n_chars").alias("meta"),
     )
-    return packed.mapInPandas(_decode_batch, schema=MULTIMODAL_FEATURE_SCHEMA)
+    decoded = packed.mapInPandas(_decode_batch, schema=MULTIMODAL_FEATURE_SCHEMA)
+    # frame_offsets stays array<int> through the pipeline; the final
+    # projection stringifies it (identical '[0, 5, 10]' rendering in
+    # Spark and DuckDB) because the differential gate's canonical sort
+    # cannot order raw array cells.
+    return decoded.withColumn("frame_offsets", F.col("frame_offsets").cast("string"))
 
 
 @register(
