@@ -821,3 +821,73 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     from gps_stream_processing_spark.operators.similarity import ivf_ann
 
     return ivf_ann(table(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
+@register(
+    "q_decontaminate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ), ev AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM sh s JOIN ev USING (shingle)
+    WHERE s.doc_id % 97 != 0
+    GROUP BY s.doc_id
+    """,
+    doc="Benchmark decontamination (SURVEY §2.9 family): flag training "
+    "docs sharing any 3-word shingle with the eval set (stand-in: "
+    "doc_id %% 97 == 0). The eval shingle set is tiny by construction "
+    "-> broadcast to every executor; the corpus side streams through "
+    "map-side hash probes with no shuffle of shingle strings. "
+    "array_distinct before explode keeps per-doc dedup shuffle-free.",
+)
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.functions.text import word_shingles
+
+    d = table(spark, sf, "documents")
+    # tokens materialized BEFORE the shingle HOF (no CSE inside lambdas)
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("w"), pre_tokenized=True))
+        ).alias("shingle"),
+    )
+    eval_shingles = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 2)) AS INTEGER)
+          < CASE WHEN lang = 'en' THEN 64 ELSE 128 END
+    """,
+    doc="Stratified deterministic sampling: per-language keep rates "
+    "(en 25%%, others 50%% - downsample the dominant stratum) via the "
+    "md5-prefix predicate, so the sample is reproducible run-to-run "
+    "and engine-portable (exact oracle). Pushdown-friendly scan "
+    "filter - no shuffle, no rand() (SURVEY §2.9 sampling family).",
+)
+def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    rate = F.when(F.col("lang") == "en", 64).otherwise(128)
+    return d.select("doc_id", "lang").filter(bucket < rate)

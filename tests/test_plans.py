@@ -130,6 +130,20 @@ def test_sample_hash_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_sample_stratified_no_shuffle(spark):
+    """Stratified hash sampling is likewise a pure scan+filter."""
+    plan = plan_of(REGISTRY["q_sample_stratified"].fn(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The eval shingle set is broadcast; the corpus side must not
+    shuffle its shingle strings into a SortMergeJoin."""
+    plan = plan_of(REGISTRY["q_decontaminate"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_bucketed_join_no_shuffle(spark, tmp_path):
     """The 100 TB co-location strategy: both fact tables written
     bucketed (+ sorted) on the join key join WITHOUT any Exchange —
