@@ -107,6 +107,31 @@ def q_read_csv(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_read_orc",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="ORC source round-trip (SURVEY §2.1): customer dim → ORC on disk "
+    "(Spark's second built-in columnar format, zlib-striped) → "
+    "spark.read.orc → grouped aggregate. Full oracle over the original "
+    "table — numerics survive the columnar round-trip bit-exactly.",
+)
+def q_read_orc(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import os
+
+    out = f"/tmp/gps_spark_orc_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    if not os.path.exists(out):
+        table(spark, sf, "customer").write.mode("overwrite").orc(out)
+    c = spark.read.orc(out)
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal")
+    )
+
+
+@register(
     "q_sink_parquet",
     oracle="""
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,

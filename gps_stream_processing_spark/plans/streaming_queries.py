@@ -142,6 +142,89 @@ def q_stream_fix_merge(spark: SparkSession, sf: str) -> DataFrame:
     return run_available_now(streaming_fix_merge(parsed), output_mode="update")
 
 
+@register(
+    "q_stream_stream_left_join",
+    # The inner part emits every matched pair; an unmatched view emits
+    # null-padded only when its join state is evicted, i.e. when the
+    # final GLOBAL watermark passes view_ts + 12h (the range bound).
+    # The global watermark is the MIN of the two sides' watermarks —
+    # each side tracks its own ms-floored max event time minus its
+    # delay, over only the rows that reach its watermark node (the
+    # event-type filter runs first). Deterministic under availableNow
+    # → exact oracle.
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    v AS (SELECT event_id AS view_id, user_id, ts FROM e WHERE event_type = 'view'),
+    c AS (SELECT event_id AS click_id, user_id, ts FROM e WHERE event_type = 'click'),
+    mx AS (SELECT least(
+             (SELECT to_timestamp(floor(epoch_ms(max(ts)) / 1000.0 * 1000) / 1000.0) FROM v),
+             (SELECT to_timestamp(floor(epoch_ms(max(ts)) / 1000.0 * 1000) / 1000.0) FROM c)
+           ) - INTERVAL 1 HOUR AS wm),
+    matched AS (
+      SELECT v.view_id, c.click_id, v.user_id,
+             (epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS lag_sec
+      FROM v JOIN c ON v.user_id = c.user_id
+       AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR
+    ),
+    unmatched AS (
+      SELECT v.view_id, CAST(NULL AS BIGINT) AS click_id, v.user_id,
+             CAST(NULL AS BIGINT) AS lag_sec
+      FROM v, mx
+      WHERE v.ts + INTERVAL 12 HOUR < mx.wm
+        AND NOT EXISTS (
+          SELECT 1 FROM c WHERE c.user_id = v.user_id
+           AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR)
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    doc="Stream-stream LEFT OUTER interval join (SURVEY §2.8): like "
+    "q_stream_stream_join but views with no click inside the bound "
+    "emit null-padded once the watermark evicts their join state — "
+    "the late-null-emission contract that distinguishes outer "
+    "stream-stream joins. Views still open at stream end stay "
+    "unemitted (state, not loss).",
+)
+def q_stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
+    views = (
+        events_stream(spark, sf)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        events_stream(spark, sf)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = click_user_id AND click_ts >= view_ts "
+            "AND click_ts <= view_ts + INTERVAL 12 HOURS"
+        ),
+        "leftOuter",
+    )
+    out = run_available_now(joined, output_mode="append")
+    return out.select(
+        "view_id",
+        "click_id",
+        "user_id",
+        F.expr(
+            "(unix_micros(click_ts) - unix_micros(view_ts)) div 1000000"
+        ).alias("lag_sec"),
+    )
+
+
 def _tws_available() -> bool:
     """``transformWithStateInPandas`` boots a driver-side Python worker
     that speaks protobuf to the JVM; without ``google.protobuf`` the
