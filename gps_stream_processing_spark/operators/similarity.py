@@ -349,7 +349,7 @@ def ivf_ann(
     embeddings: DataFrame,
     query_vec_id: int,
     k: int = 10,
-    n_probe: int = 4,
+    n_probe: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
@@ -373,7 +373,12 @@ def ivf_ann(
     vec = F.col(vec_col).cast("array<double>")
     base = embeddings.select(id_col, vec.alias("v"))
     # coarse quantizer: per-label centroid (deterministic, no RNG —
-    # k-means iterations would add nothing on synthetic blocks)
+    # k-means iterations would add nothing on synthetic blocks).
+    # A 2-level split (sign of first-coordinate residual) was tried and
+    # REJECTED: on this corpus it scattered true neighbors across
+    # sub-lists (recall 0.5 -> 0.3 at sf0.1 for the same probed
+    # fraction) and the extra agg+join pass doubled runtime — more
+    # lists only pay off with a discriminative splitter.
     cents = (
         embeddings.select(label_col, vec.alias("v"))
         .groupBy(label_col)

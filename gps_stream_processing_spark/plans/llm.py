@@ -812,9 +812,9 @@ def q_applyinpandas_centroid(spark: SparkSession, sf: str) -> DataFrame:
     oracle=None,  # approximate by construction → rows-only; pytest pins
     # the recall floor vs the exact top-k.
     doc="ANN via IVF (inverted-file) index: per-label centroids as the "
-    "coarse quantizer, nearest-centroid assignment, n_probe=4 posting "
+    "coarse quantizer, nearest-centroid assignment, n_probe=6 posting "
     "lists probed, exact re-rank inside them — the 'IVF variant' scale "
-    "path of SURVEY §2.9 (recall@10 0.7/0.5 at sf0.01/sf0.1; raise "
+    "path of SURVEY §2.9 (recall@10 0.9/0.7 at sf0.01/sf0.1; raise "
     "n_probe for more).",
 )
 def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:

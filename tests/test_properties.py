@@ -294,8 +294,9 @@ def test_pairwise_np_equals_column_path(spark):
 
 
 def test_ann_ivf_recall_floor(spark):
-    """IVF ANN (per-label centroids, n_probe=4 of 10 lists) must beat
-    chance clearly — measured 0.7 at sf0.01; pinned at >= 0.4."""
+    """IVF ANN (per-label centroids, n_probe=6 of 10 lists) must beat
+    chance clearly — measured 0.9 at sf0.01 (0.7 at sf0.1); pinned at
+    >= 0.6."""
     from gps_stream_processing_spark.operators.similarity import cosine_topk, ivf_ann
     from gps_stream_processing_spark.plans.registry import table
 
@@ -303,4 +304,4 @@ def test_ann_ivf_recall_floor(spark):
     exact = {r.vec_id for r in cosine_topk(emb, 0, k=10).collect()}
     got = {r.vec_id for r in ivf_ann(emb, 0, k=10).collect()}
     assert len(got) == 10
-    assert len(got & exact) / 10 >= 0.4
+    assert len(got & exact) / 10 >= 0.6
