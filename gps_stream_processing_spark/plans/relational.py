@@ -742,6 +742,34 @@ def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+    FROM part
+    """,
+    doc="Unpivot/melt (wide → long, the inverse of q_pivot): part "
+    "metrics into (key, metric, value) rows via the native unpivot "
+    "operator — a narrow Expand node, no shuffle, no UDF (SURVEY §2.7 "
+    "reshape family). Oracle is the portable UNION ALL form.",
+)
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    p = table(spark, sf, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 # ---------------------------------------------- §2.7 windows/sort/limit/set
 
 
