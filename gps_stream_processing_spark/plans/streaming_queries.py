@@ -1,7 +1,8 @@
-"""Structured Streaming queries (SURVEY §2.8). Tumbling/sliding run as
-true streams (availableNow replay → memory sink) with batch-SQL oracles;
-session windows use the same session_window operator in batch form with
-a gaps-and-islands oracle; watermarked dedup is rows-only.
+"""Structured Streaming queries (SURVEY §2.8). Tumbling/sliding/dedup
+and both stream-stream interval joins run as true streams (availableNow
+replay → memory sink) with exact batch-SQL oracles; append-mode session
+windows and the left-outer join model the final watermark explicitly in
+their oracles (deterministic under availableNow).
 
 The reference *is* a stream processor (push-based ParseLine,
 class.nmea.parser.php:103) with no windows/watermarks — these are the
@@ -442,7 +443,7 @@ def q_stream_session_true(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
         .agg(F.count("*").alias("n_events"))
     )
-    out = run_available_now(agg, output_mode="append")
+    out = run_available_now(agg, output_mode="append", state_partitions=4)
     return out.select(
         F.col("win.start").alias("session_start"), "user_id", "n_events"
     )

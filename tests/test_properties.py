@@ -305,3 +305,18 @@ def test_ann_ivf_recall_floor(spark):
     got = {r.vec_id for r in ivf_ann(emb, 0, k=10).collect()}
     assert len(got) == 10
     assert len(got & exact) / 10 >= 0.6
+
+
+def test_documents_corpus_is_ascii():
+    """The q_multimodal oracle equates payload bytes with character
+    codes (ascii(substr(...))) — valid only while the corpus is pure
+    ASCII. Pin that assumption so a fixture change fails loudly here
+    instead of as a silent oracle drift."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01"):
+        n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('/root/testdata/{sf}/documents.parquet')"
+            " WHERE strlen(text) != length(text) OR text IS NULL"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} non-ASCII/null docs"
