@@ -69,7 +69,9 @@ def q_read_json(spark: SparkSession, sf: str) -> DataFrame:
     import os
 
     out = f"/tmp/gps_spark_json_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
-    if not os.path.exists(out):
+    # _SUCCESS is written last: a killed writer leaves no marker and the
+    # next caller rewrites, instead of reading a partial directory
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
         table(spark, sf, "events").coalesce(4).write.mode("overwrite").json(out)
     from gps_stream_processing_spark.sources.tables import read_json_events
 
@@ -96,7 +98,9 @@ def q_read_csv(spark: SparkSession, sf: str) -> DataFrame:
     import os
 
     out = f"/tmp/gps_spark_csv_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
-    if not os.path.exists(out):
+    # _SUCCESS is written last: a killed writer leaves no marker and the
+    # next caller rewrites, instead of reading a partial directory
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
         table(spark, sf, "nation").coalesce(1).write.mode("overwrite").option(
             "header", True
         ).csv(out)
@@ -123,7 +127,9 @@ def q_read_orc(spark: SparkSession, sf: str) -> DataFrame:
     import os
 
     out = f"/tmp/gps_spark_orc_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
-    if not os.path.exists(out):
+    # _SUCCESS is written last: a killed writer leaves no marker and the
+    # next caller rewrites, instead of reading a partial directory
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
         table(spark, sf, "customer").write.mode("overwrite").orc(out)
     c = spark.read.orc(out)
     return c.groupBy("c_mktsegment").agg(
@@ -768,6 +774,56 @@ def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "q_resample_interp",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, AVG(value) AS v
+      FROM events GROUP BY 1, 2
+    ), rng AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+             date_trunc('hour', MAX(ts)) AS t1
+      FROM obs GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+      FROM rng
+    ), u AS (
+      SELECT user_id, ts, 0 AS side, ts AS ots, v FROM obs
+      UNION ALL
+      SELECT user_id, ts, 1, NULL, NULL FROM grid
+    ), filled AS (
+      SELECT user_id, ts, side,
+             last_value(ots IGNORE NULLS) OVER wf AS prev_ts,
+             last_value(v IGNORE NULLS) OVER wf AS prev_v,
+             last_value(ots IGNORE NULLS) OVER wb AS next_ts,
+             last_value(v IGNORE NULLS) OVER wb AS next_v
+      FROM u
+      WINDOW wf AS (PARTITION BY user_id ORDER BY ts, side
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wb AS (PARTITION BY user_id ORDER BY ts DESC, side DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts AS grid_ts, ROUND(prev_v, 6) AS locf_value,
+           ROUND(CASE WHEN epoch_us(prev_ts) = epoch_us(ts) THEN prev_v
+                 ELSE prev_v + (next_v - prev_v)
+                      * ((epoch_us(ts) - epoch_us(prev_ts))
+                         / (epoch_us(next_ts) - epoch_us(prev_ts))) END,
+                 6) AS interp_value
+    FROM filled WHERE side = 1
+    """,
+    doc="Time-series resample / gap-fill onto an hourly per-user grid "
+    "with LOCF and linear interpolation (operators/resample.py — the "
+    "trajectory position-between-fixes estimate). Union + ordered "
+    "window: one hash shuffle, two sorts, no range join, no Python "
+    "(SURVEY §2.7 window family). Nulls at grid points with no "
+    "observation on the needed side.",
+)
+def q_resample_interp(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.resample import resample_interp
+
+    return resample_interp(table(spark, sf, "events"), by="user_id")
 
 
 # ---------------------------------------------- §2.7 windows/sort/limit/set

@@ -53,7 +53,10 @@ def _stream_dir(parquet_file: str) -> str:
     link = os.path.join(d, "events.parquet")
     os.makedirs(d, exist_ok=True)
     if not os.path.exists(link):
-        os.symlink(parquet_file, link)
+        try:
+            os.symlink(parquet_file, link)
+        except FileExistsError:  # concurrent caller won the race — fine
+            pass
     return d
 
 

@@ -218,9 +218,13 @@ def write_nmea_fixture_json(path: str, **kwargs) -> None:
 
     os.makedirs(path, exist_ok=True)
     rows = generate_nmea_rows(**kwargs)
-    with open(os.path.join(path, "nmea.jsonl"), "w") as f:
+    # write-then-rename: a killed writer never leaves a partial
+    # nmea.jsonl for the next caller's exists() check to trust
+    tmp = os.path.join(path, "nmea.jsonl.tmp")
+    with open(tmp, "w") as f:
         for line_no, track_id, value in rows:
             f.write(json.dumps({"line_no": line_no, "track_id": track_id, "value": value}) + "\n")
+    os.replace(tmp, os.path.join(path, "nmea.jsonl"))
 
 
 def nmea_json_stream(spark, path: str) -> DataFrame:
