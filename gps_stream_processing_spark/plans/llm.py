@@ -484,6 +484,59 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_chunk_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 24 AS BIGINT) AS chunk_id,
+           array_to_string(t[s : s + 31], ' ') AS chunk_text,
+           CAST(len(t[s : s + 31]) AS INTEGER) AS chunk_tokens
+    FROM toks
+    JOIN generate_series(1, 256, 24) AS g(s)
+      ON s <= GREATEST(1, n - 32 + 1)
+    """,
+    doc="Document chunking for LLM training/RAG pipelines (SURVEY §2.9): "
+    "fixed 32-token windows at stride 24 (8-token overlap), start grid "
+    "via sequence() + explode, window extraction via slice() — pure "
+    "JVM-side array ops, no UDF, no shuffle (chunking is embarrassingly "
+    "row-parallel; the explode multiplies rows ~n_tokens/stride within "
+    "each scan partition). Oracle: DuckDB generate_series + 1-based "
+    "inclusive list slicing reproduces the grid exactly.",
+)
+def q_chunk_docs(spark: SparkSession, sf: str) -> DataFrame:
+    size, stride = 32, 24
+    d = table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("t"),
+    ).withColumn("n", F.size("t"))
+    return (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.lit(1), F.col("n") - F.lit(size - 1)),
+                    F.lit(stride),
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            (((F.col("s") - 1) / stride).cast("bigint")).alias("chunk_id"),
+            F.array_join(F.slice(F.col("t"), F.col("s"), F.lit(size)), " ").alias(
+                "chunk_text"
+            ),
+            F.size(F.slice(F.col("t"), F.col("s"), F.lit(size))).alias("chunk_tokens"),
+        )
+    )
+
+
+@register(
     "q_fingerprint",
     oracle="""
     SELECT doc_id,

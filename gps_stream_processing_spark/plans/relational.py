@@ -166,6 +166,62 @@ def q_sink_parquet(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dpp",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY event_type
+    """,
+    doc="Dynamic partition pruning (SURVEY §2.1/§4.2): events landed "
+    "date-partitioned (the 100 TB on-disk layout), then joined to a "
+    "selectively-filtered calendar dim on the partition column. The "
+    "date filter lives ONLY on the dim side — the fact scan is pruned "
+    "at runtime via the DPP subquery (PartitionFilters: "
+    "dynamicpruningexpression, pinned by tests/test_plans.py), so only "
+    "7 of 30 date directories are read. Round-trip is lossless → full "
+    "oracle as a plain WHERE over the source table.",
+)
+def q_dpp(spark: SparkSession, sf: str) -> DataFrame:
+    fact = date_partitioned_events(spark, sf)
+    cal = (
+        spark.range(0, 40)
+        .select(F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"))
+        .filter(F.col("d").between("2024-01-08", "2024-01-14"))
+    )
+    return (
+        fact.join(F.broadcast(cal), fact.event_date == cal.d)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def date_partitioned_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Land events partitioned by event_date (directory-per-day, the
+    standard big-fact layout) and return the partitioned scan.
+    Idempotent per sf dir."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out = f"/tmp/gps_spark_dpp_{tag}/events"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            table(spark, sf, "events")
+            .withColumn("event_date", F.col("ts").cast("date"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(out)
+        )
+    return spark.read.parquet(out)
+
+
 # ------------------------------------------------------- §2.2 filters / proj
 
 
@@ -380,6 +436,105 @@ def q_join_range(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_join_range_binned",
+    oracle="""
+    SELECT b.band,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e
+    JOIN (VALUES (0.0, 50.0, 'tiny'), (50.0, 150.0, 'small'),
+                 (150.0, 300.0, 'mid'), (300.0, 1000.0, 'big')) b(lo, hi, band)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+    doc="Binned range join (operators/range_join.py): same semantics and "
+    "oracle as q_join_range, but the theta join is rewritten to an "
+    "equi-join on floor(value/w) bins + exact refine — a hash join "
+    "instead of a nested loop, so it hash-partitions/broadcasts and "
+    "survives an interval side too large to broadcast (SURVEY §2.3).",
+)
+def q_join_range_binned(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.range_join import binned_range_join
+
+    e = table(spark, sf, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [(0.0, 50.0, "tiny"), (50.0, 150.0, "small"), (150.0, 300.0, "mid"), (300.0, 1000.0, "big")],
+        "lo double, hi double, band string",
+    )
+    return (
+        binned_range_join(e, bands, value_col="value", bin_width=50.0)
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Bucketed co-located fact-fact join (SURVEY §2.3): both sides "
+    "written bucketBy(8, orderkey) + sortBy via saveAsTable, then joined "
+    "on the bucket key — the bucketed scan satisfies the join's "
+    "distribution requirement so NO Exchange appears under the join "
+    "(pinned by tests/test_plans.py). This is the pre-shuffled layout a "
+    "100 TB deployment maintains for its hottest join key: the shuffle "
+    "is paid once at write time, then every subsequent join is "
+    "shuffle-free. Round-trip is lossless → full oracle on the source "
+    "tables.",
+)
+def q_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    l, o = bucketed_lineitem_orders(spark, sf)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        )
+    )
+
+
+def bucketed_lineitem_orders(spark: SparkSession, sf: str, n_buckets: int = 8):
+    """Land lineitem/orders as external bucketed tables (8 buckets on the
+    order key, one file per bucket via repartition) and return the two
+    bucketed scans. Idempotent per sf dir; shared by the registered query
+    and the plan-shape test."""
+    import hashlib
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out = {}
+    for name, key, cols in (
+        ("lineitem", "l_orderkey", ["l_orderkey", "l_quantity"]),
+        ("orders", "o_orderkey", ["o_orderkey", "o_orderstatus", "o_orderpriority"]),
+    ):
+        tbl = f"bkt_{name}_{tag}"
+        path = f"/tmp/gps_spark_bucketed_{tag}/{name}"
+        if not spark.catalog.tableExists(tbl):
+            (
+                table(spark, sf, name)
+                .select(*cols)
+                .repartition(n_buckets, key)
+                .write.mode("overwrite")
+                .bucketBy(n_buckets, key)
+                .sortBy(key)
+                .option("path", path)
+                .saveAsTable(tbl)
+            )
+        out[name] = spark.table(tbl)
+    return out["lineitem"], out["orders"]
+
+
+@register(
     "q_join_asof",
     oracle="""
     WITH clicks AS (
@@ -573,6 +728,39 @@ def q_agg_cube(spark: SparkSession, sf: str) -> DataFrame:
         table(spark, sf, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS — an arbitrary subset of the cube "
+    "lattice, distinct from rollup/cube; GROUPING() ids disambiguate "
+    "aggregated-away NULLs from data NULLs. One Expand + one hash-agg, "
+    "same single-shuffle shape as a plain groupBy (SURVEY §2.4).",
+)
+def q_agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("bigint")
+            .alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
     )
 
 

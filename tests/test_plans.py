@@ -184,6 +184,49 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_q_join_bucketed_registered_query_no_join_shuffle(spark):
+    """The registered q_join_bucketed must keep the co-location win:
+    with broadcast off, the only hash Exchange in the whole plan is the
+    final groupBy — the join itself reads pre-bucketed scans."""
+    from gps_stream_processing_spark.plans.relational import (
+        bucketed_lineitem_orders,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(REGISTRY["q_join_bucketed"].fn(spark, SF))
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        n_exchanges = plan.count(") Exchange")  # formatted-mode node lines
+        assert n_exchanges == 1, plan  # only the final aggregate
+        assert "hashpartitioning(o_orderpriority" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # helper is idempotent: second call reuses the landed tables
+    l1, _ = bucketed_lineitem_orders(spark, SF)
+    assert l1.count() > 0
+
+
+def test_q_join_range_binned_is_hash_join(spark):
+    """The binned rewrite must plan as an equi (hash) join on the bin id
+    — never the nested loop the plain theta join degenerates to."""
+    plan = plan_of(REGISTRY["q_join_range_binned"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+
+
+def test_q_dpp_prunes_partitions_dynamically(spark):
+    """q_dpp's date filter lives only on the calendar dim — the fact
+    scan must still be pruned at runtime via a DPP subquery filter."""
+    plan = plan_of(REGISTRY["q_dpp"].fn(spark, SF))
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "dynamicpruning" in pf, pf
+
+
 def test_partitioned_sink_reread_prunes(spark):
     """q_sink_parquet's re-read of one o_orderstatus partition must show
     a partition filter at the scan (directory pruning, not row filtering)."""
