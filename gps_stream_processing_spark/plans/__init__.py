@@ -8,6 +8,7 @@ from gps_stream_processing_spark.plans import (  # noqa: F401
     relational,
     scalars,
     streaming_queries,
+    tpch,
 )
 from gps_stream_processing_spark.plans.registry import (  # noqa: F401
     REGISTRY,
