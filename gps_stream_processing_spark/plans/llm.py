@@ -944,3 +944,131 @@ def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     ).cast("int")
     rate = F.when(F.col("lang") == "en", 64).otherwise(128)
     return d.select("doc_id", "lang").filter(bucket < rate)
+
+
+# ------------------------------------------------- dedup clustering / quality
+
+
+@register(
+    "q_dup_clusters",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(s, t) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+    )
+    SELECT s AS doc_id, CAST(MIN(t) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+    doc="Near-duplicate CLUSTERS (SURVEY §2.9 + operators/"
+    "connected_components.py): pair output alone is not a dedup policy "
+    "— production keeps one survivor per connected component of the "
+    "near-dup graph. Edges = exact 3-shingle Jaccard >= 0.5 pairs "
+    "(same pair set as q_dedup_near); components via iterative "
+    "min-label propagation, one shuffle per round, lineage truncated "
+    "per round, converging in <= diameter rounds. Oracle: DuckDB "
+    "recursive-CTE reachability closure + MIN per node — exact, so "
+    "this iterative algorithm still gets a full value-hash check "
+    "(singletons are their own cluster).",
+)
+def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    d = table(spark, sf, "documents")
+    sh = shingle_table(d).localCheckpoint(eager=True)
+    pairs = jaccard_pairs(sh, threshold=0.5)
+    return connected_components(
+        d.select("doc_id"),
+        pairs,
+        node_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+@register(
+    "q_repetition_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS uniq_ratio,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_frac
+    FROM cnt GROUP BY doc_id
+    """,
+    doc="Repetition quality signals (Gopher-rule family — Rae et al. "
+    "2021, 'Scaling Language Models', App. A: repetitious documents are "
+    "low-quality): per-doc distinct-token ratio and most-frequent-token "
+    "mass. One explode + two hash aggs keyed by doc_id — fully "
+    "map-side-combinable, no wide row (SURVEY §2.9 quality family).",
+)
+def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("count").cast("bigint").alias("n_tokens"),
+        F.round(F.count("*") / F.sum("count"), 6).alias("uniq_ratio"),
+        F.round(F.max("count") / F.sum("count"), 6).alias("top_token_frac"),
+    )
+
+
+@register(
+    "q_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(text, '\\b(customer|key|order)\\b', '<REDACTED>', 'g')
+             AS redacted_text,
+           CAST(len(regexp_extract_all(text, '\\b(customer|key|order)\\b'))
+             AS BIGINT) AS n_redacted
+    FROM documents
+    """,
+    doc="Term redaction — the PII-scrub plumbing (SURVEY §2.9): mask a "
+    "sensitive-term lexicon via one pass of regexp_replace at the scan "
+    "(the corpus has no digits, so the lexicon stands in for "
+    "email/phone/ID patterns; the operator shape — anchored alternation "
+    "regex, global replace, per-doc hit count — is exactly a PII pass). "
+    "Row-parallel, zero shuffle; at 100 TB this runs at scan speed. "
+    "\\b and alternation behave identically in Java regex and RE2.",
+)
+def q_redact(spark: SparkSession, sf: str) -> DataFrame:
+    pat = r"\b(customer|key|order)\b"
+    d = table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace("text", pat, "<REDACTED>").alias("redacted_text"),
+        F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0)))
+        .cast("bigint")
+        .alias("n_redacted"),
+    )

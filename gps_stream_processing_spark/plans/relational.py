@@ -1380,3 +1380,58 @@ def q_agg_corr(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
         F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_price_on_qty"),
     )
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, ROUND(c_acctbal + 100, 2) AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 0.0
+      FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+           COALESCE(t.c_name, 'new customer') AS c_name,
+           ROUND(COALESCE(u.c_acctbal, t.c_acctbal), 2) AS c_acctbal,
+           CASE WHEN t.c_custkey IS NULL THEN 'insert'
+                WHEN u.c_custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM customer t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey
+    """,
+    doc="MERGE INTO / upsert semantics (SCD-style dimension "
+    "maintenance) expressed engine-agnostically as a full outer join + "
+    "COALESCE — matched rows take the update's values, unmatched "
+    "target rows pass through, unmatched updates become inserts. The "
+    "update set is derived deterministically from the table itself "
+    "(custkey % 7 updates, % 97 inserts) so the oracle is exact. At "
+    "scale: one co-partitioned shuffle join on the merge key — the "
+    "same plan a format-level MERGE (Delta/Iceberg) executes under "
+    "the hood; with the target bucketed on the key (q_join_bucketed "
+    "layout) the shuffle falls away entirely.",
+)
+def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    t = table(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
+    base = table(spark, sf, "customer")
+    updates = (
+        base.filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", F.round(F.col("c_acctbal") + 100, 2).alias("u_acctbal"))
+        .unionByName(
+            base.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.lit(0.0).alias("u_acctbal"),
+            )
+        )
+        .withColumnRenamed("c_custkey", "u_custkey")
+    )
+    m = t.join(updates, t.c_custkey == updates.u_custkey, "full_outer")
+    return m.select(
+        F.coalesce("u_custkey", "c_custkey").alias("c_custkey"),
+        F.coalesce("c_name", F.lit("new customer")).alias("c_name"),
+        F.round(F.coalesce("u_acctbal", "c_acctbal"), 2).alias("c_acctbal"),
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("u_custkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
