@@ -26,7 +26,7 @@ Scale notes (the point of this suite):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from gps_stream_processing_spark.plans.registry import register, table
@@ -312,4 +312,310 @@ def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
         l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
         .filter(arm("Brand#12", 25, 1, 15) | arm("Brand#23", 30, 10, 25) | arm("Brand#15", 15, 20, 30))
         .agg(_sum_money(_revenue(), "revenue"))
+    )
+
+
+@register(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o.o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 (order priority checking), adapted: the missing "
+    "l_commitdate/l_receiptdate lateness test becomes 'shipped more "
+    "than 60 days after order date'. The correlated EXISTS decorrelates "
+    "to a left-semi join with a non-equi residual (equi on orderkey, "
+    "range on dates) — still a hash-partitionable semi join.",
+)
+def q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1997-10-01")
+    )
+    l = table(spark, sf, "lineitem")
+    late = (l.l_orderkey == o.o_orderkey) & (
+        l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(l, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q_tpch_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+             AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    GROUP BY n1.n_name, n2.n_name, l_year
+    """,
+    doc="TPC-H Q7 (volume shipping): bidirectional nation-pair trade "
+    "volume by year (NATION_3/NATION_8 stand in for FRANCE/GERMANY — "
+    "driver nations are synthetic). Two broadcast nation joins with a "
+    "disjunctive cross-side predicate evaluated post-join; year "
+    "extraction keeps the aggregate keys low-cardinality.",
+)
+def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    s = table(spark, sf, "supplier")
+    l = table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    n1 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(_sum_money(_revenue(), "revenue"))
+    )
+
+
+@register(
+    "q_tpch_q8",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    )
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                               THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM v GROUP BY o_year
+    """,
+    doc="TPC-H Q8 (national market share), adapted: NATION_1/AMERICA/"
+    "ECONOMY stand in for BRAZIL/AMERICA/'ECONOMY ANODIZED STEEL'. "
+    "8-way join; the share ratio's numerator and denominator are both "
+    "exact DECIMAL sums, so the final double division is bit-stable.",
+)
+def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    p = table(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    l = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    o = table(spark, sf, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    c = table(spark, sf, "customer")
+    n1 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = table(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    vol = _revenue().cast("decimal(18,4)")
+    v = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return v.groupBy("o_year").agg(
+        F.round(
+            F.sum(nation_vol).cast("double") / F.sum("volume").cast("double"), 6
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 (customer order-count distribution): left outer join "
+    "preserving order-less customers, then a two-level aggregate — the "
+    "second groupBy keys on the first's COUNT. The o_comment NOT LIKE "
+    "filter is dropped (column absent). At scale the first agg shuffles "
+    "by custkey; the second is a near-free low-cardinality rollup.",
+)
+def q_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q_tpch_q15",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    doc="TPC-H Q15 (top supplier): per-supplier quarterly revenue, keep "
+    "the max. The scalar-max comparison is implemented as an equi-join "
+    "on the revenue value against the broadcast 1-row MAX aggregate (a "
+    "hash join — no nested loop, no single-partition window). DECIMAL "
+    "revenue makes the max comparison exact, so ties are stable.",
+)
+def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = table(spark, sf, "supplier")
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_sum_money(_revenue(), "total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx, "left_semi")
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle="""
+    WITH t AS (
+      SELECT l.l_extendedprice, l.l_quantity,
+             AVG(l.l_quantity) OVER (PARTITION BY l.l_partkey) AS avg_q
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#13'
+    )
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2)
+             AS DOUBLE) AS avg_yearly
+    FROM t WHERE l_quantity < 0.2 * avg_q
+    """,
+    doc="TPC-H Q17 (small-quantity-order revenue): the correlated "
+    "per-part AVG subquery is expressed as a window over the part "
+    "partition — one shuffle keyed by partkey instead of a re-scan per "
+    "row. Quantities are integer-valued doubles, so the AVG (exact "
+    "integer sum / count) and the 0.2x threshold comparison are "
+    "bit-identical across engines.",
+)
+def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").filter(F.col("p_brand") == "Brand#13")
+    t = l.join(F.broadcast(p), p.p_partkey == l.l_partkey).select(
+        "l_extendedprice",
+        "l_quantity",
+        F.avg("l_quantity").over(W.partitionBy("l_partkey")).alias("avg_q"),
+    )
+    return t.filter(F.col("l_quantity") < 0.2 * F.col("avg_q")).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0)
+        .cast("double")
+        .alias("__raw")
+    ).select(F.round("__raw", 2).alias("avg_yearly"))
+
+
+@register(
+    "q_tpch_q22",
+    oracle="""
+    WITH pos AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.n > pos.s
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 (global sales opportunity), adapted: c_nationkey "
+    "stands in for the missing phone country code. The above-average-"
+    "balance threshold is algebraically rearranged (bal > sum/cnt -> "
+    "bal*cnt > sum) so the comparison runs in exact DECIMAL arithmetic "
+    "— no float-division boundary flakes. The anti-join (customers "
+    "with no orders) is a hash left-anti; the 1-row aggregate joins in "
+    "on a constant key (hash, not nested-loop).",
+)
+def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("c_acctbal").cast("decimal(18,2)") * F.col("n") > F.col("s"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
     )

@@ -1,0 +1,72 @@
+"""Registry-wide physical-plan quality gate (SURVEY §4.2 discipline).
+
+Explains EVERY registered query and asserts the scale invariants:
+
+1. No row-at-a-time Python UDF (``BatchEvalPython``) anywhere except the
+   declared UDTF escape hatch — Python in the hot path must cross the
+   JVM boundary via Arrow (``ArrowEvalPython`` / ``MapInPandas`` /
+   ``FlatMapGroupsInPandas``) or not at all.
+2. No nested-loop / cartesian join except the declared baselines:
+   - q_join_range: the deliberately-naive theta join kept as the
+     contrast case for q_join_range_binned (the scale path);
+   - q_join_cross: the cross-join operator itself;
+   - q_sim_search / q_ann_lsh: a broadcast of O(1) rows (one query
+     vector / 64 hyperplane rows) against the corpus — a "cross
+     product" only in name; the small side is constant-size, so cost
+     stays linear in the corpus.
+
+New queries are covered automatically (the test iterates the registry);
+adding an operator that silently plans a cartesian or a pickled Python
+UDF fails CI until it is either fixed or explicitly justified here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gps_stream_processing_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+# query key -> tokens allowed in its plan, with the why documented above
+NESTED_LOOP_ALLOWED = {
+    "q_join_range": "kept as the nested-loop contrast for the binned rewrite",
+    "q_join_cross": "the cross-join operator itself",
+    "q_sim_search": "1-row broadcast query vector",
+    "q_ann_lsh": "constant 64-row broadcast hyperplane table",
+    "q_ann_ivf": "constant-size broadcast centroid table (nearest-centroid "
+    "assignment is O(k) per row, k fixed)",
+    "q_geofence": "3-row broadcast fence dim; a large fence set would switch "
+    "to grid-cell binning (the range_join pattern)",
+    "q_tpch_q22": "1-row broadcast global aggregate (the scalar-subquery "
+    "threshold)",
+}
+ROW_PYTHON_ALLOWED = {
+    "q_udtf_gsv": "Python UDTF (one-to-many GSV expansion); Spark plans "
+    "UDTFs as BatchEvalPythonUDTF — there is no Arrow UDTF node to "
+    "prefer in this Spark version",
+}
+
+
+def _plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_plan_scale_invariants(spark, name):
+    plan = _plan_of(REGISTRY[name].fn(spark, SF))
+    if name not in NESTED_LOOP_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected nested-loop join — rewrite as an "
+            f"equi/binned join or justify in NESTED_LOOP_ALLOWED"
+        )
+        assert "CartesianProduct" not in plan, (
+            f"{name}: unexpected cartesian product"
+        )
+    if name not in ROW_PYTHON_ALLOWED:
+        assert "BatchEvalPython" not in plan, (
+            f"{name}: row-at-a-time Python UDF in the plan — use Arrow "
+            f"(pandas_udf / mapInPandas) instead"
+        )
