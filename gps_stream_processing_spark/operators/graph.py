@@ -1,0 +1,119 @@
+"""Distributed graph analytics on DataFrames: triangle counting and
+PageRank.
+
+The reference has no graph code (its only code file is
+class.nmea.parser.php:1-399; SURVEY §0) — engine surface (`ext`),
+rounding out the iterative-algorithm family started by
+``connected_components``.
+
+Both operators take a plain edge-list DataFrame — graphs at 100 TB are
+stored exactly like any other fact table, and both algorithms reduce to
+joins + aggregations that Catalyst/AQE handle like any other query:
+
+- ``triangle_count``: the classic node-ordered 3-way self-join (each
+  triangle counted once via a < b < c). Two shuffle joins on the edge
+  key; degree-skew is AQE's problem (skew-join split), not a custom
+  partitioner's.
+- ``pagerank``: power iteration — per round, one join (ranks × edges)
+  and one aggregation (contributions per destination). Lineage is
+  truncated per round (``localCheckpoint``), the same discipline as
+  ``connected_components``. Dangling-node mass is redistributed
+  uniformly each round so ranks keep summing to 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Count triangles in the undirected graph given by ``edges``
+    (duplicates/self-loops/direction are normalized away). Returns a
+    1-row DataFrame ``n_triangles: bigint``.
+
+    Node-ordered formulation: normalize every edge to (a < b), then
+    count paths a->b->c with a<b<c that close via edge (a, c) — each
+    triangle contributes exactly once."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    return (
+        e1.join(e2, e1.y == e2.y2)
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")), "left_semi")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iterations: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list. Returns
+    (``id``, ``rank``) for every node (sources and sinks), ranks
+    summing to 1 up to float error. Deterministic up to floating-point
+    reassociation in the per-destination contribution sums (~1e-15 per
+    round — pytest pins against an exact driver-side replica at 1e-9)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = e.groupBy(F.col("src").alias("deg_src")).agg(
+        F.count("*").alias("deg")
+    )
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+
+    for _ in range(n_iterations):
+        contribs = (
+            ranks.join(out_deg, ranks.id == out_deg.deg_src, "left")
+            .join(e, ranks.id == e.src, "left")
+            .select(
+                F.col("dst"),
+                (F.col("rank") / F.col("deg")).alias("contrib"),
+                # rank of nodes with no outgoing edges (deg null) leaks —
+                # collected below and redistributed uniformly
+                F.when(F.col("deg").isNull(), F.col("rank"))
+                .otherwise(F.lit(0.0))
+                .alias("dangling"),
+            )
+        )
+        dangling_mass = contribs.agg(
+            F.sum(F.when(F.col("dst").isNull(), F.col("dangling")).otherwise(0.0))
+        ).first()[0] or 0.0
+        inbound = (
+            contribs.filter(F.col("dst").isNotNull())
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("contrib").alias("inbound"))
+        )
+        ranks = (
+            nodes.join(inbound, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("inbound", F.lit(0.0)) + F.lit(dangling_mass / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -1,0 +1,200 @@
+"""Event-analytics query patterns over the ``events`` table: funnel,
+cohort retention, last-touch attribution, SCD2 validity intervals.
+
+The reference has no event analytics (its only code file is
+class.nmea.parser.php:1-399; SURVEY §0) — engine surface (`ext`), the
+workloads a production events engine is actually asked to run. The
+attribution query is the business-query form of the reference's one
+distinctive semantic: forward-filling the latest prior record across an
+ordered stream (``$CurrentUTC``, class.nmea.parser.php:226).
+
+Scale notes: every query here shuffles at most twice, always keyed by
+``user_id`` (the natural high-cardinality partition key — no global
+windows anywhere); timestamps and counts compare exactly across
+engines, so no rounding discipline is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from gps_stream_processing_spark.plans.registry import register, table
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), v AS (
+      SELECT e.user_id, MIN(e.ts) AS t_view
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'view' AND e.ts > s.t_signup
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
+           CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view_after,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after
+    """,
+    doc="Ordered conversion funnel (signup -> later view -> later "
+    "purchase): each stage is a per-user MIN-timestamp aggregate "
+    "semi-joined against the previous stage — three user_id-keyed "
+    "shuffles, no window, no self-cross. Timestamps are exact, so the "
+    "funnel counts are deterministic.",
+)
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(F.broadcast(v.agg(F.count("*").alias("n_view_after"))))
+        .crossJoin(F.broadcast(p.agg(F.count("*").alias("n_purchase_after"))))
+    )
+
+
+@register(
+    "q_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week,
+                          date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users bucketed by first-seen week, "
+    "activity counted per (cohort, week-offset) cell — the standard "
+    "growth-analytics rollup. Two user_id-keyed aggregates; the "
+    "distinct-count shuffle key is (cohort, offset, user), all exact "
+    "integer/date arithmetic.",
+)
+def q_retention(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "q_attribution",
+    oracle="""
+    SELECT user_id, ts AS purchase_ts, last_click_id, ROUND(value, 2) AS value
+    FROM (
+      SELECT user_id, ts, event_type, value,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_id
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    WHERE event_type = 'purchase'
+    """,
+    doc="Last-touch attribution: each purchase is credited to the "
+    "user's most recent STRICTLY PRIOR click — the reference's "
+    "$CurrentUTC forward-fill semantic (class.nmea.parser.php:226) as "
+    "a business query. One window per user_id partition (never "
+    "global), (ts, event_id) ordering for tie stability; the frame "
+    "ends at 1 PRECEDING so a click never attributes a simultaneous "
+    "purchase.",
+)
+def q_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    return (
+        e.select(
+            "user_id",
+            "ts",
+            "event_type",
+            "value",
+            F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_click_id",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT user_id, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           ROUND(value, 2) AS value,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM events WHERE event_type = 'signup'
+    """,
+    doc="SCD type-2 validity intervals: each new version (here: a "
+    "user's signup events) closes the previous one — valid_from = "
+    "event ts, valid_to = LEAD(ts) (NULL = current). The standard "
+    "dimension-history pattern, one lead window per user_id "
+    "partition; pairs with q_merge_upsert (the type-1 path).",
+)
+def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events").filter(F.col("event_type") == "signup")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.round("value", 2).alias("value"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -40,6 +40,7 @@ NESTED_LOOP_ALLOWED = {
     "to grid-cell binning (the range_join pattern)",
     "q_tpch_q22": "1-row broadcast global aggregate (the scalar-subquery "
     "threshold)",
+    "q_funnel": "cross of three 1-row stage-count aggregates",
 }
 ROW_PYTHON_ALLOWED = {
     "q_udtf_gsv": "Python UDTF (one-to-many GSV expansion); Spark plans "
