@@ -303,6 +303,18 @@ def flagship_from_fixes(merged: DataFrame) -> DataFrame:
     """Flagship aggregation given an already-merged fix table (lets
     callers reuse one cached fix table across queries)."""
     fixes = quality_filter(good_enough(merged))
+
+    # Order-independent mean: double avg() depends on partial-sum order
+    # (observed: avg_hdop at the exact 1.5625 half-boundary rounding to
+    # 1.562 or 1.563 run-to-run). Per-row DECIMAL(18,6) cast is exact for
+    # the fixture's low-precision values; the DECIMAL sum is associative,
+    # so every partitioning yields the same quotient. Oracle twin mirrors
+    # this (plans/nmea_oracle.py ORACLE_FLAGSHIP).
+    def exact_avg(c: str, nd: int):
+        return F.round(
+            F.sum(F.col(c).cast("decimal(18,6)")).cast("double") / F.count("*"), nd
+        )
+
     return (
         fixes.groupBy(
             "track_id",
@@ -311,9 +323,9 @@ def flagship_from_fixes(merged: DataFrame) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_fixes"),
-            F.round(F.avg("speed_knots"), 3).alias("avg_speed_knots"),
-            F.round(F.avg("hdop"), 3).alias("avg_hdop"),
-            F.round(F.avg("num_sat"), 3).alias("avg_sats"),
+            exact_avg("speed_knots", 3).alias("avg_speed_knots"),
+            exact_avg("hdop", 3).alias("avg_hdop"),
+            exact_avg("num_sat", 3).alias("avg_sats"),
         )
         .select(
             "track_id",

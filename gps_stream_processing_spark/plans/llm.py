@@ -757,7 +757,7 @@ def q_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           ROUND(AVG(q), 6) AS avg_quality
+           ROUND(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
     FROM sampled GROUP BY lang
     """,
     doc="End-to-end training-data curation pipeline (the north-star "
@@ -815,7 +815,12 @@ def q_pipeline_curation(spark: SparkSession, sf: str) -> DataFrame:
     return sampled.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("q"), 6).alias("avg_quality"),
+        # q is pre-rounded to 6 dp, so the DECIMAL(18,6) cast is exact and
+        # the associative DECIMAL sum makes the mean partition-order-stable
+        # (double avg() round-flips at half boundaries).
+        F.round(
+            F.sum(F.col("q").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("avg_quality"),
     )
 
 

@@ -207,9 +207,9 @@ SELECT track_id,
             WHEN hdop <= 5 THEN 'good' WHEN hdop <= 10 THEN 'moderate'
             WHEN hdop <= 20 THEN 'fair' ELSE 'poor' END AS quality,
        CAST(COUNT(*) AS BIGINT) AS n_fixes,
-       round(avg(speed_knots), 3) AS avg_speed_knots,
-       round(avg(hdop), 3) AS avg_hdop,
-       round(avg(num_sat), 3) AS avg_sats
+       round(CAST(sum(CAST(speed_knots AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 3) AS avg_speed_knots,
+       round(CAST(sum(CAST(hdop AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 3) AS avg_hdop,
+       round(CAST(sum(CAST(num_sat AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 3) AS avg_sats
 FROM qual GROUP BY 1, 2, 3
 """
 

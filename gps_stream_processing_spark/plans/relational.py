@@ -596,13 +596,13 @@ def q_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
     "q_agg_basic",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 6) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6) AS avg_price,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order,
            ROUND(MIN(l_quantity), 2) AS min_qty,
            ROUND(MAX(l_quantity), 2) AS max_qty
@@ -611,19 +611,29 @@ def q_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1-shaped hash aggregate: sum/avg/min/max/count with "
-    "Tungsten partial+final aggregation (SURVEY §2.4).",
+    "Tungsten partial+final aggregation (SURVEY §2.4). Sums and means run "
+    "in DECIMAL(18,4) per-row casts (exact for the 2-dp money values), so "
+    "the associative DECIMAL sum makes every result bit-stable under any "
+    "partitioning — double avg() would round-flip at half boundaries.",
 )
 def q_agg_basic(spark: SparkSession, sf: str) -> DataFrame:
     l = table(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def dsum(col, nd=2):
+        return F.round(F.sum(col.cast("decimal(18,4)")), nd).cast("double")
+
+    def davg(col, nd=6):
+        return F.round(F.sum(col.cast("decimal(18,4)")).cast("double") / F.count("*"), nd)
+
     return l.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        davg(F.col("l_quantity")).alias("avg_qty"),
+        davg(F.col("l_extendedprice")).alias("avg_price"),
+        davg(F.col("l_discount")).alias("avg_disc"),
         F.count("*").alias("count_order"),
         F.round(F.min("l_quantity"), 2).alias("min_qty"),
         F.round(F.max("l_quantity"), 2).alias("max_qty"),
