@@ -36,7 +36,13 @@ def triangle_count(
 
     Node-ordered formulation: normalize every edge to (a < b), then
     count paths a->b->c with a<b<c that close via edge (a, c) — each
-    triangle contributes exactly once."""
+    triangle contributes exactly once. Scale note: on *skewed* graphs
+    (hub nodes with degree >> sqrt(m)) the wedge join should instead
+    orient edges by (degree, id) — bounding wedge fan-out by O(sqrt(m))
+    per node — but on near-regular graphs like the co-purchase fixture
+    (max/avg degree < 2 at every SF) that costs two extra degree joins
+    for identical wedge cardinality; measured slower. The count is
+    orientation-invariant either way, so oracles may use a<b<c."""
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -44,6 +50,9 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # Feeds all three join branches — pay the (often expensive) edge
+        # derivation once, truncate lineage.
+        .localCheckpoint(eager=True)
     )
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
@@ -77,43 +86,47 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    out_deg = e.groupBy(F.col("src").alias("deg_src")).agg(
-        F.count("*").alias("deg")
+    # Loop-invariant prework, materialized once: the edge list annotated
+    # with its source's out-degree (what each round actually joins), and
+    # the set of non-dangling node ids (for the dangling-mass anti join —
+    # one small static table, broadcast by AQE every round).
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    e_deg = (
+        e.join(out_deg, "src")
+        .select("src", "dst", "deg")
+        .localCheckpoint(eager=True)
     )
+    src_ids = out_deg.select(F.col("src").alias("id")).localCheckpoint(eager=True)
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
 
-    for _ in range(n_iterations):
-        contribs = (
-            ranks.join(out_deg, ranks.id == out_deg.deg_src, "left")
-            .join(e, ranks.id == e.src, "left")
-            .select(
-                F.col("dst"),
-                (F.col("rank") / F.col("deg")).alias("contrib"),
-                # rank of nodes with no outgoing edges (deg null) leaks —
-                # collected below and redistributed uniformly
-                F.when(F.col("deg").isNull(), F.col("rank"))
-                .otherwise(F.lit(0.0))
-                .alias("dangling"),
-            )
+    for i in range(n_iterations):
+        # rank of nodes with no outgoing edges leaks — folded back in
+        # uniformly. Kept as a lazy 1-row broadcast scalar (no driver
+        # .first(): that would schedule a second job per round).
+        dangling = ranks.join(src_ids, "id", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
-        dangling_mass = contribs.agg(
-            F.sum(F.when(F.col("dst").isNull(), F.col("dangling")).otherwise(0.0))
-        ).first()[0] or 0.0
         inbound = (
-            contribs.filter(F.col("dst").isNotNull())
+            ranks.join(e_deg, ranks.id == e_deg.src)
+            .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("contrib"))
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("contrib").alias("inbound"))
         )
         ranks = (
             nodes.join(inbound, "id", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce("inbound", F.lit(0.0)) + F.lit(dangling_mass / n))
+                    * (F.coalesce("inbound", F.lit(0.0)) + F.col("dm") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        # Lineage-truncate every 3rd round (and the last): a 3-deep
+        # join/agg plan is cheap for Catalyst, while checkpointing every
+        # round pays one materialization job per iteration.
+        if i % 3 == 2 or i == n_iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -41,6 +41,14 @@ def get_spark(
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
+        # In local mode the driver JVM hosts every executor thread AND
+        # all broadcast builds; the 1g default OOMs a 64 MB-threshold
+        # broadcast long before data does. Only effective for the first
+        # session in the process (the JVM is already up afterwards); on a
+        # cluster the deployment supplies executor/driver memory instead.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
