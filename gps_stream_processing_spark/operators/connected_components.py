@@ -68,22 +68,22 @@ def connected_components(
         )
         new_labels = (
             labels.join(neighbor_min, on="id", how="left")
+            # the change flag is computable right here (old vs new label in
+            # the same row) — a separate old⋈new convergence join per round
+            # would double the per-round join count
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                (F.coalesce("nbr_min", F.col("component")) < F.col("component")).alias(
+                    "chg"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             return labels
     raise RuntimeError(
