@@ -33,17 +33,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown testdata table {name!r}; known: {TESTDATA_TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
-        # truncate to micros with integer division (`div`, not `/` — the
-        # ns epoch ≈ 1.7e18 exceeds double's 53-bit mantissa), matching
-        # DuckDB's ns→µs truncation bit-for-bit.
+        # events.ts has shipped as TIMESTAMP(NANOS) in some testdata
+        # generations (which Spark's parquet reader rejects,
+        # [PARQUET_TYPE_ILLEGAL]) and TIMESTAMP(MICROS, NTZ) in others.
+        # Handle both: nanos are read as long (legacy conf) and truncated
+        # to micros with integer division (`div`, not `/` — the ns epoch
+        # ≈ 1.7e18 exceeds double's 53-bit mantissa), matching DuckDB's
+        # ns→µs truncation bit-for-bit; NTZ micros are cast to the
+        # session-UTC TimestampType every downstream plan expects.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 

@@ -26,12 +26,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    # ts is TIMESTAMP(NANOS) on disk → read as long, truncate to micros
-    # (see sources/tables.load_table for the rationale).
+    # ts has shipped as TIMESTAMP(NANOS) or TIMESTAMP(MICROS, NTZ)
+    # depending on the testdata generation (see sources/tables.load_table).
+    # A streaming source needs the schema up front, so probe the parquet
+    # footer once (cheap, driver-side) to pick the right read type.
+    import pyarrow.parquet as pq
+
+    parquet_file = os.path.join(sf_dir, "events.parquet")
+    nanos = str(pq.read_schema(parquet_file).field("ts").type) == "timestamp[ns]"
+    ts_read_type = T.LongType() if nanos else T.TimestampNTZType()
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", ts_read_type),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -41,9 +48,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The streaming file source requires a *directory*; the testdata is a
     # single file (read-only) → expose it through a symlink dir.
-    stream_dir = _stream_dir(os.path.join(sf_dir, "events.parquet"))
+    stream_dir = _stream_dir(parquet_file)
     raw = spark.readStream.schema(schema).parquet(stream_dir)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if nanos:
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _stream_dir(parquet_file: str) -> str:
