@@ -334,23 +334,27 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     WHERE t.doc_id < 20
     """,
     doc="tf-idf: term frequency × ln(N/df). The df side is a tiny "
-    "vocabulary dim → broadcast join; idf factors computed once "
-    "(SURVEY §2.9).",
+    "vocabulary dim → broadcast join; N is a broadcast 1-row aggregate "
+    "(same pattern as q_tpch_q15) so the whole query is one job — no "
+    "driver-side count() round-trip (SURVEY §2.9).",
 )
 def q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df_t = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # driver-side scalar (metadata-cheap count)
+    n = d.agg(F.count("*").alias("__n_docs"))
     return (
         tf.filter(F.col("doc_id") < 20)
         .join(F.broadcast(df_t), "word")
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "word",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("tf")
+                * F.log(F.col("__n_docs").cast("double") / F.col("df")),
+                6,
             ).alias("tfidf"),
         )
     )

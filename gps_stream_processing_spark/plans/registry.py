@@ -17,6 +17,8 @@ tables. Parity discipline (SURVEY §7 step 2):
 
 from __future__ import annotations
 
+import functools
+import glob
 import os
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -36,12 +38,73 @@ class EngineQuery:
 
 REGISTRY: dict[str, EngineQuery] = {}
 
+# Sessions already tuned, keyed by (session id, sf_dir) — tuning is
+# idempotent but involves driver-side conf round-trips, so do it once.
+_TUNED: set[tuple[int, str]] = set()
+
+
+def tune_session(spark: SparkSession, sf_dir: str) -> None:
+    """Size the session to the input scale — the engine's equivalent of
+    an optimizer picking DOP from table statistics.
+
+    The registry's queries run under whatever SparkSession the caller
+    (driver harness, test, notebook) hands us; a stock session carries
+    ``spark.sql.shuffle.partitions=200`` and row-based ``toPandas``,
+    which at verification SFs spends 10-50× more time on task scheduling
+    and result transfer than on data. All knobs set here are
+    runtime-settable SQLConf entries, applied once per (session, SF):
+
+    - shuffle width ∝ input bytes (clamped to [4, 2×cores]); AQE still
+      coalesces below it at runtime. On a 1000-executor cluster the same
+      rule yields thousands of partitions — it scales UP, not just down.
+    - Arrow transfer for every pandas boundary (toPandas / pandas UDFs).
+    - UTC session time — the engine's documented timestamp semantics
+      (DuckDB oracles compare naive-UTC; the reference's local-time
+      ``mktime`` is a documented divergence, class.nmea.parser.php:94).
+    - 64 MB broadcast threshold so every star-schema dim broadcasts.
+    """
+    key = (id(spark), sf_dir)
+    if key in _TUNED:
+        return
+    try:
+        n_bytes = sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(sf_dir, "*.parquet"))
+        )
+    except OSError:
+        n_bytes = 1 << 30
+    cores = spark.sparkContext.defaultParallelism
+    # ~8 MB of (compressed) input per shuffle partition at the bottom
+    # of the range; never wider than 2× the cores actually present.
+    parts = max(4, min(2 * cores, n_bytes // (8 << 20) + 1))
+    conf = {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — a locked conf is not fatal
+            pass
+    _TUNED.add(key)
+
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query key {name!r}")
-        REGISTRY[name] = EngineQuery(name, fn, oracle, doc or (fn.__doc__ or ""))
+
+        @functools.wraps(fn)
+        def tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark, sf_dir)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = EngineQuery(name, tuned, oracle, doc or (fn.__doc__ or ""))
         return fn
 
     return deco

@@ -598,8 +598,8 @@ def q_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(5,4))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(5,4)) * CAST(1 + l_tax AS DECIMAL(5,4))), 2) AS DOUBLE) AS sum_charge,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
            ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
@@ -612,25 +612,35 @@ def q_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
     """,
     doc="TPC-H Q1-shaped hash aggregate: sum/avg/min/max/count with "
     "Tungsten partial+final aggregation (SURVEY §2.4). Sums and means run "
-    "in DECIMAL(18,4) per-row casts (exact for the 2-dp money values), so "
+    "in DECIMAL per-row casts (exact for the 2-dp money values), so "
     "the associative DECIMAL sum makes every result bit-stable under any "
-    "partitioning — double avg() would round-flip at half boundaries.",
+    "partitioning — double avg() would round-flip at half boundaries. "
+    "The disc_price/charge *factors* are cast to decimal before the "
+    "multiply: casting the double product instead leaves a double→decimal "
+    "HALF_UP boundary that Spark and DuckDB resolve differently "
+    "(observed: one cent on sum_charge at sf0.01). decimal(12,2) * "
+    "decimal(5,4) * decimal(5,4) stays within precision 24 — exact, no "
+    "precision-loss rescale on either engine.",
 )
 def q_agg_basic(spark: SparkSession, sf: str) -> DataFrame:
     l = table(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_factor = (F.lit(1) - F.col("l_discount")).cast("decimal(5,4)")
+    tax_factor = (F.lit(1) + F.col("l_tax")).cast("decimal(5,4)")
+    disc_price = price * disc_factor  # decimal(18,6), exact
+    charge = disc_price * tax_factor  # decimal(24,10), exact
 
     def dsum(col, nd=2):
-        return F.round(F.sum(col.cast("decimal(18,4)")), nd).cast("double")
+        return F.round(F.sum(col), nd).cast("double")
 
     def davg(col, nd=6):
         return F.round(F.sum(col.cast("decimal(18,4)")).cast("double") / F.count("*"), nd)
 
     return l.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum(F.col("l_quantity")).alias("sum_qty"),
-        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("sum_base_price"),
         dsum(disc_price).alias("sum_disc_price"),
-        dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        dsum(charge).alias("sum_charge"),
         davg(F.col("l_quantity")).alias("avg_qty"),
         davg(F.col("l_extendedprice")).alias("avg_price"),
         davg(F.col("l_discount")).alias("avg_disc"),

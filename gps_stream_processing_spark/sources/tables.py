@@ -27,8 +27,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # sublinearly vs the facts). Fact tables must never be broadcast.
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
 
+# Memoized source DataFrames per (session, sf_dir, table): a DataFrame
+# is an immutable logical plan, safe to share across queries in one
+# session, and re-creating one costs a driver-side file listing + footer
+# schema read per call — ~50 ms × (125 queries × ~2 tables) of pure
+# metadata overhead in a full verification sweep.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = _TABLE_CACHE[key] = _load_table(spark, sf_dir, name)
+    return df
+
+
+def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}; known: {TESTDATA_TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -48,6 +63,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if isinstance(df.schema["ts"].dataType, T.LongType):
             return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # NTZ→TimestampType reinterprets the wall-clock in the session TZ;
+        # epoch equality with the nanos path (and with DuckDB's naive-UTC
+        # oracle timestamps) holds only under UTC sessions. get_spark pins
+        # it, but load_table accepts any session — fail loudly instead of
+        # silently shifting timestamps.
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC", (
+            "load_table('events') NTZ->timestamp cast requires "
+            "spark.sql.session.timeZone=UTC"
+        )
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 

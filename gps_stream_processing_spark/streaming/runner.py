@@ -30,10 +30,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # depending on the testdata generation (see sources/tables.load_table).
     # A streaming source needs the schema up front, so probe the parquet
     # footer once (cheap, driver-side) to pick the right read type.
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     parquet_file = os.path.join(sf_dir, "events.parquet")
-    nanos = str(pq.read_schema(parquet_file).field("ts").type) == "timestamp[ns]"
+    # Structural probe (not string-match): a tz-adjusted nanos column
+    # ("timestamp[ns, tz=UTC]") is still the nanos path — Spark's parquet
+    # reader rejects NANOS either way and needs the long read.
+    ts_type = pq.read_schema(parquet_file).field("ts").type
+    nanos = pa.types.is_timestamp(ts_type) and ts_type.unit == "ns"
     ts_read_type = T.LongType() if nanos else T.TimestampNTZType()
     schema = T.StructType(
         [
@@ -52,6 +57,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.readStream.schema(schema).parquet(stream_dir)
     if nanos:
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # NTZ→TimestampType reinterprets the wall-clock in the session TZ;
+    # epoch equality with the nanos path holds only under UTC sessions
+    # (get_spark pins it — assert so a foreign session fails loudly
+    # instead of shifting every watermark).
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC", (
+        "events_stream NTZ->timestamp cast requires spark.sql.session.timeZone=UTC"
+    )
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

@@ -41,6 +41,8 @@ NESTED_LOOP_ALLOWED = {
     "q_tpch_q22": "1-row broadcast global aggregate (the scalar-subquery "
     "threshold)",
     "q_funnel": "cross of three 1-row stage-count aggregates",
+    "q_tfidf": "1-row broadcast corpus-size aggregate (N for the idf "
+    "factor; replaces a driver-side count round-trip)",
 }
 ROW_PYTHON_ALLOWED = {
     "q_udtf_gsv": "Python UDTF (one-to-many GSV expansion); Spark plans "
