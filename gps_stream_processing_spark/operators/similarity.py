@@ -167,18 +167,22 @@ def lsh_bucket_ann(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    probe_radius: int = 1,
+    probe_radius: int = 2,
 ) -> DataFrame:
     """ANN: multi-table random-hyperplane (sign) LSH with multi-probe.
     Candidates = vectors sharing the query's bucket in ANY of the
     ``n_tables`` tables, where the query additionally probes every
-    bucket within Hamming distance ``probe_radius`` (1-bit flips catch
-    near misses that fall just across one hyperplane). Exact cosine
+    bucket within Hamming distance ``probe_radius`` (bit flips catch
+    near misses that fall just across a hyperplane). Exact cosine
     re-rank on the deduped candidate set.
 
-    Defaults (8 tables x 8 planes, radius 1) probe an expected ~25% of
-    the corpus and measure recall@10 = 0.8 vs the exact top-k on the
-    synthetic embeddings at sf0.01 and sf0.1.
+    Measured recall@10 vs the exact top-k, averaged over 5 query
+    vectors on the synthetic embeddings (SCALE.md has the full grid):
+
+        radius=1: 0.54 @ sf0.01, 0.72 @ sf0.1
+        radius=2: 0.78 @ sf0.01, 0.86 @ sf0.1  (default; no measured
+                  latency cost at these scales — the probe list grows
+                  to L*(1+8+28)=296 broadcast rows, still O(1))
 
     Scale shape: the corpus side is one narrow map (or a pre-built
     ``lsh_index`` table bucketed on disk) + an equi-join on

@@ -225,8 +225,10 @@ def q_sim_search(spark: SparkSession, sf: str) -> DataFrame:
     "q_ann_lsh",
     oracle=None,  # approximate by construction → rows-only; pytest checks
     # recall vs the exact top-k.
-    doc="ANN scale path: random-hyperplane sign-LSH bucket, exact re-rank "
-    "within the query's bucket only (SURVEY §2.9 'IVF/LSH variant').",
+    doc="ANN scale path: multi-table random-hyperplane sign-LSH with "
+    "Hamming-radius-2 multi-probe, exact re-rank within the probed "
+    "buckets only (SURVEY §2.9 'IVF/LSH variant'). Measured recall@10 "
+    "0.78 @ sf0.01 / 0.86 @ sf0.1 (grid in SCALE.md).",
 )
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_bucket_ann(table(spark, sf, "embeddings"), query_vec_id=0, k=10)

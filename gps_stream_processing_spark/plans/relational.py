@@ -598,8 +598,8 @@ def q_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(5,4))), 2) AS DOUBLE) AS sum_disc_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(5,4)) * CAST(1 + l_tax AS DECIMAL(5,4))), 2) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(5,4)) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(5,4)) * CAST(1 + l_tax AS DECIMAL(5,4)) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
            ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
            ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
@@ -620,15 +620,21 @@ def q_lag_delta(spark: SparkSession, sf: str) -> DataFrame:
     "HALF_UP boundary that Spark and DuckDB resolve differently "
     "(observed: one cent on sum_charge at sf0.01). decimal(12,2) * "
     "decimal(5,4) * decimal(5,4) stays within precision 24 — exact, no "
-    "precision-loss rescale on either engine.",
+    "precision-loss rescale on either engine. The products are then cast "
+    "back to scale 6 — still exact (the factors carry only 2 real "
+    "decimal places, so digits beyond scale 6 are zeros) — because "
+    "precision ≤ 18 keeps per-row values long-backed instead of "
+    "BigDecimal-backed (measured ~2× on the sf0.1 aggregate).",
 )
 def q_agg_basic(spark: SparkSession, sf: str) -> DataFrame:
     l = table(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc_factor = (F.lit(1) - F.col("l_discount")).cast("decimal(5,4)")
     tax_factor = (F.lit(1) + F.col("l_tax")).cast("decimal(5,4)")
-    disc_price = price * disc_factor  # decimal(18,6), exact
-    charge = disc_price * tax_factor  # decimal(24,10), exact
+    # (12,2)*(5,4) → (18,6) exact; ×(5,4) → (24,10) exact, recompacted
+    # to (18,6) (exact: only zeros beyond scale 6).
+    disc_price = (price * disc_factor).cast("decimal(18,6)")
+    charge = (disc_price * tax_factor).cast("decimal(18,6)")
 
     def dsum(col, nd=2):
         return F.round(F.sum(col), nd).cast("double")

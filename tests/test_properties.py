@@ -145,9 +145,10 @@ def test_ann_lsh_results_subset_of_exact_ranking(spark):
 
 
 def test_ann_lsh_recall_floor(spark):
-    """Multi-table LSH (8x8, radius-1 probes) must keep recall@10 vs the
-    exact ranking well above chance — measured 0.8 at sf0.01; pinned at
-    >= 0.5 to allow seed drift without letting the index degrade."""
+    """Multi-table LSH (8x8, radius-2 probes) must keep recall@10 vs the
+    exact ranking well above chance — measured 0.78 avg over 5 queries
+    at sf0.01 (SCALE.md grid); pinned at >= 0.5 to allow seed drift
+    without letting the index degrade."""
     from gps_stream_processing_spark.operators.similarity import cosine_topk, lsh_bucket_ann
     from gps_stream_processing_spark.plans.registry import table
 
