@@ -38,8 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    from gps_stream_processing_spark.plans.registry import tune_session
     from gps_stream_processing_spark.sources.tables import load_table
 
+    # Registry queries are tuned by their wrapper; entry() loads tables
+    # directly, so tune here (UTC session, Arrow, sized shuffle width).
+    tune_session(spark, SF_SMOKE)
     gps = flagship_query(nmea_fixture_df(spark, n_tracks=3, n_seconds=120))
     events = load_table(spark, SF_SMOKE, "events")
     ev = (

@@ -17,17 +17,31 @@ import pytest
 from gps_stream_processing_spark.plans import REGISTRY
 from gps_stream_processing_spark.schemas import TESTDATA_TABLES
 
-SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+# Both verification SFs by default: sf0.001 catches logic bugs fast,
+# sf0.01 is the driver's CORRECTNESS SF — boundary-rounding divergences
+# (e.g. the round-1 q_agg_basic decimal-cast cent) only surfaced there.
+# PARITY_SF_DIR overrides to a single explicit SF.
+_OVERRIDE = os.environ.get("PARITY_SF_DIR")
+SF_DIRS = (
+    (_OVERRIDE,)
+    if _OVERRIDE
+    else ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+)
+SF_DIR = SF_DIRS[0]  # rows-only / smoke tests run at the smallest SF
 
 
-@pytest.fixture(scope="module")
-def ddb():
+@pytest.fixture(
+    scope="module", params=SF_DIRS, ids=[d.rsplit("/", 1)[-1] for d in SF_DIRS]
+)
+def sf_ddb(request):
+    sf_dir = request.param
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    return con
+    yield sf_dir, con
+    con.close()
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -77,9 +91,10 @@ ROWS_ONLY_KEYS = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
 
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
-def test_oracle_parity(spark, ddb, name):
+def test_oracle_parity(spark, sf_ddb, name):
+    sf_dir, ddb = sf_ddb
     q = REGISTRY[name]
-    sdf = q.fn(spark, SF_DIR).toPandas()
+    sdf = q.fn(spark, sf_dir).toPandas()
     odf = ddb.execute(q.oracle).df()
     _assert_frames_equal(name, sdf, odf)
 
