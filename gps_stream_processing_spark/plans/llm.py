@@ -362,6 +362,91 @@ def q_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("shuffle", "broadcast", "vector")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "q_bm25",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM tok WHERE word IN ('shuffle', 'broadcast', 'vector')
+      GROUP BY doc_id, word
+    ), dfreq AS (
+      SELECT word, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM tok WHERE word IN ('shuffle', 'broadcast', 'vector')
+      GROUP BY word
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      FROM documents
+    )
+    SELECT t.doc_id,
+           CAST(SUM(CAST(ROUND(
+             ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * t.tf * ({_BM25_K1} + 1)
+             / (t.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl)),
+             6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+    FROM tf t
+    JOIN dfreq d ON t.word = d.word
+    JOIN dl ON t.doc_id = dl.doc_id
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+    """,
+    doc="BM25 relevance scoring of the whole corpus against a fixed "
+    "3-term query (k1=1.2, b=0.75) — the retrieval-quality scorer a "
+    "training-data pipeline uses for query-targeted subset selection. "
+    "Same scale shape as q_tfidf: term stats are broadcast dims "
+    "(df per query term, 1-row N/avgdl aggregate); the corpus side is "
+    "one token scan, filtered to query terms BEFORE the aggregation. "
+    "Per-term scores are rounded to 6 dp and summed in DECIMAL(18,6) on "
+    "both engines so the 3-term sum is associativity-proof (SURVEY "
+    "§2.9).",
+)
+def q_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    terms = list(_BM25_TERMS)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word").isin(terms))
+    tf = tok.groupBy("doc_id", "word").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dfreq = tok.groupBy("word").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size(F.split(F.col("text"), " ")).cast("double")).alias("avgdl"),
+    )
+    dl = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("double").alias("dl")
+    )
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = (
+        idf
+        * F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(term_score, 6).cast("decimal(18,6)").alias("ts"))
+        .groupBy("doc_id")
+        .agg(F.sum("ts").cast("double").alias("bm25"))
+    )
+
+
 def _lang_scores_sql() -> str:
     cols = []
     for lang in sorted(LANG_STOPWORDS):

@@ -46,6 +46,8 @@ NESTED_LOOP_ALLOWED = {
     "q_pagerank": "1-row broadcast dangling-mass scalar folded into each "
     "round's rank update (was hidden behind the final localCheckpoint "
     "before; the join itself has always been this shape)",
+    "q_bm25": "1-row broadcast corpus-stats aggregate (N and avgdl for "
+    "the scoring formula — same pattern as q_tfidf)",
 }
 # Empty since the Arrow UDTF switch (spark.sql.execution.pythonUDTF.
 # arrow.enabled, set by get_spark AND tune_session): q_udtf_gsv now
