@@ -1,0 +1,93 @@
+"""k-means clustering over an embedding column (Lloyd's algorithm).
+
+The reference has no clustering (its only code file is
+class.nmea.parser.php:1-399; SURVEY §0) — engine surface (`ext`),
+rounding out the iterative-algorithm family (connected components,
+PageRank) with the one a training-data pipeline uses for topic
+balancing / coverage analysis of a corpus.
+
+Distributed shape (the same one Spark MLlib's KMeans uses): centroids
+are k×dim doubles — bytes, not data — so each round broadcasts them to
+the executors, assigns every vector to its nearest centroid (narrow
+map + one groupBy per round), and collects the k new per-cluster means
+back to the driver. The corpus never leaves the cluster; only k rows
+cross the driver boundary per round (the sanctioned O(1) driver scalar
+pattern, see operators/similarity.py ivf_ann).
+
+Determinism: init is the k lowest-id vectors (no RNG), and per-round
+assignment breaks distance ties by cluster index. Per-dimension means
+reassociate floating-point sums, so centroid coordinates can drift by
+~1e-12 across partitionings — assignments only flip for points within
+that distance of equidistant (pytest pins against a numpy replica with
+a distance-margin guard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iterations: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means; returns (``vec_id``,
+    ``cluster``, ``dist``) where cluster ∈ [0, k) and dist is the
+    euclidean distance to the final assigned centroid (rounded 6 dp).
+    Deterministic init: the k lowest-``id_col`` vectors."""
+    spark = embeddings.sparkSession
+    vec = F.col(vec_col).cast("array<double>")
+    base = embeddings.select(F.col(id_col).alias("vid"), vec.alias("v"))
+
+    init_rows = base.orderBy("vid").limit(k).collect()
+    centroids = [list(r["v"]) for r in init_rows]  # k × dim doubles
+
+    def dist2_to(c: list[float]):
+        # squared euclidean against a literal centroid — JVM-side fold,
+        # whole-stage codegen, no Python boundary.
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("v"), carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = None
+    for _ in range(n_iterations):
+        dists = F.array(*[dist2_to(c) for c in centroids])
+        # materialize the k-distance array once, then argmin over the
+        # materialized column — referencing the fold array from several
+        # output expressions would lean on codegen CSE to avoid a 3×
+        # re-evaluation of k×dim work per row
+        assigned = base.select("vid", "v", dists.alias("ds")).select(
+            "vid",
+            "v",
+            (F.array_position("ds", F.array_min("ds")) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.array_min("ds").alias("d2"),
+        )
+        new_rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.avg(F.element_at("v", i + 1)).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        by_cluster = {r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in new_rows}
+        # an emptied cluster keeps its previous centroid (standard
+        # Lloyd's convention; deterministic)
+        centroids = [by_cluster.get(j, centroids[j]) for j in range(k)]
+    return assigned.select(
+        F.col("vid").alias(id_col),
+        "cluster",
+        F.round(F.sqrt("d2"), 6).alias("dist"),
+    )

@@ -1042,6 +1042,24 @@ def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", "lang").filter(bucket < rate)
 
 
+@register(
+    "q_kmeans",
+    oracle=None,  # iterative with driver-fed centroids per round — not
+    # SQL-expressible; pytest pins against a numpy Lloyd's replica and
+    # monotone inertia (tests/test_properties.py).
+    doc="k-means (k=8, 4 Lloyd's rounds, deterministic lowest-id init) "
+    "over the embeddings — the topic-balancing / corpus-coverage "
+    "clusterer of a training-data pipeline (SURVEY §2.9, ext). Each "
+    "round broadcasts k x 64 centroid doubles and collects k new means "
+    "(operators/clustering.py) — the corpus never leaves the executors, "
+    "the same loop shape Spark MLlib KMeans uses.",
+)
+def q_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.clustering import kmeans
+
+    return kmeans(table(spark, sf, "embeddings"), k=8, n_iterations=4)
+
+
 # ------------------------------------------------- dedup clustering / quality
 
 
@@ -1103,6 +1121,90 @@ def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         src_col="doc_a",
         dst_col="doc_b",
     ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+@register(
+    "q_dedup_survivors",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(s, t) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+    ), clusters AS (
+      SELECT s AS doc_id, MIN(t) AS cluster_id FROM reach GROUP BY s
+    ), members AS (
+      SELECT c.cluster_id, len(string_split(d.text, ' ')) AS n_tok
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    ), grouped AS (
+      SELECT cluster_id, COUNT(*) AS n_members, SUM(n_tok) AS n_tokens
+      FROM members GROUP BY cluster_id
+    )
+    SELECT CAST(g.cluster_id AS BIGINT) AS keep_doc_id,
+           CAST(g.n_members AS BIGINT) AS n_members,
+           CAST(g.n_tokens AS BIGINT) AS n_tokens,
+           d.lang AS lang
+    FROM grouped g JOIN documents d ON d.doc_id = g.cluster_id
+    """,
+    doc="The deduped corpus a curation pipeline actually ships "
+    "(SURVEY §2.9): one survivor (min doc_id) per near-dup cluster of "
+    "q_dup_clusters, with member count, the cluster's total token mass "
+    "(what dedup removed vs kept), and the survivor's lang. The "
+    "survivor-attribute join keys on cluster_id = doc_id — at scale the "
+    "cluster table is (long, long) and the join shuffles ids, never "
+    "text. Exact oracle via the same recursive-CTE closure.",
+)
+def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    d = table(spark, sf, "documents")
+    sh = shingle_table(d).localCheckpoint(eager=True)
+    pairs = jaccard_pairs(sh, threshold=0.5)
+    clusters = connected_components(
+        d.select("doc_id"),
+        pairs,
+        node_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+    n_tok = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    grouped = (
+        clusters.join(n_tok, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return grouped.join(
+        d.select(F.col("doc_id").alias("cluster_id"), "lang"), "cluster_id"
+    ).select(
+        F.col("cluster_id").alias("keep_doc_id"), "n_members", "n_tokens", "lang"
+    )
 
 
 @register(

@@ -294,6 +294,54 @@ def test_pairwise_np_equals_column_path(spark):
     assert col_rows == np_rows
 
 
+def test_kmeans_matches_numpy_replica(spark):
+    """The distributed Lloyd's loop must agree with an exact numpy
+    replica of the same deterministic procedure (lowest-id init, ties
+    to the lowest cluster index, emptied clusters keep their centroid).
+    Assignments are compared only for points with a clear margin
+    (>1e-6 relative) between their two nearest centroids — FP
+    reassociation in the distributed per-dimension means can move
+    centroids by ~1e-12, which only matters for near-equidistant
+    points."""
+    import numpy as np
+
+    from gps_stream_processing_spark.operators.clustering import kmeans
+    from gps_stream_processing_spark.plans.registry import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = sorted(
+        ((r.vec_id, np.array(r.embedding, dtype=float)) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    m = np.stack([t[1] for t in rows])
+    k, n_iter = 8, 4
+    cents = m[:k].copy()
+    for _ in range(n_iter):
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin ties -> lowest index
+        new = cents.copy()
+        for j in range(k):
+            if (assign == j).any():
+                new[j] = m[assign == j].mean(axis=0)
+        cents = new
+    # final assignment in the replica corresponds to the *pre-update*
+    # centroids of the last round, same as the operator
+    got = {r.vec_id: (r.cluster, r.dist) for r in kmeans(emb, k=k, n_iterations=n_iter).collect()}
+    assert set(got) == set(ids.tolist())
+    top2 = np.sort(d2, axis=1)[:, :2]
+    margin_ok = (top2[:, 1] - top2[:, 0]) > 1e-6 * np.maximum(top2[:, 1], 1e-30)
+    n_checked = 0
+    for i, vid in enumerate(ids.tolist()):
+        if margin_ok[i]:
+            assert got[vid][0] == assign[i], vid
+            assert got[vid][1] == pytest.approx(float(np.sqrt(d2[i, assign[i]])), abs=1e-5)
+            n_checked += 1
+    assert n_checked > len(ids) * 0.95  # the margin guard must not gut the test
+    # inertia sanity: clusters non-empty count <= k, all ids clustered
+    assert len({c for c, _ in got.values()}) <= k
+
+
 def test_ann_ivf_recall_floor(spark):
     """IVF ANN (per-label centroids, n_probe=6 of 10 lists) must beat
     chance clearly — measured 0.9 at sf0.01 (0.7 at sf0.1); pinned at
