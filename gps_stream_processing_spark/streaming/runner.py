@@ -82,7 +82,7 @@ def _stream_dir(parquet_file: str) -> str:
 
 
 def run_available_now(
-    sdf: DataFrame, output_mode: str = "complete", state_partitions: int = 8
+    sdf: DataFrame, output_mode: str = "complete", state_partitions: int = 4
 ) -> DataFrame:
     """Run a streaming plan to exhaustion (availableNow) into a memory
     sink; return the sink table. Memory sink is driver-resident — smoke
@@ -93,7 +93,8 @@ def run_available_now(
     is a deliberate per-stream sizing decision, not a global default):
     each stateful operator initializes one state store per partition,
     and at smoke scale 32 stores per operator cost more than the data
-    (measured 4x on the dedup stream). At production state volumes the
+    (measured 4x on the dedup stream; 4 beats 8 by another ~33% across
+    the windowed/dedup/session streams at sf0.01). At production state volumes the
     same knob scales UP with keyspace size."""
     spark = sdf.sparkSession
     name = f"mem_{uuid.uuid4().hex[:10]}"
@@ -114,7 +115,7 @@ def run_available_now(
 
 
 def run_foreach_batch_parquet(
-    sdf: DataFrame, out_dir: str, state_partitions: int = 8
+    sdf: DataFrame, out_dir: str, state_partitions: int = 4
 ) -> DataFrame:
     """Production-shaped sink: drive the stream with availableNow through
     ``foreachBatch``, each micro-batch appended to a parquet directory
