@@ -327,3 +327,18 @@ WHERE try_cast(t[5 + 4*gi] AS INTEGER) IS NOT NULL
   AND try_cast(t[7 + 4*gi] AS INTEGER) IS NOT NULL
   AND try_cast(t[8 + 4*gi] AS INTEGER) IS NOT NULL
 """
+
+# Grid-cell density (q_grid_density): heatmap-tile aggregation of the
+# good fixes. floor(coord / 0.005) is IEEE-deterministic on both
+# engines (same double divide, same floor), so cells are exact join
+# keys; the speed mean uses the DECIMAL-sum discipline shared with the
+# flagship oracle.
+ORACLE_GRID_DENSITY = fixes_cte() + """
+SELECT CAST(floor(lat / 0.005) AS BIGINT) AS cell_lat,
+       CAST(floor(lon / 0.005) AS BIGINT) AS cell_lon,
+       CAST(COUNT(*) AS BIGINT) AS n_fixes,
+       CAST(COUNT(DISTINCT track_id) AS BIGINT) AS n_tracks,
+       round(CAST(sum(CAST(speed_knots AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 3) AS avg_speed_knots
+FROM good GROUP BY 1, 2
+"""

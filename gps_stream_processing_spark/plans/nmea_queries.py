@@ -169,6 +169,36 @@ def q_track_speed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_grid_density",
+    oracle=_orc.ORACLE_GRID_DENSITY,
+    doc="Grid-cell density (heatmap tiles — SURVEY §2.6 GPS analytics, "
+    "ext): good fixes bucketed into ~500 m lat/lon cells "
+    "(floor(coord/0.005) — IEEE-deterministic on both engines), with "
+    "fix count, distinct-track count, and DECIMAL-stable mean speed "
+    "per cell. One hash-agg on the cell key; at 100 TB the cell id is "
+    "also the natural on-disk partition key for tile serving.",
+)
+def q_grid_density(spark: SparkSession, sf: str) -> DataFrame:
+    fixes = good_enough(_merged(spark))
+    cell = 0.005
+    return (
+        fixes.groupBy(
+            F.floor(F.col("lat") / cell).cast("bigint").alias("cell_lat"),
+            F.floor(F.col("lon") / cell).cast("bigint").alias("cell_lon"),
+        )
+        .agg(
+            F.count("*").alias("n_fixes"),
+            F.countDistinct("track_id").alias("n_tracks"),
+            F.round(
+                F.sum(F.col("speed_knots").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                3,
+            ).alias("avg_speed_knots"),
+        )
+    )
+
+
+@register(
     "q_pandas_udf",
     oracle=_orc.ORACLE_PANDAS_UDF,
     doc="Sanctioned Arrow-vectorized scalar pandas_udf (SURVEY §2.10): "

@@ -233,3 +233,41 @@ def test_partitioned_sink_reread_prunes(spark):
     plan = plan_of(REGISTRY["q_sink_parquet"].fn(spark, SF))
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "o_orderstatus" in pf
+
+
+def test_tune_session_rescues_stock_conf(spark):
+    """Every registered query runs through tune_session (registry.py):
+    it must pin UTC, Arrow, and a bytes-proportional shuffle width on
+    whatever session it is handed — the driver harness's session is not
+    ours to configure up front."""
+    from gps_stream_processing_spark.plans import registry
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.session.timeZone",
+            "spark.sql.execution.arrow.pyspark.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
+        registry._TUNED.clear()
+        registry.tune_session(spark, "/root/testdata/sf0.001")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert 4 <= parts <= 2 * spark.sparkContext.defaultParallelism
+        # idempotent: second call is a no-op (cached per session+SF)
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        registry.tune_session(spark, "/root/testdata/sf0.001")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        registry._TUNED.clear()
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        registry.tune_session(spark, "/root/testdata/sf0.001")
+        for k, v in prev.items():
+            spark.conf.set(k, v)
