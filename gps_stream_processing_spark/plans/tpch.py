@@ -619,3 +619,118 @@ def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l.l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 (shipping modes and order priority), adapted: the "
+    "schema has no l_shipmode/l_commitdate/l_receiptdate, so "
+    "l_returnflag stands in as the mode class and 'late' is "
+    "l_shipdate > o_orderdate + 90 days. Shape preserved: "
+    "fact-fact equi-join with a non-equi lateness predicate, "
+    "conditional two-way counts per class — the canonical "
+    "CASE-inside-SUM pivot aggregate.",
+)
+def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    l = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lo l1 ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 (suppliers who kept orders waiting), adapted: "
+    "'late' is l_shipdate > o_orderdate + 90 days (no "
+    "l_receiptdate/l_commitdate in the schema) and the nation filter "
+    "is dropped (10 suppliers at sf0.001 — a 1-of-25 nation cut would "
+    "leave empty results at verification SFs). Shape preserved: the "
+    "EXISTS -> left-semi and NOT EXISTS -> left-anti pair over the "
+    "same derived table, the classic multi-correlated-subquery plan. "
+    "The lineitem x orders lateness join is computed ONCE and "
+    "checkpointed - it feeds all three branches (probe, semi, anti); "
+    "left lazy each branch would rescan both fact tables.",
+)
+def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    l = table(spark, sf, "lineitem")
+    lo = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("late"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    l1 = lo.filter("late")
+    other = lo.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    other_late = lo.filter("late").select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    s = table(spark, sf, "supplier")
+    waited = (
+        l1.join(
+            other,
+            (F.col("l_orderkey") == F.col("o_key"))
+            & (F.col("l_suppkey") != F.col("o_supp")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o_key"))
+            & (F.col("l_suppkey") != F.col("o_supp")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(s), waited.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
