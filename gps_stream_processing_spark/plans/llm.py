@@ -1060,6 +1060,60 @@ def q_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return kmeans(table(spark, sf, "embeddings"), k=8, n_iterations=4)
 
 
+@register(
+    "q_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT lang, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS start_off
+      FROM t
+    )
+    SELECT lang, CAST(start_off // 2048 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+    FROM c GROUP BY 1, 2
+    """,
+    doc="Training-batch sequence packing (SURVEY §2.9, ext): documents "
+    "are laid out contiguously in doc_id order within each lang shard "
+    "and assigned to 2048-token bins by their start offset — the "
+    "concat-then-chunk packing a pretraining pipeline runs before "
+    "batching, with per-bin doc/token accounting. The running offset is "
+    "a per-lang ordered window (PARTITION BY lang — the shard key; "
+    "never a global sort), then one hash-agg on (lang, bin). All "
+    "integer arithmetic → exact oracle.",
+)
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf, "documents")
+    t = d.select(
+        "lang", "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = t.select(
+        "lang",
+        "doc_id",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_off"),
+    )
+    return (
+        c.groupBy("lang", F.expr("start_off div 2048").alias("bin"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
 # ------------------------------------------------- dedup clustering / quality
 
 

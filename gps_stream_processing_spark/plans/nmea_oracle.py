@@ -342,3 +342,18 @@ SELECT CAST(floor(lat / 0.005) AS BIGINT) AS cell_lat,
              / COUNT(*), 3) AS avg_speed_knots
 FROM good GROUP BY 1, 2
 """
+
+# Spatial proximity join (q_join_spatial): the oracle is the NAIVE
+# same-second pairwise check — deliberately the contrast to the
+# engine's grid-binned plan (same result, quadratic cost), the same
+# naive-vs-binned pairing as q_join_range / q_join_range_binned.
+ORACLE_JOIN_SPATIAL = fixes_cte() + f"""
+SELECT g1.track_id AS track_a, g2.track_id AS track_b,
+       CAST(COUNT(*) AS BIGINT) AS n_encounters,
+       round(MIN({_haversine('g1.lat', 'g1.lon', 'g2.lat', 'g2.lon')}), 6)
+         AS min_dist_km
+FROM good g1 JOIN good g2
+  ON g1.utc = g2.utc AND g1.track_id < g2.track_id
+WHERE {_haversine('g1.lat', 'g1.lon', 'g2.lat', 'g2.lon')} <= 2.0
+GROUP BY 1, 2
+"""

@@ -199,6 +199,71 @@ def q_grid_density(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_join_spatial",
+    oracle=_orc.ORACLE_JOIN_SPATIAL,
+    doc="Grid-binned spatial proximity join (SURVEY §2.3, ext): close "
+    "encounters — same-second fixes of two different tracks within "
+    "2 km. The engine bins fixes into 0.02-degree cells (~2.2 km > the "
+    "radius, so any qualifying pair is in the same or an adjacent "
+    "cell), explodes a 3x3 neighborhood on ONE side, equi-joins on "
+    "(utc, cell) — each pair matches exactly once since the plain side "
+    "is in exactly one cell — and refines with exact haversine. The "
+    "DuckDB oracle is the naive quadratic same-second theta join: same "
+    "result, the scale contrast (the q_join_range/_binned pairing, "
+    "spatially). At 100 TB the cell id is the shuffle key — O(n) rows "
+    "x 9, never n^2.",
+)
+def q_join_spatial(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.functions.geo import haversine_km
+
+    cell = 0.02
+    fixes = good_enough(_merged(spark)).select(
+        "track_id", "utc", "lat", "lon",
+        F.floor(F.col("lat") / cell).cast("long").alias("cl"),
+        F.floor(F.col("lon") / cell).cast("long").alias("co"),
+    )
+    off = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                  for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    )
+    left = fixes.select(
+        F.col("track_id").alias("track_a"),
+        "utc",
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        "cl", "co", off.alias("o"),
+    ).select(
+        "track_a", "utc", "lat_a", "lon_a",
+        (F.col("cl") + F.col("o.dx")).alias("jcl"),
+        (F.col("co") + F.col("o.dy")).alias("jco"),
+    )
+    right = fixes.select(
+        F.col("track_id").alias("track_b"),
+        "utc",
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cl").alias("jcl"),
+        F.col("co").alias("jco"),
+    )
+    dist = haversine_km(
+        F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+    )
+    # (utc, cell) is the JOIN key — time in the key, not a post-filter,
+    # so the shuffle pairs only co-located co-temporal fixes
+    return (
+        left.join(right, ["utc", "jcl", "jco"])
+        .filter((F.col("track_a") < F.col("track_b")) & (dist <= 2.0))
+        .groupBy(
+            F.col("track_a"), F.col("track_b")
+        )
+        .agg(
+            F.count("*").alias("n_encounters"),
+            F.round(F.min(dist), 6).alias("min_dist_km"),
+        )
+    )
+
+
+@register(
     "q_pandas_udf",
     oracle=_orc.ORACLE_PANDAS_UDF,
     doc="Sanctioned Arrow-vectorized scalar pandas_udf (SURVEY §2.10): "
