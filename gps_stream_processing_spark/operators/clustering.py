@@ -40,11 +40,16 @@ def kmeans(
     ``cluster``, ``dist``) where cluster ∈ [0, k) and dist is the
     euclidean distance to the final assigned centroid (rounded 6 dp).
     Deterministic init: the k lowest-``id_col`` vectors."""
-    spark = embeddings.sparkSession
+    if n_iterations < 1:
+        raise ValueError(f"n_iterations must be >= 1, got {n_iterations}")
     vec = F.col(vec_col).cast("array<double>")
     base = embeddings.select(F.col(id_col).alias("vid"), vec.alias("v"))
 
     init_rows = base.orderBy("vid").limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(
+            f"k={k} but the corpus has only {len(init_rows)} vectors"
+        )
     centroids = [list(r["v"]) for r in init_rows]  # k × dim doubles
 
     def dist2_to(c: list[float]):

@@ -76,9 +76,14 @@ def pagerank(
     summing to 1 up to float error. Deterministic up to floating-point
     reassociation in the per-destination contribution sums (~1e-15 per
     round — pytest pins against an exact driver-side replica at 1e-9)."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct().localCheckpoint(eager=True)
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        # NULL endpoints are not edges — and a NULL dst group would be
+        # ambiguous with the rollup grand-total row below
+        .filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -113,15 +118,18 @@ def pagerank(
             ranks.join(e_deg, ranks.id == e_deg.src)
             .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("contrib"))
             .rollup("dst")
-            .agg(F.sum("contrib").alias("s"))
+            .agg(F.sum("contrib").alias("s"), F.grouping("dst").alias("g"))
             .localCheckpoint(eager=True)
         )
-        inbound = dist.filter(F.col("dst").isNotNull()).select(
+        # grouping() (not dst IS NULL) distinguishes the grand-total row
+        # robustly — NULL edges are filtered at normalization, but the
+        # flag keeps this correct even if that invariant ever changes.
+        inbound = dist.filter(F.col("g") == 0).select(
             F.col("dst").alias("id"), F.col("s").alias("inbound")
         )
         # The rollup's grand-total row; empty edge set → s is NULL → all
         # mass is dangling.
-        dangling = dist.filter(F.col("dst").isNull()).select(
+        dangling = dist.filter(F.col("g") == 1).select(
             (F.lit(1.0) - F.coalesce(F.col("s"), F.lit(0.0))).alias("dm")
         )
         ranks = (

@@ -187,7 +187,9 @@ def lsh_bucket_ann(
     Scale shape: the corpus side is one narrow map (or a pre-built
     ``lsh_index`` table bucketed on disk) + an equi-join on
     (table_id, bucket) against a broadcast probe list of
-    ``n_tables*(1+n_planes)`` rows — the corpus never shuffles."""
+    ``n_tables * (1 + C(n_planes,1) + C(n_planes,2))`` rows at the
+    radius-2 default (8×37 = 296) — O(1) either way; the corpus never
+    shuffles."""
     # The query side is ONE row: fetch it and sketch it driver-side
     # (the same _pseudo_plane math, so buckets are bit-identical to
     # lsh_index's). This is what a vector-search service does per query

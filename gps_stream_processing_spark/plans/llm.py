@@ -1117,69 +1117,11 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------- dedup clustering / quality
 
 
-@register(
-    "q_dup_clusters",
-    oracle="""
-    WITH RECURSIVE tok AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
-    ), sh AS (
-      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-      FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
-      WHERE len(w) >= 3
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), pairs AS (
-      SELECT i.doc_a, i.doc_b
-      FROM inter i
-      JOIN sizes sa ON sa.doc_id = i.doc_a
-      JOIN sizes sb ON sb.doc_id = i.doc_b
-      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
-    ), edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
-    ), reach(s, t) AS (
-      SELECT doc_id, doc_id FROM documents
-      UNION
-      SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
-    )
-    SELECT s AS doc_id, CAST(MIN(t) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY s
-    """,
-    doc="Near-duplicate CLUSTERS (SURVEY §2.9 + operators/"
-    "connected_components.py): pair output alone is not a dedup policy "
-    "— production keeps one survivor per connected component of the "
-    "near-dup graph. Edges = exact 3-shingle Jaccard >= 0.5 pairs "
-    "(same pair set as q_dedup_near); components via iterative "
-    "min-label propagation, one shuffle per round, lineage truncated "
-    "per round, converging in <= diameter rounds. Oracle: DuckDB "
-    "recursive-CTE reachability closure + MIN per node — exact, so "
-    "this iterative algorithm still gets a full value-hash check "
-    "(singletons are their own cluster).",
-)
-def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    from gps_stream_processing_spark.operators.connected_components import (
-        connected_components,
-    )
-
-    d = table(spark, sf, "documents")
-    sh = shingle_table(d).localCheckpoint(eager=True)
-    pairs = jaccard_pairs(sh, threshold=0.5)
-    return connected_components(
-        d.select("doc_id"),
-        pairs,
-        node_col="doc_id",
-        src_col="doc_a",
-        dst_col="doc_b",
-    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
-
-
-@register(
-    "q_dedup_survivors",
-    oracle="""
+# Shared near-dup cluster pipeline (q_dup_clusters + q_dedup_survivors):
+# exact 3-shingle Jaccard >= 0.5 pairs -> undirected reachability
+# closure. ONE definition on each engine so the two queries can never
+# drift apart on what "a cluster" means.
+_CLUSTERS_CTE = """
     WITH RECURSIVE tok AS (
       SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
     ), sh AS (
@@ -1207,7 +1149,52 @@ def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
       SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
     ), clusters AS (
       SELECT s AS doc_id, MIN(t) AS cluster_id FROM reach GROUP BY s
-    ), members AS (
+    )"""
+
+
+def _doc_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, cluster_id) for every document — the Spark twin of
+    ``_CLUSTERS_CTE``'s ``clusters`` table."""
+    from gps_stream_processing_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    d = table(spark, sf, "documents")
+    sh = shingle_table(d).localCheckpoint(eager=True)
+    pairs = jaccard_pairs(sh, threshold=0.5)
+    return connected_components(
+        d.select("doc_id"),
+        pairs,
+        node_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+@register(
+    "q_dup_clusters",
+    oracle=_CLUSTERS_CTE + """
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM clusters
+    """,
+    doc="Near-duplicate CLUSTERS (SURVEY §2.9 + operators/"
+    "connected_components.py): pair output alone is not a dedup policy "
+    "— production keeps one survivor per connected component of the "
+    "near-dup graph. Edges = exact 3-shingle Jaccard >= 0.5 pairs "
+    "(same pair set as q_dedup_near); components via iterative "
+    "min-label propagation, one shuffle per round, lineage truncated "
+    "per round, converging in <= diameter rounds. Oracle: DuckDB "
+    "recursive-CTE reachability closure + MIN per node — exact, so "
+    "this iterative algorithm still gets a full value-hash check "
+    "(singletons are their own cluster).",
+)
+def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    return _doc_clusters(spark, sf)
+
+
+@register(
+    "q_dedup_survivors",
+    oracle=_CLUSTERS_CTE + """
+    , members AS (
       SELECT c.cluster_id, len(string_split(d.text, ' ')) AS n_tok
       FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
     ), grouped AS (
@@ -1229,20 +1216,8 @@ def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     "text. Exact oracle via the same recursive-CTE closure.",
 )
 def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
-    from gps_stream_processing_spark.operators.connected_components import (
-        connected_components,
-    )
-
     d = table(spark, sf, "documents")
-    sh = shingle_table(d).localCheckpoint(eager=True)
-    pairs = jaccard_pairs(sh, threshold=0.5)
-    clusters = connected_components(
-        d.select("doc_id"),
-        pairs,
-        node_col="doc_id",
-        src_col="doc_a",
-        dst_col="doc_b",
-    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+    clusters = _doc_clusters(spark, sf)
     n_tok = d.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
     )

@@ -344,16 +344,20 @@ FROM good GROUP BY 1, 2
 """
 
 # Spatial proximity join (q_join_spatial): the oracle is the NAIVE
-# same-second pairwise check — deliberately the contrast to the
-# engine's grid-binned plan (same result, quadratic cost), the same
+# all-pairs check — deliberately the contrast to the engine's
+# grid-binned plan (same result, quadratic cost), the same
 # naive-vs-binned pairing as q_join_range / q_join_range_binned.
+# Radius 200 km separates the fixture's track pairs (two at ~149/161 km
+# qualify, one at ~305 km does not), so the result is non-empty and
+# discriminating — a same-second 2 km version would be vacuously empty
+# (tracks are staggered 5 min apart and ~150 km from each other).
 ORACLE_JOIN_SPATIAL = fixes_cte() + f"""
 SELECT g1.track_id AS track_a, g2.track_id AS track_b,
-       CAST(COUNT(*) AS BIGINT) AS n_encounters,
+       CAST(COUNT(*) AS BIGINT) AS n_near_pairs,
        round(MIN({_haversine('g1.lat', 'g1.lon', 'g2.lat', 'g2.lon')}), 6)
          AS min_dist_km
 FROM good g1 JOIN good g2
-  ON g1.utc = g2.utc AND g1.track_id < g2.track_id
-WHERE {_haversine('g1.lat', 'g1.lon', 'g2.lat', 'g2.lon')} <= 2.0
+  ON g1.track_id < g2.track_id
+WHERE {_haversine('g1.lat', 'g1.lon', 'g2.lat', 'g2.lon')} <= 200.0
 GROUP BY 1, 2
 """

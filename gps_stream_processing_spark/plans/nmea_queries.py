@@ -201,24 +201,29 @@ def q_grid_density(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q_join_spatial",
     oracle=_orc.ORACLE_JOIN_SPATIAL,
-    doc="Grid-binned spatial proximity join (SURVEY §2.3, ext): close "
-    "encounters — same-second fixes of two different tracks within "
-    "2 km. The engine bins fixes into 0.02-degree cells (~2.2 km > the "
-    "radius, so any qualifying pair is in the same or an adjacent "
-    "cell), explodes a 3x3 neighborhood on ONE side, equi-joins on "
-    "(utc, cell) — each pair matches exactly once since the plain side "
-    "is in exactly one cell — and refines with exact haversine. The "
-    "DuckDB oracle is the naive quadratic same-second theta join: same "
-    "result, the scale contrast (the q_join_range/_binned pairing, "
-    "spatially). At 100 TB the cell id is the shuffle key — O(n) rows "
-    "x 9, never n^2.",
+    doc="Grid-binned spatial proximity join (SURVEY §2.3, ext): pairs "
+    "of fixes from two different tracks within 200 km (the fixture's "
+    "track pairs sit at ~149/161/305 km, so the radius discriminates). "
+    "Cell size must cover the radius on BOTH axes: a degree of "
+    "longitude is 111.32*cos(lat) km, so at the fixture's <=51°N a "
+    "3.0-degree cell is >=210 km — any qualifying pair is in the same "
+    "or an adjacent cell. One side explodes its 3x3 cell neighborhood, "
+    "the equi-join runs on the cell id — each pair matches exactly "
+    "once since the plain side is in exactly one cell — and exact "
+    "haversine refines. The DuckDB oracle is the naive quadratic theta "
+    "join: same result, the scale contrast (the q_join_range/_binned "
+    "pairing, spatially). At 100 TB the cell id is the shuffle key — "
+    "O(9n) rows, never n^2.",
 )
 def q_join_spatial(spark: SparkSession, sf: str) -> DataFrame:
     from gps_stream_processing_spark.functions.geo import haversine_km
 
-    cell = 0.02
+    # 111.32*cos(51°)*3.0 ≈ 210 km > the 200 km radius (the lat axis is
+    # 334 km/cell — always the looser bound)
+    cell = 3.0
+    radius_km = 200.0
     fixes = good_enough(_merged(spark)).select(
-        "track_id", "utc", "lat", "lon",
+        "track_id", "lat", "lon",
         F.floor(F.col("lat") / cell).cast("long").alias("cl"),
         F.floor(F.col("lon") / cell).cast("long").alias("co"),
     )
@@ -228,18 +233,16 @@ def q_join_spatial(spark: SparkSession, sf: str) -> DataFrame:
     )
     left = fixes.select(
         F.col("track_id").alias("track_a"),
-        "utc",
         F.col("lat").alias("lat_a"),
         F.col("lon").alias("lon_a"),
         "cl", "co", off.alias("o"),
     ).select(
-        "track_a", "utc", "lat_a", "lon_a",
+        "track_a", "lat_a", "lon_a",
         (F.col("cl") + F.col("o.dx")).alias("jcl"),
         (F.col("co") + F.col("o.dy")).alias("jco"),
     )
     right = fixes.select(
         F.col("track_id").alias("track_b"),
-        "utc",
         F.col("lat").alias("lat_b"),
         F.col("lon").alias("lon_b"),
         F.col("cl").alias("jcl"),
@@ -248,16 +251,12 @@ def q_join_spatial(spark: SparkSession, sf: str) -> DataFrame:
     dist = haversine_km(
         F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
     )
-    # (utc, cell) is the JOIN key — time in the key, not a post-filter,
-    # so the shuffle pairs only co-located co-temporal fixes
     return (
-        left.join(right, ["utc", "jcl", "jco"])
-        .filter((F.col("track_a") < F.col("track_b")) & (dist <= 2.0))
-        .groupBy(
-            F.col("track_a"), F.col("track_b")
-        )
+        left.join(right, ["jcl", "jco"])
+        .filter((F.col("track_a") < F.col("track_b")) & (dist <= radius_km))
+        .groupBy(F.col("track_a"), F.col("track_b"))
         .agg(
-            F.count("*").alias("n_encounters"),
+            F.count("*").alias("n_near_pairs"),
             F.round(F.min(dist), 6).alias("min_dist_km"),
         )
     )

@@ -38,9 +38,11 @@ class EngineQuery:
 
 REGISTRY: dict[str, EngineQuery] = {}
 
-# Sessions already tuned, keyed by (session id, sf_dir) — tuning is
+# Sessions already tuned, keyed by (applicationId, sf_dir) — tuning is
 # idempotent but involves driver-side conf round-trips, so do it once.
-_TUNED: set[tuple[int, str]] = set()
+# applicationId, not id(spark): CPython reuses addresses after GC, so a
+# fresh session could silently skip tuning under an id() key.
+_TUNED: set[tuple[str, str]] = set()
 
 
 def tune_session(spark: SparkSession, sf_dir: str) -> None:
@@ -63,7 +65,7 @@ def tune_session(spark: SparkSession, sf_dir: str) -> None:
       ``mktime`` is a documented divergence, class.nmea.parser.php:94).
     - 64 MB broadcast threshold so every star-schema dim broadcasts.
     """
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _TUNED:
         return
     try:

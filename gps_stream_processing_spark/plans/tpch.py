@@ -655,7 +655,10 @@ def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("l_returnflag").alias("ship_class"))
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+            # ~high, not otherwise(1): a NULL priority is NULL under both
+            # IN and NOT IN, so SQL's CASE counts it in NEITHER bucket —
+            # when(~high, 1).otherwise(0) mirrors that exactly
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
 

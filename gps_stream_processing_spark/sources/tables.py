@@ -27,16 +27,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # sublinearly vs the facts). Fact tables must never be broadcast.
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
 
-# Memoized source DataFrames per (session, sf_dir, table): a DataFrame
-# is an immutable logical plan, safe to share across queries in one
-# session, and re-creating one costs a driver-side file listing + footer
-# schema read per call — ~50 ms × (125 queries × ~2 tables) of pure
-# metadata overhead in a full verification sweep.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# Memoized source DataFrames per (application, sf_dir, table): a
+# DataFrame is an immutable logical plan, safe to share across queries
+# in one session, and re-creating one costs a driver-side file listing
+# + footer schema read per call — ~50 ms × (130 queries × ~2 tables) of
+# pure metadata overhead in a full verification sweep. Keyed by
+# applicationId (not id(spark) — CPython reuses addresses after GC);
+# entries for stopped applications are a few retained logical plans,
+# bounded by |apps| × |tables|.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
         df = _TABLE_CACHE[key] = _load_table(spark, sf_dir, name)
