@@ -43,7 +43,13 @@ def kmeans(
     if n_iterations < 1:
         raise ValueError(f"n_iterations must be >= 1, got {n_iterations}")
     vec = F.col(vec_col).cast("array<double>")
-    base = embeddings.select(F.col(id_col).alias("vid"), vec.alias("v"))
+    # Persist the projected (id, vector) base: the Lloyd loop scans it
+    # once per round (plus init) — without this every round re-reads the
+    # source parquet, the one 100 TB scale-killer in an otherwise
+    # broadcast-centroid loop. Same discipline as the localCheckpoint in
+    # connected_components/pagerank; unpersisted before returning (the
+    # returned plan re-reads the source once, lazily).
+    base = embeddings.select(F.col(id_col).alias("vid"), vec.alias("v")).persist()
 
     init_rows = base.orderBy("vid").limit(k).collect()
     if len(init_rows) < k:
@@ -63,7 +69,7 @@ def kmeans(
         )
 
     assigned = None
-    for _ in range(n_iterations):
+    for it in range(n_iterations):
         dists = F.array(*[dist2_to(c) for c in centroids])
         # materialize the k-distance array once, then argmin over the
         # materialized column — referencing the fold array from several
@@ -77,6 +83,11 @@ def kmeans(
             .alias("cluster"),
             F.array_min("ds").alias("d2"),
         )
+        if it == n_iterations - 1:
+            # The returned assignment uses the *current* centroids — a
+            # final centroid update would be discarded, so skip that
+            # whole-corpus aggregation job on the last round.
+            break
         new_rows = (
             assigned.groupBy("cluster")
             .agg(
@@ -91,8 +102,13 @@ def kmeans(
         # an emptied cluster keeps its previous centroid (standard
         # Lloyd's convention; deterministic)
         centroids = [by_cluster.get(j, centroids[j]) for j in range(k)]
-    return assigned.select(
+    result = assigned.select(
         F.col("vid").alias(id_col),
         "cluster",
         F.round(F.sqrt("d2"), 6).alias("dist"),
-    )
+    # Materialize off the cache, then free it — returning a plan rooted
+    # at the (unpersisted) cache would silently re-scan the source when
+    # the caller finally executes.
+    ).localCheckpoint(eager=True)
+    base.unpersist()
+    return result

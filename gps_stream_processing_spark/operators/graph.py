@@ -53,6 +53,13 @@ def triangle_count(
         # Feeds all three join branches — pay the (often expensive) edge
         # derivation once, truncate lineage.
         .localCheckpoint(eager=True)
+        # Edge lists are fact-sized: never broadcast them (a generous
+        # session broadcast threshold would otherwise collect the edge
+        # table to the driver for BOTH wedge-join sides), and skip SMJ's
+        # sorts — the equi-joins only need hashing. Measured at sf0.1
+        # (median of interleaved trials): shuffle_hash 3.4-4.1s vs
+        # broadcast 12.2s vs sort-merge 6.5-7.8s.
+        .hint("shuffle_hash")
     )
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
@@ -98,6 +105,13 @@ def pagerank(
         e.join(out_deg, "src")
         .select("src", "dst", "deg")
         .localCheckpoint(eager=True)
+        # The per-round ranks × e_deg join: e_deg is fact-sized (never
+        # broadcast) and the join only needs hashing, not SMJ's sorts —
+        # and without the hint a generous broadcast threshold re-collects
+        # a join side to the driver every round. Measured at sf0.1:
+        # 10-round pagerank median 3.9s (shuffle_hash) vs 4.1 (merge)
+        # vs 5.8s (auto under a 64 MB threshold).
+        .hint("shuffle_hash")
     )
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
 

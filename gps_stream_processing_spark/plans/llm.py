@@ -35,6 +35,41 @@ from gps_stream_processing_spark.operators.similarity import (
 )
 from gps_stream_processing_spark.plans.registry import register, table
 
+# Session-scoped memo for the shingle→Jaccard-pair→cluster chain shared
+# by q_dedup_ngram_jaccard / q_dedup_near / q_dup_clusters /
+# q_dedup_survivors: in a verification sweep each query used to rerun
+# the whole pipeline (the pair join is the sweep's most expensive
+# repeated subtree). Values are eagerly checkpointed DataFrames —
+# (long, long)-ish rows, tiny to retain — keyed like
+# sources.tables._TABLE_CACHE (applicationId, not id(spark): CPython
+# reuses addresses after GC).
+_DEDUP_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memo(spark: SparkSession, sf: str, what: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf, what)
+    df = _DEDUP_MEMO.get(key)
+    if df is None:
+        df = _DEDUP_MEMO[key] = build().localCheckpoint(eager=True)
+    return df
+
+
+def _shingles(spark: SparkSession, sf: str) -> DataFrame:
+    """Checkpointed distinct (doc_id, 3-shingle) table — feeds both
+    Jaccard self-join sides, the sizes agg, and minhash signatures."""
+    return _memo(
+        spark, sf, "shingles",
+        lambda: shingle_table(table(spark, sf, "documents")),
+    )
+
+
+def _jaccard_pairs_05(spark: SparkSession, sf: str) -> DataFrame:
+    """Checkpointed exact-Jaccard ≥ 0.5 near-dup pair table."""
+    return _memo(
+        spark, sf, "pairs05",
+        lambda: jaccard_pairs(_shingles(spark, sf), threshold=0.5),
+    )
+
 # ------------------------------------------------------------------- dedup
 
 
@@ -81,13 +116,13 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     "ground truth the LSH path approximates (SURVEY §2.9).",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    # Eager localCheckpoint: the shingle table feeds both self-join
-    # sides + the sizes agg. A lazy persist can't help the two join
-    # sides (both branches run in the same stage and each computes the
-    # subtree); materializing once up front measured ~35% faster at
-    # sf0.1. Rows are (long, long) — tiny to store.
-    sh = shingle_table(table(spark, sf, "documents")).localCheckpoint(eager=True)
-    return jaccard_pairs(sh, threshold=0.5)
+    # The shingle table feeds both self-join sides + the sizes agg — a
+    # lazy persist can't help the two join sides (both branches run in
+    # the same stage and each computes the subtree), so the memo holds
+    # an eager localCheckpoint (~35% faster at sf0.1 even stand-alone);
+    # the pair table itself is memoized because three sibling queries
+    # (q_dup_clusters, q_dedup_survivors, and this one) share it.
+    return _jaccard_pairs_05(spark, sf)
 
 
 @register(
@@ -126,9 +161,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     "pair ≥ threshold on this corpus and verify removes false positives).",
 )
 def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
-    # persist: the shingle table is referenced 4x (minhash signatures,
-    # sizes agg, and both sides of the candidate-verify join).
-    sh = shingle_table(table(spark, sf, "documents")).persist()
+    # The memoized checkpoint serves the 4 references (minhash
+    # signatures, sizes agg, both candidate-verify join sides) — the
+    # LSH banding itself stays this query's own work.
+    sh = _shingles(spark, sf)
     cands = lsh_candidate_pairs(minhash_signatures(sh))
     return jaccard_pairs(sh, threshold=0.5, candidates=cands)
 
@@ -1154,17 +1190,21 @@ _CLUSTERS_CTE = """
 
 def _doc_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, cluster_id) for every document — the Spark twin of
-    ``_CLUSTERS_CTE``'s ``clusters`` table."""
+    ``_CLUSTERS_CTE``'s ``clusters`` table. Memoized: the CC iteration
+    is the most expensive shared subtree (q_dup_clusters +
+    q_dedup_survivors both consume it)."""
+    return _memo(spark, sf, "clusters", lambda: _build_doc_clusters(spark, sf))
+
+
+def _build_doc_clusters(spark: SparkSession, sf: str) -> DataFrame:
     from gps_stream_processing_spark.operators.connected_components import (
         connected_components,
     )
 
     d = table(spark, sf, "documents")
-    sh = shingle_table(d).localCheckpoint(eager=True)
-    pairs = jaccard_pairs(sh, threshold=0.5)
     return connected_components(
         d.select("doc_id"),
-        pairs,
+        _jaccard_pairs_05(spark, sf),
         node_col="doc_id",
         src_col="doc_a",
         dst_col="doc_b",

@@ -219,13 +219,25 @@ def q_join_spatial(spark: SparkSession, sf: str) -> DataFrame:
     from gps_stream_processing_spark.functions.geo import haversine_km
 
     # 111.32*cos(51°)*3.0 ≈ 210 km > the 200 km radius (the lat axis is
-    # 334 km/cell — always the looser bound)
+    # 334 km/cell — always the looser bound). Above ~53° the 3° lon cell
+    # no longer covers the radius and the binned join would silently drop
+    # qualifying pairs (and lon cells don't wrap at the antimeridian) —
+    # assert_true makes a fixture drift past the envelope fail loudly at
+    # execution instead. JVM-side, no extra job: assert_true yields NULL
+    # for passing rows, so the isNull filter keeps every (valid) row.
     cell = 3.0
     radius_km = 200.0
     fixes = good_enough(_merged(spark)).select(
         "track_id", "lat", "lon",
         F.floor(F.col("lat") / cell).cast("long").alias("cl"),
         F.floor(F.col("lon") / cell).cast("long").alias("co"),
+    ).filter(
+        F.assert_true(
+            F.abs(F.col("lat")) <= F.lit(53.0),
+            F.lit("q_join_spatial: |lat| > 53 breaks the 3-degree cell "
+                  "coverage of the 200 km radius — re-derive the cell "
+                  "width for this fixture"),
+        ).isNull()
     )
     off = F.explode(
         F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))

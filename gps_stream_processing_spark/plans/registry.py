@@ -77,13 +77,15 @@ def tune_session(spark: SparkSession, sf_dir: str) -> None:
         n_bytes = 1 << 30
     cores = spark.sparkContext.defaultParallelism
     # ~1 MB of (compressed) input per shuffle partition, clamped to
-    # [4, 2×cores]. Measured at sf0.1/local[32]: 17 partitions beats 36
-    # by 25-30% on the iterative graph queries (fewer map tasks + fewer
-    # AQE re-planning pauses) and is equal-or-better on every
-    # compute-bound query checked (pairwise kNN, LSH, TPC-H Q18,
-    # window frames). The divisor is still small for COMPRESSED
-    # verification inputs so width never collapses below a useful
-    # parallelism while bytes are tiny.
+    # [4, 2×cores]. Re-measured round 3 at sf0.1/local[32] with
+    # interleaved trials: width (17 vs 32) moves the iterative graph
+    # queries by <10% — far less than join STRATEGY does (the r2 bench
+    # regression on pagerank/triangle was the 64 MB broadcast threshold
+    # pushing fact-sized edge tables into broadcast joins, fixed by
+    # shuffle_hash hints in operators/graph.py, plus ambient machine
+    # noise — not shuffle width). The divisor is still small for
+    # COMPRESSED verification inputs so width never collapses below a
+    # useful parallelism while bytes are tiny.
     parts = max(4, min(2 * cores, n_bytes // (1 << 20) + 1))
     conf = {
         "spark.sql.shuffle.partitions": str(parts),

@@ -274,7 +274,17 @@ def q_stream_tws_fix_merge(spark: SparkSession, sf: str) -> DataFrame:
             spark.conf.set(provider_key, prev)
 
 
-if _tws_available():
+if not _tws_available():
+    # One loud line instead of a silent key-set drift: the registry count
+    # differs across environments only because of this gate.
+    import warnings
+
+    warnings.warn(
+        "q_stream_tws_fix_merge not registered: transformWithStateInPandas "
+        "needs google.protobuf, absent in this environment",
+        stacklevel=1,
+    )
+else:
     q_stream_tws_fix_merge = register(
         "q_stream_tws_fix_merge",
         oracle=ORACLE_STREAM_FIX_MERGE,

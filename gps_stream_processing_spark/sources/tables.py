@@ -71,10 +71,13 @@ def _load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # oracle timestamps) holds only under UTC sessions. get_spark pins
         # it, but load_table accepts any session — fail loudly instead of
         # silently shifting timestamps.
-        assert spark.conf.get("spark.sql.session.timeZone") == "UTC", (
-            "load_table('events') NTZ->timestamp cast requires "
-            "spark.sql.session.timeZone=UTC"
-        )
+        # RuntimeError, not assert: under `python -O` asserts strip and a
+        # non-UTC session would silently shift every events timestamp.
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            raise RuntimeError(
+                "load_table('events') NTZ->timestamp cast requires "
+                "spark.sql.session.timeZone=UTC"
+            )
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 

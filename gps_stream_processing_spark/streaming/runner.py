@@ -59,11 +59,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     # NTZ→TimestampType reinterprets the wall-clock in the session TZ;
     # epoch equality with the nanos path holds only under UTC sessions
-    # (get_spark pins it — assert so a foreign session fails loudly
-    # instead of shifting every watermark).
-    assert spark.conf.get("spark.sql.session.timeZone") == "UTC", (
-        "events_stream NTZ->timestamp cast requires spark.sql.session.timeZone=UTC"
-    )
+    # (get_spark pins it — RuntimeError, not assert, so a foreign session
+    # fails loudly even under `python -O` instead of shifting watermarks).
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        raise RuntimeError(
+            "events_stream NTZ->timestamp cast requires "
+            "spark.sql.session.timeZone=UTC"
+        )
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
