@@ -38,11 +38,12 @@ class EngineQuery:
 
 REGISTRY: dict[str, EngineQuery] = {}
 
-# Sessions already tuned, keyed by (applicationId, sf_dir) — tuning is
-# idempotent but involves driver-side conf round-trips, so do it once.
-# applicationId, not id(spark): CPython reuses addresses after GC, so a
-# fresh session could silently skip tuning under an id() key.
-_TUNED: set[tuple[str, str]] = set()
+# Marker conf recording which sf_dir a session was last tuned for.
+# Stored in the session's own SQLConf (not a driver-side dict keyed by
+# applicationId): conf is per-session, so sibling sessions from
+# SparkContext.newSession() each get tuned, while re-tuning the same
+# session for the same SF stays a single conf read.
+_TUNED_MARKER = "spark.gps_stream_processing.tunedFor"
 
 
 def tune_session(spark: SparkSession, sf_dir: str) -> None:
@@ -65,8 +66,7 @@ def tune_session(spark: SparkSession, sf_dir: str) -> None:
       ``mktime`` is a documented divergence, class.nmea.parser.php:94).
     - 64 MB broadcast threshold so every star-schema dim broadcasts.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _TUNED:
+    if spark.conf.get(_TUNED_MARKER, None) == sf_dir:
         return
     try:
         n_bytes = sum(
@@ -102,7 +102,7 @@ def tune_session(spark: SparkSession, sf_dir: str) -> None:
             spark.conf.set(k, v)
         except Exception:  # noqa: BLE001 — a locked conf is not fatal
             pass
-    _TUNED.add(key)
+    spark.conf.set(_TUNED_MARKER, sf_dir)
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):

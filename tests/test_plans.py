@@ -254,7 +254,7 @@ def test_tune_session_rescues_stock_conf(spark):
         spark.conf.set("spark.sql.shuffle.partitions", "200")
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "false")
-        registry._TUNED.clear()
+        spark.conf.unset(registry._TUNED_MARKER)
         registry.tune_session(spark, "/root/testdata/sf0.001")
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
         assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
@@ -265,9 +265,26 @@ def test_tune_session_rescues_stock_conf(spark):
         registry.tune_session(spark, "/root/testdata/sf0.001")
         assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
     finally:
-        registry._TUNED.clear()
+        spark.conf.unset(registry._TUNED_MARKER)
         for k, v in prev.items():
             spark.conf.set(k, v)
         registry.tune_session(spark, "/root/testdata/sf0.001")
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_tune_session_covers_sibling_sessions(spark):
+    """SQLConf is per-session: a SparkSession.newSession() sibling shares
+    the applicationId but NOT the conf, so it must get tuned on its own
+    first registry call rather than being treated as already tuned."""
+    from gps_stream_processing_spark.plans import registry
+
+    sib = spark.newSession()
+    try:
+        sib.conf.set("spark.sql.session.timeZone", "America/New_York")
+        registry.tune_session(sib, "/root/testdata/sf0.001")
+        assert sib.conf.get("spark.sql.session.timeZone") == "UTC"
+        # and the parent session's marker is untouched by the sibling
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        sib.conf.unset(registry._TUNED_MARKER)
