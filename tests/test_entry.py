@@ -1,0 +1,19 @@
+
+
+def test_queries_order_prioritizes_unverified():
+    """queries()/oracle_sql() emit never-driver-verified keys first (the
+    round driver checks a fixed-size prefix of the dict in our order) —
+    every key present exactly once, same key set as the registry."""
+    import __spark_entry__ as e
+    from gps_stream_processing_spark import plans
+
+    ks = list(e.queries())
+    assert sorted(ks) == sorted(plans.queries())
+    done = e._verified_keys()
+    # all unverified keys strictly precede all verified keys
+    flags = [k in done for k in ks]
+    assert flags == sorted(flags)
+    # within each group the order is alphabetical (deterministic)
+    for group in (True, False):
+        sub = [k for k in ks if (k in done) == group]
+        assert sub == sorted(sub)
