@@ -1,0 +1,347 @@
+"""Training-data curation operators, batch 2 (SURVEY §2.9 — engine
+surface `ext`; the reference's only code file is
+class.nmea.parser.php:1-399 and has none of this): model-based quality
+scoring, unigram-LM perplexity, deterministic global shuffle/sharding,
+curriculum source mixing — plus Spark-4 API surface (VARIANT
+semi-structured access, SQL pipe syntax) and the binaryFile ingest
+source for multimodal payloads.
+
+Every query keeps the family's parity discipline: engine-portable
+hashing (md5 of decimal strings / hex dumps — bit-identical in DuckDB),
+DECIMAL-stabilized sums wherever double addition would re-associate,
+and every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gps_stream_processing_spark.plans.registry import register, table
+from gps_stream_processing_spark.sources.nmea import fixture_parquet_path
+
+# ------------------------------------------------- quality classifier
+
+# Fixed "fasttext-style" linear classifier weights: features are cheap
+# column expressions, the model is a handful of broadcast literals. At
+# 100 TB this is the archetypal scan-speed gate — no shuffle at all.
+_QC_BIAS = -1.5
+_QC_W_LEN = 2.0      # saturating doc-length feature, min(n_tok/200, 1)
+_QC_W_STOP = 6.0     # English stopword ratio
+_QC_W_WLEN = 1.0     # plausible mean word length (3..8 chars)
+_QC_W_DIGIT = -4.0   # digit character ratio (boilerplate/log smell)
+
+_QC_STOPS = ("the", "a", "of", "and", "is", "to")  # functions.text EN set
+
+
+@register(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN {_QC_STOPS!r})) AS n_stop,
+             length(regexp_replace(text, '[0-9]', '', 'g')) AS n_nondigit,
+             length(text) AS n_char
+      FROM documents
+    ), z AS (
+      SELECT doc_id,
+             {_QC_BIAS}
+             + {_QC_W_LEN} * LEAST(n_tok / 200.0, 1.0)
+             + {_QC_W_STOP} * (n_stop * 1.0 / n_tok)
+             + {_QC_W_WLEN} * (CASE WHEN (n_char - n_tok + 1.0) / n_tok
+                               BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.0 END)
+             + {_QC_W_DIGIT} * ((n_char - n_nondigit) * 1.0 / n_char) AS z
+      FROM feat
+    )
+    SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS quality_p,
+           1.0 / (1.0 + exp(-z)) >= 0.5 AS keep
+    FROM z
+    """,
+    doc="Model-based quality gate (SURVEY §2.9, ext): a fixed linear "
+    "classifier over cheap text features (saturating length, stopword "
+    "ratio, mean word length plausibility, digit-character ratio) with "
+    "a sigmoid score and a 0.5 keep-threshold. The model is literal "
+    "weights — a scan-speed, shuffle-free gate; swapping in real "
+    "fasttext weights changes constants, not the plan. Exact oracle: "
+    "identical feature algebra in DuckDB, score rounded to 6 dp.",
+)
+def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    n_stop = F.size(
+        F.filter(
+            F.split(F.lower("text"), " "),
+            lambda t: t.isin(*_QC_STOPS),
+        )
+    )
+    n_char = F.length("text")
+    n_digit = n_char - F.length(F.regexp_replace("text", "[0-9]", ""))
+    # documents.text is single-space joined → mean word length is
+    # (chars - separators) / n_tok
+    avg_wlen = (n_char - n_tok + F.lit(1.0)) / n_tok
+    z = (
+        F.lit(_QC_BIAS)
+        + F.lit(_QC_W_LEN) * F.least(n_tok / F.lit(200.0), F.lit(1.0))
+        + F.lit(_QC_W_STOP) * (n_stop / n_tok)
+        + F.lit(_QC_W_WLEN)
+        * F.when(avg_wlen.between(3.0, 8.0), F.lit(1.0)).otherwise(F.lit(0.0))
+        + F.lit(_QC_W_DIGIT) * (n_digit / n_char)
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return d.select(
+        "doc_id",
+        F.round(p, 6).alias("quality_p"),
+        (p >= 0.5).alias("keep"),
+    )
+
+
+# ------------------------------------------------------ LM perplexity
+
+
+@register(
+    "q_perplexity",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ), cnt AS (
+      SELECT word, COUNT(*) AS c FROM tok GROUP BY word
+    ), corpus AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(COUNT(DISTINCT word) AS DOUBLE) AS v
+      FROM tok
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           ROUND(
+             -CAST(SUM(CAST(ROUND(ln((c.c + 1.0) / (s.n + s.v)), 6)
+                            AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*),
+             4) AS cross_entropy_nats
+    FROM tok t
+    JOIN cnt c ON t.word = c.word
+    CROSS JOIN corpus s
+    GROUP BY t.doc_id
+    """,
+    doc="Unigram-LM cross-entropy per document (SURVEY §2.9, ext): the "
+    "corpus's own add-one-smoothed unigram model scores every doc — the "
+    "classic cheap perplexity filter for training-data quality. Scale "
+    "shape: the LM is a (word, count) table — a broadcast dim — plus a "
+    "1-row (N, V) aggregate; the corpus side is one token explode, one "
+    "hash-join, one hash-agg. Per-token log-probs are rounded to 6 dp "
+    "and summed in DECIMAL(28,6) on both engines so the per-doc mean is "
+    "associativity-proof (exact oracle).",
+)
+def q_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    cnt = tok.groupBy("word").agg(F.count("*").alias("c"))
+    corpus = tok.agg(
+        F.count("*").cast("double").alias("n"),
+        F.countDistinct("word").cast("double").alias("v"),
+    )
+    lp = F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v")))
+    return (
+        tok.join(F.broadcast(cnt), "word")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", F.round(lp, 6).cast("decimal(28,6)").alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(-F.sum("lp").cast("double") / F.count("*"), 4).alias(
+                "cross_entropy_nats"
+            ),
+        )
+    )
+
+
+# ------------------------------------------- global shuffle / sharding
+
+
+@register(
+    "q_global_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             md5('shuf' || CAST(doc_id AS VARCHAR)) AS hh
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(instr('0123456789abcdef', substring(hh, 1, 1)) - 1
+                AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY instr('0123456789abcdef', substring(hh, 1, 1))
+             ORDER BY hh, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+    doc="Deterministic global training-order shuffle (SURVEY §2.9, ext): "
+    "every document gets a reproducible (shard, position) from an "
+    "engine-portable md5 of its id — the final 'randomize the corpus' "
+    "step before writing training shards, without rand()'s "
+    "run-to-run drift. Scale shape: 16 hash shards = the write "
+    "partitioning key; position is a per-shard window (never a global "
+    "sort), so each shard sorts independently — exactly how a 100 TB "
+    "corpus lands as shard files. Exact oracle (md5 is bit-identical "
+    "across engines).",
+)
+def q_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf, "documents")
+    hh = F.md5(F.concat(F.lit("shuf"), F.col("doc_id").cast("string")))
+    shard = (F.instr(F.lit("0123456789abcdef"), F.substring(hh, 1, 1)) - 1).cast(
+        "int"
+    )
+    win = W.partitionBy("shard").orderBy("hh", "doc_id")
+    return (
+        d.select("doc_id", hh.alias("hh"), shard.alias("shard"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(win).cast("bigint").alias("pos"),
+        )
+    )
+
+
+# ------------------------------------------------ curriculum mixing
+
+# Per-source sampling rates: the "curriculum" keeps all of the first 10
+# sources and a deterministic 1/4 of the long tail. Rates are data, not
+# plan — a real pipeline feeds these from a mixture config.
+_MIX_FULL_SOURCES = tuple(f"src{i}" for i in range(10))
+
+
+@register(
+    "q_mix_sources",
+    oracle=f"""
+    WITH kept AS (
+      SELECT source, n_chars
+      FROM documents
+      WHERE source IN {_MIX_FULL_SOURCES!r}
+         OR substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 1)
+            IN ('0', '1', '2', '3')
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM kept GROUP BY source
+    """,
+    doc="Curriculum source mixing (SURVEY §2.9, ext): per-source "
+    "sampling rates (keep-all for the head sources, a deterministic "
+    "md5-hash 1/4 for the tail) followed by a per-source accounting "
+    "aggregate — the reweighting step that turns a raw crawl into a "
+    "training mixture. Scan-filter + one hash-agg; reproducible "
+    "(hash, not rand); exact oracle.",
+)
+def q_mix_sources(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    tail_kept = F.substring(
+        F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))), 1, 1
+    ).isin("0", "1", "2", "3")
+    return (
+        d.filter(F.col("source").isin(*_MIX_FULL_SOURCES) | tail_kept)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+# ------------------------------------------------- Spark 4 API surface
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Spark 4 VARIANT ingestion (SURVEY §2.6 json fns, ext): "
+    "parse_json into the binary VARIANT type once, then typed "
+    "variant_get path access — the open-table-format answer to "
+    "schema-on-read JSON columns (shredded access without a UDF or a "
+    "second parse). Oracle: DuckDB json_extract of the same path.",
+)
+def q_variant_json(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )
+
+
+@register(
+    "q_sql_pipe",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    """,
+    doc="Spark 4 SQL pipe syntax (SURVEY §2.2/§2.4, ext): the same "
+    "filter→aggregate expressed as chained |> stages — compiles to the "
+    "identical logical plan as the ANSI form (the oracle), so this "
+    "pins the parser surface, not new semantics.",
+)
+def q_sql_pipe(spark: SparkSession, sf: str) -> DataFrame:
+    table(spark, sf, "lineitem").createOrReplaceTempView("lineitem_pipe")
+    return spark.sql(
+        """
+        FROM lineitem_pipe
+        |> WHERE l_quantity >= 30
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n, revenue
+        """
+    )
+
+
+# ---------------------------------------------------- binary ingest
+
+
+@register(
+    "q_read_binary",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(size AS BIGINT) AS n_bytes,
+           md5(hex(content)) AS content_md5
+    FROM read_blob('{fixture_parquet_path()}')
+    """,
+    doc="binaryFile source (SURVEY §2.1, ext): whole-file binary ingest "
+    "— (path, length, content) rows — the entry point for multimodal "
+    "payloads (q_multimodal consumes the same shape). Read against the "
+    "committed NMEA fixture parquet so the oracle (DuckDB read_blob) "
+    "sees identical bytes; content compared via md5(hex(bytes)) — "
+    "bit-identical across engines (Spark's base64 is MIME-chunked, "
+    "hex is not). At scale binaryFile partitions per file and prunes "
+    "on pathGlobFilter/modifiedAfter without reading payloads.",
+)
+def q_read_binary(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        spark.read.format("binaryFile")
+        .load(fixture_parquet_path())
+        .select(
+            F.regexp_extract("path", "([^/]+)$", 1).alias("file_name"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.hex("content")).alias("content_md5"),
+        )
+    )

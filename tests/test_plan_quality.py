@@ -48,6 +48,8 @@ NESTED_LOOP_ALLOWED = {
     "before; the join itself has always been this shape)",
     "q_bm25": "1-row broadcast corpus-stats aggregate (N and avgdl for "
     "the scoring formula — same pattern as q_tfidf)",
+    "q_perplexity": "1-row broadcast corpus (N, V) aggregate for the "
+    "add-one-smoothing denominator — same pattern as q_tfidf/q_bm25",
 }
 # Empty since the Arrow UDTF switch (spark.sql.execution.pythonUDTF.
 # arrow.enabled, set by get_spark AND tune_session): q_udtf_gsv now
