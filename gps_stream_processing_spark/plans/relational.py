@@ -1461,3 +1461,149 @@ def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("update")
         .alias("action"),
     )
+
+
+# ------------------------------------------------- gaps & islands, buckets
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS INT) AS session_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_no
+    """,
+    doc="Batch sessionization (gaps-and-islands, SURVEY §2.7 ext): a new "
+    "session starts after a >30 min silence; session ids via the classic "
+    "flag-then-running-sum pair of windows, both partitioned by user — "
+    "one shuffle, never a global sort. The streaming twin is "
+    "q_stream_session; this is how the same cut is done on data at "
+    "rest. Exact oracle (tie-break on event_id).",
+)
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_s = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        e.select("user_id", "ts", "event_id", new_s.alias("new_s"))
+        .select(
+            "user_id",
+            "ts",
+            F.sum("new_s").over(cum).cast("int").alias("session_no"),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q_ntile",
+    oracle="""
+    WITH b AS (
+      SELECT o_totalprice,
+             ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT CAST(quartile AS INT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM b GROUP BY quartile
+    """,
+    doc="ntile quantile bucketing (SURVEY §2.7 ext): equi-depth "
+    "quartiles of order value + per-bucket stats. NOTE the global "
+    "ORDER BY window: acceptable because the output is immediately "
+    "aggregated (4 rows) — at 100 TB the same cut uses "
+    "approx_percentile boundaries (q_agg_percentile) instead of a "
+    "global sort; both are in the inventory deliberately as the "
+    "exact/approx pair. Deterministic via the o_orderkey tie-break.",
+)
+def q_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "q_agg_approx_percentile",
+    # Like q_agg_approx_cd: the sketch value is engine-specific, so the
+    # checkable output is (exact median, within-envelope flag); DuckDB
+    # recomputes the exact median and asserts the flag TRUE. The exact
+    # value is the DISCRETE median (element at rank ceil(n/2)) — an
+    # interpolated median is (a+b)/2 arithmetic whose last-ulp rounding
+    # differs across engines right at a half-cent boundary.
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           ROUND(l_extendedprice, 2) AS exact_p50,
+           TRUE AS approx_within_1pct
+    FROM r WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+    """,
+    doc="approx_percentile (GK sketch, the scale path for quantiles — "
+    "mergeable, one pass, no global sort) vs the exact discrete median "
+    "(rank-based, arithmetic-free, so it is bit-identical across "
+    "engines): emits the exact value plus a within-±1% envelope flag "
+    "on the sketch estimate, exactly the q_agg_approx_cd contract "
+    "shape (SURVEY §2.4).",
+)
+def q_agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    wr = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    ).filter(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"))
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx")
+    )
+    return ranked.join(approx, "l_returnflag").select(
+        "l_returnflag",
+        F.round("l_extendedprice", 2).alias("exact_p50"),
+        (
+            F.abs(F.col("approx") - F.col("l_extendedprice"))
+            <= 0.01 * F.abs(F.col("l_extendedprice"))
+        ).alias("approx_within_1pct"),
+    )
