@@ -1607,3 +1607,150 @@ def q_agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
             <= 0.01 * F.abs(F.col("l_extendedprice"))
         ).alias("approx_within_1pct"),
     )
+
+
+# ------------------------------------------------- data-quality / schema
+
+
+@register(
+    "q_dq_checks",
+    oracle="""
+    SELECT 'quantity_range' AS rule,
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           CAST(COUNT(*) AS BIGINT) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'shipdate_not_null',
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_unit_interval',
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_customer_fk',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    """,
+    doc="Data-quality expectation suite (SURVEY §2.2 ext): the "
+    "validation pass a production pipeline runs before publishing a "
+    "partition — three column-domain rules folded into ONE conditional "
+    "aggregation scan (not one scan per rule) plus a referential "
+    "orphan check as a broadcast anti-join count. Output is one row "
+    "per rule; at 100 TB the scan rules stay a single pass and the FK "
+    "check shuffles only keys. Exact oracle.",
+)
+def q_dq_checks(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    n = F.count("*").cast("bigint")
+    scan_rules = li.agg(
+        viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "v_qty"
+        ),
+        viol(F.col("l_shipdate").isNull()).alias("v_ship"),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "v_disc"
+        ),
+        n.alias("n_li"),
+    )
+    fk = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").cast("bigint").alias("v_fk"))
+        .crossJoin(o.agg(n.alias("n_o")))
+    )
+    rules = scan_rules.crossJoin(fk).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quantity_range").alias("rule"),
+                    F.col("v_qty").alias("n_violations"),
+                    F.col("n_li").alias("n_checked"),
+                ),
+                F.struct(
+                    F.lit("shipdate_not_null").alias("rule"),
+                    F.col("v_ship").alias("n_violations"),
+                    F.col("n_li").alias("n_checked"),
+                ),
+                F.struct(
+                    F.lit("discount_unit_interval").alias("rule"),
+                    F.col("v_disc").alias("n_violations"),
+                    F.col("n_li").alias("n_checked"),
+                ),
+                F.struct(
+                    F.lit("orders_customer_fk").alias("rule"),
+                    F.col("v_fk").alias("n_violations"),
+                    F.col("n_o").alias("n_checked"),
+                ),
+            )
+        ).alias("r")
+    )
+    return rules.select("r.rule", "r.n_violations", "r.n_checked")
+
+
+@register(
+    "q_read_merge_schema",
+    # The merged read is lossless over the two landed batches, so the
+    # oracle recomputes the same aggregate straight from the source
+    # view (the q_join_bucketed round-trip pattern).
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS sum_price,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_priority
+    FROM orders
+    """,
+    doc="Schema-evolution read (SURVEY §2.1 ext): two parquet batches "
+    "landed with different schemas (the second adds o_orderpriority — "
+    "the additive-column evolution every long-lived dataset undergoes) "
+    "read back through mergeSchema=true, old rows NULL-padded. The "
+    "aggregate pins row count, a DECIMAL-stable price sum, and how "
+    "many rows carry the evolved column. Idempotent batch write per "
+    "sf; exact oracle via the lossless round-trip.",
+)
+def q_read_merge_schema(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import os
+
+    o = table(spark, sf, "orders")
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    root = f"/tmp/gps_spark_mergeschema_{tag}"
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        (
+            o.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "batch=1"))
+        )
+        (
+            o.filter(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "batch=2"))
+        )
+        open(done, "w").close()
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "batch=1"), os.path.join(root, "batch=2")
+    )
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+        F.count("o_orderpriority").cast("bigint").alias("n_with_priority"),
+    )

@@ -50,6 +50,9 @@ NESTED_LOOP_ALLOWED = {
     "the scoring formula — same pattern as q_tfidf)",
     "q_perplexity": "1-row broadcast corpus (N, V) aggregate for the "
     "add-one-smoothing denominator — same pattern as q_tfidf/q_bm25",
+    "q_dq_checks": "cross of three 1-row rule-count aggregates (the "
+    "q_funnel shape); the only data-sized joins are the scan rules' "
+    "single pass and the broadcast-anti FK check",
 }
 # Empty since the Arrow UDTF switch (spark.sql.execution.pythonUDTF.
 # arrow.enabled, set by get_spark AND tune_session): q_udtf_gsv now
