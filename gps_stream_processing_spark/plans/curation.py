@@ -345,3 +345,110 @@ def q_read_binary(spark: SparkSession, sf: str) -> DataFrame:
             F.md5(F.hex("content")).alias("content_md5"),
         )
     )
+
+
+# -------------------------------------------- Spark 4 Python DataSource
+
+
+@register(
+    "q_custom_datasource",
+    oracle=f"""
+    SELECT upper(substring(value, 2, 5)) AS stype,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT track_id) AS BIGINT) AS n_tracks
+    FROM read_parquet('{fixture_parquet_path()}')
+    GROUP BY 1
+    """,
+    doc="Custom Python Data Source (Spark 4 DataSource API, SURVEY "
+    "§2.1 ext): the NMEA fixture served by our own `nmea_fixture` "
+    "format (sources/nmea_datasource.py) — one InputPartition per "
+    "track, executor-side generation, Arrow-batched into Spark — the "
+    "idiomatic Spark home for the reference's push-ingest ParseLine "
+    "(class.nmea.parser.php:103-114). The aggregate pins per-sentence-"
+    "type line counts and track fan-out; the oracle reads the "
+    "committed parquet twin of the same generator output, so the "
+    "custom source is verified byte-equivalent to the canonical "
+    "fixture.",
+)
+def q_custom_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.sources.nmea_datasource import (
+        register_nmea_datasource,
+    )
+
+    register_nmea_datasource(spark)
+    raw = (
+        spark.read.format("nmea_fixture")
+        .option("n_tracks", 3)
+        .option("n_seconds", 120)
+        .load()
+    )
+    return (
+        raw.select(
+            F.upper(F.substring("value", 2, 5)).alias("stype"), "track_id"
+        )
+        .groupBy("stype")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.countDistinct("track_id").alias("n_tracks"),
+        )
+    )
+
+
+# ------------------------------------------------- Arrow-native UDF
+
+
+@register(
+    "q_applyinarrow_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 6) AS min_v,
+           ROUND(MAX(value), 6) AS max_v,
+           CAST(ROUND(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))), 6)
+                AS DOUBLE) AS sum_v
+    FROM events GROUP BY event_type
+    """,
+    doc="groupBy().applyInArrow (SURVEY §2.10, Spark 4): per-group "
+    "stats computed directly on pyarrow Tables with pyarrow.compute — "
+    "the Arrow-native sibling of applyInPandas, skipping the pandas "
+    "conversion entirely (one fewer copy per batch; the right boundary "
+    "for columnar Python libraries). Values are 6-dp-rounded and "
+    "DECIMAL-summed so the per-group sum is associativity-proof; "
+    "exact oracle.",
+)
+def q_applyinarrow_stats(spark: SparkSession, sf: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(t: "pa.Table") -> "pa.Table":
+        v6 = pc.round(t.column("value"), ndigits=6)
+        # decimal128 sum of the rounded values — matches the oracle's
+        # DECIMAL(18,6) accumulation regardless of batch order
+        dec = pc.cast(v6, pa.decimal128(18, 6))
+        total = pc.sum(dec).cast(pa.float64()).as_py()
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [t.column("event_type")[0].as_py()], pa.string()
+                ),
+                "n": pa.array([t.num_rows], pa.int64()),
+                "min_v": pa.array(
+                    [round(pc.min(t.column("value")).as_py(), 6)], pa.float64()
+                ),
+                "max_v": pa.array(
+                    [round(pc.max(t.column("value")).as_py(), 6)], pa.float64()
+                ),
+                "sum_v": pa.array([round(total, 6)], pa.float64()),
+            }
+        )
+
+    e = table(spark, sf, "events")
+    return (
+        e.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInArrow(
+            stats,
+            schema="event_type string, n long, min_v double, "
+            "max_v double, sum_v double",
+        )
+    )
