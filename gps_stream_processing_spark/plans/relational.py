@@ -1754,3 +1754,70 @@ def q_read_merge_schema(spark: SparkSession, sf: str) -> DataFrame:
         .alias("sum_price"),
         F.count("o_orderpriority").cast("bigint").alias("n_with_priority"),
     )
+
+
+@register(
+    "q_hll_partitioned_sketch",
+    # Contract shape of q_agg_approx_cd: sketch bytes/estimates are
+    # engine-specific, so the checkable output is the exact count plus
+    # a within-envelope flag per row; DuckDB recomputes the exact
+    # counts and asserts TRUE.
+    oracle="""
+    SELECT o_orderstatus AS level,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS approx_within_5pct
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'ALL',
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           TRUE
+    FROM orders
+    """,
+    doc="Mergeable-sketch architecture (SURVEY §2.4, ext; Apache "
+    "DataSketches HLL via Spark 4 hll_sketch_agg/hll_union_agg): "
+    "per-status sketches built in ONE pass, then the global estimate "
+    "produced by MERGING the sketches — no second scan of the data. "
+    "This is why sketches matter at 100 TB: per-partition sketches are "
+    "tiny, shippable, and unionable at query time (a rollup over "
+    "sketch state, impossible with exact distinct counts). Exact "
+    "counts come from one pre-distincted projection; the oracle "
+    "asserts each estimate lands within ±5%.",
+)
+def q_hll_partitioned_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    # distinct (status, custkey) once: exact counts AND sketches both
+    # derive from it (HLL is duplicate-insensitive, estimates unchanged)
+    pairs = o.select("o_orderstatus", "o_custkey").distinct().localCheckpoint(
+        eager=True
+    )
+    per = pairs.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("exact_customers"),
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
+    )
+    merged = per.agg(
+        F.expr(
+            "hll_sketch_estimate(hll_union_agg(sk))"
+        ).alias("approx"),
+    ).crossJoin(
+        pairs.agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("exact_customers")
+        )
+    )
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(approx - exact) <= 0.05 * exact
+    )
+    per_rows = per.select(
+        F.col("o_orderstatus").alias("level"),
+        "exact_customers",
+        within(
+            F.expr("hll_sketch_estimate(sk)"), F.col("exact_customers")
+        ).alias("approx_within_5pct"),
+    )
+    all_row = merged.select(
+        F.lit("ALL").alias("level"),
+        "exact_customers",
+        within(F.col("approx"), F.col("exact_customers")).alias(
+            "approx_within_5pct"
+        ),
+    )
+    return per_rows.unionByName(all_row)

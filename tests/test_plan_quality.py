@@ -53,6 +53,8 @@ NESTED_LOOP_ALLOWED = {
     "q_dq_checks": "cross of three 1-row rule-count aggregates (the "
     "q_funnel shape); the only data-sized joins are the scan rules' "
     "single pass and the broadcast-anti FK check",
+    "q_hll_partitioned_sketch": "cross of two 1-row aggregates (merged "
+    "sketch estimate x exact global count) — the q_funnel shape",
 }
 # Empty since the Arrow UDTF switch (spark.sql.execution.pythonUDTF.
 # arrow.enabled, set by get_spark AND tune_session): q_udtf_gsv now
