@@ -1,0 +1,137 @@
+"""Unit/property tests for the round-3 curation + API-surface operators
+(plans/curation.py, plans/relational.py additions). Oracle parity runs
+registry-wide in test_oracle_parity.py; these pin operator-level
+invariants the hash compare alone would not explain on failure."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gps_stream_processing_spark.plans.registry import REGISTRY, table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_global_shuffle_is_a_permutation(spark):
+    """Every document appears exactly once, and positions within each
+    shard are a contiguous 1..n_shard run (a valid training order)."""
+    out = REGISTRY["q_global_shuffle"].fn(spark, SF).toPandas()
+    n_docs = table(spark, SF, "documents").count()
+    assert len(out) == n_docs
+    assert out["doc_id"].is_unique
+    assert set(out["shard"].unique()) <= set(range(16))
+    for _, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+
+
+def test_quality_classifier_score_domain(spark):
+    """Sigmoid scores live in (0,1) and the keep flag is exactly the
+    0.5 threshold decision."""
+    out = REGISTRY["q_quality_classifier"].fn(spark, SF).toPandas()
+    assert ((out["quality_p"] > 0) & (out["quality_p"] < 1)).all()
+    assert (out["keep"] == (out["quality_p"] >= 0.5)).all()
+
+
+def test_perplexity_matches_token_counts(spark):
+    """Per-doc token counts agree with the whitespace tokenizer, and
+    cross-entropy is positive (log-probs of a proper distribution)."""
+    out = REGISTRY["q_perplexity"].fn(spark, SF).toPandas().set_index("doc_id")
+    toks = (
+        table(spark, SF, "documents")
+        .select("doc_id", F.size(F.split(F.lower("text"), " ")).alias("n"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert (out["n_tok"] == toks.loc[out.index, "n"]).all()
+    assert (out["cross_entropy_nats"] > 0).all()
+
+
+def test_mix_sources_keeps_head_sources_whole(spark):
+    """Head sources (src0..src9) are never downsampled; tail sources
+    lose rows (the hash quarter-rate) somewhere in the corpus."""
+    out = (
+        REGISTRY["q_mix_sources"].fn(spark, SF).toPandas().set_index("source")
+    )
+    full = (
+        table(spark, SF, "documents")
+        .groupBy("source")
+        .count()
+        .toPandas()
+        .set_index("source")
+    )
+    head = [f"src{i}" for i in range(10)]
+    for s in head:
+        if s in full.index:
+            assert out.loc[s, "n_docs"] == full.loc[s, "count"]
+    tail_full = full.drop(index=[s for s in head if s in full.index])
+    tail_kept = out.reindex(tail_full.index)["n_docs"].fillna(0)
+    assert tail_kept.sum() < tail_full["count"].sum()
+
+
+def test_custom_datasource_matches_fixture_df(spark):
+    """The Python DataSource must emit exactly the canonical fixture
+    rows (same generator, same seed) — full-row equality, not just
+    counts."""
+    from gps_stream_processing_spark.sources.nmea import nmea_fixture_df
+    from gps_stream_processing_spark.sources.nmea_datasource import (
+        register_nmea_datasource,
+    )
+
+    register_nmea_datasource(spark)
+    via_source = (
+        spark.read.format("nmea_fixture")
+        .option("n_tracks", 3)
+        .option("n_seconds", 120)
+        .load()
+        .orderBy("line_no")
+        .collect()
+    )
+    canonical = (
+        nmea_fixture_df(spark, n_tracks=3, n_seconds=120)
+        .orderBy("line_no")
+        .collect()
+    )
+    assert via_source == canonical
+
+
+def test_sessionize_sessions_are_gap_consistent(spark):
+    """Per user: sessions don't overlap, are ordered, and consecutive
+    sessions are separated by MORE than the 30-minute threshold
+    (otherwise they'd have been merged)."""
+    out = (
+        REGISTRY["q_sessionize"]
+        .fn(spark, SF)
+        .toPandas()
+        .sort_values(["user_id", "session_no"])
+    )
+    for _, grp in out.groupby("user_id"):
+        starts = grp["session_start"].tolist()
+        ends = grp["session_end"].tolist()
+        for s, e in zip(starts, ends):
+            assert s <= e
+        for prev_end, nxt_start in zip(ends, starts[1:]):
+            assert (nxt_start - prev_end).total_seconds() > 1800
+
+
+def test_hll_sketch_envelope_flags_true(spark):
+    out = REGISTRY["q_hll_partitioned_sketch"].fn(spark, SF).toPandas()
+    assert out["approx_within_5pct"].all()
+    assert "ALL" in set(out["level"])
+
+
+def test_dq_checks_clean_fixture(spark):
+    """The generated testdata satisfies all expectations — a violation
+    here means the fixture changed, not the operator."""
+    out = (
+        REGISTRY["q_dq_checks"].fn(spark, SF).toPandas().set_index("rule")
+    )
+    assert (out["n_violations"] == 0).all()
+    assert (out["n_checked"] > 0).all()
+
+
+def test_read_merge_schema_null_pads_old_batch(spark):
+    out = REGISTRY["q_read_merge_schema"].fn(spark, SF).toPandas()
+    n = table(spark, SF, "orders").count()
+    assert int(out.loc[0, "n_rows"]) == n
+    assert 0 < int(out.loc[0, "n_with_priority"]) < n
