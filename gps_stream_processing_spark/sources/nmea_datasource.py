@@ -41,15 +41,25 @@ class NmeaFixtureDataSource(DataSource):
 
 class NmeaFixtureReader(DataSourceReader):
     def __init__(self, options) -> None:
+        import os
+
         self.n_tracks = int(options.get("n_tracks", 3))
         self.n_seconds = int(options.get("n_seconds", 120))
+        # Captured at plan time on the driver, shipped in the pickled
+        # reader: lets the executor-side import succeed even when the
+        # worker process doesn't inherit the repo on PYTHONPATH.
+        self.repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
 
     def partitions(self):
         return [InputPartition(t) for t in range(self.n_tracks)]
 
     def read(self, partition):
-        # Executor-side import: workers resolve the package through the
-        # same PYTHONPATH as every pandas UDF in this repo.
+        import sys
+
+        if self.repo_root not in sys.path:
+            sys.path.insert(0, self.repo_root)
         from gps_stream_processing_spark.sources.nmea import generate_nmea_rows
 
         want = partition.value
