@@ -1821,3 +1821,38 @@ def q_hll_partitioned_sketch(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     return per_rows.unionByName(all_row)
+
+
+@register(
+    "q_join_lateral",
+    oracle="""
+    SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+    FROM orders o JOIN LATERAL (
+      SELECT l_linenumber, l_extendedprice FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+    ) t ON TRUE
+    WHERE o.o_orderstatus = 'F'
+    """,
+    doc="Correlated LATERAL subquery join (SURVEY §2.3, ext): top-2 "
+    "line items per order expressed as the per-row subquery a SQL user "
+    "writes — Catalyst de-correlates it into a WindowGroupLimit "
+    "(partial top-k before the shuffle) + one equi-join, i.e. exactly "
+    "the q_topk_group plan, no per-row execution. The plan shape is "
+    "pinned by tests/test_plans.py. Deterministic via the "
+    "(price, linenumber) tie-break; exact oracle (DuckDB LATERAL).",
+)
+def q_join_lateral(spark: SparkSession, sf: str) -> DataFrame:
+    table(spark, sf, "orders").createOrReplaceTempView("orders_lat")
+    table(spark, sf, "lineitem").createOrReplaceTempView("lineitem_lat")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        FROM orders_lat o JOIN LATERAL (
+          SELECT l_linenumber, l_extendedprice FROM lineitem_lat l
+          WHERE l.l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+        ) t
+        WHERE o.o_orderstatus = 'F'
+        """
+    )

@@ -288,3 +288,13 @@ def test_tune_session_covers_sibling_sessions(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         sib.conf.unset(registry._TUNED_MARKER)
+
+
+def test_lateral_join_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL top-2 subquery must NOT execute per row:
+    Catalyst rewrites it to WindowGroupLimit (partial top-k before the
+    shuffle) + an equi-join — no nested-loop, no cartesian."""
+    plan = plan_of(REGISTRY["q_join_lateral"].fn(spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
