@@ -50,7 +50,18 @@ def kmeans(
     # connected_components/pagerank; unpersisted before returning (the
     # returned plan re-reads the source once, lazily).
     base = embeddings.select(F.col(id_col).alias("vid"), vec.alias("v")).persist()
+    # try/finally: every exit path (the k-too-large ValueError below, a
+    # failure inside the Lloyd loop) must release the cache — without it
+    # the blocks stay pinned for the session lifetime.
+    try:
+        return _lloyd(base, k, n_iterations, dim, id_col)
+    finally:
+        base.unpersist()
 
+
+def _lloyd(
+    base: DataFrame, k: int, n_iterations: int, dim: int, id_col: str
+) -> DataFrame:
     init_rows = base.orderBy("vid").limit(k).collect()
     if len(init_rows) < k:
         raise ValueError(
@@ -102,13 +113,11 @@ def kmeans(
         # an emptied cluster keeps its previous centroid (standard
         # Lloyd's convention; deterministic)
         centroids = [by_cluster.get(j, centroids[j]) for j in range(k)]
-    result = assigned.select(
+    # Materialize off the cache before the caller's finally unpersists —
+    # returning a plan rooted at the (unpersisted) cache would silently
+    # re-scan the source when the caller finally executes.
+    return assigned.select(
         F.col("vid").alias(id_col),
         "cluster",
         F.round(F.sqrt("d2"), 6).alias("dist"),
-    # Materialize off the cache, then free it — returning a plan rooted
-    # at the (unpersisted) cache would silently re-scan the source when
-    # the caller finally executes.
     ).localCheckpoint(eager=True)
-    base.unpersist()
-    return result

@@ -47,9 +47,17 @@ _DEDUP_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _memo(spark: SparkSession, sf: str, what: str, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf, what)
+    app = spark.sparkContext.applicationId
+    key = (app, sf, what)
     df = _DEDUP_MEMO.get(key)
     if df is None:
+        # Bounded retention: the memo exists to share work WITHIN one
+        # SF's verification sweep. Switching SF evicts this app's
+        # entries for every other SF — dropping the last reference lets
+        # the ContextCleaner release the checkpointed blocks — so at
+        # most one SF's (small) pair tables stay pinned per app.
+        for stale in [k for k in _DEDUP_MEMO if k[0] == app and k[1] != sf]:
+            del _DEDUP_MEMO[stale]
         df = _DEDUP_MEMO[key] = build().localCheckpoint(eager=True)
     return df
 

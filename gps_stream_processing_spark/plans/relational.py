@@ -1492,7 +1492,10 @@ def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     "flag-then-running-sum pair of windows, both partitioned by user — "
     "one shuffle, never a global sort. The streaming twin is "
     "q_stream_session; this is how the same cut is done on data at "
-    "rest. Exact oracle (tie-break on event_id).",
+    "rest. Exact oracle (tie-break on event_id); the gap compares "
+    "MICROSECONDS on both sides (unix_micros here, the "
+    "microsecond-exact interval in DuckDB) — a floor-second cast would "
+    "merge sessions the oracle splits for any gap in (1800s, 1801s).",
 )
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "events")
@@ -1500,7 +1503,7 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     prev_ts = F.lag("ts").over(w)
     new_s = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1_800_000_000),
         1,
     ).otherwise(0)
     cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
@@ -1719,31 +1722,47 @@ def q_dq_checks(spark: SparkSession, sf: str) -> DataFrame:
     "the additive-column evolution every long-lived dataset undergoes) "
     "read back through mergeSchema=true, old rows NULL-padded. The "
     "aggregate pins row count, a DECIMAL-stable price sum, and how "
-    "many rows carry the evolved column. Idempotent batch write per "
-    "sf; exact oracle via the lossless round-trip.",
+    "many rows carry the evolved column. The staged batches are keyed "
+    "by a fingerprint of the SOURCE parquet (path+size+mtime), so a "
+    "regenerated orders fixture lands in a fresh directory instead of "
+    "silently serving stale batches, and the stage is written to a "
+    "per-process temp dir then atomically renamed — two concurrent "
+    "runs of the same SF race only on the rename, never on half-"
+    "written files. Exact oracle via the lossless round-trip.",
 )
 def q_read_merge_schema(spark: SparkSession, sf: str) -> DataFrame:
     import hashlib
     import os
+    import shutil
 
     o = table(spark, sf, "orders")
-    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    src = os.path.join(sf, "orders.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{src}:{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fp = src  # non-local/remote source: fall back to a path-only tag
+    tag = hashlib.md5(fp.encode()).hexdigest()[:12]
     root = f"/tmp/gps_spark_mergeschema_{tag}"
-    done = os.path.join(root, "_DONE")
-    if not os.path.exists(done):
+    if not os.path.isdir(root):
+        stage = f"{root}.stage.{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
         (
             o.filter(F.col("o_orderkey") % 2 == 0)
             .select("o_orderkey", "o_totalprice")
             .write.mode("overwrite")
-            .parquet(os.path.join(root, "batch=1"))
+            .parquet(os.path.join(stage, "batch=1"))
         )
         (
             o.filter(F.col("o_orderkey") % 2 == 1)
             .select("o_orderkey", "o_totalprice", "o_orderpriority")
             .write.mode("overwrite")
-            .parquet(os.path.join(root, "batch=2"))
+            .parquet(os.path.join(stage, "batch=2"))
         )
-        open(done, "w").close()
+        try:
+            os.rename(stage, root)  # atomic publish; loser cleans up
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
     merged = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(root, "batch=1"), os.path.join(root, "batch=2")
     )
