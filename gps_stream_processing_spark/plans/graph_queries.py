@@ -73,20 +73,64 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_count(copurchase_edges(spark, sf))
 
 
+def _pagerank_oracle(n_iterations: int = 10, damping: float = 0.85) -> str:
+    """Full DuckDB oracle for fixed-iteration PageRank: the 10 rounds
+    unrolled as chained CTEs (DuckDB's recursive CTE can't reference the
+    working table twice per step — once for contributions, once for the
+    dangling-mass total — so unrolling is the honest expression).
+
+    Every per-iteration CTE is ``AS MATERIALIZED``: each ``c{i}`` has two
+    consumers (the rank join and the dangling-mass sum), so DuckDB's
+    default CTE *inlining* would double the expansion per round — a
+    2^10 blow-up of the edge-derivation subtree. Same reasoning as the
+    engine's per-round ``localCheckpoint`` (operators/graph.py).
+
+    Float discipline: all constants forced to DOUBLE (a bare ``0.85``
+    parses as DECIMAL and (1 - 0.85) would be exact where IEEE isn't),
+    both sides round to 6 dp — per-destination sum reassociation is
+    ~1e-15 relative, invisible at 1e-6 spacing. Verified hash-exact vs
+    the engine at sf0.001 and sf0.01."""
+    d = f"CAST({damping} AS DOUBLE)"
+    sql = [f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + {_SUPP_OFFSET} AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    ed AS MATERIALIZED (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+    r0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS rank FROM nodes, nn)"""]
+    for i in range(1, n_iterations + 1):
+        sql.append(f""",
+    c{i} AS MATERIALIZED (
+      SELECT ed.dst AS id, SUM(r.rank / ed.deg) AS s
+      FROM r{i - 1} r JOIN ed ON r.id = ed.src
+      GROUP BY ed.dst
+    ),
+    d{i} AS MATERIALIZED (SELECT 1.0 - COALESCE(SUM(s), 0.0) AS dm FROM c{i}),
+    r{i} AS MATERIALIZED (
+      SELECT nodes.id,
+             (1.0 - {d}) / nn.n + {d} * (COALESCE(c{i}.s, 0.0) + d{i}.dm / nn.n) AS rank
+      FROM nodes CROSS JOIN nn CROSS JOIN d{i}
+      LEFT JOIN c{i} ON nodes.id = c{i}.id
+    )""")
+    sql.append(f"""
+    SELECT id, ROUND(rank, 6) AS rank FROM r{n_iterations}""")
+    return "".join(sql)
+
+
 @register(
     "q_pagerank",
-    # No SQL oracle: fixed-iteration PageRank needs recursion DuckDB's
-    # recursive CTE can't express cleanly (the recursive term would have
-    # to reference the working table twice: once for contributions, once
-    # for dangling mass). Correctness is pinned instead by pytest
-    # (tests/test_graph.py): the distributed result must match an exact
-    # driver-side replica of the same iteration at 1e-9, and ranks must
-    # sum to 1.
+    oracle=_pagerank_oracle(),
     doc="PageRank (10 iterations, damping 0.85) over the bipartite "
     "customer->supplier purchase graph — per round one rank x edge "
     "join + one per-destination sum, lineage checkpoint-truncated "
-    "(operators/graph.py). Rows-only driver check; pytest pins values.",
+    "(operators/graph.py). Full oracle: the same iteration unrolled "
+    "as materialized DuckDB CTEs, both sides rounded to 6 dp; pytest "
+    "additionally pins the operator against an exact driver-side "
+    "replica at 1e-9.",
 )
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     ranks = pagerank(customer_supplier_edges(spark, sf), n_iterations=10)
-    return ranks.select("id", F.round("rank", 9).alias("rank"))
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
