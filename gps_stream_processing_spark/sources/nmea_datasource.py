@@ -11,13 +11,18 @@ NMEA sentence source, partitioned per track, readable as
 
 Scale notes: ``partitions()`` declares one InputPartition per track, so
 a cluster reads tracks in parallel exactly like a directory of
-per-receiver files; each partition's ``read`` yields plain tuples that
-Spark converts to Arrow batches. The fixture generator is a single
-sequential RNG stream (FIXTURES.md §A.1 pins byte-identical output), so
-each partition regenerates the stream and keeps its own track's rows —
-fine at fixture scale and the price of bit-exact parity with the
-committed parquet; a production source would instead seed per
-partition or read per-receiver files.
+per-receiver files. The fixture generator is a single sequential RNG
+stream (FIXTURES.md §A.1 pins byte-identical output), so the split is
+done ONCE, driver-side, at planning time: ``partitions()`` generates
+the stream and ships each InputPartition only its own track's rows
+(the same place Spark's own in-memory sources carry their data).
+Total work is O(N) and each task deserializes + yields only its slice
+— previously each of the T executors re-generated the full stream and
+filtered (O(T×N) work, the shape that kills at scale). A production
+source whose data is NOT a driver-known fixture would instead derive a
+per-partition RNG seed (or read per-receiver files) so generation
+itself happens executor-side; for a byte-pinned fixture the driver IS
+the source of truth.
 """
 
 from __future__ import annotations
@@ -41,33 +46,28 @@ class NmeaFixtureDataSource(DataSource):
 
 class NmeaFixtureReader(DataSourceReader):
     def __init__(self, options) -> None:
-        import os
-
         self.n_tracks = int(options.get("n_tracks", 3))
         self.n_seconds = int(options.get("n_seconds", 120))
-        # Captured at plan time on the driver, shipped in the pickled
-        # reader: lets the executor-side import succeed even when the
-        # worker process doesn't inherit the repo on PYTHONPATH.
-        self.repo_root = os.path.dirname(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        )
 
     def partitions(self):
-        return [InputPartition(t) for t in range(self.n_tracks)]
-
-    def read(self, partition):
-        import sys
-
-        if self.repo_root not in sys.path:
-            sys.path.insert(0, self.repo_root)
+        # Driver-side, once per planned scan: generate the sequential
+        # fixture stream and slice it per track. Each InputPartition is
+        # pickled separately into its own task, so an executor receives
+        # (and yields) only its track — read work is O(slice), total
+        # O(N), while the emitted bytes stay pinned to FIXTURES.md §A.1.
         from gps_stream_processing_spark.sources.nmea import generate_nmea_rows
 
-        want = partition.value
-        for line_no, track, value in generate_nmea_rows(
+        by_track: dict[int, list[tuple[int, int, str]]] = {
+            t: [] for t in range(self.n_tracks)
+        }
+        for row in generate_nmea_rows(
             n_tracks=self.n_tracks, n_seconds=self.n_seconds
         ):
-            if track == want:
-                yield (line_no, track, value)
+            by_track[row[1]].append(row)
+        return [InputPartition(by_track[t]) for t in range(self.n_tracks)]
+
+    def read(self, partition):
+        yield from partition.value
 
 
 def register_nmea_datasource(spark) -> None:
