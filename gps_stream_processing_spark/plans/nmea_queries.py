@@ -198,45 +198,34 @@ def q_grid_density(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "q_join_spatial",
-    oracle=_orc.ORACLE_JOIN_SPATIAL,
-    doc="Grid-binned spatial proximity join (SURVEY §2.3, ext): pairs "
-    "of fixes from two different tracks within 200 km (the fixture's "
-    "track pairs sit at ~149/161/305 km, so the radius discriminates). "
-    "Cell size must cover the radius on BOTH axes: a degree of "
-    "longitude is 111.32*cos(lat) km, so at the fixture's <=51°N a "
-    "3.0-degree cell is >=210 km — any qualifying pair is in the same "
-    "or an adjacent cell. One side explodes its 3x3 cell neighborhood, "
-    "the equi-join runs on the cell id — each pair matches exactly "
-    "once since the plain side is in exactly one cell — and exact "
-    "haversine refines. The DuckDB oracle is the naive quadratic theta "
-    "join: same result, the scale contrast (the q_join_range/_binned "
-    "pairing, spatially). At 100 TB the cell id is the shuffle key — "
-    "O(9n) rows, never n^2.",
-)
-def q_join_spatial(spark: SparkSession, sf: str) -> DataFrame:
+def spatial_pairs(
+    fixes_in: DataFrame, cell: float = 3.0, radius_km: float = 200.0
+) -> DataFrame:
+    """Grid-binned proximity self-join over (track_id, lat, lon) rows.
+
+    111.32*cos(51°)*3.0 ≈ 210 km > the 200 km radius (the lat axis is
+    334 km/cell — always the looser bound). Above ~53° the 3° lon cell
+    no longer covers the radius, and within 3° of the antimeridian the
+    neighbor-cell offsets don't wrap (a pair straddling ±180° would be
+    silently dropped) — assert_true makes data outside that envelope
+    fail LOUDLY at execution instead of under-joining. JVM-side, no
+    extra job: assert_true yields NULL for passing rows, so the isNull
+    filter keeps every (valid) row."""
     from gps_stream_processing_spark.functions.geo import haversine_km
 
-    # 111.32*cos(51°)*3.0 ≈ 210 km > the 200 km radius (the lat axis is
-    # 334 km/cell — always the looser bound). Above ~53° the 3° lon cell
-    # no longer covers the radius and the binned join would silently drop
-    # qualifying pairs (and lon cells don't wrap at the antimeridian) —
-    # assert_true makes a fixture drift past the envelope fail loudly at
-    # execution instead. JVM-side, no extra job: assert_true yields NULL
-    # for passing rows, so the isNull filter keeps every (valid) row.
-    cell = 3.0
-    radius_km = 200.0
-    fixes = good_enough(_merged(spark)).select(
+    fixes = fixes_in.select(
         "track_id", "lat", "lon",
         F.floor(F.col("lat") / cell).cast("long").alias("cl"),
         F.floor(F.col("lon") / cell).cast("long").alias("co"),
     ).filter(
         F.assert_true(
-            F.abs(F.col("lat")) <= F.lit(53.0),
-            F.lit("q_join_spatial: |lat| > 53 breaks the 3-degree cell "
-                  "coverage of the 200 km radius — re-derive the cell "
-                  "width for this fixture"),
+            (F.abs(F.col("lat")) <= F.lit(53.0))
+            & (F.abs(F.col("lon")) <= F.lit(180.0 - cell)),
+            F.lit("spatial_pairs: fix outside the grid envelope "
+                  "(|lat| > 53 breaks the 3-degree cell coverage of "
+                  "the 200 km radius; |lon| > 177 would need "
+                  "antimeridian cell wrap) — re-derive the cell "
+                  "geometry for this data"),
         ).isNull()
     )
     off = F.explode(
@@ -272,6 +261,29 @@ def q_join_spatial(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.min(dist), 6).alias("min_dist_km"),
         )
     )
+
+
+@register(
+    "q_join_spatial",
+    oracle=_orc.ORACLE_JOIN_SPATIAL,
+    doc="Grid-binned spatial proximity join (SURVEY §2.3, ext): pairs "
+    "of fixes from two different tracks within 200 km (the fixture's "
+    "track pairs sit at ~149/161/305 km, so the radius discriminates). "
+    "Cell size must cover the radius on BOTH axes: a degree of "
+    "longitude is 111.32*cos(lat) km, so at the fixture's <=51°N a "
+    "3.0-degree cell is >=210 km — any qualifying pair is in the same "
+    "or an adjacent cell. One side explodes its 3x3 cell neighborhood, "
+    "the equi-join runs on the cell id — each pair matches exactly "
+    "once since the plain side is in exactly one cell — and exact "
+    "haversine refines; data outside the cell-geometry envelope "
+    "(poleward of 53° or within a cell of the antimeridian) fails "
+    "loudly via assert_true instead of under-joining (spatial_pairs). "
+    "The DuckDB oracle is the naive quadratic theta join: same result, "
+    "the scale contrast (the q_join_range/_binned pairing, spatially). "
+    "At 100 TB the cell id is the shuffle key — O(9n) rows, never n^2.",
+)
+def q_join_spatial(spark: SparkSession, sf: str) -> DataFrame:
+    return spatial_pairs(good_enough(_merged(spark)))
 
 
 @register(

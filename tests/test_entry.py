@@ -1,22 +1,68 @@
 
 
-def test_queries_order_prioritizes_unverified():
-    """queries()/oracle_sql() emit never-driver-verified keys first (the
-    round driver checks a fixed-size prefix of the dict in our order) —
-    every key present exactly once, same key set as the registry."""
+def test_queries_order_policy():
+    """Emission-order policy (__spark_entry__._coverage_order): keys
+    needing their first real driver record come first (alphabetical),
+    then this round's plan-changed keys in their declared re-check
+    order, then recorded rows-only keys, then verified-unchanged keys —
+    every registry key exactly once, oracle_sql() in the same relative
+    order."""
     import __spark_entry__ as e
     from gps_stream_processing_spark import plans
 
     ks = list(e.queries())
     assert sorted(ks) == sorted(plans.queries())
-    done = e._verified_keys()
-    # all unverified keys strictly precede all verified keys
-    flags = [k in done for k in ks]
-    assert flags == sorted(flags)
-    # within each group the order is alphabetical (deterministic)
-    for group in (True, False):
-        sub = [k for k in ks if (k in done) == group]
-        assert sub == sorted(sub)
+
+    hash_ok, any_row = e._verification_state()
+    with_oracle = set(plans.oracle_sql())
+    need_first = sorted(
+        k for k in ks
+        if k not in hash_ok and (k in with_oracle or k not in any_row)
+    )
+    assert ks[: len(need_first)] == need_first
+    changed = [
+        k for k in e._CHANGED_SINCE_VERIFIED
+        if k in set(ks) and k not in need_first
+    ]
+    assert ks[len(need_first) : len(need_first) + len(changed)] == changed
+
+    osql = list(e.oracle_sql())
+    pos = {k: i for i, k in enumerate(ks)}
+    assert osql == sorted(osql, key=pos.__getitem__)
+
+
+def test_verification_state_fails_loudly_on_corrupt(tmp_path):
+    """A missing or unparseable committed correctness record must raise
+    (ADVICE r3): silently skipping one would make the emitted order
+    depend on local filesystem state."""
+    import os
+    import shutil
+
+    import pytest
+
+    import __spark_entry__ as e
+
+    here = os.path.dirname(os.path.abspath(e.__file__))
+    with pytest.raises(RuntimeError, match="unreadable"):
+        e._verification_state(base_dir=str(tmp_path))  # all missing
+    for fname in e._COMMITTED_ROUNDS:
+        shutil.copy(os.path.join(here, fname), tmp_path / fname)
+    (tmp_path / e._COMMITTED_ROUNDS[0]).write_text("{not json")
+    with pytest.raises(RuntimeError, match="unreadable"):
+        e._verification_state(base_dir=str(tmp_path))
+
+
+def test_tws_key_presence_matches_capability():
+    """q_stream_tws_fix_merge is the one environment-dependent key
+    (transformWithStateInPandas needs google.protobuf for Spark's
+    state-server Python worker): its presence in the registry must
+    track that capability probe exactly, and its absence is announced
+    by an import-time warning plus the README note — never a silent
+    key-set drift."""
+    from gps_stream_processing_spark import plans
+    from gps_stream_processing_spark.plans.streaming_queries import _tws_available
+
+    assert ("q_stream_tws_fix_merge" in plans.queries()) == _tws_available()
 
 
 def test_every_registry_key_documented_in_survey():

@@ -311,3 +311,30 @@ def test_committed_fixture_parquet_matches_generator():
         )
     )
     assert on_disk == generate_nmea_rows(n_tracks=3, n_seconds=120, seed=42)
+
+
+def test_spatial_pairs_envelope_fails_loudly(spark):
+    """The grid-binned spatial join's 3° cell geometry only covers the
+    200 km radius for |lat| <= ~53° and 3° clear of the antimeridian.
+    Data outside that envelope must raise (assert_true), never silently
+    under-join — the failure mode ADVICE.md round 3 flagged."""
+    import pytest
+
+    from gps_stream_processing_spark.plans.nmea_queries import spatial_pairs
+
+    schema = "track_id long, lat double, lon double"
+
+    poleward = spark.createDataFrame([(1, 60.0, 10.0), (2, 60.5, 10.5)], schema)
+    with pytest.raises(Exception, match="grid envelope"):
+        spatial_pairs(poleward).collect()
+
+    antimeridian = spark.createDataFrame(
+        [(1, 40.0, 179.5), (2, 40.0, -179.5)], schema
+    )
+    with pytest.raises(Exception, match="grid envelope"):
+        spatial_pairs(antimeridian).collect()
+
+    # in-envelope data still joins: two tracks ~75 km apart -> one pair
+    ok = spark.createDataFrame([(1, 48.0, 11.0), (2, 48.5, 11.5)], schema)
+    rows = spatial_pairs(ok).collect()
+    assert len(rows) == 1 and rows[0]["n_near_pairs"] == 1

@@ -298,3 +298,28 @@ def test_lateral_join_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_load_table_events_raises_on_non_utc_session(spark, tmp_path):
+    """The NTZ->timestamp cast is only epoch-correct under a UTC
+    session; a non-UTC session must RAISE (RuntimeError, alive under
+    `python -O` — a bare assert would strip and silently shift every
+    events timestamp). Uses a sibling session (per-session SQLConf) and
+    a fresh sf_dir so the table memo can't mask the check."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from gps_stream_processing_spark.sources.tables import load_table
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    t = pq.read_schema(src).field("ts").type
+    if pa.types.is_timestamp(t) and t.unit == "ns":
+        pytest.skip("nanos-typed events fixture: the NTZ cast path is not taken")
+    shutil.copy(src, tmp_path / "events.parquet")
+    sib = spark.newSession()
+    sib.conf.set("spark.sql.session.timeZone", "America/New_York")
+    with pytest.raises(RuntimeError, match="timeZone=UTC"):
+        load_table(sib, str(tmp_path), "events")

@@ -234,3 +234,26 @@ def test_true_streaming_sessions_subset_of_batch(spark):
     assert s, "stream must emit sessions"
     assert s.issubset(b)
     assert len(b - s) < 0.02 * len(b)  # only the trailing open tail missing
+
+
+def test_events_stream_raises_on_non_utc_session(spark, tmp_path):
+    """Streaming twin of the load_table UTC invariant: events_stream
+    must raise RuntimeError on a non-UTC session instead of silently
+    shifting watermarks (alive under `python -O`)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from gps_stream_processing_spark.streaming.runner import events_stream
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    t = pq.read_schema(src).field("ts").type
+    if pa.types.is_timestamp(t) and t.unit == "ns":
+        pytest.skip("nanos-typed events fixture: the NTZ cast path is not taken")
+    shutil.copy(src, tmp_path / "events.parquet")
+    sib = spark.newSession()
+    sib.conf.set("spark.sql.session.timeZone", "America/New_York")
+    with pytest.raises(RuntimeError, match="timeZone=UTC"):
+        events_stream(sib, str(tmp_path))
