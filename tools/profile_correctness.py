@@ -37,7 +37,8 @@ def main() -> None:
 
     rows = []
     t_all = time.time()
-    for name in entry._coverage_order(sorted(REGISTRY)):
+    with_oracle = {k for k, q in REGISTRY.items() if q.oracle is not None}
+    for name in entry._coverage_order(sorted(REGISTRY), with_oracle):
         if only and not any(name.startswith(p) for p in only):
             continue
         q = REGISTRY[name]
