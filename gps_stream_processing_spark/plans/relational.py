@@ -1704,6 +1704,23 @@ def q_dq_checks(spark: SparkSession, sf: str) -> DataFrame:
     return rules.select("r.rule", "r.n_violations", "r.n_checked")
 
 
+def _mergeschema_root(sf: str) -> str:
+    """Staging directory for q_read_merge_schema's evolved batches,
+    keyed by a fingerprint of the SOURCE parquet (path+size+mtime): a
+    regenerated orders fixture gets a fresh directory instead of
+    silently serving stale batches (ADVICE r3)."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf, "orders.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{src}:{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fp = src  # non-local/remote source: fall back to a path-only tag
+    return f"/tmp/gps_spark_mergeschema_{hashlib.md5(fp.encode()).hexdigest()[:12]}"
+
+
 @register(
     "q_read_merge_schema",
     # The merged read is lossless over the two landed batches, so the
@@ -1731,19 +1748,11 @@ def q_dq_checks(spark: SparkSession, sf: str) -> DataFrame:
     "written files. Exact oracle via the lossless round-trip.",
 )
 def q_read_merge_schema(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
     import os
     import shutil
 
     o = table(spark, sf, "orders")
-    src = os.path.join(sf, "orders.parquet")
-    try:
-        st = os.stat(src)
-        fp = f"{src}:{st.st_size}:{st.st_mtime_ns}"
-    except OSError:
-        fp = src  # non-local/remote source: fall back to a path-only tag
-    tag = hashlib.md5(fp.encode()).hexdigest()[:12]
-    root = f"/tmp/gps_spark_mergeschema_{tag}"
+    root = _mergeschema_root(sf)
     if not os.path.isdir(root):
         stage = f"{root}.stage.{os.getpid()}"
         shutil.rmtree(stage, ignore_errors=True)

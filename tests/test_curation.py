@@ -135,3 +135,36 @@ def test_read_merge_schema_null_pads_old_batch(spark):
     n = table(spark, SF, "orders").count()
     assert int(out.loc[0, "n_rows"]) == n
     assert 0 < int(out.loc[0, "n_with_priority"]) < n
+
+
+def test_merge_schema_staging_invalidates_on_source_change(tmp_path):
+    """The staging key must change when the source parquet changes
+    (size or mtime) and be stable when it doesn't — stale evolved
+    batches must never be served for a regenerated fixture (ADVICE r3)."""
+    import shutil
+
+    from gps_stream_processing_spark.plans.relational import _mergeschema_root
+
+    src = "/root/testdata/sf0.001/orders.parquet"
+    shutil.copy(src, tmp_path / "orders.parquet")
+    r1 = _mergeschema_root(str(tmp_path))
+    assert r1 == _mergeschema_root(str(tmp_path))  # stable
+    (tmp_path / "orders.parquet").touch()  # mtime bump = regenerated source
+    assert _mergeschema_root(str(tmp_path)) != r1
+    # distinct SF dirs never collide
+    assert _mergeschema_root("/root/testdata/sf0.001") != _mergeschema_root(
+        "/root/testdata/sf0.01"
+    )
+
+
+def test_dedup_memo_evicts_other_sf(spark):
+    """Switching SF bounds the dedup memo's retention to the current SF
+    (checkpointed blocks of other SFs are released, ADVICE r3)."""
+    from gps_stream_processing_spark.plans import llm
+
+    llm._shingles(spark, "/root/testdata/sf0.001")
+    app = spark.sparkContext.applicationId
+    assert any(k[1].endswith("sf0.001") for k in llm._DEDUP_MEMO if k[0] == app)
+    llm._shingles(spark, "/root/testdata/sf0.01")
+    mine = [k for k in llm._DEDUP_MEMO if k[0] == app]
+    assert mine and all(k[1].endswith("sf0.01") for k in mine)
