@@ -52,13 +52,92 @@ def _ddmm(deg: float) -> str:
     return f"{d:02d}{m:07.4f}"
 
 
+def _second_burst(
+    rng: random.Random, lat: float, lon: float, t_i: datetime
+) -> tuple[float, float, list[str]]:
+    """One fix-second's sentence burst for one track. Consumes the
+    track's RNG in a FIXED draw order (position, sats, dops, speed,
+    course, altitude, frac flag, GLL flag, PRN sample, GSV signal
+    draws, ZDA flag, malformed flag) — both generators below share
+    this, so the sequential fixture stream stays byte-identical to
+    FIXTURES.md §A.1 (pinned by pytest against the committed parquet)
+    and the per-track stream is reproducible from its seed alone."""
+    lines: list[str] = []
+    utc = t_i.strftime("%H%M%S")
+    date = t_i.strftime("%d%m%y")
+    lat += (rng.random() - 0.5) * 1e-3
+    lon += (rng.random() - 0.5) * 1e-3
+    ns = "N" if lat >= 0 else "S"
+    ew = "E" if lon >= 0 else "W"
+    nsat = rng.randint(3, 12)
+    hdop = round(rng.uniform(0.5, 12.0), 1)
+    speed = round(rng.uniform(0.0, 40.0), 1)
+    track_deg = round(rng.uniform(0.0, 359.9), 1)
+    alt = round(500 + rng.uniform(-20, 20), 1)
+    frac = ".00" if rng.random() < 0.2 else ""  # exercises fixUTC (:391-394)
+    lines.append(
+        _sentence(
+            f"GPGGA,{utc}{frac},{_ddmm(lat)},{ns},{_ddmm(lon)},{ew},1,"
+            f"{nsat:02d},{hdop},{alt},M,46.9,M,,"
+        )
+    )
+    lines.append(
+        _sentence(
+            f"GPRMC,{utc},A,{_ddmm(lat)},{ns},{_ddmm(lon)},{ew},"
+            f"{speed:05.1f},{track_deg:05.1f},{date},003.1,W"
+        )
+    )
+    if rng.random() < 0.15:
+        lines.append(
+            _sentence(f"GPGLL,{_ddmm(lat)},{ns},{_ddmm(lon)},{ew},{utc},A,")
+        )
+    # timestamp-less burst → adopts the forward-filled key
+    prns = sorted(rng.sample(range(1, 33), nsat))
+    sat_fields = ",".join(f"{p:02d}" for p in prns[:12])
+    pad = "," * (12 - min(nsat, 12))
+    lines.append(
+        _sentence(
+            f"GPGSA,A,3,{sat_fields}{pad},"
+            f"{round(hdop * 1.4, 1)},{hdop},{round(hdop * 1.1, 1)}"
+        )
+    )
+    n_view = min(nsat, 8)
+    n_msg = (n_view + 3) // 4
+    for msg in range(1, n_msg + 1):
+        grp = prns[(msg - 1) * 4 : msg * 4]
+        fields = ",".join(
+            f"{p:02d},{rng.randint(5, 85):02d},{rng.randint(0, 359):03d},{rng.randint(10, 50):02d}"
+            for p in grp
+        )
+        lines.append(_sentence(f"GPGSV,{n_msg},{msg},{n_view:02d},{fields}"))
+    lines.append(
+        _sentence(
+            f"GPVTG,{track_deg:05.1f},T,{round(track_deg - 2.1, 1):05.1f},M,"
+            f"{speed:05.1f},N,{round(speed * 1.852, 1):05.1f},K"
+        )
+    )
+    if rng.random() < 0.02:  # unknown type → dropped (:112)
+        lines.append(
+            _sentence(
+                f"GPZDA,{utc},{t_i.day:02d},{t_i.month:02d},{t_i.year},00,00"
+            )
+        )
+    if rng.random() < 0.01:  # malformed line
+        lines.append("$GP")
+    return lat, lon, lines
+
+
 def generate_nmea_rows(
     n_tracks: int = 3,
     n_seconds: int = 120,
     seed: int = 42,
     start: datetime | None = None,
 ) -> list[tuple[int, int, str]]:
-    """Deterministic (line_no, track_id, value) rows per FIXTURES.md §A.1."""
+    """Deterministic (line_no, track_id, value) rows per FIXTURES.md §A.1.
+
+    ONE sequential RNG stream across all tracks and a global dense
+    ``line_no`` — the committed-fixture contract (byte-pinned). The
+    per-partition-derivable twin for scale is ``generate_track_rows``."""
     rng = random.Random(seed)
     start = start or datetime(2024, 3, 23, 12, 35, 19, tzinfo=timezone.utc)
     rows: list[tuple[int, int, str]] = []
@@ -78,66 +157,46 @@ def generate_nmea_rows(
         lon = 11.0 + track + rng.random()
         t = start + timedelta(minutes=5 * track)
         for sec in range(n_seconds):
-            t_i = t + timedelta(seconds=sec)
-            utc = t_i.strftime("%H%M%S")
-            date = t_i.strftime("%d%m%y")
-            lat += (rng.random() - 0.5) * 1e-3
-            lon += (rng.random() - 0.5) * 1e-3
-            ns = "N" if lat >= 0 else "S"
-            ew = "E" if lon >= 0 else "W"
-            nsat = rng.randint(3, 12)
-            hdop = round(rng.uniform(0.5, 12.0), 1)
-            speed = round(rng.uniform(0.0, 40.0), 1)
-            track_deg = round(rng.uniform(0.0, 359.9), 1)
-            alt = round(500 + rng.uniform(-20, 20), 1)
-            frac = ".00" if rng.random() < 0.2 else ""  # exercises fixUTC (:391-394)
-            emit(
-                track,
-                _sentence(
-                    f"GPGGA,{utc}{frac},{_ddmm(lat)},{ns},{_ddmm(lon)},{ew},1,"
-                    f"{nsat:02d},{hdop},{alt},M,46.9,M,,"
-                ),
-            )
-            emit(
-                track,
-                _sentence(
-                    f"GPRMC,{utc},A,{_ddmm(lat)},{ns},{_ddmm(lon)},{ew},"
-                    f"{speed:05.1f},{track_deg:05.1f},{date},003.1,W"
-                ),
-            )
-            if rng.random() < 0.15:
-                emit(track, _sentence(f"GPGLL,{_ddmm(lat)},{ns},{_ddmm(lon)},{ew},{utc},A,"))
-            # timestamp-less burst → adopts the forward-filled key
-            prns = sorted(rng.sample(range(1, 33), nsat))
-            sat_fields = ",".join(f"{p:02d}" for p in prns[:12])
-            pad = "," * (12 - min(nsat, 12))
-            emit(
-                track,
-                _sentence(
-                    f"GPGSA,A,3,{sat_fields}{pad},"
-                    f"{round(hdop * 1.4, 1)},{hdop},{round(hdop * 1.1, 1)}"
-                ),
-            )
-            n_view = min(nsat, 8)
-            n_msg = (n_view + 3) // 4
-            for msg in range(1, n_msg + 1):
-                grp = prns[(msg - 1) * 4 : msg * 4]
-                fields = ",".join(
-                    f"{p:02d},{rng.randint(5, 85):02d},{rng.randint(0, 359):03d},{rng.randint(10, 50):02d}"
-                    for p in grp
-                )
-                emit(track, _sentence(f"GPGSV,{n_msg},{msg},{n_view:02d},{fields}"))
-            emit(
-                track,
-                _sentence(
-                    f"GPVTG,{track_deg:05.1f},T,{round(track_deg - 2.1, 1):05.1f},M,"
-                    f"{speed:05.1f},N,{round(speed * 1.852, 1):05.1f},K"
-                ),
-            )
-            if rng.random() < 0.02:  # unknown type → dropped (:112)
-                emit(track, _sentence(f"GPZDA,{utc},{t_i.day:02d},{t_i.month:02d},{t_i.year},00,00"))
-            if rng.random() < 0.01:  # malformed line
-                emit(track, "$GP")
+            lat, lon, lines = _second_burst(rng, lat, lon, t + timedelta(seconds=sec))
+            for line in lines:
+                emit(track, line)
+    return rows
+
+
+# line_no namespace stride for per-track generation: track t owns
+# [t*stride, (t+1)*stride) — disjoint for any burst ≤ stride/n_seconds
+# lines/second (actual max is ~8).
+TRACK_LINE_STRIDE = 1_000_000
+
+
+def generate_track_rows(
+    track: int,
+    n_seconds: int = 120,
+    seed: int = 42,
+    start: datetime | None = None,
+) -> list[tuple[int, int, str]]:
+    """ONE track's (line_no, track_id, value) rows, derived from the
+    partition descriptor alone: the RNG is seeded per track
+    (``seed/track/<t>``) and ``line_no`` lives in the track's own
+    namespace (``track * TRACK_LINE_STRIDE + i``) — no dependence on
+    any other track's stream. This is the scale-correct generation
+    shape (SCALE.md §Sources: per-partition work must be derivable
+    from the descriptor, never by replaying the whole source); the
+    sequential ``generate_nmea_rows`` stays the byte-pinned fixture
+    contract. Same per-second burst, same sentence mix, same defect
+    rates — only the seeding and numbering differ."""
+    rng = random.Random(f"{seed}/track/{track}")
+    start = start or datetime(2024, 3, 23, 12, 35, 19, tzinfo=timezone.utc)
+    lat = 48.0 + (track % 40) + rng.random()  # cap: stay in the ≤88° band
+    lon = 11.0 + (track % 120) + rng.random()
+    t = start + timedelta(minutes=5 * (track % 288))
+    rows: list[tuple[int, int, str]] = []
+    line_no = track * TRACK_LINE_STRIDE
+    for sec in range(n_seconds):
+        lat, lon, lines = _second_burst(rng, lat, lon, t + timedelta(seconds=sec))
+        for line in lines:
+            rows.append((line_no, track, line))
+            line_no += 1
     return rows
 
 

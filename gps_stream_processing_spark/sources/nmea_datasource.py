@@ -70,9 +70,67 @@ class NmeaFixtureReader(DataSourceReader):
         yield from partition.value
 
 
+class NmeaSynthDataSource(DataSource):
+    """``format("nmea_synth")`` — the PRODUCTION-shaped twin of
+    ``nmea_fixture``: generation happens executor-side, derived from
+    the partition descriptor alone (per-track RNG seed + per-track
+    line_no namespace, ``sources/nmea.py::generate_track_rows``), so
+    the source scales to any number of tracks with O(slice) work per
+    task and O(1) bytes per InputPartition. Options: n_tracks,
+    n_seconds, seed, tracks_per_partition (task granularity —
+    production tuning knob so 10⁵ tracks don't mean 10⁵ tasks)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "nmea_synth"
+
+    def schema(self) -> str:
+        return "line_no long, track_id long, value string"
+
+    def reader(self, schema) -> "NmeaSynthReader":
+        return NmeaSynthReader(self.options)
+
+
+class NmeaSynthReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        import os
+
+        self.n_tracks = int(options.get("n_tracks", 3))
+        self.n_seconds = int(options.get("n_seconds", 120))
+        self.seed = int(options.get("seed", 42))
+        self.tracks_per_partition = int(options.get("tracks_per_partition", 1))
+        # Shipped in the pickled reader so the executor-side import of
+        # generate_track_rows works even when the worker process didn't
+        # inherit the repo on PYTHONPATH.
+        self.repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+
+    def partitions(self):
+        step = self.tracks_per_partition
+        return [
+            InputPartition((lo, min(lo + step, self.n_tracks)))
+            for lo in range(0, self.n_tracks, step)
+        ]
+
+    def read(self, partition):
+        import sys
+
+        if self.repo_root not in sys.path:
+            sys.path.insert(0, self.repo_root)
+        from gps_stream_processing_spark.sources.nmea import generate_track_rows
+
+        lo, hi = partition.value
+        for track in range(lo, hi):
+            yield from generate_track_rows(
+                track, n_seconds=self.n_seconds, seed=self.seed
+            )
+
+
 def register_nmea_datasource(spark) -> None:
-    """Idempotent per-session registration."""
-    try:
-        spark.dataSource.register(NmeaFixtureDataSource)
-    except Exception:  # noqa: BLE001 — already registered is fine
-        pass
+    """Idempotent per-session registration of both formats."""
+    for src in (NmeaFixtureDataSource, NmeaSynthDataSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:  # noqa: BLE001 — already registered is fine
+            pass

@@ -168,3 +168,50 @@ def test_dedup_memo_evicts_other_sf(spark):
     llm._shingles(spark, "/root/testdata/sf0.01")
     mine = [k for k in llm._DEDUP_MEMO if k[0] == app]
     assert mine and all(k[1].endswith("sf0.01") for k in mine)
+
+
+def test_synth_datasource_partition_independent(spark):
+    """nmea_synth is the production-shaped source: executor-side
+    generation from the partition descriptor alone. The emitted rows
+    must be identical whatever the task granularity, deterministic per
+    seed, distinct across seeds, and per-track line_no namespaces must
+    stay disjoint."""
+    from gps_stream_processing_spark.sources.nmea import (
+        TRACK_LINE_STRIDE,
+        generate_track_rows,
+    )
+    from gps_stream_processing_spark.sources.nmea_datasource import (
+        register_nmea_datasource,
+    )
+
+    register_nmea_datasource(spark)
+
+    def load(**opts):
+        r = spark.read.format("nmea_synth")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load().orderBy("line_no").collect()
+
+    one = load(n_tracks=5, n_seconds=10, tracks_per_partition=1)
+    grouped = load(n_tracks=5, n_seconds=10, tracks_per_partition=3)
+    assert one == grouped and len(one) > 0
+
+    # partition descriptors carry (lo, hi) ranges, never rows
+    from gps_stream_processing_spark.sources.nmea_datasource import NmeaSynthReader
+
+    parts = NmeaSynthReader(
+        {"n_tracks": "5", "n_seconds": "10", "tracks_per_partition": "3"}
+    ).partitions()
+    assert [p.value for p in parts] == [(0, 3), (3, 5)]
+
+    # executor output == driver-side per-track generation, per track
+    expected = [
+        r for t in range(5) for r in generate_track_rows(t, n_seconds=10)
+    ]
+    assert [tuple(r) for r in one] == expected
+
+    # per-track namespaces disjoint; different seed -> different stream
+    for r in one:
+        assert r.line_no // TRACK_LINE_STRIDE == r.track_id
+    other_seed = load(n_tracks=5, n_seconds=10, seed=7)
+    assert other_seed != one
