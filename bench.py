@@ -48,28 +48,45 @@ def main() -> None:
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    r = spark.range(100_000)
-    r.withColumn(
-        "w", F.row_number().over(W.partitionBy(F.col("id") % 10).orderBy("id"))
-    ).agg(F.max("w")).collect()
-    r.alias("a").join(r.alias("b"), "id").agg(F.count("*")).collect()
-    r.select((F.col("id") % 7).alias("x")).toPandas()  # Arrow transfer path
-    # Python DataSource machinery (create_data_source / plan_read
-    # workers): first touch costs seconds regardless of data size —
-    # measured 8.1s cold vs 0.54s warm on a 3-partition fixture read.
-    from gps_stream_processing_spark.sources.nmea_datasource import (
-        register_nmea_datasource,
-    )
+    def _warm_datasource() -> None:
+        # Python DataSource machinery (create_data_source / plan_read
+        # workers): first touch costs seconds regardless of data size —
+        # measured 8.1s cold vs 0.54s warm on a 3-partition fixture read.
+        from gps_stream_processing_spark.sources.nmea_datasource import (
+            register_nmea_datasource,
+        )
 
-    register_nmea_datasource(spark)
-    (
-        spark.read.format("nmea_fixture")
-        .option("n_tracks", 1)
-        .option("n_seconds", 1)
-        .load()
-        .count()
+        register_nmea_datasource(spark)
+        (
+            spark.read.format("nmea_fixture")
+            .option("n_tracks", 1)
+            .option("n_seconds", 1)
+            .load()
+            .count()
+        )
+
+    warmups = (
+        lambda: spark.range(1_000_000).selectExpr("sum(id)").collect(),
+        lambda: spark.range(100_000)
+        .withColumn(
+            "w", F.row_number().over(W.partitionBy(F.col("id") % 10).orderBy("id"))
+        )
+        .agg(F.max("w"))
+        .collect(),
+        lambda: spark.range(100_000)
+        .alias("a")
+        .join(spark.range(100_000).alias("b"), "id")
+        .agg(F.count("*"))
+        .collect(),
+        # Arrow transfer path
+        lambda: spark.range(100_000).select((F.col("id") % 7).alias("x")).toPandas(),
+        _warm_datasource,
     )
+    for w in warmups:
+        try:
+            w()
+        except Exception:  # noqa: BLE001 — warm-up is best-effort; the
+            pass  # timed loop records the real failure per query
     from gps_stream_processing_spark.schemas import TESTDATA_TABLES
     from gps_stream_processing_spark.sources.tables import load_table
 

@@ -203,29 +203,42 @@ def spatial_pairs(
 ) -> DataFrame:
     """Grid-binned proximity self-join over (track_id, lat, lon) rows.
 
-    111.32*cos(51°)*3.0 ≈ 210 km > the 200 km radius (the lat axis is
-    334 km/cell — always the looser bound). Above ~53° the 3° lon cell
-    no longer covers the radius, and within 3° of the antimeridian the
-    neighbor-cell offsets don't wrap (a pair straddling ±180° would be
-    silently dropped) — assert_true makes data outside that envelope
-    fail LOUDLY at execution instead of under-joining. JVM-side, no
-    extra job: assert_true yields NULL for passing rows, so the isNull
-    filter keeps every (valid) row."""
+    Cell coverage must hold on BOTH axes, so the latitude envelope is
+    DERIVED from (cell, radius_km), not hardcoded: a degree of
+    longitude is ~111.32*cos(lat) km, so lon cells cover the radius
+    only for |lat| <= acos(radius / (111.32*cell)) — ≈53° at the
+    3.0°/200 km defaults. The lat axis (~110.57 km/deg everywhere) is
+    checked once at plan time; and within one cell of the antimeridian
+    the neighbor-cell offsets don't wrap (a pair straddling ±180°
+    would be silently dropped). assert_true makes data outside the
+    envelope fail LOUDLY at execution instead of under-joining.
+    JVM-side, no extra job: assert_true yields NULL for passing rows,
+    so the isNull filter keeps every (valid) row."""
+    import math
+
     from gps_stream_processing_spark.functions.geo import haversine_km
 
+    if 110.57 * cell < radius_km:
+        raise ValueError(
+            f"spatial_pairs: cell={cell}° is only {110.57 * cell:.0f} km "
+            f"on the latitude axis — cannot cover radius_km={radius_km}"
+        )
+    cos_bound = radius_km / (111.32 * cell)
+    lat_max = math.degrees(math.acos(min(cos_bound, 1.0)))
     fixes = fixes_in.select(
         "track_id", "lat", "lon",
         F.floor(F.col("lat") / cell).cast("long").alias("cl"),
         F.floor(F.col("lon") / cell).cast("long").alias("co"),
     ).filter(
         F.assert_true(
-            (F.abs(F.col("lat")) <= F.lit(53.0))
+            (F.abs(F.col("lat")) <= F.lit(round(lat_max, 6)))
             & (F.abs(F.col("lon")) <= F.lit(180.0 - cell)),
-            F.lit("spatial_pairs: fix outside the grid envelope "
-                  "(|lat| > 53 breaks the 3-degree cell coverage of "
-                  "the 200 km radius; |lon| > 177 would need "
-                  "antimeridian cell wrap) — re-derive the cell "
-                  "geometry for this data"),
+            F.lit(f"spatial_pairs: fix outside the grid envelope "
+                  f"(|lat| > {lat_max:.1f} breaks the {cell}-degree "
+                  f"cell coverage of the {radius_km} km radius; "
+                  f"|lon| > {180.0 - cell} would need antimeridian "
+                  f"cell wrap) — re-derive the cell geometry for "
+                  f"this data"),
         ).isNull()
     )
     off = F.explode(

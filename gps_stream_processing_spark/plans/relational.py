@@ -1715,9 +1715,15 @@ def _mergeschema_root(sf: str) -> str:
     src = os.path.join(sf, "orders.parquet")
     try:
         st = os.stat(src)
-        fp = f"{src}:{st.st_size}:{st.st_mtime_ns}"
-    except OSError:
-        fp = src  # non-local/remote source: fall back to a path-only tag
+    except OSError as ex:
+        # No silent path-only fallback: a tag that ignores content would
+        # quietly reinstate the stale-batch bug for exactly the cases
+        # where staleness is hardest to notice.
+        raise RuntimeError(
+            f"q_read_merge_schema: cannot fingerprint source {src!r} "
+            "(needed to key the staged evolved batches)"
+        ) from ex
+    fp = f"{src}:{st.st_size}:{st.st_mtime_ns}"
     return f"/tmp/gps_spark_mergeschema_{hashlib.md5(fp.encode()).hexdigest()[:12]}"
 
 
@@ -1769,9 +1775,14 @@ def q_read_merge_schema(spark: SparkSession, sf: str) -> DataFrame:
             .parquet(os.path.join(stage, "batch=2"))
         )
         try:
-            os.rename(stage, root)  # atomic publish; loser cleans up
+            os.rename(stage, root)  # atomic publish
         except OSError:
             shutil.rmtree(stage, ignore_errors=True)
+            # Losing the publish race is fine (the winner's root serves);
+            # any other rename failure (EACCES, ENOTDIR, ...) must
+            # surface, not masquerade as a missing-path read error.
+            if not os.path.isdir(root):
+                raise
     merged = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(root, "batch=1"), os.path.join(root, "batch=2")
     )

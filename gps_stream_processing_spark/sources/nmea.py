@@ -164,9 +164,12 @@ def generate_nmea_rows(
 
 
 # line_no namespace stride for per-track generation: track t owns
-# [t*stride, (t+1)*stride) — disjoint for any burst ≤ stride/n_seconds
-# lines/second (actual max is ~8).
+# [t*stride, (t+1)*stride). Max burst is 9 lines/fix-second
+# (GGA+RMC+GLL+GSA+2×GSV+VTG+ZDA+malformed), so generate_track_rows
+# guards n_seconds*9 <= stride — a spill would silently collide two
+# tracks' line_no keys downstream.
 TRACK_LINE_STRIDE = 1_000_000
+_MAX_BURST_LINES = 9
 
 
 def generate_track_rows(
@@ -185,6 +188,13 @@ def generate_track_rows(
     sequential ``generate_nmea_rows`` stays the byte-pinned fixture
     contract. Same per-second burst, same sentence mix, same defect
     rates — only the seeding and numbering differ."""
+    if n_seconds * _MAX_BURST_LINES > TRACK_LINE_STRIDE:
+        raise ValueError(
+            f"n_seconds={n_seconds} can emit up to "
+            f"{n_seconds * _MAX_BURST_LINES} lines — past the "
+            f"{TRACK_LINE_STRIDE}-wide per-track line_no namespace; "
+            "raise TRACK_LINE_STRIDE or split the track"
+        )
     rng = random.Random(f"{seed}/track/{track}")
     start = start or datetime(2024, 3, 23, 12, 35, 19, tzinfo=timezone.utc)
     lat = 48.0 + (track % 40) + rng.random()  # cap: stay in the ≤88° band

@@ -79,3 +79,27 @@ def test_every_registry_key_documented_in_survey():
     ).read()
     missing = [k for k in REGISTRY if f"`{k}`" not in survey]
     assert not missing, f"registry keys absent from SURVEY.md: {missing}"
+
+
+def test_committed_rounds_allowlist_tracks_disk():
+    """_COMMITTED_ROUNDS must cover every on-disk CORRECTNESS record up
+    to its own max round — a forgotten allowlist update would silently
+    freeze the emission order on stale state. Records from a round
+    NEWER than the allowlist's max are tolerated (the in-flight round's
+    driver output lands on disk before the next builder session updates
+    the list)."""
+    import glob
+    import os
+    import re
+
+    import __spark_entry__ as e
+
+    here = os.path.dirname(os.path.abspath(e.__file__))
+    rnum = lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1))  # noqa: E731
+    listed_max = max(rnum(f) for f in e._COMMITTED_ROUNDS)
+    on_disk = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if rnum(p) <= listed_max
+    }
+    assert on_disk == set(e._COMMITTED_ROUNDS)
