@@ -135,13 +135,14 @@ def _coverage_order(keys: list[str], with_oracle: set[str]) -> list[str]:
     emission order decides what gets (re-)verified. Policy, in rank
     order, tie-broken alphabetically unless stated:
 
-    0. keys still needing their first REAL driver record — never seen
+    0. ``_CHANGED_SINCE_VERIFIED`` (in that explicit order): keys whose
+       plan changed since their green row — changed code must sort
+       ahead of unverified keys (ADVICE r3, high) so any nonzero
+       verification window re-checks it before first-time coverage;
+    1. keys still needing their first REAL driver record — never seen
        by the driver at all, or oracle-equipped but only ever recorded
        rows-only (a ``no_oracle`` row is not value verification; e.g.
        q_pagerank, whose oracle landed after its rows-only records);
-    1. ``_CHANGED_SINCE_VERIFIED`` (in that explicit order): verified
-       keys whose plan changed since their green row — changed code
-       re-enters the window instead of hiding behind old records;
     2. contract rows-only keys (no oracle exists) that already have
        their record — re-running adds no information;
     3. hash-verified, unchanged keys.
@@ -152,10 +153,10 @@ def _coverage_order(keys: list[str], with_oracle: set[str]) -> list[str]:
     changed_rank = {k: i for i, k in enumerate(_CHANGED_SINCE_VERIFIED)}
 
     def rank(k: str) -> tuple[int, int, str]:
-        if k not in hash_ok and (k in with_oracle or k not in any_row):
-            return (0, 0, k)
         if k in changed_rank:
-            return (1, changed_rank[k], k)
+            return (0, changed_rank[k], k)
+        if k not in hash_ok and (k in with_oracle or k not in any_row):
+            return (1, 0, k)
         if k not in hash_ok:
             return (2, 0, k)
         return (3, 0, k)

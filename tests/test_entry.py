@@ -1,10 +1,11 @@
 
 
 def test_queries_order_policy():
-    """Emission-order policy (__spark_entry__._coverage_order): keys
-    needing their first real driver record come first (alphabetical),
-    then this round's plan-changed keys in their declared re-check
-    order, then recorded rows-only keys, then verified-unchanged keys —
+    """Emission-order policy (__spark_entry__._coverage_order): this
+    round's plan-changed keys come first in their declared re-check
+    order (changed code must precede first-time coverage — ADVICE r3),
+    then keys needing their first real driver record (alphabetical),
+    then recorded rows-only keys, then verified-unchanged keys —
     every registry key exactly once, oracle_sql() in the same relative
     order."""
     import __spark_entry__ as e
@@ -15,16 +16,15 @@ def test_queries_order_policy():
 
     hash_ok, any_row = e._verification_state()
     with_oracle = set(plans.oracle_sql())
+    changed = [k for k in e._CHANGED_SINCE_VERIFIED if k in set(ks)]
+    assert ks[: len(changed)] == changed
     need_first = sorted(
         k for k in ks
-        if k not in hash_ok and (k in with_oracle or k not in any_row)
+        if k not in set(changed)
+        and k not in hash_ok
+        and (k in with_oracle or k not in any_row)
     )
-    assert ks[: len(need_first)] == need_first
-    changed = [
-        k for k in e._CHANGED_SINCE_VERIFIED
-        if k in set(ks) and k not in need_first
-    ]
-    assert ks[len(need_first) : len(need_first) + len(changed)] == changed
+    assert ks[len(changed) : len(changed) + len(need_first)] == need_first
 
     osql = list(e.oracle_sql())
     pos = {k: i for i, k in enumerate(ks)}
