@@ -737,3 +737,319 @@ def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2/Q9/Q11/Q16/Q20 — the five TPC-H shapes that require partsupp, which the
+# driver schema does not provide. partsupp is DERIVED from lineitem instead:
+# the distinct (l_partkey, l_suppkey) pairs are exactly the part-supplier
+# relationships the data exercised, with
+#   ps_supplycost := MIN(l_extendedprice / l_quantity)   (best unit price seen)
+#   ps_availqty   := SUM(l_quantity)                     (total volume moved)
+# Both are deterministic across engines: IEEE double division + exact MIN,
+# and a DECIMAL(18,2) quantity sum. ps_supplycost is frozen to DECIMAL(18,6)
+# at the derivation boundary so all downstream money arithmetic is exact
+# decimal (associative under any partitioning). At 100 TB the derivation is
+# one hash aggregation on (partkey, suppkey) — the same shuffle key the
+# consuming joins need, so AQE reuses the exchange.
+
+
+def _partsupp(spark: SparkSession, sf: str) -> DataFrame:
+    l = table(spark, sf, "lineitem")
+    return l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+        .cast("decimal(18,6)")
+        .alias("ps_supplycost"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("ps_availqty"),
+    )
+
+
+_PS_CTE = """
+    partsupp AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(MIN(l_extendedprice / l_quantity) AS DECIMAL(18,6)) AS ps_supplycost,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ps_availqty
+      FROM lineitem
+      GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "q_tpch_q2",
+    oracle=f"""
+    WITH {_PS_CTE},
+    cost AS (
+      SELECT ps.ps_partkey, ps.ps_supplycost, s.s_name, s.s_acctbal, n.n_name
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT ROUND(c.s_acctbal, 2) AS s_acctbal, c.s_name, c.n_name,
+           p.p_partkey, p.p_name,
+           CAST(c.ps_supplycost AS DOUBLE) AS min_cost
+    FROM cost c
+    JOIN (SELECT ps_partkey, MIN(ps_supplycost) AS m FROM cost GROUP BY 1) mc
+      ON mc.ps_partkey = c.ps_partkey AND c.ps_supplycost = mc.m
+    JOIN part p ON p.p_partkey = c.ps_partkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 20
+    """,
+    doc="TPC-H Q2 (minimum-cost supplier), adapted to the derived "
+    "partsupp (see _partsupp): for each STANDARD mid-size part, the "
+    "EUROPE supplier(s) offering the regional minimum supply cost. The "
+    "correlated MIN subquery decorrelates to a per-part MIN aggregate "
+    "joined back on (partkey, cost) — cost equality is exact because "
+    "ps_supplycost is frozen DECIMAL. supplier/nation/region broadcast; "
+    "the per-part MIN reuses the partkey shuffle.",
+)
+def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    ps = _partsupp(spark, sf)
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    p = table(spark, sf, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    )
+    cost = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    mc = cost.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("m")
+    )
+    return (
+        cost.join(
+            mc,
+            (cost.ps_partkey == mc.mc_partkey) & (cost.ps_supplycost == mc.m),
+        )
+        .join(F.broadcast(p), cost.ps_partkey == p.p_partkey)
+        .select(
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("ps_supplycost").cast("double").alias("min_cost"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q9",
+    oracle=f"""
+    WITH {_PS_CTE}
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                          - ps.ps_supplycost * CAST(l.l_quantity AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 (product-type profit), adapted: profit = revenue minus "
+    "derived supply cost x quantity, for parts named '%widget%' (stands "
+    "in for '%green%' on the driver's adjective-noun p_name), by "
+    "supplier nation and order year. All money terms are exact DECIMAL "
+    "before the sum. The partsupp derivation and the lineitem join "
+    "share the (partkey, suppkey) shuffle; part/supplier/nation "
+    "broadcast; orders joins on the fact key under AQE.",
+)
+def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    ps = _partsupp(spark, sf)
+    l = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").filter(F.col("p_name").like("%widget%"))
+    s = table(spark, sf, "supplier")
+    o = table(spark, sf, "orders")
+    n = table(spark, sf, "nation")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    ) - F.col("ps_supplycost") * F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        l.join(
+            ps,
+            (l.l_partkey == ps.ps_partkey) & (l.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q_tpch_q11",
+    oracle=f"""
+    WITH {_PS_CTE},
+    val AS (
+      SELECT ps.ps_partkey, SUM(ps.ps_supplycost * ps.ps_availqty) AS v
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_nationkey < 13
+      GROUP BY 1
+    )
+    SELECT ps_partkey, CAST(ROUND(v, 2) AS DOUBLE) AS value
+    FROM val
+    WHERE v * (SELECT COUNT(*) FROM val) > 2 * (SELECT SUM(v) FROM val)
+    """,
+    doc="TPC-H Q11 (important stock identification), adapted: per-part "
+    "inventory value (derived cost x derived availqty) over suppliers "
+    "in the lower half of nations, keeping parts whose value exceeds "
+    "2x the mean part value — scale-invariant where TPC-H's fixed "
+    "0.0001 fraction is SF-relative (a fixed fraction empties the "
+    "result as part count grows). The global-threshold scalar subquery "
+    "becomes a broadcast 1-row (count, sum) aggregate crossJoin; "
+    "v*count > 2*sum keeps the comparison in exact DECIMAL x integer "
+    "arithmetic with no lossy fraction multiply.",
+)
+def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    ps = _partsupp(spark, sf)
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation").filter(F.col("n_nationkey") < 13)
+    val = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
+    )
+    total = val.agg(F.sum("v").alias("total"), F.count("*").alias("n_parts"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v") * F.col("n_parts") > 2 * F.col("total"))
+        .select(
+            "ps_partkey", F.round(F.col("v"), 2).cast("double").alias("value")
+        )
+    )
+
+
+@register(
+    "q_tpch_q16",
+    oracle=f"""
+    WITH {_PS_CTE}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+      )
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 (parts/supplier relationship), adapted: distinct "
+    "supplier count per (brand, type, size) bucket over the derived "
+    "partsupp, excluding one brand, the PROMO type, and suppliers in "
+    "poor standing (s_acctbal < 1000 stands in for the absent "
+    "'%Customer%Complaints%' comment filter). The NOT IN is a "
+    "broadcast left-anti join (s_suppkey is never null, so NOT IN and "
+    "anti-join agree); part is a broadcast dim.",
+)
+def q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    ps = _partsupp(spark, sf)
+    p = table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = (
+        table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_tpch_q20",
+    oracle=f"""
+    WITH {_PS_CTE},
+    yr AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty96
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT s.s_name, ROUND(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    WHERE s.s_nationkey < 13
+      AND s.s_suppkey IN (
+        SELECT ps.ps_suppkey
+        FROM partsupp ps
+        JOIN yr ON yr.l_partkey = ps.ps_partkey AND yr.l_suppkey = ps.ps_suppkey
+        WHERE ps.ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'large%'
+          )
+          AND yr.qty96 * 2 > ps.ps_availqty
+      )
+    """,
+    doc="TPC-H Q20 (potential part promotion), adapted: suppliers (in "
+    "the lower half of nations) who in 1996 moved more than half their "
+    "all-time volume of some 'large%' part — 'large%' stands in for "
+    "'forest%', and the availqty comparison uses the derived all-time "
+    "quantity. The nested IN subqueries decorrelate to two left-semi "
+    "joins (part filter broadcast; the yr/partsupp join shares the "
+    "(partkey, suppkey) aggregation shuffle).",
+)
+def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    ps = _partsupp(spark, sf)
+    l = table(spark, sf, "lineitem")
+    yr = (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("qty96")
+        )
+    )
+    big_parts = (
+        table(spark, sf, "part")
+        .filter(F.col("p_name").like("large%"))
+        .select("p_partkey")
+    )
+    promo_supps = (
+        ps.join(
+            yr,
+            (ps.ps_partkey == yr.l_partkey) & (ps.ps_suppkey == yr.l_suppkey),
+        )
+        .join(F.broadcast(big_parts), ps.ps_partkey == big_parts.p_partkey, "left_semi")
+        .filter(F.col("qty96") * 2 > F.col("ps_availqty"))
+        .select("ps_suppkey")
+    )
+    s = table(spark, sf, "supplier").filter(F.col("s_nationkey") < 13)
+    return (
+        s.join(promo_supps, s.s_suppkey == promo_supps.ps_suppkey, "left_semi")
+        .select("s_name", F.round(F.col("s_acctbal"), 2).alias("s_acctbal"))
+    )
