@@ -3,6 +3,7 @@
 registry that ``__spark_entry__.py`` exposes to the driver."""
 
 from gps_stream_processing_spark.plans import (  # noqa: F401
+    corpus,
     curation,
     events_analytics,
     graph_queries,

@@ -1,0 +1,245 @@
+"""Corpus-analytics and data-layout operators (SURVEY §2.9b).
+
+Engine surface (`ext`) — the reference (class.nmea.parser.php:1-399) has
+no text or layout code; these extend the LLM-data-pipeline family with
+three operators a 100 TB training-data store needs:
+
+- PMI bigram collocations (`q_pmi_bigrams`): corpus-level association
+  mining — the co-occurrence statistics behind phrase detection and
+  tokenizer vocabulary induction.
+- Inverted index (`q_inverted_index`): token -> document-frequency +
+  capped, sorted posting list — the retrieval-side structure for
+  decontamination lookups and BM25 serving.
+- Z-order layout (`q_zorder_layout`): Morton-interleaved multi-column
+  clustering key + per-bucket bounding-box stats — the data-layout
+  operator behind multi-dimensional file skipping (the OPTIMIZE
+  ZORDER pattern): tight per-file min/max envelopes on BOTH columns
+  are what let a scan prune files on either predicate.
+
+Parity discipline: tokenizer is the proven `split(lower(text), ' ')` ↔
+`string_split(lower(text), ' ')` pair used by the tf-idf/BM25 family;
+PMI keeps the exact same double expression structure on both engines
+before a ROUND(…, 6); the z-order bit interleave is pure integer
+arithmetic (exact on any engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from gps_stream_processing_spark.plans.registry import register, table
+
+
+@register(
+    "q_pmi_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    uni AS (
+      SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1
+    ),
+    bi AS (
+      SELECT b AS bigram, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM (
+        SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS b
+        FROM toks
+      ) GROUP BY 1
+    ),
+    n AS (
+      SELECT (SELECT SUM(c) FROM uni) AS nu, (SELECT SUM(cb) FROM bi) AS nb
+    )
+    SELECT bi.bigram, bi.cb, u1.c AS c1, u2.c AS c2,
+           ROUND(LN((bi.cb * 1.0 / n.nb)
+                    / ((u1.c * 1.0 / n.nu) * (u2.c * 1.0 / n.nu))), 6) AS pmi
+    FROM bi
+    JOIN uni u1 ON u1.word = string_split(bi.bigram, ' ')[1]
+    JOIN uni u2 ON u2.word = string_split(bi.bigram, ' ')[2]
+    CROSS JOIN n
+    WHERE bi.cb >= 5
+    """,
+    doc="Pointwise mutual information of adjacent word pairs over the "
+    "documents corpus: PMI = ln(p(xy) / (p(x)p(y))), support floor "
+    "cb >= 5. Plan shape: one explode->hash-agg per n-gram order "
+    "(map-side combined), then the bigram counts join the unigram "
+    "table twice (broadcast — vocabulary is small relative to the "
+    "corpus) and a broadcast 1-row (nu, nb) totals aggregate. The "
+    "double expression is structured identically on both engines "
+    "before ROUND(6), the ln-parity pattern q_tfidf established. At "
+    "100 TB the bigram agg is the only wide shuffle and its key space "
+    "is vocab^2-bounded; counts, not text, shuffle.",
+)
+def q_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    )
+    uni = (
+        toks.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, greatest(size(w) - 1, 0)),"
+                "         slice(w, 2, greatest(size(w) - 1, 0)),"
+                "         (x, y) -> concat(x, ' ', y))"
+            )
+        ).alias("bigram")
+    )
+    bi = bigrams.groupBy("bigram").agg(F.count("*").alias("cb"))
+    n = uni.agg(F.sum("c").alias("nu")).crossJoin(
+        bi.agg(F.sum("cb").alias("nb"))
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("cb") * 1.0 / F.col("nb"))
+            / ((F.col("c1") * 1.0 / F.col("nu")) * (F.col("c2") * 1.0 / F.col("nu")))
+        ),
+        6,
+    )
+    return (
+        bi.filter(F.col("cb") >= 5)
+        .join(F.broadcast(u1), F.split(F.col("bigram"), " ")[0] == F.col("w1"))
+        .join(F.broadcast(u2), F.split(F.col("bigram"), " ")[1] == F.col("w2"))
+        .crossJoin(F.broadcast(n))
+        .select("bigram", "cb", "c1", "c2", pmi.alias("pmi"))
+    )
+
+
+@register(
+    "q_inverted_index",
+    oracle="""
+    SELECT t AS token,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           array_to_string(list_sort(list(DISTINCT doc_id))[1:20], ',') AS postings
+    FROM (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+    doc="Inverted index: token -> document frequency + the first 20 "
+    "postings in doc_id order. Spark plan: distinct (token, doc_id) "
+    "pairs, a per-token window row_number caps the collected postings "
+    "at 20 BEFORE any list materializes (the full posting list of a "
+    "stopword-grade token would be corpus-sized; capping inside the "
+    "shuffle keeps per-group state bounded — the real 100 TB design "
+    "shards postings by (token, doc_id range) instead of collecting), "
+    "while df aggregates separately over all pairs. Postings are "
+    "string-joined (the q_agg_collect engine-neutral list convention). "
+    "DuckDB sorts the full distinct list then slices — same result, "
+    "oracle-side only.",
+)
+def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    pairs = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        )
+        .distinct()
+    )
+    df_counts = pairs.groupBy("token").agg(F.count("*").alias("df"))
+    top = (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("token").orderBy(F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("rn") <= 20)
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("postings")
+        )
+    )
+    return df_counts.join(top, "token").select("token", "df", "postings")
+
+
+@register(
+    "q_zorder_layout",
+    oracle="""
+    WITH stats AS (
+      SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+             MIN(value) AS vmin, MAX(value) AS vmax
+      FROM events
+    ),
+    binned AS (
+      SELECT CAST(LEAST(15, FLOOR((e.user_id - s.umin) * 16.0
+                                  / GREATEST(s.umax - s.umin, 1e-9))) AS BIGINT) AS ub,
+             CAST(LEAST(15, FLOOR((e.value - s.vmin) * 16.0
+                                  / GREATEST(s.vmax - s.vmin, 1e-9))) AS BIGINT) AS vb
+      FROM events e CROSS JOIN stats s
+    ),
+    zkeyed AS (
+      SELECT ub, vb,
+             (((ub >> 0) & 1) << 1) + (((vb >> 0) & 1) << 0)
+           + (((ub >> 1) & 1) << 3) + (((vb >> 1) & 1) << 2)
+           + (((ub >> 2) & 1) << 5) + (((vb >> 2) & 1) << 4)
+           + (((ub >> 3) & 1) << 7) + (((vb >> 3) & 1) << 6) AS z
+      FROM binned
+    )
+    SELECT z, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ub) AS min_ub, MAX(ub) AS max_ub,
+           MIN(vb) AS min_vb, MAX(vb) AS max_vb
+    FROM zkeyed GROUP BY z
+    """,
+    doc="Z-order (Morton) clustering key over (user_id, value): each "
+    "dimension is range-binned to 4 bits via a broadcast 1-row min/max "
+    "stats aggregate, the bits interleave into an 8-bit z-key (pure "
+    "integer arithmetic — exact on any engine), and the output is the "
+    "per-bucket bounding box. Writing files in z-key ranges gives every "
+    "file a tight min/max envelope on BOTH columns — the multi-"
+    "dimensional file-skipping layout (OPTIMIZE ZORDER). The aggregate "
+    "here verifies exactly that envelope property. At 100 TB the plan "
+    "is scan + broadcast stats + hash-agg on a 256-value key: no sort, "
+    "no wide shuffle; the layout write itself would repartitionByRange "
+    "on z (one range shuffle, the price of clustering).",
+)
+def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    stats = e.agg(
+        F.min("user_id").alias("umin"),
+        F.max("user_id").alias("umax"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+    def _bin(col, lo, hi):
+        span = F.greatest(F.col(hi) - F.col(lo), F.lit(1e-9))
+        return F.least(
+            F.lit(15).cast("long"),
+            F.floor((F.col(col) - F.col(lo)) * 16.0 / span),
+        ).cast("long")
+
+    binned = e.crossJoin(F.broadcast(stats)).select(
+        _bin("user_id", "umin", "umax").alias("ub"),
+        _bin("value", "vmin", "vmax").alias("vb"),
+    )
+    bit = lambda c, i: F.shiftright(F.col(c), i).bitwiseAND(F.lit(1))  # noqa: E731
+    z = sum(
+        (
+            F.shiftleft(bit("ub", i), 2 * i + 1)
+            + F.shiftleft(bit("vb", i), 2 * i)
+            for i in range(4)
+        ),
+        start=F.lit(0),
+    )
+    return (
+        binned.withColumn("z", z.cast("long"))
+        .groupBy("z")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ub").alias("min_ub"),
+            F.max("ub").alias("max_ub"),
+            F.min("vb").alias("min_vb"),
+            F.max("vb").alias("max_vb"),
+        )
+    )
