@@ -72,7 +72,12 @@ from gps_stream_processing_spark.plans.registry import register, table
     "is vocab^2-bounded; counts, not text, shuffle.",
 )
 def q_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
-    d = table(spark, sf, "documents")
+    return pmi_bigrams(table(spark, sf, "documents"))
+
+
+def pmi_bigrams(d: DataFrame, min_count: int = 5) -> DataFrame:
+    """PMI pipeline over any (doc_id, text) frame — reused by
+    scale_curve.py on replicated corpora."""
     toks = d.select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
     )
@@ -104,7 +109,7 @@ def q_pmi_bigrams(spark: SparkSession, sf: str) -> DataFrame:
         6,
     )
     return (
-        bi.filter(F.col("cb") >= 5)
+        bi.filter(F.col("cb") >= min_count)
         .join(F.broadcast(u1), F.split(F.col("bigram"), " ")[0] == F.col("w1"))
         .join(F.broadcast(u2), F.split(F.col("bigram"), " ")[1] == F.col("w2"))
         .crossJoin(F.broadcast(n))

@@ -59,6 +59,7 @@ def main() -> None:
         shingle_table,
     )
     from gps_stream_processing_spark.operators.graph import pagerank
+    from gps_stream_processing_spark.plans.corpus import pmi_bigrams
     from gps_stream_processing_spark.session import get_spark
     from gps_stream_processing_spark.sources.tables import load_table
 
@@ -99,6 +100,10 @@ def main() -> None:
             # so the distinct edge list grows ~linearly with the
             # factor — the claim is that 4x edges costs ~4x per round,
             # NOT 4x more rounds (fixed 5 rounds here).
+            # Vocab is fixed while the corpus replicates, so the bigram
+            # agg's key space is constant — the claim is scan-bound
+            # near-linear growth, not superlinear key-space growth.
+            "pmi_bigrams": lambda: pmi_bigrams(docs),
             "pagerank_5r": lambda: pagerank(
                 li.join(o, li.l_orderkey == o.o_orderkey).select(
                     F.col("o_custkey").alias("src"),

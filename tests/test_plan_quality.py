@@ -55,6 +55,12 @@ NESTED_LOOP_ALLOWED = {
     "single pass and the broadcast-anti FK check",
     "q_hll_partitioned_sketch": "cross of two 1-row aggregates (merged "
     "sketch estimate x exact global count) — the q_funnel shape",
+    "q_pmi_bigrams": "1-row broadcast (nu, nb) corpus-totals aggregate "
+    "for the PMI denominator — same pattern as q_tfidf/q_bm25",
+    "q_tpch_q11": "1-row broadcast (count, sum) global-threshold "
+    "aggregate (the scalar-subquery shape, as in q_tpch_q22)",
+    "q_zorder_layout": "1-row broadcast min/max binning-stats aggregate "
+    "(on a lakehouse these come free from table column stats)",
 }
 # Empty since the Arrow UDTF switch (spark.sql.execution.pythonUDTF.
 # arrow.enabled, set by get_spark AND tune_session): q_udtf_gsv now

@@ -323,3 +323,73 @@ def test_load_table_events_raises_on_non_utc_session(spark, tmp_path):
     sib.conf.set("spark.sql.session.timeZone", "America/New_York")
     with pytest.raises(RuntimeError, match="timeZone=UTC"):
         load_table(sib, str(tmp_path), "events")
+
+
+def test_pmi_bigrams_vocab_joins_broadcast(spark):
+    """The unigram sides and the totals row are corpus-small — both PMI
+    joins must broadcast; a sort-merge join here would shuffle the
+    bigram counts twice for no reason."""
+    plan = plan_of(REGISTRY["q_pmi_bigrams"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_inverted_index_postings_capped_and_consistent(spark):
+    """Postings are capped at 20 BEFORE collecting (bounded per-group
+    state); df counts the full posting set, so df >= len(postings) with
+    equality exactly when df <= 20."""
+    rows = REGISTRY["q_inverted_index"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        postings = [int(x) for x in r.postings.split(",")]
+        assert len(postings) <= 20
+        assert postings == sorted(postings)
+        assert r.df >= len(postings)
+        assert (r.df <= 20) == (r.df == len(postings))
+
+
+def test_zorder_key_bijective_per_bucket(spark):
+    """4+4-bit Morton interleave is a bijection: every z bucket must
+    collapse to exactly one (ub, vb) cell (min == max on both axes) —
+    the tight per-file bounding box that makes z-order layouts
+    skippable on either column — and z stays within 8 bits."""
+    rows = REGISTRY["q_zorder_layout"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.z <= 255
+        assert r.min_ub == r.max_ub and r.min_vb == r.max_vb
+        ub, vb = r.min_ub, r.min_vb
+        z = sum(((ub >> i) & 1) << (2 * i + 1) | ((vb >> i) & 1) << (2 * i) for i in range(4))
+        assert z == r.z
+
+
+def test_tpch_q16_anti_join_broadcast(spark):
+    """The NOT-IN supplier exclusion must plan as a broadcast anti join
+    (the exclusion list is tiny); part is a broadcast dim too."""
+    plan = plan_of(REGISTRY["q_tpch_q16"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_derived_partsupp_matches_distinct_pairs(spark):
+    """_partsupp (the Q2/Q9/Q11/Q16/Q20 stand-in) must carry exactly
+    the distinct (l_partkey, l_suppkey) pairs, with positive DECIMAL
+    cost/qty — the determinism contract its docstring claims."""
+    from decimal import Decimal
+
+    from gps_stream_processing_spark.plans.tpch import _partsupp
+
+    ps = _partsupp(spark, SF)
+    n_pairs = (
+        table(spark, SF, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .count()
+    )
+    rows = ps.collect()
+    assert len(rows) == n_pairs
+    assert all(
+        isinstance(r.ps_supplycost, Decimal) and r.ps_supplycost > 0 and r.ps_availqty > 0
+        for r in rows[:100]
+    )
