@@ -65,6 +65,26 @@ def main() -> None:
             .count()
         )
 
+    def _warm_udtf() -> None:
+        # Python UDTF workers are a separate pool from the pandas-UDF
+        # path, spawned one per task slot: first touch measured ~4s
+        # cold vs 0.6s warm at sf0.1 on q_udtf_gsv — without this,
+        # whichever UDTF query runs first absorbs the spin-up and
+        # cross-round comparisons mis-read it. One warm row per core so
+        # every slot's worker spawns here, not in the timed loop.
+        from pyspark.sql.functions import udtf
+
+        @udtf(returnType="x int")
+        class _W:
+            def eval(self, v):
+                yield (1,)
+
+        spark.udtf.register("_bench_warm_udtf", _W)
+        spark.sql(
+            f"SELECT * FROM range(0, {CPUS}, 1, {CPUS}) t, "
+            "LATERAL _bench_warm_udtf(t.id)"
+        ).collect()
+
     warmups = (
         lambda: spark.range(1_000_000).selectExpr("sum(id)").collect(),
         lambda: spark.range(100_000)
@@ -81,6 +101,7 @@ def main() -> None:
         # Arrow transfer path
         lambda: spark.range(100_000).select((F.col("id") % 7).alias("x")).toPandas(),
         _warm_datasource,
+        _warm_udtf,
     )
     for w in warmups:
         try:
