@@ -80,11 +80,14 @@ _COMMITTED_ROUNDS = (
     "CORRECTNESS_r03.json",
 )
 
-# Keys whose EXECUTION PLAN changed after their last green driver row
-# (maintained per round, newest edits only): changed code must re-enter
-# the driver's verification window rather than hide behind an old green
-# row (ADVICE r3, high). Listed in re-check priority order — the keys
-# whose round-4 change could move values first. For the record:
+# Keys whose EXECUTION PLAN changed after their last green driver row,
+# as (key, round_changed): changed code must re-enter the driver's
+# verification window rather than hide behind an old green row (ADVICE
+# r3, high). An entry SELF-PRUNES once a committed record carries a
+# hash-green row for the key from round >= round_changed — so a future
+# builder session forgetting to clear the list cannot waste window
+# slots re-verifying forever. Listed in re-check priority order — the
+# keys whose round-4 change could move values first. For the record:
 # q_sessionize now compares gap microseconds (was floor-seconds);
 # q_read_merge_schema stages batches under a source-fingerprint key
 # with an atomic publish; q_custom_datasource ships per-track slices
@@ -92,27 +95,31 @@ _COMMITTED_ROUNDS = (
 # q_join_spatial only ADDED an antimeridian guard to its envelope
 # assert (value-neutral for any in-envelope data), so it sorts last.
 _CHANGED_SINCE_VERIFIED = (
-    "q_sessionize",
-    "q_read_merge_schema",
-    "q_custom_datasource",
-    "q_join_spatial",
+    ("q_sessionize", 4),
+    ("q_read_merge_schema", 4),
+    ("q_custom_datasource", 4),
+    ("q_join_spatial", 4),
 )
 
 
-def _verification_state(base_dir: str | None = None) -> tuple[set[str], set[str]]:
+def _verification_state(
+    base_dir: str | None = None,
+) -> tuple[dict[str, int], set[str]]:
     """Parse the committed correctness rounds. Returns
-    ``(hash_verified, any_row)``: keys with at least one green
-    rows+schema+hash record, and keys with any driver record at all
-    (including the rows-only ``no_oracle`` kind — which is NOT
-    verification, just a coverage record). A missing or unparseable
-    committed file raises — best-effort parsing would make the order
-    environment-dependent."""
+    ``(hash_verified, any_row)``: for keys with at least one green
+    rows+schema+hash record, the LATEST round number that recorded one;
+    and keys with any driver record at all (including the rows-only
+    ``no_oracle`` kind — which is NOT verification, just a coverage
+    record). A missing or unparseable committed file raises —
+    best-effort parsing would make the order environment-dependent."""
     import json
+    import re
 
     here = base_dir or os.path.dirname(os.path.abspath(__file__))
-    hash_ok: set[str] = set()
+    hash_ok: dict[str, int] = {}
     any_row: set[str] = set()
     for fname in _COMMITTED_ROUNDS:
+        rnd = int(re.search(r"_r(\d+)\.json$", fname).group(1))
         path = os.path.join(here, fname)
         try:
             with open(path) as f:
@@ -124,21 +131,24 @@ def _verification_state(base_dir: str | None = None) -> tuple[set[str], set[str]
         for key, row in data.items():
             any_row.add(key)
             if row.get("hash_match"):
-                hash_ok.add(key)
+                hash_ok[key] = max(hash_ok.get(key, 0), rnd)
     return hash_ok, any_row
 
 
-def _coverage_order(keys: list[str], with_oracle: set[str]) -> list[str]:
+def _coverage_order(
+    keys: list[str], with_oracle: set[str], base_dir: str | None = None
+) -> list[str]:
     """Deterministic emission order for a fixed-size verification window.
 
     The driver checks a fixed-size prefix of this dict each round, so
     emission order decides what gets (re-)verified. Policy, in rank
     order, tie-broken alphabetically unless stated:
 
-    0. ``_CHANGED_SINCE_VERIFIED`` (in that explicit order): keys whose
-       plan changed since their green row — changed code must sort
-       ahead of unverified keys (ADVICE r3, high) so any nonzero
-       verification window re-checks it before first-time coverage;
+    0. ``_CHANGED_SINCE_VERIFIED`` (in that explicit order), minus
+       self-pruned entries already re-verified at or after the round
+       they changed in: changed code must sort ahead of unverified
+       keys (ADVICE r3, high) so any nonzero verification window
+       re-checks it before first-time coverage;
     1. keys still needing their first REAL driver record — never seen
        by the driver at all, or oracle-equipped but only ever recorded
        rows-only (a ``no_oracle`` row is not value verification; e.g.
@@ -149,8 +159,12 @@ def _coverage_order(keys: list[str], with_oracle: set[str]) -> list[str]:
 
     Every key keeps its name and oracle; only dict order changes, so a
     driver that re-sorts keys is unaffected."""
-    hash_ok, any_row = _verification_state()
-    changed_rank = {k: i for i, k in enumerate(_CHANGED_SINCE_VERIFIED)}
+    hash_ok, any_row = _verification_state(base_dir)
+    changed_rank = {
+        k: i
+        for i, (k, round_changed) in enumerate(_CHANGED_SINCE_VERIFIED)
+        if hash_ok.get(k, 0) < round_changed  # self-prune once re-verified
+    }
 
     def rank(k: str) -> tuple[int, int, str]:
         if k in changed_rank:

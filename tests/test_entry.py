@@ -16,7 +16,11 @@ def test_queries_order_policy():
 
     hash_ok, any_row = e._verification_state()
     with_oracle = set(plans.oracle_sql())
-    changed = [k for k in e._CHANGED_SINCE_VERIFIED if k in set(ks)]
+    changed = [
+        k
+        for k, rnd in e._CHANGED_SINCE_VERIFIED
+        if k in set(ks) and hash_ok.get(k, 0) < rnd
+    ]
     assert ks[: len(changed)] == changed
     need_first = sorted(
         k for k in ks
@@ -103,3 +107,52 @@ def test_committed_rounds_allowlist_tracks_disk():
         if rnum(p) <= listed_max
     }
     assert on_disk == set(e._COMMITTED_ROUNDS)
+
+
+def test_changed_keys_self_prune_after_reverification(tmp_path):
+    """A _CHANGED_SINCE_VERIFIED entry must drop out of rank 0 once a
+    committed record carries a hash-green row for that key from the
+    round it changed in (or later) — a forgotten manual prune must not
+    waste verification-window slots forever."""
+    import json
+    import os
+    import shutil
+
+    import __spark_entry__ as e
+
+    changed_keys = [k for k, _ in e._CHANGED_SINCE_VERIFIED]
+    assert changed_keys, "test needs at least one declared changed key"
+    here = os.path.dirname(os.path.abspath(e.__file__))
+    for fname in e._COMMITTED_ROUNDS:
+        shutil.copy(os.path.join(here, fname), tmp_path / fname)
+
+    keys = sorted(set(changed_keys) | {"zz_other"})
+    with_oracle = set(keys)
+    before = e._coverage_order(keys, with_oracle, base_dir=str(tmp_path))
+    assert before[: len(changed_keys)] == changed_keys
+
+    # Simulate the changed-in round's driver output going green: write a
+    # record file named for the max changed round carrying a hash-green
+    # row for every changed key, and extend the allowlist to include it.
+    green = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 1, "oracle_rows": 1, "err": None,
+    }
+    max_round = max(rnd for _, rnd in e._CHANGED_SINCE_VERIFIED)
+    newname = f"CORRECTNESS_r{max_round:02d}.json"
+    (tmp_path / newname).write_text(
+        json.dumps({k: dict(green) for k in changed_keys})
+    )
+    orig = e._COMMITTED_ROUNDS
+    e._COMMITTED_ROUNDS = tuple(orig) + (
+        (newname,) if newname not in orig else ()
+    )
+    try:
+        after = e._coverage_order(keys, with_oracle, base_dir=str(tmp_path))
+    finally:
+        e._COMMITTED_ROUNDS = orig
+    # pruned: changed keys are now ordinary verified keys, so the
+    # never-verified zz_other must sort ahead of all of them
+    assert after.index("zz_other") == 0
+    for k in changed_keys:
+        assert after.index(k) > 0
