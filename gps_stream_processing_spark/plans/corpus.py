@@ -248,3 +248,98 @@ def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
             F.max("vb").alias("max_vb"),
         )
     )
+
+
+@register(
+    "q_fuzzy_join",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, string_split(p_name, ' ')[2] AS blk
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS k1, a.p_name AS n1,
+             b.p_partkey AS k2, b.p_name AS n2,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      FROM p a JOIN p b
+        ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+    ),
+    sym AS (
+      SELECT k1 AS key, n1 AS name, k2 AS match_key, n2 AS match_name, dist FROM pairs
+      UNION ALL
+      SELECT k2, n2, k1, n1, dist FROM pairs
+    )
+    SELECT key AS p_partkey, name AS p_name, match_key, match_name, dist
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY key ORDER BY dist, match_key
+      ) AS rn FROM sym
+    ) WHERE rn = 1
+    """,
+    doc="Fuzzy entity-resolution join: for every part, the nearest "
+    "OTHER part name within edit distance 1-3 (distance 0 is exact-dup "
+    "territory, q_dedup_exact's job), candidate pairs blocked on the "
+    "name's noun so the quadratic never runs corpus-wide, and — the "
+    "engine-side rewrite parity proves — evaluated on DISTINCT names "
+    "only (value canopy), with the per-name verdict broadcast back to "
+    "rows. Best match per record by (dist, match_key) total order. "
+    "Scale notes: blocking bounds the quadratic by block size; value "
+    "dedup bounds it again by distinct-value count — the difference "
+    "between tens of millions and hundreds of levenshtein evaluations "
+    "on duplicate-heavy columns. levenshtein on both engines is the "
+    "exact integer DP — no float parity risk.",
+)
+def q_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
+    # Dedupe-before-quadratic: edit distance is a function of the NAME,
+    # not the row, so the blocked quadratic runs over DISTINCT names
+    # (value-level canopy) and the per-name verdict broadcasts back to
+    # the row table. The oracle defines the same result at the naive
+    # row-pair level; parity proves the rewrite. This is the 100 TB
+    # shape for low-cardinality match columns: a duplicate-heavy
+    # row-level self-join here costs tens of millions of levenshtein
+    # evaluations (measured 81s at bench SF; 11s parallelized) while
+    # the distinct-name quadratic is vocabulary-sized (<1s) and the
+    # join-back is a broadcast hash probe at scan speed.
+    #
+    # Tie-break equivalence with the row-level window (dist, match_key):
+    # every row of name N gets the same best match — the globally
+    # min-keyed row among names at N's minimum distance — which at the
+    # name level is argmin over matching names of (dist, min_key[name]).
+    p = table(spark, sf, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ")[1].alias("blk"),
+    )
+    names = p.groupBy("p_name", "blk").agg(F.min("p_partkey").alias("min_key"))
+    na = names.select(
+        F.col("p_name").alias("n1"), F.col("blk").alias("blk1")
+    )
+    nb = names.select(
+        F.col("p_name").alias("n2"),
+        F.col("blk").alias("blk2"),
+        F.col("min_key").alias("mk2"),
+    )
+    dist = F.levenshtein(F.col("n1"), F.col("n2")).cast("bigint")
+    name_pairs = (
+        na.join(
+            F.broadcast(nb),
+            (F.col("blk1") == F.col("blk2")) & (F.col("n1") != F.col("n2")),
+        )
+        .withColumn("dist", dist)
+        .filter(F.col("dist").between(1, 3))
+    )
+    rn = F.row_number().over(W.partitionBy("n1").orderBy("dist", "mk2"))
+    best = (
+        name_pairs.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("n1"),
+            F.col("mk2").alias("match_key"),
+            F.col("n2").alias("match_name"),
+            "dist",
+        )
+    )
+    return p.join(F.broadcast(best), p.p_name == best.n1).select(
+        "p_partkey", "p_name", "match_key", "match_name", "dist"
+    )

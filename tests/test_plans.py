@@ -393,3 +393,12 @@ def test_derived_partsupp_matches_distinct_pairs(spark):
         isinstance(r.ps_supplycost, Decimal) and r.ps_supplycost > 0 and r.ps_availqty > 0
         for r in rows[:100]
     )
+
+
+def test_fuzzy_join_is_value_canopy(spark):
+    """The fuzzy ER join must evaluate edit distance on distinct names
+    only and broadcast the verdicts back — no row-level quadratic, no
+    sort-merge join (measured 81s -> <1s at bench SF)."""
+    plan = plan_of(REGISTRY["q_fuzzy_join"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # name pairs + join-back
+    assert "SortMergeJoin" not in plan
