@@ -15,6 +15,9 @@ three operators a 100 TB training-data store needs:
   operator behind multi-dimensional file skipping (the OPTIMIZE
   ZORDER pattern): tight per-file min/max envelopes on BOTH columns
   are what let a scan prune files on either predicate.
+- Fuzzy entity-resolution join (`q_fuzzy_join`): blocked edit-distance
+  best-match with the quadratic evaluated on distinct values only
+  (canopy) — record linkage for duplicate-heavy catalog columns.
 
 Parity discipline: tokenizer is the proven `split(lower(text), ' ')` ↔
 `string_split(lower(text), ' ')` pair used by the tf-idf/BM25 family;
@@ -81,10 +84,14 @@ def pmi_bigrams(d: DataFrame, min_count: int = 5) -> DataFrame:
     toks = d.select(
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
     )
+    # uni feeds THREE consumers (u1, u2, the nu total) and bi feeds two
+    # (the filter and the nb total): materialize each vocab-sized count
+    # table once instead of re-scanning the corpus per consumer.
     uni = (
         toks.select(F.explode("w").alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     bigrams = toks.select(
         F.explode(
@@ -95,7 +102,11 @@ def pmi_bigrams(d: DataFrame, min_count: int = 5) -> DataFrame:
             )
         ).alias("bigram")
     )
-    bi = bigrams.groupBy("bigram").agg(F.count("*").alias("cb"))
+    bi = (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("cb"))
+        .localCheckpoint(eager=True)
+    )
     n = uni.agg(F.sum("c").alias("nu")).crossJoin(
         bi.agg(F.sum("cb").alias("nb"))
     )
@@ -143,11 +154,17 @@ def pmi_bigrams(d: DataFrame, min_count: int = 5) -> DataFrame:
 )
 def q_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents")
+    # The distinct (token, doc) pair table feeds both the df aggregate
+    # and the capped-postings window: materialize the (expensive,
+    # corpus-wide) explode+distinct once. At 100 TB this is a
+    # spill-to-local-disk materialization — still strictly cheaper
+    # than running the corpus explode twice.
     pairs = (
         d.select(
             "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     df_counts = pairs.groupBy("token").agg(F.count("*").alias("df"))
     top = (

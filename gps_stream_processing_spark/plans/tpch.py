@@ -822,6 +822,9 @@ def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("ps_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+        # Feeds both the per-part MIN aggregate and the join-back: pay
+        # the lineitem-wide partsupp derivation once, truncate lineage.
+        .localCheckpoint(eager=True)
     )
     mc = cost.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
         F.min("ps_supplycost").alias("m")
@@ -931,6 +934,10 @@ def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("ps_partkey")
         .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
+        # Feeds both the global (count, sum) threshold aggregate and
+        # the filter: derive the per-part values once (the subtree
+        # contains the full lineitem-wide partsupp aggregation).
+        .localCheckpoint(eager=True)
     )
     total = val.agg(F.sum("v").alias("total"), F.count("*").alias("n_parts"))
     return (
