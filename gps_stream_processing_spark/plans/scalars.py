@@ -375,3 +375,67 @@ def q_map_fns(spark: SparkSession, sf: str) -> DataFrame:
         F.array_join(F.sort_array(F.map_keys("__m")), ",").alias("keys_csv"),
         F.element_at("__m", "k").alias("k_val"),
     )
+
+
+# Pentagon for q_point_in_polygon, (lat, lon) vertices. The .5 offsets
+# guarantee no integer-valued fixture coordinate ever equals a vertex
+# latitude, so the half-open ray-cast rule never sits on a boundary tie.
+_POLY = (
+    (10.5, -60.5),
+    (40.5, -20.5),
+    (20.5, 30.5),
+    (-15.5, 40.5),
+    (-30.5, -10.5),
+)
+
+
+def _pip_terms_sql() -> str:
+    """Ray-cast crossing terms, one per polygon edge, as portable SQL."""
+    terms = []
+    for i, (ay, ax) in enumerate(_POLY):
+        by, bx = _POLY[(i + 1) % len(_POLY)]
+        terms.append(
+            f"(CASE WHEN (({ay} > lat1) <> ({by} > lat1)) AND "
+            f"lon1 < ({bx} - {ax}) * (lat1 - {ay}) / ({by} - {ay}) + {ax} "
+            "THEN 1 ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "q_point_in_polygon",
+    oracle=f"""
+    WITH c AS ({_COORDS_SQL})
+    SELECT (({_pip_terms_sql()}) % 2 = 1) AS inside,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM c GROUP BY 1
+    """,
+    doc="Point-in-polygon containment by ray casting — the general-"
+    "polygon companion to q_geofence's bounding boxes: for each fix "
+    "coordinate, count crossings of the eastward ray against the 5 "
+    "pentagon edges; odd = inside. The V polygon edges are INLINED as V "
+    "pure-column crossing terms — no join, no shuffle beyond the 2-group "
+    "count — because containment against a single literal polygon is a "
+    "scalar function of the point. A large polygon SET would switch to "
+    "the broadcast edge-dim join (the q_geofence shape) with the same "
+    "per-edge term. The half-open (ay > y) <> (by > y) rule plus "
+    "non-integer vertex latitudes makes every crossing test tie-free; "
+    "the division is the same IEEE double op on both engines.",
+)
+def q_point_in_polygon(spark: SparkSession, sf: str) -> DataFrame:
+    c = _coords(spark, sf)
+    lat, lon = F.col("lat1"), F.col("lon1")
+    crossings = None
+    for i, (ay, ax) in enumerate(_POLY):
+        by, bx = _POLY[(i + 1) % len(_POLY)]
+        term = F.when(
+            ((F.lit(ay) > lat) != (F.lit(by) > lat))
+            & (lon < (bx - ax) * (lat - ay) / (by - ay) + ax),
+            1,
+        ).otherwise(0)
+        crossings = term if crossings is None else crossings + term
+    return (
+        c.select((crossings % 2 == 1).alias("inside"))
+        .groupBy("inside")
+        .agg(F.count("*").alias("n_points"))
+    )
