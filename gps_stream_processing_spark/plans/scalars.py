@@ -389,11 +389,11 @@ _POLY = (
 )
 
 
-def _pip_terms_sql() -> str:
+def _pip_terms_sql(poly: tuple = _POLY) -> str:
     """Ray-cast crossing terms, one per polygon edge, as portable SQL."""
     terms = []
-    for i, (ay, ax) in enumerate(_POLY):
-        by, bx = _POLY[(i + 1) % len(_POLY)]
+    for i, (ay, ax) in enumerate(poly):
+        by, bx = poly[(i + 1) % len(poly)]
         terms.append(
             f"(CASE WHEN (({ay} > lat1) <> ({by} > lat1)) AND "
             f"lon1 < ({bx} - {ax}) * (lat1 - {ay}) / ({by} - {ay}) + {ax} "

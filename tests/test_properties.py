@@ -369,3 +369,35 @@ def test_documents_corpus_is_ascii():
             " WHERE strlen(text) != length(text) OR text IS NULL"
         ).fetchone()[0]
         assert n == 0, f"{sf}: {n} non-ASCII/null docs"
+
+
+def test_point_in_polygon_rotation_invariant_and_matches_model():
+    """The ray-cast SQL terms (q_point_in_polygon) must give the same
+    containment no matter which vertex starts the edge list, and must
+    agree with a pure-Python ray-cast model on an integer grid — the
+    formula, not the fixture, is what's under test."""
+    import duckdb
+
+    from gps_stream_processing_spark.plans.scalars import _POLY, _pip_terms_sql
+
+    def py_inside(lat, lon):
+        n = 0
+        for i, (ay, ax) in enumerate(_POLY):
+            by, bx = _POLY[(i + 1) % len(_POLY)]
+            if (ay > lat) != (by > lat) and lon < (bx - ax) * (lat - ay) / (by - ay) + ax:
+                n += 1
+        return n % 2 == 1
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW pts AS SELECT CAST(a.range AS DOUBLE) AS lat1, "
+        "CAST(b.range AS DOUBLE) AS lon1 "
+        "FROM range(-85, 85, 5) a, range(-180, 180, 5) b"
+    )
+    for rot in range(len(_POLY)):
+        poly = _POLY[rot:] + _POLY[:rot]
+        rows = con.execute(
+            f"SELECT lat1, lon1, (({_pip_terms_sql(poly)}) % 2 = 1) AS inside FROM pts"
+        ).fetchall()
+        for lat, lon, inside in rows:
+            assert inside == py_inside(lat, lon), (rot, lat, lon)
