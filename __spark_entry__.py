@@ -78,6 +78,7 @@ _COMMITTED_ROUNDS = (
     "CORRECTNESS_r01.json",
     "CORRECTNESS_r02.json",
     "CORRECTNESS_r03.json",
+    "CORRECTNESS_r04.json",
 )
 
 # Keys whose EXECUTION PLAN changed after their last green driver row,
@@ -119,7 +120,13 @@ def _verification_state(
     hash_ok: dict[str, int] = {}
     any_row: set[str] = set()
     for fname in _COMMITTED_ROUNDS:
-        rnd = int(re.search(r"_r(\d+)\.json$", fname).group(1))
+        m = re.search(r"_r(\d+)\.json$", fname)
+        if m is None:  # a misnamed allowlist entry must fail by name (ADVICE r4)
+            raise ValueError(
+                f"committed correctness record {fname!r} does not match "
+                "'*_r<N>.json'; cannot derive its round number"
+            )
+        rnd = int(m.group(1))
         path = os.path.join(here, fname)
         try:
             with open(path) as f:
