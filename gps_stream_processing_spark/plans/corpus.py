@@ -305,30 +305,70 @@ def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     "dedup bounds it again by distinct-value count — the difference "
     "between tens of millions and hundreds of levenshtein evaluations "
     "on duplicate-heavy columns. levenshtein on both engines is the "
-    "exact integer DP — no float parity risk.",
+    "exact integer DP — no float parity risk. The vocabulary-sized "
+    "premise is pinned: distinct-name cardinality above the broadcast "
+    "envelope raises before either broadcast (fuzzy_best_match).",
 )
 def q_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
-    # Dedupe-before-quadratic: edit distance is a function of the NAME,
-    # not the row, so the blocked quadratic runs over DISTINCT names
-    # (value-level canopy) and the per-name verdict broadcasts back to
-    # the row table. The oracle defines the same result at the naive
-    # row-pair level; parity proves the rewrite. This is the 100 TB
-    # shape for low-cardinality match columns: a duplicate-heavy
-    # row-level self-join here costs tens of millions of levenshtein
-    # evaluations (measured 81s at bench SF; 11s parallelized) while
-    # the distinct-name quadratic is vocabulary-sized (<1s) and the
-    # join-back is a broadcast hash probe at scan speed.
-    #
-    # Tie-break equivalence with the row-level window (dist, match_key):
-    # every row of name N gets the same best match — the globally
-    # min-keyed row among names at N's minimum distance — which at the
-    # name level is argmin over matching names of (dist, min_key[name]).
     p = table(spark, sf, "part").select(
         "p_partkey",
         "p_name",
         F.split(F.col("p_name"), " ")[1].alias("blk"),
     )
-    names = p.groupBy("p_name", "blk").agg(F.min("p_partkey").alias("min_key"))
+    return fuzzy_best_match(p)
+
+
+# The whole-plan premise of fuzzy_best_match is that the DISTINCT match
+# column is vocabulary-sized: the canopy table is broadcast TWICE (pair
+# generation + verdict join-back). 2M names ≈ low tens of MB serialized
+# — comfortably inside executor broadcast budgets; past it, the right
+# fix is LSH/sorted-neighborhood blocking with shuffle joins, not a
+# bigger broadcast.
+FUZZY_BROADCAST_MAX_NAMES = 2_000_000
+
+
+def fuzzy_best_match(
+    p: DataFrame, max_distinct_names: int = FUZZY_BROADCAST_MAX_NAMES
+) -> DataFrame:
+    """Blocked edit-distance best match over (p_partkey, p_name, blk).
+
+    Dedupe-before-quadratic: edit distance is a function of the NAME,
+    not the row, so the blocked quadratic runs over DISTINCT names
+    (value-level canopy) and the per-name verdict broadcasts back to
+    the row table. The oracle defines the same result at the naive
+    row-pair level; parity proves the rewrite. This is the 100 TB
+    shape for low-cardinality match columns: a duplicate-heavy
+    row-level self-join here costs tens of millions of levenshtein
+    evaluations (measured 81s at bench SF; 11s parallelized) while
+    the distinct-name quadratic is vocabulary-sized (<1s) and the
+    join-back is a broadcast hash probe at scan speed.
+
+    The vocabulary-sized assumption is PINNED, not hoped (ADVICE r4,
+    the q_join_spatial discipline): the canopy is materialized once,
+    counted, and a distinct-name cardinality above
+    ``max_distinct_names`` raises before either broadcast — a
+    high-cardinality column must fail loudly, not OOM the driver.
+
+    Tie-break equivalence with the row-level window (dist, match_key):
+    every row of name N gets the same best match — the globally
+    min-keyed row among names at N's minimum distance — which at the
+    name level is argmin over matching names of (dist, min_key[name]).
+    """
+    # Materialized once: three consumers (the count gate + both join
+    # sides) and the gate needs the real cardinality anyway.
+    names = (
+        p.groupBy("p_name", "blk")
+        .agg(F.min("p_partkey").alias("min_key"))
+        .localCheckpoint(eager=True)
+    )
+    n_distinct = names.count()
+    if n_distinct > max_distinct_names:
+        raise ValueError(
+            f"fuzzy_best_match: {n_distinct} distinct names exceeds the "
+            f"broadcast envelope ({max_distinct_names}); the value-canopy "
+            "broadcast plan assumes a vocabulary-sized match column — use "
+            "LSH/sorted-neighborhood blocking with shuffle joins instead"
+        )
     na = names.select(
         F.col("p_name").alias("n1"), F.col("blk").alias("blk1")
     )

@@ -64,10 +64,11 @@ def customer_supplier_edges(spark: SparkSession, sf: str) -> DataFrame:
     WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)
     """,
     doc="Triangle count on the co-purchase graph (parts sharing an "
-    "order), node-ordered a<b<c formulation (operators/graph.py): two "
-    "shuffle joins + a semi-join close check — each triangle counted "
-    "exactly once, degree skew left to AQE. Exact integer result, full "
-    "oracle.",
+    "order), node-ordered a<b<c formulation (operators/graph.py): "
+    "greater-neighbor adjacency arrays + one edge-keyed join, closing "
+    "edges checked via JVM array_intersect — each triangle counted "
+    "exactly once, no wedge materialization. Exact integer result, "
+    "full oracle (the oracle keeps the equivalent wedge-join SQL).",
 )
 def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_count(copurchase_edges(spark, sf))

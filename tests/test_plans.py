@@ -402,3 +402,20 @@ def test_fuzzy_join_is_value_canopy(spark):
     plan = plan_of(REGISTRY["q_fuzzy_join"].fn(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2  # name pairs + join-back
     assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_join_broadcast_envelope_is_pinned(spark):
+    """A match column whose distinct cardinality exceeds the declared
+    broadcast envelope must raise BEFORE either broadcast — not OOM the
+    driver (ADVICE r4; the q_join_spatial loud-fail discipline)."""
+    from gps_stream_processing_spark.plans.corpus import fuzzy_best_match
+
+    inflated = spark.range(50).select(
+        F.col("id").alias("p_partkey"),
+        F.concat(F.lit("name nb"), F.col("id")).alias("p_name"),
+        F.lit("nb").alias("blk"),
+    )
+    with pytest.raises(ValueError, match="exceeds the broadcast envelope"):
+        fuzzy_best_match(inflated, max_distinct_names=10)
+    # At or under the envelope, the same frame resolves normally.
+    assert fuzzy_best_match(inflated, max_distinct_names=50).count() > 0
