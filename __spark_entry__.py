@@ -88,18 +88,18 @@ _COMMITTED_ROUNDS = (
 # hash-green row for the key from round >= round_changed — so a future
 # builder session forgetting to clear the list cannot waste window
 # slots re-verifying forever. Listed in re-check priority order — the
-# keys whose round-4 change could move values first. For the record:
-# q_sessionize now compares gap microseconds (was floor-seconds);
-# q_read_merge_schema stages batches under a source-fingerprint key
-# with an atomic publish; q_custom_datasource ships per-track slices
-# from plan time (emitted rows byte-identical, full-row pytest pin);
-# q_join_spatial only ADDED an antimeridian guard to its envelope
-# assert (value-neutral for any in-envelope data), so it sorts last.
+# keys whose change could move values first. (The four r4 entries
+# self-pruned when CORRECTNESS_r04.json entered the allowlist.) For
+# the record: q_tpch_q11's threshold compare now uses explicitly
+# bounded DECIMAL(38,8) products — the bare v * bigint could round
+# under allowPrecisionLoss (ADVICE r4); q_fuzzy_join materializes its
+# name canopy once behind a cardinality gate (values unchanged by
+# construction, re-check anyway). q_triangle_count also changed (r5,
+# adjacency-intersect rewrite) but has never had a driver row, so
+# first-time rank already front-runs it.
 _CHANGED_SINCE_VERIFIED = (
-    ("q_sessionize", 4),
-    ("q_read_merge_schema", 4),
-    ("q_custom_datasource", 4),
-    ("q_join_spatial", 4),
+    ("q_tpch_q11", 5),
+    ("q_fuzzy_join", 5),
 )
 
 

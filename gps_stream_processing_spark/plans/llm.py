@@ -1086,17 +1086,77 @@ def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", "lang").filter(bucket < rate)
 
 
+def _kmeans_oracle(k: int = 8, n_iterations: int = 4, dim: int = 64) -> str:
+    """Full DuckDB oracle for fixed-iteration Lloyd's k-means: the
+    rounds unrolled as chained CTEs (the same honest-unroll pattern as
+    graph_queries._pagerank_oracle — driver-fed centroids per round are
+    a loop, and a loop over a changing working set is what unrolled
+    MATERIALIZED CTEs express; each a{i}/c{i} has two consumers, so
+    default CTE inlining would blow the expansion up per round).
+
+    Parity discipline: embeddings cast element-wise FLOAT→DOUBLE on
+    both engines; init = the k lowest-vec_id vectors with cluster index
+    = vec_id rank (matching _lloyd's orderBy+limit init); assignment
+    ties break by cluster index (ROW_NUMBER ORDER BY d2, cluster ≙
+    Spark's array_position-of-min = first minimal index); an emptied
+    cluster keeps its previous centroid (COALESCE over the left join ≙
+    _lloyd's by_cluster.get fallback); final round assigns without the
+    discarded centroid update. Distances/means reassociate floats
+    (~1e-15 relative) — invisible at the 6-dp output rounding; verified
+    hash-exact vs the engine at sf0.001 and sf0.01."""
+    rng = f"range(1, {dim + 1})"
+    d2 = (
+        f"list_sum(list_transform({rng}, "
+        "i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i])))"
+    )
+    sql = [f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v AS c
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k})
+    )"""]
+    for i in range(1, n_iterations + 1):
+        sql.append(f""",
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, v, cluster, d2 FROM (
+        SELECT v.vec_id, v.v, c.cluster, {d2} AS d2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id ORDER BY {d2}, c.cluster) AS rn
+        FROM v CROSS JOIN c{i - 1} c
+      ) WHERE rn = 1
+    )""")
+        if i < n_iterations:
+            sql.append(f""",
+    m{i} AS (
+      SELECT a.cluster, d.i, AVG(a.v[d.i]) AS m
+      FROM a{i} a CROSS JOIN (SELECT unnest({rng}) AS i) d
+      GROUP BY a.cluster, d.i
+    ),
+    cm{i} AS (SELECT cluster, list(m ORDER BY i) AS c FROM m{i} GROUP BY cluster),
+    c{i} AS MATERIALIZED (
+      SELECT p.cluster, COALESCE(n.c, p.c) AS c
+      FROM c{i - 1} p LEFT JOIN cm{i} n USING (cluster)
+    )""")
+    sql.append(f"""
+    SELECT vec_id, cluster, ROUND(SQRT(d2), 6) AS dist FROM a{n_iterations}""")
+    return "".join(sql)
+
+
 @register(
     "q_kmeans",
-    oracle=None,  # iterative with driver-fed centroids per round — not
-    # SQL-expressible; pytest pins against a numpy Lloyd's replica and
-    # monotone inertia (tests/test_properties.py).
+    oracle=_kmeans_oracle(),
     doc="k-means (k=8, 4 Lloyd's rounds, deterministic lowest-id init) "
     "over the embeddings — the topic-balancing / corpus-coverage "
     "clusterer of a training-data pipeline (SURVEY §2.9, ext). Each "
     "round broadcasts k x 64 centroid doubles and collects k new means "
     "(operators/clustering.py) — the corpus never leaves the executors, "
-    "the same loop shape Spark MLlib KMeans uses.",
+    "the same loop shape Spark MLlib KMeans uses. Full oracle: the "
+    "Lloyd rounds unrolled as materialized DuckDB CTEs (_kmeans_oracle), "
+    "dist rounded 6 dp on both sides; pytest additionally pins a numpy "
+    "replica and monotone inertia (tests/test_properties.py).",
 )
 def q_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     from gps_stream_processing_spark.operators.clustering import kmeans

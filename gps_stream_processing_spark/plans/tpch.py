@@ -940,9 +940,18 @@ def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     total = val.agg(F.sum("v").alias("total"), F.count("*").alias("n_parts"))
+    # Both products bounded to fit DECIMAL(38,8) EXACTLY (ADVICE r4):
+    # v is decimal(38,8) and a bare v * bigint is precision 59, which
+    # allowPrecisionLoss silently rounds — a borderline part could flip
+    # sides of the threshold while the DuckDB oracle computes exactly.
+    # decimal(26,8) x decimal(11,0) and decimal(36,8) x 2 are precision
+    # 38 with no loss; the narrowing casts throw under ANSI if per-part
+    # value ever exceeds 1e18 or part count 1e11 — loud, not lossy.
+    lhs = F.col("v").cast("decimal(26,8)") * F.col("n_parts").cast("decimal(11,0)")
+    rhs = F.lit(2).cast("decimal(1,0)") * F.col("total").cast("decimal(36,8)")
     return (
         val.crossJoin(F.broadcast(total))
-        .filter(F.col("v") * F.col("n_parts") > 2 * F.col("total"))
+        .filter(lhs > rhs)
         .select(
             "ps_partkey", F.round(F.col("v"), 2).cast("double").alias("value")
         )

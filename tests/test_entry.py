@@ -109,50 +109,63 @@ def test_committed_rounds_allowlist_tracks_disk():
     assert on_disk == set(e._COMMITTED_ROUNDS)
 
 
-def test_changed_keys_self_prune_after_reverification(tmp_path):
+def test_changed_keys_self_prune_after_reverification(tmp_path, monkeypatch):
     """A _CHANGED_SINCE_VERIFIED entry must drop out of rank 0 once a
     committed record carries a hash-green row for that key from the
     round it changed in (or later) — a forgotten manual prune must not
-    waste verification-window slots forever."""
+    waste verification-window slots forever. Synthetic fixtures: the
+    repo's live lists self-prune as rounds commit, so the test must not
+    depend on their current contents (r4's entries pruned the moment
+    CORRECTNESS_r04.json entered the allowlist)."""
     import json
-    import os
-    import shutil
 
     import __spark_entry__ as e
 
-    changed_keys = [k for k, _ in e._CHANGED_SINCE_VERIFIED]
-    assert changed_keys, "test needs at least one declared changed key"
-    here = os.path.dirname(os.path.abspath(e.__file__))
-    for fname in e._COMMITTED_ROUNDS:
-        shutil.copy(os.path.join(here, fname), tmp_path / fname)
+    changed = (("q_changed_a", 2), ("q_changed_b", 2))
+    changed_keys = [k for k, _ in changed]
+    green = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 1, "oracle_rows": 1, "err": None,
+    }
+    # r1: both keys green BEFORE their change round — must NOT prune.
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({k: dict(green) for k in changed_keys})
+    )
+    monkeypatch.setattr(e, "_CHANGED_SINCE_VERIFIED", changed)
+    monkeypatch.setattr(e, "_COMMITTED_ROUNDS", ("CORRECTNESS_r01.json",))
 
     keys = sorted(set(changed_keys) | {"zz_other"})
     with_oracle = set(keys)
     before = e._coverage_order(keys, with_oracle, base_dir=str(tmp_path))
     assert before[: len(changed_keys)] == changed_keys
 
-    # Simulate the changed-in round's driver output going green: write a
-    # record file named for the max changed round carrying a hash-green
-    # row for every changed key, and extend the allowlist to include it.
-    green = {
-        "rows_match": True, "schema_match": True, "hash_match": True,
-        "spark_rows": 1, "oracle_rows": 1, "err": None,
-    }
-    max_round = max(rnd for _, rnd in e._CHANGED_SINCE_VERIFIED)
-    newname = f"CORRECTNESS_r{max_round:02d}.json"
-    (tmp_path / newname).write_text(
+    # Simulate the changed-in round's driver output going green: a
+    # record file named for the change round carrying a hash-green row
+    # for every changed key, allowlisted.
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
         json.dumps({k: dict(green) for k in changed_keys})
     )
-    orig = e._COMMITTED_ROUNDS
-    e._COMMITTED_ROUNDS = tuple(orig) + (
-        (newname,) if newname not in orig else ()
+    monkeypatch.setattr(
+        e,
+        "_COMMITTED_ROUNDS",
+        ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"),
     )
-    try:
-        after = e._coverage_order(keys, with_oracle, base_dir=str(tmp_path))
-    finally:
-        e._COMMITTED_ROUNDS = orig
+    after = e._coverage_order(keys, with_oracle, base_dir=str(tmp_path))
     # pruned: changed keys are now ordinary verified keys, so the
     # never-verified zz_other must sort ahead of all of them
     assert after.index("zz_other") == 0
     for k in changed_keys:
         assert after.index(k) > 0
+
+
+def test_misnamed_allowlist_entry_fails_by_name(tmp_path, monkeypatch):
+    """An allowlist entry that doesn't match '*_r<N>.json' must raise a
+    ValueError naming the file, not an AttributeError on a failed regex
+    (ADVICE r4)."""
+    import pytest
+
+    import __spark_entry__ as e
+
+    monkeypatch.setattr(e, "_COMMITTED_ROUNDS", ("CORRECTNESS_final.json",))
+    with pytest.raises(ValueError, match="CORRECTNESS_final.json"):
+        e._verification_state(base_dir=str(tmp_path))
