@@ -28,6 +28,33 @@ def test_triangle_count_normalizes_direction_and_dupes(spark):
     assert triangle_count(edges).first()["n_triangles"] == 1
 
 
+def test_triangle_count_empty_and_triangle_free(spark):
+    # the coalesce path: no join rows at all must yield 0, not null
+    empty = spark.createDataFrame([], "src int, dst int")
+    assert triangle_count(empty).first()["n_triangles"] == 0
+    # a path graph has edges but no closing edge
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src int, dst int")
+    assert triangle_count(path).first()["n_triangles"] == 0
+
+
+def test_triangle_count_plan_shape(spark):
+    """The adjacency-intersect plan must keep the fact-sized adjacency
+    out of broadcast and out of sort-merge: one ShuffledHashJoin, no
+    wedge self-join cascade."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src int, dst int"
+    )
+    df = triangle_count(edges)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    # exactly one join node (tree line + its detail section)
+    assert plan.count("ShuffledHashJoin Inner") == 1
+    assert "ShuffledHashJoin" in plan
+
+
 def _pagerank_reference(edge_list, n_iterations=10, damping=0.85):
     """Exact driver-side replica of operators/graph.py::pagerank —
     same update rule, deterministic Python floats."""
