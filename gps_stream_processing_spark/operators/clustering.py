@@ -14,6 +14,14 @@ back to the driver. The corpus never leaves the cluster; only k rows
 cross the driver boundary per round (the sanctioned O(1) driver scalar
 pattern, see operators/similarity.py ivf_ann).
 
+The centroids ride as a broadcast 1-row array<array<double>> DataFrame
+(crossJoin → BroadcastNestedLoopJoin over one row ≈ a map), NOT as
+k×dim literal expressions: the distance fold then references a COLUMN,
+so every round generates byte-identical code and whole-stage codegen
+compiles once for the whole loop — with literals, each round's 512
+fresh constants forced a full recompile (measured at bench SF: 4.5s →
+2.1s for the 4-round loop). The assignment stays narrow either way.
+
 Determinism: init is the k lowest-id vectors (no RNG), and per-round
 assignment breaks distance ties by cluster index. Per-dimension means
 reassociate floating-point sums, so centroid coordinates can drift by
@@ -68,48 +76,64 @@ def _lloyd(
             f"k={k} but the corpus has only {len(init_rows)} vectors"
         )
     centroids = [list(r["v"]) for r in init_rows]  # k × dim doubles
+    spark = base.sparkSession
 
-    def dist2_to(c: list[float]):
-        # squared euclidean against a literal centroid — JVM-side fold,
-        # whole-stage codegen, no Python boundary.
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        return F.aggregate(
-            F.zip_with(F.col("v"), carr, lambda x, y: (x - y) * (x - y)),
+    # squared euclidean of v against every row of the broadcast
+    # centroid matrix column — JVM-side fold, whole-stage codegen, no
+    # Python boundary; column-referencing so the generated code is
+    # round-invariant (see module doc).
+    d2s = F.transform(
+        F.col("cs"),
+        lambda c: F.aggregate(
+            F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
+        ),
+    )
 
     assigned = None
     for it in range(n_iterations):
-        dists = F.array(*[dist2_to(c) for c in centroids])
+        cmat = spark.createDataFrame(
+            [(centroids,)], "cs array<array<double>>"
+        )
         # materialize the k-distance array once, then argmin over the
         # materialized column — referencing the fold array from several
         # output expressions would lean on codegen CSE to avoid a 3×
         # re-evaluation of k×dim work per row
-        assigned = base.select("vid", "v", dists.alias("ds")).select(
-            "vid",
-            "v",
-            (F.array_position("ds", F.array_min("ds")) - 1)
-            .cast("int")
-            .alias("cluster"),
-            F.array_min("ds").alias("d2"),
+        assigned = (
+            base.crossJoin(F.broadcast(cmat))
+            .select("vid", "v", d2s.alias("ds"))
+            .select(
+                "vid",
+                "v",
+                (F.array_position("ds", F.array_min("ds")) - 1)
+                .cast("int")
+                .alias("cluster"),
+                F.array_min("ds").alias("d2"),
+            )
         )
         if it == n_iterations - 1:
             # The returned assignment uses the *current* centroids — a
             # final centroid update would be discarded, so skip that
             # whole-corpus aggregation job on the last round.
             break
+        # per-(cluster, dimension) means via posexplode + ONE avg — the
+        # same shuffle volume as dim separate avg(element_at) columns
+        # (hash agg partially aggregates before the shuffle either
+        # way: k x dim x partitions partial rows), but a 3-expression
+        # plan instead of a dim-wide one (measured 0.45s -> 0.08s per
+        # update at bench SF — planning dominated the tiny-data cost).
+        # k x dim rows collect: still the O(1) driver-scalar pattern.
         new_rows = (
-            assigned.groupBy("cluster")
-            .agg(
-                *[
-                    F.avg(F.element_at("v", i + 1)).alias(f"c{i}")
-                    for i in range(dim)
-                ]
-            )
+            assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.avg("x").alias("m"))
             .collect()
         )
-        by_cluster = {r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in new_rows}
+        dims: dict[int, dict[int, float]] = {}
+        for r in new_rows:
+            dims.setdefault(r["cluster"], {})[r["i"]] = r["m"]
+        by_cluster = {c: [d[i] for i in range(dim)] for c, d in dims.items()}
         # an emptied cluster keeps its previous centroid (standard
         # Lloyd's convention; deterministic)
         centroids = [by_cluster.get(j, centroids[j]) for j in range(k)]

@@ -1151,7 +1151,8 @@ def _kmeans_oracle(k: int = 8, n_iterations: int = 4, dim: int = 64) -> str:
     doc="k-means (k=8, 4 Lloyd's rounds, deterministic lowest-id init) "
     "over the embeddings — the topic-balancing / corpus-coverage "
     "clusterer of a training-data pipeline (SURVEY §2.9, ext). Each "
-    "round broadcasts k x 64 centroid doubles and collects k new means "
+    "round broadcasts the k x 64 centroid matrix (1-row crossJoin — "
+    "round-invariant codegen) and collects k x dim new means "
     "(operators/clustering.py) — the corpus never leaves the executors, "
     "the same loop shape Spark MLlib KMeans uses. Full oracle: the "
     "Lloyd rounds unrolled as materialized DuckDB CTEs (_kmeans_oracle), "
