@@ -118,6 +118,13 @@ def pagerank(
     e_deg = (
         e.join(out_deg, "src")
         .select("src", "dst", "deg")
+        # localCheckpoint, NOT repartition(key).persist(): checkpointing
+        # does erase partitioning info (so each round re-shuffles e_deg),
+        # but the partitioning-preserving persist variant measured SLOWER
+        # at sf0.1 (tools/bench_pagerank.py, medians of 3 interleaved
+        # trials: 4.9s vs 4.5s) — at this graph size the rounds are
+        # fixed-overhead bound, and cache scans cost more than the tiny
+        # re-shuffles they avoid. Re-measure before "fixing" this.
         .localCheckpoint(eager=True)
         # The per-round ranks × e_deg join: e_deg is fact-sized (never
         # broadcast) and the join only needs hashing, not SMJ's sorts —
