@@ -58,7 +58,10 @@ def main() -> None:
         minhash_signatures,
         shingle_table,
     )
-    from gps_stream_processing_spark.operators.graph import pagerank
+    from gps_stream_processing_spark.operators.graph import (
+        pagerank,
+        triangle_count,
+    )
     from gps_stream_processing_spark.plans.corpus import pmi_bigrams
     from gps_stream_processing_spark.session import get_spark
     from gps_stream_processing_spark.sources.tables import load_table
@@ -68,6 +71,18 @@ def main() -> None:
     o0 = load_table(spark, SF_DIR, "orders")
     ev0 = load_table(spark, SF_DIR, "events")
     docs0 = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # Co-purchase edge list derived once (the derivation self-join is
+    # q_triangle_count's input, not the shape under test); replicated
+    # per factor inside the loop.
+    a0 = li0.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b0 = li0.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges0 = (
+        a0.join(b0, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     results = []
     for f in FACTORS:
@@ -110,6 +125,14 @@ def main() -> None:
                     (F.col("l_suppkey") + 1_000_000_000).alias("dst"),
                 ),
                 n_iterations=5,
+            ),
+            # Both endpoints offset per replica, so each replica is a
+            # disjoint copy of the co-purchase graph — work (edges,
+            # adjacency arrays, intersections) grows ~linearly with
+            # the factor; the adjacency-intersect formulation must NOT
+            # reintroduce the wedge-join's O(sum deg^2) growth.
+            "triangle_adj": lambda: triangle_count(
+                replicate(edges0, ["src", "dst"], f)
             ),
         }
         for name, mk in shapes.items():
