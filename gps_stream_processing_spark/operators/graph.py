@@ -85,6 +85,62 @@ def triangle_count(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    n_iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection over an
+    undirected edge list; returns (``id``, ``label``) for every
+    non-isolated node. Init label = own id; each round every node
+    adopts the most frequent label among its neighbors, ties broken by
+    the smallest label — fully deterministic (the classic LPA tie-break
+    fix), so a fixed iteration count has an exact relational oracle.
+
+    Per round: one edge ⋈ labels join + two hash aggregations
+    (per-(node, label) counts, then per-node argmax via a struct min).
+    Same per-round localCheckpoint discipline as pagerank — the labels
+    table is node-sized; only the symmetrized edge join shuffles
+    edge-sized data. Unlike connected components (min-label flood =
+    one component per connected subgraph), frequency voting keeps
+    dense local clusters as separate communities."""
+    a = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")).filter(
+        F.col(src_col).isNotNull()
+        & F.col(dst_col).isNotNull()
+        & (F.col(src_col) != F.col(dst_col))
+    )
+    sym = (
+        a.union(a.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+        # fact-sized both sides of the per-round join: hash, never
+        # broadcast or sort (same measured rationale as pagerank)
+        .hint("shuffle_hash")
+    )
+    labels = sym.select(F.col("s").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    for _ in range(n_iterations):
+        counts = (
+            sym.join(labels, sym.d == labels.id)
+            .groupBy(sym.s, "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        # argmax by (count desc, label asc) == lexicographic struct min
+        labels = (
+            counts.groupBy("s")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lbl").alias("l"))
+                ).alias("m")
+            )
+            .select(F.col("s").alias("id"), F.col("m.l").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("id", F.col("lbl").alias("label"))
+
+
 def pagerank(
     edges: DataFrame,
     n_iterations: int = 10,

@@ -452,3 +452,107 @@ def q_applyinarrow_stats(spark: SparkSession, sf: str) -> DataFrame:
             "max_v double, sum_v double",
         )
     )
+
+
+# ------------------------------------------------- incremental pipeline ops
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k, o_totalprice AS val
+      FROM orders WHERE o_orderkey % 10 < 8
+    ),
+    b AS (
+      SELECT o_orderkey AS k,
+             o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS val
+      FROM orders WHERE o_orderkey % 10 >= 2
+    ),
+    d AS (
+      SELECT COALESCE(a.k, b.k) AS o_orderkey,
+             CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.val <> b.val THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             CAST(ROUND(a.val, 2) AS DOUBLE) AS val_old,
+             CAST(ROUND(b.val, 2) AS DOUBLE) AS val_new
+      FROM a FULL JOIN b ON a.k = b.k
+    )
+    SELECT * FROM d WHERE status <> 'unchanged'
+    """,
+    doc="Snapshot diff / CDC classify (SURVEY §2.9, ext): given two "
+    "keyed snapshots of a table, emit every key whose state changed "
+    "between them tagged added/removed/changed — the comparison step "
+    "of every incremental-ingest pipeline (what a MERGE consumes, what "
+    "a data-diff audit reports). One co-partitioned full outer join on "
+    "the snapshot key + a row-local CASE; at 100 TB both snapshots are "
+    "bucketed by key on disk and the join is a zero-shuffle merge. The "
+    "two snapshots here are deterministic key-window views of orders "
+    "with a deterministic value perturbation, so every status class is "
+    "exercised with an exact oracle.",
+)
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    snap_a = o.filter(F.col("o_orderkey") % 10 < 8).select(
+        F.col("o_orderkey").alias("ka"), F.col("o_totalprice").alias("val_a")
+    )
+    snap_b = o.filter(F.col("o_orderkey") % 10 >= 2).select(
+        F.col("o_orderkey").alias("kb"),
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 3 == 0, 1).otherwise(0)
+        ).alias("val_b"),
+    )
+    status = (
+        F.when(F.col("ka").isNull(), "added")
+        .when(F.col("kb").isNull(), "removed")
+        .when(F.col("val_a") != F.col("val_b"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        snap_a.join(snap_b, F.col("ka") == F.col("kb"), "full_outer")
+        .select(
+            F.coalesce("ka", "kb").alias("o_orderkey"),
+            status.alias("status"),
+            F.round("val_a", 2).cast("double").alias("val_old"),
+            F.round("val_b", 2).cast("double").alias("val_new"),
+        )
+        .filter(F.col("status") != "unchanged")
+    )
+
+
+@register(
+    "q_group_split",
+    oracle="""
+    SELECT lang,
+           CASE WHEN substring(md5(lower(trim(text))), 1, 1) IN ('0','1','2')
+                THEN 'eval' ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_groups
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="Leakage-safe train/eval split (SURVEY §2.9, ext): the split "
+    "key is a hash of the NORMALIZED CONTENT, not the doc id — so "
+    "every duplicate (and its content group) lands in exactly one "
+    "split by construction, where an id-hash split scatters dup "
+    "copies across train AND eval and leaks training text into "
+    "evaluation. eval = md5 first hex digit in {0,1,2} (3/16 = "
+    "18.75%%). Pure scan-speed column expressions + one hash-agg for "
+    "the per-(lang, split) accounting; the same predicate applied at "
+    "the scan is the 100 TB split materializer (no shuffle, "
+    "reproducible run-to-run, engine-portable md5 → exact oracle). "
+    "pytest pins the zero-leak property against a constructed "
+    "dup-heavy corpus and an id-hash strawman.",
+)
+def q_group_split(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    g = F.md5(F.lower(F.trim(F.col("text"))))
+    split = F.when(
+        F.substring(g, 1, 1).isin("0", "1", "2"), "eval"
+    ).otherwise("train")
+    return d.groupBy("lang", split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(g).alias("n_groups"),
+    )

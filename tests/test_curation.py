@@ -215,3 +215,59 @@ def test_synth_datasource_partition_independent(spark):
         assert r.line_no // TRACK_LINE_STRIDE == r.track_id
     other_seed = load(n_tracks=5, n_seconds=10, seed=7)
     assert other_seed != one
+
+
+def test_snapshot_diff_classifies_every_transition(spark):
+    """added = keys only in snapshot B (o_orderkey%10 in {8,9}),
+    removed = only in A ({0,1}), changed = shared keys whose value was
+    perturbed (%3==0); unchanged shared keys must be absent."""
+    from gps_stream_processing_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["q_snapshot_diff"].fn(spark, SF).collect()
+    assert rows, "diff must be non-empty at sf0.001"
+    for r in rows:
+        m10, m3 = r.o_orderkey % 10, r.o_orderkey % 3
+        if r.status == "added":
+            assert m10 >= 8 and r.val_old is None and r.val_new is not None
+        elif r.status == "removed":
+            assert m10 < 2 and r.val_new is None and r.val_old is not None
+        elif r.status == "changed":
+            assert 2 <= m10 < 8 and m3 == 0
+            assert abs(r.val_new - r.val_old - 1.0) < 1e-9
+        else:
+            raise AssertionError(f"unexpected status {r.status!r}")
+    statuses = {r.status for r in rows}
+    assert statuses == {"added", "removed", "changed"}
+
+
+def test_group_split_is_leakage_safe_where_id_hash_is_not(spark):
+    """Content-hash splitting must put every duplicate text group in
+    exactly ONE split; the id-hash strawman scatters the same group
+    across both. Constructed dup-heavy corpus: 40 distinct texts x 8
+    copies under distinct doc_ids."""
+    from pyspark.sql import functions as F
+
+    docs = spark.range(320).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the common text number "), (F.col("id") % 40)).alias(
+            "text"
+        ),
+    )
+    g = F.md5(F.lower(F.trim(F.col("text"))))
+    content_split = F.when(
+        F.substring(g, 1, 1).isin("0", "1", "2"), "eval"
+    ).otherwise("train")
+    id_split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            "0", "1", "2"
+        ),
+        "eval",
+    ).otherwise("train")
+    leaks = lambda col: (
+        docs.groupBy("text")
+        .agg(F.countDistinct(col).alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert leaks(content_split) == 0
+    assert leaks(id_split) > 0  # the strawman leaks on a dup-heavy corpus

@@ -98,3 +98,31 @@ def test_pagerank_sink_outranks_sources(spark):
     )
     ranks = {r["id"]: r["rank"] for r in pagerank(edges, n_iterations=5).collect()}
     assert max(ranks, key=ranks.get) == 99
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques bridged by one edge: LPA must converge each clique
+    to its own minimum id (the bridge's single vote never outweighs
+    the 3 in-clique votes), where connected components would flood one
+    label across the bridge."""
+    from gps_stream_processing_spark.operators.graph import label_propagation
+
+    clique1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    clique2 = [(a, b) for a in (10, 20, 30, 40) for b in (10, 20, 30, 40) if a < b]
+    edges = spark.createDataFrame(
+        clique1 + clique2 + [(4, 10)], "src int, dst int"
+    )
+    got = {r["id"]: r["label"] for r in label_propagation(edges).collect()}
+    assert {got[v] for v in (1, 2, 3, 4)} == {1}
+    assert {got[v] for v in (10, 20, 30, 40)} == {10}
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    """A node with equally frequent neighbor labels must take the
+    smallest (path graph 1-2-3 after round 1: node 2 sees {1, 3})."""
+    from gps_stream_processing_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    got = {r["id"]: r["label"] for r in label_propagation(edges, n_iterations=1).collect()}
+    assert got[2] == 1
+    assert got[1] == 2 and got[3] == 2  # their only neighbor's label
