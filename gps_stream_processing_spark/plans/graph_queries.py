@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gps_stream_processing_spark.operators.graph import pagerank, triangle_count
+from gps_stream_processing_spark.operators.graph import (
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
 from gps_stream_processing_spark.plans.registry import register, table
 
 # supplier ids are offset into their own namespace so the bipartite
@@ -191,6 +195,4 @@ def _lpa_oracle(n_iterations: int = 3) -> str:
     "components would flood one label per component.",
 )
 def q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
-    from gps_stream_processing_spark.operators.graph import label_propagation
-
     return label_propagation(customer_supplier_edges(spark, sf), n_iterations=3)

@@ -126,3 +126,23 @@ def test_label_propagation_deterministic_tiebreak(spark):
     got = {r["id"]: r["label"] for r in label_propagation(edges, n_iterations=1).collect()}
     assert got[2] == 1
     assert got[1] == 2 and got[3] == 2  # their only neighbor's label
+
+
+def test_label_propagation_frequency_vote_round2(spark):
+    """Rounds >= 2 must run the general frequency argmax, not the
+    round-1 min-neighbor peel: after round 1 on this graph node 3's
+    neighbors carry labels {1, 3, 3} (3 must win by COUNT over the
+    smaller label 1) and node 5's carry the tie {2, 3} (2 must win by
+    the smallest-label tie-break in the struct-min path)."""
+    from gps_stream_processing_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (3, 5), (4, 5)], "src int, dst int"
+    )
+    # round 1 (identity peel, min neighbor): 1->2, 2->1, 3->2, 4->3, 5->3
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(edges, n_iterations=2).collect()
+    }
+    assert got[3] == 3  # frequency 2 beats the smaller singleton label 1
+    assert got[5] == 2  # equal counts -> smallest label

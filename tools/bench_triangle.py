@@ -1,5 +1,10 @@
-"""Interleaved A/B timing: current wedge-join triangle count vs the
-adjacency-array-intersect variant at sf0.1. Scratch tool, not a test."""
+"""Interleaved A/B timing behind the triangle-count rewrite (round 5):
+the r1-r4 wedge-join formulation (kept HERE as the measurable baseline
+— it no longer exists in operators/graph.py) vs the shipped
+adjacency-intersect `triangle_count`. Scratch tool, not a test.
+
+Recorded result at sf0.1, medians of 5 interleaved trials:
+wedge 4.8s vs adjacency 3.1s (SCALE.md 'Measured scaling' notes)."""
 
 import statistics
 import sys
@@ -17,7 +22,11 @@ from gps_stream_processing_spark.plans.registry import tune_session
 SF = "/root/testdata/sf0.1"
 
 
-def triangle_count_adj(edges: DataFrame, src_col="src", dst_col="dst") -> DataFrame:
+def triangle_count_wedge(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """The r1-r4 node-ordered 3-way wedge self-join, verbatim: two
+    shuffle joins + a semi-join close check."""
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -26,49 +35,19 @@ def triangle_count_adj(edges: DataFrame, src_col="src", dst_col="dst") -> DataFr
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
+        .hint("shuffle_hash")
     )
-    adj = e.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
     return (
-        e.join(adj.hint("shuffle_hash"), "a")
-        .withColumnRenamed("nbrs", "na")
+        e1.join(e2, e1.y == e2.y2)
         .join(
-            adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb")).hint(
-                "shuffle_hash"
-            ),
-            "b",
+            e3,
+            (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")),
+            "left_semi",
         )
-        .agg(
-            F.coalesce(
-                F.sum(F.size(F.array_intersect("na", "nb"))), F.lit(0)
-            )
-            .cast("bigint")
-            .alias("n_triangles")
-        )
-    )
-
-
-def triangle_count_explode(edges: DataFrame, src_col="src", dst_col="dst") -> DataFrame:
-    e = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    adj = e.groupBy("a").agg(F.collect_list("b").alias("nbrs")).localCheckpoint(
-        eager=True
-    )
-    lhs = adj.select(
-        F.explode("nbrs").alias("b"), F.col("nbrs").alias("na")
-    )
-    rhs = adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb")).hint(
-        "shuffle_hash"
-    )
-    return lhs.join(rhs, "b").agg(
-        F.coalesce(F.sum(F.size(F.array_intersect("na", "nb"))), F.lit(0))
-        .cast("bigint")
-        .alias("n_triangles")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
 
 
@@ -82,19 +61,14 @@ def main():
     tune_session(spark, SF)
     edges_fn = lambda: copurchase_edges(spark, SF)
 
-    # warm
-    v_old = triangle_count(edges_fn()).collect()[0][0]
-    v_new = triangle_count_adj(edges_fn()).collect()[0][0]
-    v_exp = triangle_count_explode(edges_fn()).collect()[0][0]
-    print("old:", v_old, "new:", v_new, "exp:", v_exp, "match:", v_old == v_new == v_exp)
+    # warm + equivalence
+    v_wedge = triangle_count_wedge(edges_fn()).collect()[0][0]
+    v_adj = triangle_count(edges_fn()).collect()[0][0]
+    print("wedge:", v_wedge, "adj:", v_adj, "match:", v_wedge == v_adj)
 
-    times = {"old": [], "new": [], "exp": []}
-    for trial in range(5):
-        for name, fn in (
-            ("old", triangle_count),
-            ("new", triangle_count_adj),
-            ("exp", triangle_count_explode),
-        ):
+    times = {"wedge": [], "adj": []}
+    for _ in range(5):
+        for name, fn in (("wedge", triangle_count_wedge), ("adj", triangle_count)):
             t0 = time.time()
             fn(edges_fn()).collect()
             times[name].append(time.time() - t0)
