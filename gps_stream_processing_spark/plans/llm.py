@@ -266,6 +266,101 @@ def q_sim_search(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_rrf_fusion",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    lex AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+      FROM toks WHERE tok IN ('hash', 'join', 'scan') GROUP BY 1
+    ),
+    lex_top AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hits DESC, doc_id) AS r
+      FROM lex ORDER BY hits DESC, doc_id LIMIT 100
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             ROUND(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cs
+      FROM embeddings, q
+    ),
+    sem_top AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS r
+      FROM sem ORDER BY cs DESC, doc_id LIMIT 100
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + l.r), 0.0)
+                 + COALESCE(1.0 / (60 + s.r), 0.0), 6) AS rrf
+    FROM lex_top l FULL JOIN sem_top s ON l.doc_id = s.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    doc="Reciprocal-rank fusion (hybrid retrieval, SURVEY §2.9, ext): "
+    "fuse a lexical ranking (query-term hit counts for {hash, join, "
+    "scan} — exact integers) with a semantic ranking (cosine vs the "
+    "stored query vector, ranked on the 6-dp-rounded similarity with "
+    "doc-id tie-break, the q_knn ordering discipline) via the standard "
+    "RRF score sum(1 / (60 + rank)). The 100 TB shape of real hybrid "
+    "search: each retriever emits a BOUNDED top-100 candidate list "
+    "(TakeOrderedAndProject — per-partition top-k + merge, never a "
+    "global sort); ranks are assigned within those k-row lists and the "
+    "fusion join is k-row x k-row. Ranks are exact on both engines, "
+    "and 1/(60+r) is the same fixed-shape IEEE expression — exact "
+    "oracle, no reassociation risk.",
+)
+def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from gps_stream_processing_spark.operators.similarity import cosine_sim
+
+    d = table(spark, sf, "documents")
+    e = table(spark, sf, "embeddings")
+    lex_top = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok").isin("hash", "join", "scan"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hits"))
+        .orderBy(F.desc("hits"), "doc_id")
+        .limit(100)
+        .withColumn(
+            "r", F.row_number().over(W.orderBy(F.desc("hits"), "doc_id"))
+        )
+        .select("doc_id", "r")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    sem_top = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_sim(F.col("embedding").cast("array<double>"), F.col("qv")),
+                6,
+            ).alias("cs"),
+        )
+        .orderBy(F.desc("cs"), "doc_id")
+        .limit(100)
+        .withColumn("r", F.row_number().over(W.orderBy(F.desc("cs"), "doc_id")))
+        .select(F.col("doc_id").alias("sdoc"), F.col("r").alias("sr"))
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (60 + F.col("r")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (60 + F.col("sr")), F.lit(0.0)),
+        6,
+    )
+    return (
+        lex_top.join(sem_top, lex_top.doc_id == sem_top.sdoc, "full_outer")
+        .select(
+            F.coalesce("doc_id", "sdoc").alias("doc_id"), rrf.alias("rrf")
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
     "q_ann_lsh",
     oracle=None,  # approximate by construction → rows-only; pytest checks
     # recall vs the exact top-k.

@@ -271,3 +271,22 @@ def test_group_split_is_leakage_safe_where_id_hash_is_not(spark):
     )
     assert leaks(content_split) == 0
     assert leaks(id_split) > 0  # the strawman leaks on a dup-heavy corpus
+
+
+def test_rrf_fusion_shape_and_bounds(spark):
+    """RRF invariants: exactly 20 rows, scores descending within
+    (0, 2/61] (2/61 = both-lists rank-1), and the candidate lists stay
+    bounded — the plan must fetch them via TakeOrderedAndProject, never
+    a whole-table global Sort."""
+    from gps_stream_processing_spark.plans.registry import REGISTRY
+
+    df = REGISTRY["q_rrf_fusion"].fn(spark, SF)
+    rows = df.collect()
+    assert len(rows) == 20
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0 < s <= round(2 / 61, 6) for s in scores)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -61,6 +61,9 @@ NESTED_LOOP_ALLOWED = {
     "aggregate (the scalar-subquery shape, as in q_tpch_q22)",
     "q_zorder_layout": "1-row broadcast min/max binning-stats aggregate "
     "(on a lakehouse these come free from table column stats)",
+    "q_rrf_fusion": "1-row broadcast query-vector cross for the "
+    "semantic ranking side (the q_tfidf 1-row-stats shape); the fusion "
+    "join itself is a bounded 100-row x 100-row equi join",
 }
 # Empty since the Arrow UDTF switch (spark.sql.execution.pythonUDTF.
 # arrow.enabled, set by get_spark AND tune_session): q_udtf_gsv now
