@@ -1895,3 +1895,50 @@ def q_join_lateral(spark: SparkSession, sf: str) -> DataFrame:
         WHERE o.o_orderstatus = 'F'
         """
     )
+
+
+@register(
+    "q_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             ROUND(AVG(value) - 1.5 * STDDEV_SAMP(value), 6) AS lo,
+             ROUND(AVG(value) + 1.5 * STDDEV_SAMP(value), 6) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, s.lo, s.hi,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN e.value < s.lo OR e.value > s.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN s USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+    doc="Statistical outlier screen per group (SURVEY §2.2 ext, the "
+    "q_dq_checks sibling): per-event-type mean ± 1.5σ band, then one "
+    "pass counting values outside it — the distribution-drift / "
+    "bad-sensor gate a pipeline runs alongside domain rules. Two "
+    "scans + a GROUP-COUNT-sized broadcast join; at 100 TB the stats "
+    "aggregate is map-side-combined and the flagging pass is "
+    "scan-speed. Float discipline: both engines compare against the "
+    "SAME 6-dp-rounded band (computed once per group), so the "
+    "classification is exact given agreement at 6 dp — the "
+    "q_knn rounded-ordering pattern applied to thresholds.",
+)
+def q_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    mean, sd = F.avg("value"), F.stddev_samp("value")
+    stats = e.groupBy("event_type").agg(
+        F.round(mean - 1.5 * sd, 6).alias("lo"),
+        F.round(mean + 1.5 * sd, 6).alias("hi"),
+    )
+    outlier = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(outlier, 1).otherwise(0)).cast("bigint").alias(
+                "n_outliers"
+            ),
+        )
+    )
