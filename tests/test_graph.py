@@ -146,3 +146,41 @@ def test_label_propagation_frequency_vote_round2(spark):
     }
     assert got[3] == 3  # frequency 2 beats the smaller singleton label 1
     assert got[5] == 2  # equal counts -> smallest label
+
+
+def _lpa_reference(edge_list, n_iterations=3):
+    """Exact driver-side replica of operators/graph.py::label_propagation:
+    symmetrize, init label = id, per round take the most frequent
+    neighbor label with smallest-label tie-break."""
+    sym = set()
+    for a, b in edge_list:
+        if a is not None and b is not None and a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    nbrs = {}
+    for s, d in sym:
+        nbrs.setdefault(s, []).append(d)
+    lbl = {v: v for v in nbrs}
+    for _ in range(n_iterations):
+        new = {}
+        for v, ns in nbrs.items():
+            counts = {}
+            for u in ns:
+                counts[lbl[u]] = counts.get(lbl[u], 0) + 1
+            new[v] = min(counts, key=lambda k: (-counts[k], k))
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_matches_exact_replica(spark):
+    """The distributed LPA (including the round-1 identity peel) must
+    agree exactly with a driver-side replica of the declared semantics
+    on the real sf0.001 purchase graph — all-integer algorithm, so no
+    tolerance."""
+    from gps_stream_processing_spark.operators.graph import label_propagation
+
+    edges_df = customer_supplier_edges(spark, SF)
+    edge_list = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    expected = _lpa_reference(edge_list)
+    got = {r["id"]: r["label"] for r in label_propagation(edges_df).collect()}
+    assert got == expected
