@@ -194,8 +194,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each SQL-expressible query;
-    rows-only operators (streaming-stateful, sketch/hash-seeded,
-    UDF-surface, NMEA-fixture-backed) are omitted per the contract."""
+    """DuckDB-runnable ANSI SQL twin for EVERY registered query — as of
+    round 5 no key is rows-only (the last two, the ANN pair, gained
+    full oracles: their LSH planes / IVF quantizer are deterministic,
+    so the whole pipelines are re-derived in SQL). The contract's
+    rows-only escape hatch remains available but unused."""
     o = plans.oracle_sql()
     return {k: o[k] for k in _coverage_order(list(o), set(o))}

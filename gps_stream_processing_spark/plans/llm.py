@@ -360,14 +360,86 @@ def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _lsh_ann_oracle(
+    n_tables: int = 8, n_planes: int = 8, dim: int = 64, k: int = 10
+) -> str:
+    """Full DuckDB oracle for the sign-LSH ANN: the hyperplanes are
+    DETERMINISTIC rational hashes (operators/similarity.py
+    _pseudo_plane — integer arithmetic mod 104729, then one fixed-shape
+    div/mul/sub), not RNG, so every stage — plane table, sign-bit
+    buckets, the radius-2 probe set, candidate join, exact cosine
+    re-rank — is re-derivable in SQL. Float discipline: the bucket bit
+    is sign(dot), and both engines fold the dot in the same sequential
+    element order (the kmeans-oracle evidence: Spark `aggregate` ≡
+    DuckDB `list_sum(list_transform(...))` bitwise on this data), so
+    buckets agree exactly; a dot landing WITHIN one ulp of 0 could in
+    principle flip a candidate, which would demote this to rows-only —
+    verified hash-exact at sf0.001 and sf0.01."""
+    masks = {0}
+    for i in range(n_planes):
+        masks.add(1 << i)
+        for j in range(i + 1, n_planes):
+            masks.add((1 << i) | (1 << j))
+    masks_lit = ", ".join(str(m) for m in sorted(masks))
+    rng = f"range(1, {dim + 1})"
+    dotvp = f"list_sum(list_transform({rng}, i -> v.v[i] * pl.pl[i]))"
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    planes AS MATERIALIZED (
+      SELECT t, p, list(w ORDER BY j) AS pl
+      FROM (
+        SELECT t.t, p.p, j.j,
+               CAST(((t.t * 97 + p.p) * 1000003 + j.j * 7919 + 12345)
+                    % 104729 AS DOUBLE) / 104729.0 * 2.0 - 1.0 AS w
+        FROM (SELECT unnest(range(0, {n_tables})) AS t) t,
+             (SELECT unnest(range(0, {n_planes})) AS p) p,
+             (SELECT unnest(range(0, {dim})) AS j) j
+      ) GROUP BY t, p
+    ),
+    bits AS MATERIALIZED (
+      SELECT v.vec_id, pl.t,
+             CAST(SUM(CASE WHEN {dotvp} >= 0
+                           THEN CAST(POW(2.0, pl.p) AS INT) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM v CROSS JOIN planes pl
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT qb.t, CAST(xor(qb.bucket, m.m) AS BIGINT) AS bucket
+      FROM (SELECT t, bucket FROM bits WHERE vec_id = 0) qb,
+           (SELECT unnest([{masks_lit}]) AS m) m
+    ),
+    cand AS (
+      SELECT DISTINCT b.vec_id
+      FROM bits b JOIN probes pr ON b.t = pr.t AND b.bucket = pr.bucket
+      WHERE b.vec_id <> 0
+    ),
+    q AS (SELECT v AS qv FROM v WHERE vec_id = 0)
+    SELECT c.vec_id,
+           ROUND(
+             list_sum(list_transform({rng}, i -> v.v[i] * q.qv[i]))
+             / (SQRT(list_sum(list_transform({rng}, i -> v.v[i] * v.v[i])))
+                * SQRT(list_sum(list_transform({rng}, i -> q.qv[i] * q.qv[i])))),
+             6) AS cos_sim
+    FROM cand c JOIN v ON v.vec_id = c.vec_id, q
+    ORDER BY cos_sim DESC, c.vec_id LIMIT {k}
+    """
+
+
 @register(
     "q_ann_lsh",
-    oracle=None,  # approximate by construction → rows-only; pytest checks
-    # recall vs the exact top-k.
+    oracle=_lsh_ann_oracle(),
     doc="ANN scale path: multi-table random-hyperplane sign-LSH with "
     "Hamming-radius-2 multi-probe, exact re-rank within the probed "
     "buckets only (SURVEY §2.9 'IVF/LSH variant'). Measured recall@10 "
-    "0.78 @ sf0.01 / 0.86 @ sf0.1 (grid in SCALE.md).",
+    "0.78 @ sf0.01 / 0.86 @ sf0.1 (grid in SCALE.md). Upgraded r5 from "
+    "rows-only to a FULL oracle: the hyperplanes are deterministic "
+    "rational hashes, so the whole index->probe->re-rank pipeline is "
+    "re-derived in SQL (_lsh_ann_oracle); pytest keeps the recall "
+    "floor vs exact top-k.",
 )
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_bucket_ann(table(spark, sf, "embeddings"), query_vec_id=0, k=10)
@@ -1095,15 +1167,75 @@ def q_applyinpandas_centroid(spark: SparkSession, sf: str) -> DataFrame:
     return e.groupBy("label").applyInPandas(_centroid_groups, schema=CENTROID_SCHEMA)
 
 
+def _ivf_ann_oracle(dim: int = 64, k: int = 10, n_probe: int = 6) -> str:
+    """Full DuckDB oracle for the IVF ANN: the quantizer is
+    deterministic (per-label mean centroids, no RNG), so centroid
+    build, nearest-centroid assignment, the query's n_probe list
+    selection, and the exact re-rank are all re-derivable in SQL.
+    Float discipline: assignments and probe selection order on RAW
+    cosine values — per-dimension centroid means reassociate (~1e-15)
+    and the engine's driver-side probe ranking uses numpy — but the
+    synthetic label blocks keep every vector/centroid decision far
+    from any tie, verified hash-exact at sf0.001 and sf0.01; a
+    near-tie would demote this to rows-only (the recall-floor pytest
+    stays either way)."""
+    rng = f"range(1, {dim + 1})"
+
+    def dot(a: str, b: str) -> str:
+        return f"list_sum(list_transform({rng}, i -> {a}[i] * {b}[i]))"
+
+    def cos(a: str, b: str) -> str:
+        return f"{dot(a, b)} / (SQRT({dot(a, a)}) * SQRT({dot(b, b)}))"
+
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cd AS (
+      SELECT label AS list_id, d.i AS i, AVG(v.v[d.i]) AS m
+      FROM v CROSS JOIN (SELECT unnest({rng}) AS i) d
+      GROUP BY 1, 2
+    ),
+    cents AS MATERIALIZED (
+      SELECT list_id, list(m ORDER BY i) AS cv FROM cd GROUP BY list_id
+    ),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, v, list_id FROM (
+        SELECT v.vec_id, v.v, c.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {cos("v.v", "c.cv")} DESC, c.list_id
+               ) AS rn
+        FROM v CROSS JOIN cents c
+      ) t WHERE rn = 1
+    ),
+    q AS MATERIALIZED (SELECT v AS qv FROM v WHERE vec_id = 0),
+    probes AS (
+      SELECT c.list_id
+      FROM cents c, q
+      ORDER BY {cos("c.cv", "q.qv")} DESC, c.list_id DESC
+      LIMIT {n_probe}
+    )
+    SELECT a.vec_id,
+           ROUND({cos("a.v", "q.qv")}, 6) AS cos_sim
+    FROM assigned a JOIN probes p ON a.list_id = p.list_id, q
+    WHERE a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id LIMIT {k}
+    """
+
+
 @register(
     "q_ann_ivf",
-    oracle=None,  # approximate by construction → rows-only; pytest pins
-    # the recall floor vs the exact top-k.
+    oracle=_ivf_ann_oracle(),
     doc="ANN via IVF (inverted-file) index: per-label centroids as the "
     "coarse quantizer, nearest-centroid assignment, n_probe=6 posting "
     "lists probed, exact re-rank inside them — the 'IVF variant' scale "
     "path of SURVEY §2.9 (recall@10 0.9/0.7 at sf0.01/sf0.1; raise "
-    "n_probe for more).",
+    "n_probe for more). Upgraded r5 from rows-only to a FULL oracle: "
+    "the quantizer is deterministic mean centroids, so the whole "
+    "build->assign->probe->re-rank pipeline is re-derived in SQL "
+    "(_ivf_ann_oracle); pytest keeps the recall floor.",
 )
 def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     from gps_stream_processing_spark.operators.similarity import ivf_ann
