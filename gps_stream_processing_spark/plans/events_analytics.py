@@ -198,3 +198,64 @@ def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "q_join_pit",
+    oracle="""
+    WITH dim0 AS (
+      SELECT user_id, ts, ROUND(arg_min(value, event_id), 2) AS dim_value
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    ),
+    dim AS (
+      SELECT user_id, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+             dim_value
+      FROM dim0
+    ),
+    f AS (
+      SELECT event_id, user_id, ts, ROUND(value, 2) AS fact_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.ts, f.fact_value,
+           d.dim_value, d.valid_from AS version_from
+    FROM f JOIN dim d
+      ON f.user_id = d.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+    doc="Point-in-time (PIT) join — the feature-store training join "
+    "(SURVEY §2.3 ext, the q_scd2_intervals consumer): each fact row "
+    "joined to the dimension VERSION valid at its event time "
+    "(valid_from <= ts < valid_to), never to later knowledge — the "
+    "leakage-free way to assemble training examples against a "
+    "changing dimension. Engine rewrite: because SCD2 intervals TILE "
+    "(valid_to = next valid_from), the interval predicate is exactly "
+    "an as-of join (latest version with valid_from <= ts, ties at the "
+    "boundary going to the newer version on both engines) — one "
+    "union + ordered-window shuffle (operators/asof.py), no range-join "
+    "explosion. The oracle keeps the declarative interval join; "
+    "parity proves the rewrite.",
+)
+def q_join_pit(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.asof import asof_join
+
+    e = table(spark, sf, "events")
+    dim0 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.min_by("value", "event_id"), 2).alias("dim_value"))
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("fact_value")
+    )
+    return asof_join(
+        facts, dim0, by=["user_id"], ts_col="ts", how="inner", right_prefix="pit_"
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "fact_value",
+        F.col("pit_dim_value").alias("dim_value"),
+        F.col("pit_ts").alias("version_from"),
+    )

@@ -290,3 +290,24 @@ def test_rrf_fusion_shape_and_bounds(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pit_join_never_sees_the_future(spark):
+    """Point-in-time correctness: every joined dimension version must
+    satisfy version_from <= fact ts AND be the LATEST version at or
+    before ts for that user — no future leakage, no stale skip."""
+    from gps_stream_processing_spark.plans.registry import REGISTRY
+
+    out = REGISTRY["q_join_pit"].fn(spark, SF).collect()
+    assert out, "PIT join must be non-empty at sf0.001"
+    versions = {}
+    for r in (
+        REGISTRY["q_scd2_intervals"].fn(spark, SF).collect()
+    ):
+        versions.setdefault(r.user_id, []).append(r.valid_from)
+    for r in out:
+        assert r.version_from <= r.ts  # never future knowledge
+        later = [
+            v for v in versions[r.user_id] if r.version_from < v <= r.ts
+        ]
+        assert not later, f"stale version for event {r.event_id}"
