@@ -1635,3 +1635,38 @@ def q_redact(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_redacted"),
     )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+      SELECT md5(lower(trim(text))) AS h
+      FROM documents WHERE doc_id % 10 < 8
+    ),
+    batch AS (
+      SELECT doc_id, lang, md5(lower(trim(text))) AS h
+      FROM documents WHERE doc_id % 10 >= 8
+    )
+    SELECT b.doc_id, b.lang
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+    """,
+    doc="Incremental-batch dedup (SURVEY §2.9, ext — the ingest-time "
+    "sibling of q_dedup_exact and q_snapshot_diff): a new batch is "
+    "admitted only where its normalized content hash is absent from "
+    "the existing corpus — an anti-join on the hash, never on the "
+    "text. At 100 TB the corpus side is a bucketed hash manifest "
+    "(16-byte rows, not documents), the batch side is one scan, and "
+    "the anti-join shuffles hashes only; here both sides are "
+    "deterministic doc_id-window views of documents so the oracle is "
+    "exact. NOT EXISTS ≡ left-anti (md5 never null).",
+)
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    corpus = d.filter(F.col("doc_id") % 10 < 8).select(h.alias("h"))
+    batch = d.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", "lang", h.alias("h")
+    )
+    return batch.join(corpus, "h", "left_anti").select("doc_id", "lang")
