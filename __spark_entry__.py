@@ -79,6 +79,7 @@ _COMMITTED_ROUNDS = (
     "CORRECTNESS_r02.json",
     "CORRECTNESS_r03.json",
     "CORRECTNESS_r04.json",
+    "CORRECTNESS_r05.json",
 )
 
 # Keys whose EXECUTION PLAN changed after their last green driver row,
@@ -162,7 +163,10 @@ def _coverage_order(
        q_pagerank, whose oracle landed after its rows-only records);
     2. contract rows-only keys (no oracle exists) that already have
        their record — re-running adds no information;
-    3. hash-verified, unchanged keys.
+    3. hash-verified, unchanged keys — ordered OLDEST verified round
+       first (then name), so stale greens (r1/r2 keys whose shared
+       helpers may have drifted) cycle back through spare window
+       slots instead of never being re-checked (VERDICT r5 item 6).
 
     Every key keeps its name and oracle; only dict order changes, so a
     driver that re-sorts keys is unaffected."""
@@ -180,7 +184,7 @@ def _coverage_order(
             return (1, 0, k)
         if k not in hash_ok:
             return (2, 0, k)
-        return (3, 0, k)
+        return (3, hash_ok[k], k)
 
     return sorted(keys, key=rank)
 

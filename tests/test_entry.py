@@ -169,3 +169,36 @@ def test_misnamed_allowlist_entry_fails_by_name(tmp_path, monkeypatch):
     monkeypatch.setattr(e, "_COMMITTED_ROUNDS", ("CORRECTNESS_final.json",))
     with pytest.raises(ValueError, match="CORRECTNESS_final.json"):
         e._verification_state(base_dir=str(tmp_path))
+
+
+def test_tier3_orders_oldest_verified_first(tmp_path, monkeypatch):
+    """Within tier 3 (hash-verified, unchanged), keys verified in an
+    OLDER round must sort ahead of ones re-verified recently, so stale
+    greens cycle back through spare verification-window slots instead
+    of never being re-checked (VERDICT r5 item 6)."""
+    import json
+
+    import __spark_entry__ as e
+
+    green = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 1, "oracle_rows": 1, "err": None,
+    }
+    # q_old green only in r1; q_new green in r1 AND re-verified in r3:
+    # latest-green round decides, so q_old (r1) precedes q_new (r3)
+    # even though alphabetically q_new < q_old.
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_old": dict(green), "q_new": dict(green)})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"q_new": dict(green)})
+    )
+    monkeypatch.setattr(e, "_CHANGED_SINCE_VERIFIED", ())
+    monkeypatch.setattr(
+        e,
+        "_COMMITTED_ROUNDS",
+        ("CORRECTNESS_r01.json", "CORRECTNESS_r03.json"),
+    )
+    keys = ["q_new", "q_old", "q_unseen"]
+    order = e._coverage_order(keys, set(keys), base_dir=str(tmp_path))
+    assert order == ["q_unseen", "q_old", "q_new"]
