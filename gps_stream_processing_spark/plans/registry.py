@@ -102,6 +102,15 @@ def tune_session(spark: SparkSession, sf_dir: str) -> None:
             spark.conf.set(k, v)
         except Exception:  # noqa: BLE001 — a locked conf is not fatal
             pass
+    # Worker-env injection for the discovered protobuf runtime (TWS
+    # support) must precede the session's FIRST Python function wrap —
+    # a later env change would key a second worker-daemon pool and
+    # discard every warmed worker (streaming/protobuf_compat.py).
+    from gps_stream_processing_spark.streaming.protobuf_compat import (
+        configure_worker_env,
+    )
+
+    configure_worker_env(spark)
     spark.conf.set(_TUNED_MARKER, sf_dir)
 
 

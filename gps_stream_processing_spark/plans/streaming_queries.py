@@ -230,18 +230,20 @@ def q_stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _tws_available() -> bool:
-    """``transformWithStateInPandas`` boots a driver-side Python worker
-    that speaks protobuf to the JVM; without ``google.protobuf`` the
-    worker crashes at init. Probe the import so the query only registers
-    where the API can actually run (this container ships no protobuf —
-    the implementation is still exercised by a skipif twin in
-    tests/test_streaming.py and kept as SURVEY §2.8 API coverage)."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    """``transformWithStateInPandas`` boots Python workers that speak
+    protobuf to the JVM state server; without ``google.protobuf`` they
+    crash at init. The probe (streaming/protobuf_compat.py) first tries
+    the native import, then discovers a pure-Python protobuf runtime at
+    well-known public install locations (e.g. the Cloud SDK's vendored
+    copy) and verifies the pyspark gencode round-trips against it — so
+    the query registers exactly where the API can actually run. Worker
+    propagation rides ``registry.tune_session`` →
+    ``configure_worker_env``."""
+    from gps_stream_processing_spark.streaming.protobuf_compat import (
+        tws_available,
+    )
 
-        return True
-    except ImportError:
-        return False
+    return tws_available()
 
 
 def q_stream_tws_fix_merge(spark: SparkSession, sf: str) -> DataFrame:

@@ -198,6 +198,17 @@ def streaming_fix_merge_tws(parsed: DataFrame) -> DataFrame:
     """:func:`streaming_fix_merge` on ``transformWithStateInPandas``.
     Requires the RocksDB state store provider (the API's backing store;
     callers set ``spark.sql.streaming.stateStore.providerClass``)."""
+    from gps_stream_processing_spark.streaming.protobuf_compat import (
+        configure_worker_env,
+        ensure_protobuf,
+    )
+
+    # TWS spawns protobuf-speaking Python workers (driver-side state
+    # client + executor-side); when the runtime is a discovered vendor
+    # copy, its path must ride the UDF's envVars — inject before the
+    # function wraps. Idempotent; no-op when protobuf is native.
+    ensure_protobuf()
+    configure_worker_env(parsed.sparkSession)
     cols = ["line_no", "track_id", "stype", "utc", *MERGE_FIELDS]
     slim = parsed.select(*cols)
     return slim.groupBy("track_id").transformWithStateInPandas(

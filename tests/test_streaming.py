@@ -52,12 +52,14 @@ def test_streaming_fix_merge_equals_batch(spark, stream_fixture_dir, nmea_df):
 
 
 def _has_protobuf() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    # Same capability probe the registry gate uses: native protobuf OR
+    # a discovered pure-Python runtime that round-trips the pyspark
+    # state-server gencode (streaming/protobuf_compat.py).
+    from gps_stream_processing_spark.streaming.protobuf_compat import (
+        tws_available,
+    )
 
-        return True
-    except ImportError:
-        return False
+    return tws_available()
 
 
 @pytest.mark.skipif(
