@@ -99,8 +99,15 @@ _COMMITTED_ROUNDS = (
 # adjacency-intersect rewrite) but has never had a driver row, so
 # first-time rank already front-runs it.
 _CHANGED_SINCE_VERIFIED = (
-    ("q_tpch_q11", 5),
-    ("q_fuzzy_join", 5),
+    # r6: q_rrf_fusion now excludes the query's own vector from the
+    # semantic candidate list (values CHANGE — plan and oracle moved
+    # together, ADVICE r5); q_ann_ivf pinned its centroid-assignment
+    # tie-break to the oracle's (cosine DESC, list_id ASC) — values
+    # unchanged by construction on tie-free data, re-check anyway.
+    # (The two r5 entries self-pruned when CORRECTNESS_r05.json entered
+    # the allowlist.)
+    ("q_rrf_fusion", 6),
+    ("q_ann_ivf", 6),
 )
 
 

@@ -31,7 +31,6 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from gps_stream_processing_spark.operators.gps_fix import (
-    good_enough,
     gps_fix_pipeline,
     quality_filter,
 )
@@ -106,16 +105,29 @@ class NmeaParser:
 
     def GoodEnough(self) -> bool:  # noqa: N802
         """Does the most recent fix have date/utc/lat/lon (``:126-129``)?
-        Evaluated on the merged table's latest utc key."""
+        One job: take the merged table's latest-utc row and evaluate the
+        completeness predicate as a column on it (utc is never null on a
+        merged row — it is the merge key — so only date/lat/lon can
+        fail), instead of running the pipeline twice and comparing two
+        collected keys."""
         from pyspark.sql import functions as F
 
         rows = [(i, 0, line) for i, line in enumerate(self._lines)]
         if not rows:
             return False
         df = self._spark.createDataFrame(rows, NMEA_LINE_SCHEMA)
-        latest = (
-            good_enough(gps_fix_pipeline(df)).orderBy(F.col("utc").desc()).limit(1)
+        latest_ok = (
+            gps_fix_pipeline(df)
+            .orderBy(F.col("utc").desc())
+            .limit(1)
+            .select(
+                (
+                    F.col("date").isNotNull()
+                    & F.col("utc").isNotNull()
+                    & F.col("lat").isNotNull()
+                    & F.col("lon").isNotNull()
+                ).alias("ok")
+            )
+            .collect()
         )
-        all_latest = gps_fix_pipeline(df).orderBy(F.col("utc").desc()).limit(1)
-        a, b = latest.collect(), all_latest.collect()
-        return bool(a) and bool(b) and a[0]["utc"] == b[0]["utc"]
+        return bool(latest_ok) and bool(latest_ok[0]["ok"])

@@ -400,12 +400,23 @@ def ivf_ann(
     )
     # assignment: nearest centroid per vector (broadcast |labels| rows)
     dist = dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * norm(F.col("cv")))
+    # Tie-break pinned BY CONSTRUCTION to the oracle's
+    # (cosine DESC, list_id ASC): maximize the struct (dist, -list_id),
+    # lexicographic — equal cosines fall through to the smaller
+    # list_id. The data keeps decisions far from ties, but parity must
+    # not depend on that (ADVICE r5).
     assigned = (
         base.join(F.broadcast(cents))
         .groupBy(id_col)
         .agg(
             F.first("v").alias("v"),
-            F.max_by("list_id", dist).alias("list_id"),
+            F.max_by(
+                "list_id",
+                F.struct(
+                    dist.alias("d"),
+                    (-F.col("list_id")).alias("neg_list"),
+                ),
+            ).alias("list_id"),
         )
     )
     # query side: nearest n_probe centroids, computed driver-side

@@ -285,6 +285,7 @@ def q_sim_search(spark: SparkSession, sf: str) -> DataFrame:
       SELECT vec_id AS doc_id,
              ROUND(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cs
       FROM embeddings, q
+      WHERE vec_id <> 0
     ),
     sem_top AS (
       SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS r
@@ -299,7 +300,8 @@ def q_sim_search(spark: SparkSession, sf: str) -> DataFrame:
     doc="Reciprocal-rank fusion (hybrid retrieval, SURVEY §2.9, ext): "
     "fuse a lexical ranking (query-term hit counts for {hash, join, "
     "scan} — exact integers) with a semantic ranking (cosine vs the "
-    "stored query vector, ranked on the 6-dp-rounded similarity with "
+    "stored query vector, self-vector excluded like the other ANN ops, "
+    "ranked on the 6-dp-rounded similarity with "
     "doc-id tie-break, the q_knn ordering discipline) via the standard "
     "RRF score sum(1 / (60 + rank)). The 100 TB shape of real hybrid "
     "search: each retriever emits a BOUNDED top-100 candidate list "
@@ -331,8 +333,13 @@ def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").cast("array<double>").alias("qv")
     )
+    # The query's own vector is excluded from the semantic candidates
+    # (it scores cosine 1.0 and would burn a fused top-20 slot) — the
+    # same self-retrieval discipline as cosine_topk / lsh_bucket_ann /
+    # ivf_ann (ADVICE r5).
     sem_top = (
-        e.crossJoin(F.broadcast(q))
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
         .select(
             F.col("vec_id").alias("doc_id"),
             F.round(

@@ -401,3 +401,70 @@ def test_point_in_polygon_rotation_invariant_and_matches_model():
         ).fetchall()
         for lat, lon, inside in rows:
             assert inside == py_inside(lat, lon), (rot, lat, lon)
+
+
+def test_lsh_plane_dot_margin():
+    """q_ann_lsh's full oracle depends on every (vector, hyperplane)
+    dot product having the same SIGN across three float pipelines
+    (Spark JVM aggregate fold, the driver-side numpy probe, DuckDB
+    list_sum) — a dot within an ulp of 0 could flip a bucket bit and
+    break hash parity opaquely. Pin an explicit margin: every |dot| at
+    the verified SFs must clear 1e-7 (measured floor 5.8e-6 at sf0.01,
+    ~9 orders above double-rounding scale), so a future data or plane
+    change that creates a near-zero dot fails HERE with a clear
+    message instead of as a parity mismatch (ADVICE r5)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from gps_stream_processing_spark.operators.similarity import _pseudo_plane
+
+    planes = np.array(
+        [
+            [_pseudo_plane(64, t * 97 + p, j) for j in range(64)]
+            for t in range(8)
+            for p in range(8)
+        ]
+    )
+    for sf in ("sf0.001", "sf0.01"):
+        emb = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet").to_pandas()
+        vecs = np.array(
+            [np.asarray(v, dtype=np.float64) for v in emb.embedding]
+        )
+        margin = float(np.abs(vecs @ planes.T).min())
+        assert margin > 1e-7, (
+            f"{sf}: a (vector, plane) dot product sits {margin:.2e} from "
+            "zero — sign-LSH bucket parity across engines is no longer "
+            "guaranteed; demote q_ann_lsh to a rows-only oracle or "
+            "change the plane seed"
+        )
+
+
+def test_outlier_band_boundary_margin():
+    """q_outliers classifies each value against a 6-dp-rounded
+    mean ± 1.5σ band computed independently on each engine; different
+    summation orders could shift a band edge by 1e-6, flipping any
+    value that sits exactly on it. Pin the safety margin explicitly:
+    no event value may lie within 1e-4 of any group's lo/hi at the
+    verified SFs (measured floor 0.031 at sf0.01), so boundary drift
+    is caught here, not as an opaque n_outliers mismatch (ADVICE r5)."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01"):
+        events = f"/root/testdata/{sf}/events.parquet"
+        margin = duckdb.sql(
+            f"""
+            WITH s AS (
+              SELECT event_type,
+                     ROUND(AVG(value) - 1.5 * STDDEV_SAMP(value), 6) AS lo,
+                     ROUND(AVG(value) + 1.5 * STDDEV_SAMP(value), 6) AS hi
+              FROM read_parquet('{events}') GROUP BY 1
+            )
+            SELECT MIN(LEAST(ABS(e.value - s.lo), ABS(e.value - s.hi)))
+            FROM read_parquet('{events}') e JOIN s USING (event_type)
+            """
+        ).fetchone()[0]
+        assert margin > 1e-4, (
+            f"{sf}: an event value sits {margin:.2e} from its group's "
+            "outlier band edge — cross-engine band agreement at 6 dp no "
+            "longer guarantees identical classification"
+        )
