@@ -108,6 +108,13 @@ _CHANGED_SINCE_VERIFIED = (
     # the allowlist.)
     ("q_rrf_fusion", 6),
     ("q_ann_ivf", 6),
+    # r6 perf rewrites, values invariant by construction (pytest pins
+    # each against an exact replica / both orientations equal):
+    # q_pagerank broadcasts the node-sized ranks side under a size gate
+    # (no per-round edge shuffle); q_triangle_count gained the skew
+    # gate + (degree, id)-oriented path.
+    ("q_pagerank", 6),
+    ("q_triangle_count", 6),
 )
 
 

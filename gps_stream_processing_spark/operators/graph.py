@@ -49,12 +49,20 @@ def triangle_count(
     formulation shuffles O(sum deg^2) rows where this shuffles
     O(m) arrays totaling O(sum deg) elements.
 
-    Scale note: on *skewed* graphs (hub degree >> sqrt(m)) the arrays
-    should be built on edges oriented by (degree, id) instead of id —
-    bounding every array at O(sqrt(m)) — but on near-regular graphs
-    like the co-purchase fixture (max/avg degree < 2 at every SF) the
-    two extra degree joins buy nothing; measured slower. The count is
-    orientation-invariant either way, so oracles may use a<b<c."""
+    Skew gate: on *skewed* graphs (hub degree >> sqrt(m)) id-ordered
+    arrays blow up — a hub with degree d materializes a d-element array
+    and d copies of it through the join. The classic fix is to orient
+    every edge by the total order (degree, id) instead of id, which
+    bounds every greater-neighbor array at O(sqrt(m)). That costs a
+    degree computation + two annotation joins, which on near-regular
+    graphs like the co-purchase fixture (max/avg degree < 2 at every
+    SF) buy nothing — measured slower. So the operator computes the
+    degree table (needed for the gate anyway — one explode + hash-agg
+    + 1-row max over it), picks the orientation via
+    :func:`_use_degree_orientation` (hub test: max_deg > 2·sqrt(2m)),
+    and only pays the annotation joins when a hub actually exists. The
+    count is orientation-invariant (pytest pins both paths equal on a
+    synthetic hub graph), so oracles may use a<b<c either way."""
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
@@ -62,27 +70,70 @@ def triangle_count(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # Degree per node (explode both endpoints + hash-agg) — feeds the
+    # skew gate, and the oriented path reuses it for annotation.
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    stat = deg.agg(
+        F.max("deg").alias("max_deg"), F.sum("deg").alias("deg_sum")
+    ).collect()[0]
+    max_deg = stat["max_deg"] or 0
+    m = int(stat["deg_sum"] or 0) // 2  # sum of degrees = 2m
+    if _use_degree_orientation(max_deg, m):
+        # (degree, id)-oriented: u -> v iff (deg(u), u) < (deg(v), v).
+        # For a triangle x ≺ y ≺ z the three edges orient x->y, x->z,
+        # y->z, and only the (x, y) edge sees z in both out-neighbor
+        # sets — each triangle counted exactly once, arrays O(sqrt(m)).
+        da = deg.select(F.col("id").alias("a"), F.col("deg").alias("dega"))
+        db = deg.select(F.col("id").alias("b"), F.col("deg").alias("degb"))
+        a_first = (F.col("dega") < F.col("degb")) | (
+            (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+        )
+        oriented = (
+            e.join(da, "a")
+            .join(db, "b")
+            .select(
+                F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+                F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            )
+        )
+    else:
+        oriented = e.select(F.col("a").alias("u"), F.col("b").alias("v"))
     # Two consumers (explode branch, join branch) — materialize the
     # (often expensive) edge derivation + groupBy once.
     adj = (
-        e.groupBy("a")
-        .agg(F.collect_list("b").alias("nbrs"))
+        oriented.groupBy("u")
+        .agg(F.collect_list("v").alias("nbrs"))
         .localCheckpoint(eager=True)
     )
-    # explode(adj) IS the edge list annotated with nbrs(a) — no join.
-    lhs = adj.select(F.explode("nbrs").alias("b"), F.col("nbrs").alias("na"))
+    # explode(adj) IS the edge list annotated with nbrs(u) — no join.
+    lhs = adj.select(F.explode("nbrs").alias("v"), F.col("nbrs").alias("na"))
     # Adjacency is fact-sized: never broadcast it (a generous session
     # threshold would collect it to the driver), and skip SMJ's sorts —
     # the equi-join only needs hashing.
-    rhs = adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb")).hint(
+    rhs = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nb")).hint(
         "shuffle_hash"
     )
-    return lhs.join(rhs, "b").agg(
+    return lhs.join(rhs, "v").agg(
         F.coalesce(F.sum(F.size(F.array_intersect("na", "nb"))), F.lit(0))
         .cast("bigint")
         .alias("n_triangles")
     )
+
+
+def _use_degree_orientation(max_deg: int, m: int) -> bool:
+    """Skew gate for :func:`triangle_count`: True iff a hub exists —
+    max degree above 2·sqrt(2m), the threshold where an id-ordered
+    greater-neighbor array stops being O(sqrt(m))-bounded in practice.
+    Near-regular graphs (the fixtures: max/avg degree < 2) stay on the
+    cheaper id orientation; a star-like graph flips to (degree, id)."""
+    return m > 0 and max_deg * max_deg > 8 * m
 
 
 def label_propagation(
@@ -196,17 +247,30 @@ def pagerank(
         # fixed-overhead bound, and cache scans cost more than the tiny
         # re-shuffles they avoid. Re-measure before "fixing" this.
         .localCheckpoint(eager=True)
-        # The per-round ranks × e_deg join: e_deg is fact-sized (never
-        # broadcast) and the join only needs hashing, not SMJ's sorts —
-        # and without the hint a generous broadcast threshold re-collects
-        # a join side to the driver every round. Measured at sf0.1:
-        # 10-round pagerank median 3.9s (shuffle_hash) vs 4.1 (merge)
-        # vs 5.8s (auto under a 64 MB threshold).
+        # The per-round ranks × e_deg join when ranks does NOT broadcast:
+        # e_deg is fact-sized (never broadcast itself — a generous
+        # threshold would re-collect it to the driver every round) and
+        # the join only needs hashing, not SMJ's sorts. Measured at
+        # sf0.1: 10-round pagerank median 3.9s (shuffle_hash) vs 4.1
+        # (merge) vs 5.8s (auto under a 64 MB threshold).
         .hint("shuffle_hash")
     )
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    # Join strategy for ranks × e_deg, picked from n (already counted):
+    # the ranks side is NODE-sized — when it fits a broadcast (~32 B/row
+    # against the session's 64 MB threshold → up to ~2M nodes), sending
+    # it to the e_deg partitions skips the per-round shuffle of the
+    # edge fact entirely (e_deg's checkpoint erased its partitioning,
+    # so the hash join re-shuffles ~m rows every round otherwise).
+    # Measured at sf0.1 (16k nodes, 587k edges; 5 interleaved trials):
+    # broadcast-ranks median 8.6s vs shuffle_hash 10.1s, best 7.9 vs
+    # 9.9. Beyond the gate (a billion-node graph) ranks must shuffle —
+    # there the production layout co-partitions ranks and edges on
+    # src so the per-round exchange is ranks-sized only.
+    bcast_ranks = n * 32 <= 64 * (1 << 20)
 
     for _ in range(n_iterations):
+        lhs = F.broadcast(ranks) if bcast_ranks else ranks
         # One shuffle per round: rollup("dst") yields the per-destination
         # contribution sums AND the global sum in the same aggregation.
         # Dangling mass (rank parked on nodes with no outgoing edges)
@@ -220,7 +284,7 @@ def pagerank(
         # no separate ranks checkpoint is needed at all: 10 rounds = 10
         # small materialization jobs over node-count-sized data.
         dist = (
-            ranks.join(e_deg, ranks.id == e_deg.src)
+            lhs.join(e_deg, ranks.id == e_deg.src)
             .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("contrib"))
             .rollup("dst")
             .agg(F.sum("contrib").alias("s"), F.grouping("dst").alias("g"))

@@ -184,3 +184,51 @@ def test_label_propagation_matches_exact_replica(spark):
     expected = _lpa_reference(edge_list)
     got = {r["id"]: r["label"] for r in label_propagation(edges_df).collect()}
     assert got == expected
+
+
+def test_triangle_skew_gate_decision():
+    """The (degree, id)-orientation gate: near-regular graphs stay on
+    the cheap id orientation; a hub (max_deg² > 8m) flips it."""
+    from gps_stream_processing_spark.operators.graph import (
+        _use_degree_orientation,
+    )
+
+    assert not _use_degree_orientation(0, 0)  # empty graph
+    assert not _use_degree_orientation(2, 600_000)  # co-purchase fixture shape
+    assert not _use_degree_orientation(69, 600_000)  # just under the bar
+    assert _use_degree_orientation(100, 150)  # star hub
+    assert _use_degree_orientation(4_000, 1_000_000)  # scale-free hub
+
+
+def test_triangle_count_hub_graph_both_orientations_agree(spark):
+    """Synthetic hub graph: star center 0 -> 1..60 plus rim edges
+    (2i-1, 2i) — each rim edge closes exactly one triangle through the
+    hub, so the count is 30. max_deg=60, m=90 -> the skew gate picks
+    the (degree, id) orientation (asserted); forcing the id orientation
+    by neutralizing the gate must give the identical count — the
+    operator's result is orientation-invariant."""
+    from unittest import mock
+
+    from gps_stream_processing_spark.operators import graph
+
+    star = [(0, i) for i in range(1, 61)]
+    rim = [(2 * i - 1, 2 * i) for i in range(1, 31)]
+    edges = spark.createDataFrame(star + rim, "src int, dst int")
+
+    gate_calls = []
+    real_gate = graph._use_degree_orientation
+
+    def spy(max_deg, m):
+        r = real_gate(max_deg, m)
+        gate_calls.append((max_deg, m, r))
+        return r
+
+    with mock.patch.object(graph, "_use_degree_orientation", spy):
+        n_oriented = graph.triangle_count(edges).first()["n_triangles"]
+    assert gate_calls == [(60, 90, True)]  # hub detected -> oriented path
+
+    with mock.patch.object(
+        graph, "_use_degree_orientation", lambda *_: False
+    ):
+        n_id = graph.triangle_count(edges).first()["n_triangles"]
+    assert n_oriented == n_id == 30
