@@ -874,19 +874,54 @@ MULTIMODAL_FEATURE_SCHEMA = (
 )
 
 
+def _image_decoder_available() -> bool:
+    """Capability probe for a REAL image decoder (PIL). Evaluated once
+    at registration time on the driver; in local mode driver == worker
+    environment. On a heterogeneous cluster, pin the decision at submit
+    time instead of probing per-worker — the batch stage takes the
+    decision as a closure flag (``make_decode_batch``), never re-probes,
+    so one plan always runs one path."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+# One decision per process import, shared by the registration below
+# (oracle choice) and the batch stage (decode path) — so the oracle the
+# driver registers always matches the decode the stage runs. Matching
+# across driver/worker assumes a homogeneous Python environment, the
+# same assumption pyspark itself makes about installed packages.
+_REAL_IMAGE_DECODE = _image_decoder_available()
+
+
 def _decode_batch(it):
+    """Default-path decode stage: :func:`make_decode_batch` with the
+    import-time image-decoder capability."""
+    yield from make_decode_batch(real_image=_REAL_IMAGE_DECODE)(it)
+
+
+def make_decode_batch(real_image: bool = False):
     """Multimodal decode / feature-extract / resize / frame-sample stage
-    (one Arrow-batched mapInPandas pass). The real media libraries
-    (PIL/ffmpeg/torchaudio) are not in this container — per the build
-    contract each decode is a STUB producing a deterministic fake, while
-    the Spark-side plumbing (opaque binary column, typed metadata
-    struct, Arrow batch shape, per-modality dispatch, output schema) is
-    real. A production decoder drops in by replacing the `_fake_*`
-    helpers; the plan does not change.
+    (one Arrow-batched mapInPandas pass), returned as a generator
+    function for ``mapInPandas``.
+
+    ``real_image=True`` decodes image payloads GENUINELY via PIL
+    (undecodable/corrupt payloads yield null dims — the production
+    behavior for a bad object) — available only where PIL is installed,
+    and the registered query demotes to a rows-only oracle there
+    because a real decoder is not SQL-expressible. ``real_image=False``
+    (this container: media libs absent) stubs each decode with a
+    deterministic fake, while the Spark-side plumbing (opaque binary
+    column, typed metadata struct, Arrow batch shape, per-modality
+    dispatch, output schema) is identical in both modes — a production
+    decoder drops in without the plan changing.
 
     Per-modality outputs:
       text  -> fake_feature (byte-mean statistic)
-      image -> "decoded" dims + resize-target dims (width/height)
+      image -> decoded dims resized to a 256-max thumbnail edge
       audio -> fake_feature as pseudo-duration
       video -> frame-sample: n_frames + uniformly-sampled frame offsets
     """
@@ -895,7 +930,7 @@ def _decode_batch(it):
         # deterministic stand-in for a decoded-feature statistic
         return round(sum(payload[:64]) / max(1, min(len(payload), 64)) / 255.0, 6)
 
-    def _fake_dims(payload: bytes) -> tuple[int, int]:
+    def _fake_dims(payload: bytes) -> tuple[int | None, int | None]:
         # deterministic stand-in for decode+resize: pretend the payload
         # header carries dims, clamp to a 256-max thumbnail edge
         w = 64 + (payload[0] if payload else 0) * 7 % 1985
@@ -903,48 +938,70 @@ def _decode_batch(it):
         scale = max(w, h) / 256.0
         return int(w / max(1.0, scale)), int(h / max(1.0, scale))
 
+    def _real_dims(payload: bytes) -> tuple[int | None, int | None]:
+        # genuine decode + thumbnail-resize arithmetic; a corrupt or
+        # non-image payload yields null dims, not a failed stage
+        import io
+
+        from PIL import Image, UnidentifiedImageError
+
+        try:
+            with Image.open(io.BytesIO(payload)) as img:
+                w, h = img.size
+        except (UnidentifiedImageError, OSError, ValueError):
+            return None, None
+        scale = max(w, h) / 256.0
+        return int(w / max(1.0, scale)), int(h / max(1.0, scale))
+
+    _dims = _real_dims if real_image else _fake_dims
+
     def _fake_frames(payload: bytes) -> list[int]:
         # deterministic stand-in for frame sampling: 4 uniform offsets
         # over a pseudo frame count derived from payload length
         n = max(1, len(payload) // 16)
         return [int(i * n / 4) for i in range(4)]
 
-    for pdf in it:
-        rows = []
-        for doc_id, modality, payload, meta in zip(
-            pdf["doc_id"], pdf["modality"], pdf["payload"], pdf["meta"]
-        ):
-            b = bytes(payload)
-            row = {
-                "doc_id": doc_id,
-                "modality": modality,
-                "n_bytes": len(b),
-                "meta_lang": meta["lang"],
-                "fake_feature": _fake_feature(b),
-                "width": None,
-                "height": None,
-                "n_frames": None,
-                "frame_offsets": None,
-            }
-            if modality == "image":
-                row["width"], row["height"] = _fake_dims(b)
-            elif modality == "video":
-                offs = _fake_frames(b)
-                row["n_frames"], row["frame_offsets"] = len(offs), offs
-            rows.append(row)
-        yield pd.DataFrame(rows)
+    def _batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, modality, payload, meta in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"], pdf["meta"]
+            ):
+                b = bytes(payload)
+                row = {
+                    "doc_id": doc_id,
+                    "modality": modality,
+                    "n_bytes": len(b),
+                    "meta_lang": meta["lang"],
+                    "fake_feature": _fake_feature(b),
+                    "width": None,
+                    "height": None,
+                    "n_frames": None,
+                    "frame_offsets": None,
+                }
+                if modality == "image":
+                    row["width"], row["height"] = _dims(b)
+                elif modality == "video":
+                    offs = _fake_frames(b)
+                    row["n_frames"], row["frame_offsets"] = len(offs), offs
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return _batches
 
 
 @register(
     "q_multimodal",
-    # Exact oracle: the stub decodes are deterministic arithmetic over
-    # the utf-8 payload bytes, and the corpus is pure ASCII (pinned by
-    # pytest), so byte k == ascii(char k) and the whole fake-decode
-    # stage re-derives in SQL. A real media decoder is NOT
-    # SQL-expressible — swapping one in demotes this to rows-only; the
-    # point here is to pin the Spark-side plumbing (binary column,
-    # struct metadata, Arrow batch shape, dispatch, output schema).
-    oracle="""
+    # Exact oracle ONLY on the stub path: the stub decodes are
+    # deterministic arithmetic over the utf-8 payload bytes, and the
+    # corpus is pure ASCII (pinned by pytest), so byte k == ascii(char
+    # k) and the whole fake-decode stage re-derives in SQL. Where a
+    # REAL image decoder is importable (_REAL_IMAGE_DECODE) the stage
+    # genuinely decodes — not SQL-expressible — so the key registers
+    # with the contract's documented rows-only oracle there; the
+    # Spark-side plumbing (binary column, struct metadata, Arrow batch
+    # shape, dispatch, output schema) is pinned identically either way.
+    oracle=None if _REAL_IMAGE_DECODE else """
     WITH base AS (
       SELECT doc_id,
              CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
@@ -980,9 +1037,11 @@ def _decode_batch(it):
     doc="Multimodal columns: opaque binary payload + typed metadata "
     "struct, pushed through one Arrow-batched mapInPandas "
     "decode/feature-extract/resize/frame-sample stage with per-modality "
-    "dispatch (decodes stubbed deterministically — media libs absent; "
-    "SURVEY §2.9). Modality assigned round-robin so every branch runs. "
-    "The deterministic stubs are byte arithmetic → exact SQL oracle.",
+    "dispatch (SURVEY §2.9). Image decode is capability-detected: "
+    "genuine PIL decode where importable (rows-only oracle there), "
+    "deterministic byte-arithmetic stub otherwise (exact SQL oracle — "
+    "this container). Modality assigned round-robin so every branch "
+    "runs.",
 )
 def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents")

@@ -468,3 +468,73 @@ def test_outlier_band_boundary_margin():
             "outlier band edge — cross-engine band agreement at 6 dp no "
             "longer guarantees identical classification"
         )
+
+
+def test_multimodal_decode_dispatch():
+    """The decode stage's capability dispatch (make_decode_batch):
+    stub mode produces the deterministic byte-arithmetic dims; real
+    mode calls the PIL decoder (covered via a stub PIL injected into
+    sys.modules — the lib is absent in this container) and yields null
+    dims for an undecodable payload instead of failing the stage. The
+    registered oracle kind must track the same capability probe."""
+    import sys
+    import types
+    from unittest import mock
+
+    import pandas as pd
+
+    from gps_stream_processing_spark.plans import llm
+    from gps_stream_processing_spark.plans.registry import REGISTRY
+
+    # registration <-> capability agreement (contract: real decoder
+    # present => rows-only oracle; stub => exact SQL oracle)
+    assert (REGISTRY["q_multimodal"].oracle is None) == llm._REAL_IMAGE_DECODE
+
+    batch = pd.DataFrame(
+        {
+            "doc_id": [0, 4],
+            "modality": ["image", "image"],
+            "payload": [b"hello world png", b""],
+            "meta": [{"lang": "en"}, {"lang": "en"}],
+        }
+    )
+
+    # stub path: deterministic fake dims from payload bytes
+    out = next(llm.make_decode_batch(real_image=False)([batch]))
+    w = 64 + ord("h") * 7 % 1985
+    h = 64 + ord("g") * 11 % 1985
+    scale = max(w, h) / 256.0
+    assert (out.width[0], out.height[0]) == (
+        int(w / max(1.0, scale)),
+        int(h / max(1.0, scale)),
+    )
+
+    # real path: a stub PIL proves the dispatch actually decodes —
+    # payload[0] "decodes" to 512x128 (-> 256x64 thumbnail), payload[1]
+    # raises (corrupt object) and must yield null dims, not an error
+    class _FakeImg:
+        size = (512, 128)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _Unidentified(Exception):
+        pass
+
+    def _open(buf):
+        if not buf.getvalue():
+            raise _Unidentified("cannot identify image file")
+        return _FakeImg()
+
+    pil = types.ModuleType("PIL")
+    pil.Image = types.SimpleNamespace(open=_open)
+    pil.UnidentifiedImageError = _Unidentified
+    with mock.patch.dict(
+        sys.modules, {"PIL": pil, "PIL.Image": pil.Image}
+    ):
+        out = next(llm.make_decode_batch(real_image=True)([batch]))
+    assert (out.width[0], out.height[0]) == (256, 64)
+    assert pd.isna(out.width[1]) and pd.isna(out.height[1])
