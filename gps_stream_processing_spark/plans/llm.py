@@ -1736,3 +1736,125 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "lang", h.alias("h")
     )
     return batch.join(corpus, "h", "left_anti").select("doc_id", "lang")
+
+
+@register(
+    "q_chunk_cdc",
+    # Exact oracle: boundaries come from md5 of a fixed 8-char window —
+    # identical hex in both engines on the ASCII corpus (pinned by
+    # test_documents_corpus_is_ascii) — and the chunk re-slice is plain
+    # substring arithmetic. The 1/64 boundary rule reads hex digits of
+    # the window hash: first digit '0' (1/16) AND second in
+    # {'0','4','8','c'} (4/16).
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, strlen(text) AS len FROM documents
+    ),
+    b AS (  -- content-defined boundaries at window positions 2..len-7
+      SELECT d.doc_id, CAST(r.p AS INT) AS p
+      FROM d, LATERAL (SELECT unnest(range(2, greatest(2, len - 6)))) r(p)
+      WHERE substr(md5(substr(text, CAST(r.p AS INT), 8)), 1, 1) = '0'
+        AND substr(md5(substr(text, CAST(r.p AS INT), 8)), 2, 1)
+            IN ('0', '4', '8', 'c')
+    ),
+    starts AS (
+      SELECT d.doc_id, d.text, d.len,
+             list_prepend(1, COALESCE(list_sort(list(b.p)), [])) AS ss
+      FROM d LEFT JOIN b USING (doc_id)
+      GROUP BY 1, 2, 3
+    ),
+    chunks AS (
+      SELECT doc_id, len, text,
+             CAST(g.i AS BIGINT) - 1 AS chunk_idx,
+             CAST(ss[CAST(g.i AS INT)] AS INT) AS s,
+             CAST(COALESCE(ss[CAST(g.i + 1 AS INT)], len + 1)
+                  - ss[CAST(g.i AS INT)] AS INT) AS chunk_len
+      FROM starts, LATERAL (SELECT unnest(range(1, len(ss) + 1))) g(i)
+    )
+    SELECT doc_id, chunk_idx, s AS chunk_start, chunk_len,
+           md5(substr(text, s, chunk_len)) AS chunk_md5
+    FROM chunks WHERE chunk_len > 0
+    """,
+    doc="Content-defined chunking (CDC — the sub-document dedup "
+    "primitive for long-document corpora; SURVEY §2.9 ext): a chunk "
+    "boundary lands wherever the hash of the local 8-char window "
+    "satisfies a 1/64 test, so insertions shift boundaries only "
+    "LOCALLY (unlike q_chunk_docs' fixed stride, where one added "
+    "token re-keys every downstream chunk) and unchanged regions keep "
+    "their chunk hashes — dedupable across document revisions. "
+    "Pipeline: one explode over window positions (O(total bytes) "
+    "rows, scan-shaped and embarrassingly parallel — the same cost "
+    "class as tokenization), boundary filter, per-doc sorted "
+    "boundary list (bounded: ~len/64 entries), posexplode back to "
+    "chunk spans, and a substring re-slice. Everything is column "
+    "arithmetic on md5 hex — no Python in the path — and at 100 TB "
+    "the stage is a narrow map + one doc-keyed hash-agg: no join, no "
+    "skew-prone key. A rolling gear hash (true CDC) would replace "
+    "the windowed md5 in a pandas-UDF variant; the windowed form is "
+    "used here because it is exactly SQL-portable, boundary "
+    "semantics identical.",
+)
+def q_chunk_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents").select(
+        "doc_id", "text", F.length("text").alias("len")
+    )
+    # Guard: F.sequence generates DESCENDING when stop < start, so a
+    # sub-9-char doc must yield an empty candidate set (as the oracle's
+    # range() does), not positions [2, 1].
+    candidates = F.when(
+        F.col("len") >= 9, F.sequence(F.lit(2), F.col("len") - 7)
+    ).otherwise(F.array().cast("array<int>"))
+    boundaries = (
+        d.select(
+            "doc_id",
+            F.explode(candidates).alias("p"),
+            F.col("text"),
+        )
+        .withColumn("h", F.md5(F.expr("substring(text, p, 8)")))
+        .filter(
+            (F.substring("h", 1, 1) == "0")
+            & F.substring("h", 2, 1).isin("0", "4", "8", "c")
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("p")).alias("bs"))
+    )
+    starts = d.join(boundaries, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        "len",
+        F.concat(
+            F.array(F.lit(1)), F.coalesce(F.col("bs"), F.array())
+        ).alias("ss"),
+    )
+    chunks = starts.select(
+        "doc_id",
+        "text",
+        "len",
+        "ss",
+        F.posexplode("ss").alias("chunk_idx", "s"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("s").cast("int").alias("chunk_start"),
+        (
+            # try_element_at: the LAST chunk's "next start" is past the
+            # boundary list (ANSI element_at would throw) -> len + 1
+            F.coalesce(
+                F.try_element_at("ss", F.col("chunk_idx").cast("int") + 2),
+                F.col("len") + 1,
+            )
+            - F.col("s")
+        )
+        .cast("int")
+        .alias("chunk_len"),
+        "text",
+    )
+    return chunks.filter(F.col("chunk_len") > 0).select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        "chunk_len",
+        F.md5(F.expr("substring(text, chunk_start, chunk_len)")).alias(
+            "chunk_md5"
+        ),
+    )

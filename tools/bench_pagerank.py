@@ -1,5 +1,14 @@
 """Interleaved A/B timing: current pagerank vs partitioning-preserving
-persist variant at sf0.1. Scratch tool, not a test."""
+persist variant at sf0.1. Scratch tool, not a test.
+
+Round-6 record: a third variant — broadcasting the NODE-sized ranks
+side each round instead of hash-shuffling e_deg — measured faster and
+was adopted behind a size gate (operators/graph.py): 5 interleaved
+trials at sf0.1, broadcast-ranks [7.99, 10.97, 9.35, 7.86, 8.61]
+median 8.61s vs shuffle_hash [10.98, 10.02, 12.44, 9.91, 10.13]
+median 10.13s (ambient-noisy window; isolated warm medians 6.7s vs
+the r4 driver record 6.97s). The persist experiment below remains the
+record of why e_deg is checkpointed, not repartition+persisted."""
 
 import statistics
 import sys
