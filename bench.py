@@ -38,6 +38,15 @@ def main() -> None:
     spark = get_spark(
         app_name="gps-spark-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
     )
+    # Apply the registry's session tuning (incl. the protobuf worker-env
+    # injection) BEFORE the warm-ups below: a sc.environment change
+    # re-keys the Python worker-daemon pool, so tuning after warm-up
+    # would discard every warmed datasource/UDTF worker and the first
+    # python-path query re-pays the ~2.5s pool spin-up (measured on
+    # q_custom_datasource in the round-6 baseline attempt).
+    from gps_stream_processing_spark.plans.registry import tune_session
+
+    tune_session(spark, SF_DIR)
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # plans, not first-touch costs (SURVEY §6 protocol: warm runs). The
     # shape warm-ups below matter for cross-round comparability: whole-

@@ -74,4 +74,19 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Worker-env injection for a discovered protobuf runtime (TWS
+    # support) must land BEFORE the session's first Python function
+    # wraps: a later sc.environment change re-keys the worker-daemon
+    # pool and discards every warmed worker (measured: bench.py's
+    # datasource/UDTF warm-ups were lost to a first-query injection —
+    # q_custom_datasource 0.77s -> 3.2s). No-op where protobuf is
+    # native or absent. tune_session repeats the call for sessions not
+    # built through this factory (e.g. the driver harness's own).
+    from gps_stream_processing_spark.streaming.protobuf_compat import (
+        configure_worker_env,
+        ensure_protobuf,
+    )
+
+    ensure_protobuf()
+    configure_worker_env(spark)
     return spark

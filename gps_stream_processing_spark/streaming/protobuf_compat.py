@@ -100,6 +100,7 @@ def configure_worker_env(spark) -> None:
     (consulted per function-wrap, merged additively with Spark's own
     worker PYTHONPATH by PythonWorkerFactory), so it reaches workers
     even on a JVM launched before this module imported."""
+    ensure_protobuf()  # idempotent; resolves _vendor_dir on first call
     if _vendor_dir is None:
         return
     try:
