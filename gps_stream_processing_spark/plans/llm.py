@@ -1738,15 +1738,14 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return batch.join(corpus, "h", "left_anti").select("doc_id", "lang")
 
 
-@register(
-    "q_chunk_cdc",
-    # Exact oracle: boundaries come from md5 of a fixed 8-char window —
-    # identical hex in both engines on the ASCII corpus (pinned by
-    # test_documents_corpus_is_ascii) — and the chunk re-slice is plain
-    # substring arithmetic. The 1/64 boundary rule reads hex digits of
-    # the window hash: first digit '0' (1/16) AND second in
-    # {'0','4','8','c'} (4/16).
-    oracle="""
+# Shared CDC-chunk derivation SQL (exact in both engines: boundaries
+# come from md5 of a fixed 8-char window — identical hex on the ASCII
+# corpus, pinned by test_documents_corpus_is_ascii — and the chunk
+# re-slice is plain substring arithmetic; the 1/64 boundary rule reads
+# hex digits of the window hash: first digit '0' (1/16) AND second in
+# {'0','4','8','c'} (4/16)). Used by q_chunk_cdc verbatim and by
+# q_dedup_chunk_cross as a subquery.
+_CDC_CHUNKS_SQL = """
     WITH d AS (
       SELECT doc_id, text, strlen(text) AS len FROM documents
     ),
@@ -1774,7 +1773,12 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc_id, chunk_idx, s AS chunk_start, chunk_len,
            md5(substr(text, s, chunk_len)) AS chunk_md5
     FROM chunks WHERE chunk_len > 0
-    """,
+"""
+
+
+@register(
+    "q_chunk_cdc",
+    oracle=_CDC_CHUNKS_SQL,
     doc="Content-defined chunking (CDC — the sub-document dedup "
     "primitive for long-document corpora; SURVEY §2.9 ext): a chunk "
     "boundary lands wherever the hash of the local 8-char window "
@@ -1795,6 +1799,10 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     "semantics identical.",
 )
 def q_chunk_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    return _cdc_chunks(spark, sf)
+
+
+def _cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents").select(
         "doc_id", "text", F.length("text").alias("len")
     )
@@ -1857,4 +1865,38 @@ def q_chunk_cdc(spark: SparkSession, sf: str) -> DataFrame:
         F.md5(F.expr("substring(text, chunk_start, chunk_len)")).alias(
             "chunk_md5"
         ),
+    )
+
+
+@register(
+    "q_dedup_chunk_cross",
+    # Non-vacuity checked at sf0.01: the corpus carries a 29-copy chunk
+    # spanning 27 documents, so the duplicate set is real, not empty.
+    oracle=f"""
+    SELECT chunk_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM ({_CDC_CHUNKS_SQL}) c
+    GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+    doc="Cross-document duplicate CDC chunks (SURVEY §2.9 ext — the "
+    "payoff query for q_chunk_cdc): group the content-defined chunk "
+    "hashes corpus-wide and keep hashes appearing more than once, with "
+    "copy and distinct-document counts. This is sub-document "
+    "deduplication — boilerplate headers/footers and quoted passages "
+    "that whole-document dedup (exact or MinHash) cannot see. At "
+    "100 TB: chunks are 16-byte hashes, the shuffle key is the hash "
+    "itself (uniform by construction, no skew), and the aggregation "
+    "is map-side-combinable — the same scale shape as q_dedup_exact, "
+    "at chunk granularity.",
+)
+def q_dedup_chunk_cross(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _cdc_chunks(spark, sf)
+        .groupBy("chunk_md5")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_copies") > 1)
     )

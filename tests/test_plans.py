@@ -419,3 +419,28 @@ def test_fuzzy_join_broadcast_envelope_is_pinned(spark):
         fuzzy_best_match(inflated, max_distinct_names=10)
     # At or under the envelope, the same frame resolves normally.
     assert fuzzy_best_match(inflated, max_distinct_names=50).count() > 0
+
+
+def test_bloom_join_prunes_before_exchange(spark):
+    """q_join_bloom's contract is WHERE the work happens: the
+    literal-bitmap membership test must sit in the fact-side
+    scan/filter stage BELOW the (broadcast) semi-join — pre-exchange
+    pruning — and the dim side must broadcast. No fact-sized shuffle
+    join, no cartesian."""
+    plan = plan_of(REGISTRY["q_join_bloom"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the bitmap membership test (element_at on the literal word array)
+    # is present, and it lives in a Filter on the fact side BELOW the
+    # join in the plan tree: the Filter node's tree line must appear
+    # after (deeper than) the join's in formatted explain's tree section
+    tree = plan.split("\n\n")[0]
+    join_line = next(
+        i for i, ln in enumerate(tree.splitlines()) if "BroadcastHashJoin" in ln
+    )
+    filter_lines = [
+        i for i, ln in enumerate(tree.splitlines()) if "Filter" in ln
+    ]
+    assert any(i > join_line for i in filter_lines), "no filter below join"
+    assert "element_at" in plan, "bitmap test missing from plan"
