@@ -276,17 +276,77 @@ def q_stream_tws_fix_merge(spark: SparkSession, sf: str) -> DataFrame:
             spark.conf.set(provider_key, prev)
 
 
+def q_stream_tws_timers(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.streaming.runner import events_stream
+    from gps_stream_processing_spark.streaming.stateful import (
+        streaming_activity_close_tws,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = events_stream(spark, sf)
+        return run_available_now(
+            streaming_activity_close_tws(ev), output_mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+# Full oracle for the event-time-timer close-out: a user's visit closes
+# iff their timer (last event ms + 30 min) falls behind the final
+# watermark (global max event ms - 10 min). Event times are ms-truncated
+# on both sides (the watermark's own resolution); the fixture keeps
+# every user minutes away from the boundary, so <= vs < cannot flip a
+# row (both verified equal at sf0.001 and sf0.01).
+ORACLE_STREAM_TWS_TIMERS = """
+    WITH u AS (
+      SELECT user_id, epoch_ms(max(ts)) AS mx_ms,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    w AS (SELECT epoch_ms(max(ts)) - 600000 AS wm_ms FROM events)
+    SELECT u.user_id, u.n_events,
+           make_timestamp(u.mx_ms * 1000) AS last_ts
+    FROM u, w WHERE u.mx_ms + 1800000 < w.wm_ms
+"""
+
+
 if not _tws_available():
     # One loud line instead of a silent key-set drift: the registry count
     # differs across environments only because of this gate.
     import warnings
 
     warnings.warn(
-        "q_stream_tws_fix_merge not registered: transformWithStateInPandas "
-        "needs google.protobuf, absent in this environment",
+        "q_stream_tws_fix_merge / q_stream_tws_timers not registered: "
+        "transformWithStateInPandas needs google.protobuf, absent in "
+        "this environment",
         stacklevel=1,
     )
 else:
+    q_stream_tws_timers = register(
+        "q_stream_tws_timers",
+        oracle=ORACLE_STREAM_TWS_TIMERS,
+        doc="EVENT-TIME TIMERS on transformWithStateInPandas (the "
+        "capability the Spark-4 API adds over applyInPandasWithState): "
+        "per-user visit close-out where emission is driven purely by "
+        "timer expiry against the watermark — each batch re-registers "
+        "one timer at last_event + 30 min; when the watermark (max "
+        "event time - 10 min) passes it, handleExpiredTimer emits the "
+        "closed visit and clears state. availableNow over the one-file "
+        "fixture makes the firing set deterministic; full SQL oracle. "
+        "At scale this is the production idle-session/TTL-eviction "
+        "pattern: state is O(active users) and timers replace the "
+        "full-keyspace scan a batch close-out would need.",
+    )(q_stream_tws_timers)
+
     q_stream_tws_fix_merge = register(
         "q_stream_tws_fix_merge",
         oracle=ORACLE_STREAM_FIX_MERGE,

@@ -249,3 +249,97 @@ def nmea_json_stream(spark, path: str) -> DataFrame:
         ]
     )
     return spark.readStream.schema(schema).json(path)
+
+
+# --- event-time timers (transformWithStateInPandas timeMode=EventTime) ---
+
+ACTIVITY_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, last_ts timestamp"
+ACTIVITY_STATE_SCHEMA = "n bigint, last_ms bigint, timer_ms bigint"
+
+
+def make_activity_close_processor(gap_ms: int):
+    """Per-user activity close-out driven by EVENT-TIME TIMERS — the
+    capability ``transformWithStateInPandas`` adds over
+    ``applyInPandasWithState`` (which only has processing-time
+    timeouts). Each user's state accumulates (event count, last event
+    ms); every batch re-registers one timer at ``last_ms + gap_ms``;
+    when the WATERMARK passes it, ``handleExpiredTimer`` emits the
+    closed visit (user_id, n_events, last_ts) and clears state — rows
+    are produced ONLY by timer expiry, never by data arrival.
+
+    Deterministic under availableNow replay: the fixture is one file →
+    one data batch, so every timer is evaluated against the single
+    final watermark (Spark fires timers with expiry < watermark,
+    pinned by the oracle parity test at two SFs). Event times are
+    truncated to ms (the watermark's own resolution) in both the state
+    and the oracle."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _ActivityCloseProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("visit", ACTIVITY_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, last_ms, timer_ms = (
+                self._state.get() if self._state.exists() else (0, 0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                mx_ms = int(pdf["ts"].max().value // 1_000_000)  # ns -> ms
+                last_ms = max(last_ms, mx_ms)
+            new_timer = last_ms + gap_ms
+            if timer_ms and timer_ms != new_timer:
+                self._handle.deleteTimer(timer_ms)
+            if timer_ms != new_timer:
+                self._handle.registerTimer(new_timer)
+            self._state.update((n, last_ms, new_timer))
+            return iter([])
+
+        def handleExpiredTimer(
+            self, key, timerValues, expiredTimerInfo
+        ) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            if not self._state.exists():
+                return
+            n, last_ms, _ = self._state.get()
+            self._state.clear()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "n_events": n,
+                        "last_ts": pd.Timestamp(last_ms, unit="ms"),
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _ActivityCloseProcessor()
+
+
+def streaming_activity_close_tws(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Visit/session close-out on TWS event-time timers: watermark the
+    event stream, key by user, and let timer expiry drive emission."""
+    from gps_stream_processing_spark.streaming.protobuf_compat import (
+        configure_worker_env,
+        ensure_protobuf,
+    )
+
+    ensure_protobuf()
+    configure_worker_env(events.sparkSession)
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            make_activity_close_processor(gap_ms=gap_minutes * 60_000),
+            outputStructType=ACTIVITY_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )

@@ -66,7 +66,9 @@ def test_tws_key_presence_matches_capability():
     from gps_stream_processing_spark import plans
     from gps_stream_processing_spark.plans.streaming_queries import _tws_available
 
-    assert ("q_stream_tws_fix_merge" in plans.queries()) == _tws_available()
+    avail = _tws_available()
+    assert ("q_stream_tws_fix_merge" in plans.queries()) == avail
+    assert ("q_stream_tws_timers" in plans.queries()) == avail
 
 
 def test_every_registry_key_documented_in_survey():
