@@ -115,6 +115,9 @@ _CHANGED_SINCE_VERIFIED = (
     # gate + (degree, id)-oriented path.
     ("q_pagerank", 6),
     ("q_triangle_count", 6),
+    # q_label_propagation: size-gated broadcast of the node-sized labels
+    # join side (labels invariant, replica-pinned).
+    ("q_label_propagation", 6),
 )
 
 
