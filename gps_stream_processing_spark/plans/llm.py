@@ -1796,7 +1796,12 @@ _CDC_CHUNKS_SQL = """
     "skew-prone key. A rolling gear hash (true CDC) would replace "
     "the windowed md5 in a pandas-UDF variant; the windowed form is "
     "used here because it is exactly SQL-portable, boundary "
-    "semantics identical.",
+    "semantics identical. Measured alternative, REJECTED: folding the "
+    "boundary scan into filter(sequence(...), p -> md5-test) "
+    "higher-order expressions (no explode/groupBy/join at all) ran "
+    "3.88s vs 2.18s median-of-5 at sf0.1 — HOF lambdas evaluate "
+    "outside whole-stage codegen, losing more than the avoided "
+    "(tiny, doc-keyed) shuffle saved.",
 )
 def q_chunk_cdc(spark: SparkSession, sf: str) -> DataFrame:
     return _cdc_chunks(spark, sf)
