@@ -1969,8 +1969,9 @@ _BLOOM_K = 3
     "selective dim key set (Brand#23 parts) is folded into a 2^16-bit "
     "Bloom bitmap BY AGGREGATION (explode k hash positions -> bit_or "
     "per 64-bit word — ~1 KB of rows), collected as a bounded driver "
-    "scalar (1024 longs, the sanctioned O(1) pattern), and applied to "
-    "the fact scan as a literal-array predicate BEFORE any join — so "
+    "scalar (1024 longs, the sanctioned O(1) pattern), re-shipped as "
+    "a 1-row broadcast, and applied to the fact scan BEFORE any key "
+    "join — so "
     "at 100 TB the ~8 KB filter prunes ~96% of lineitem at scan speed "
     "without shuffling or broadcasting anything fact-sized. False "
     "positives are removed by the exact (broadcast) semi-join above "
@@ -2009,17 +2010,24 @@ def q_join_bloom(spark: SparkSession, sf: str) -> DataFrame:
     words = [0] * _BLOOM_WORDS
     for r in word_rows:
         words[r["w"]] = r["bits"]
-    bitmap = F.lit(words)  # 1024-long array literal, ~8 KB in the plan
+    # The bitmap rides as a 1-row BROADCAST, not an inline array
+    # literal: measured at sf0.1 (medians of 5 interleaved), 1.01s vs
+    # 1.32s — an 8 KB literal array inlined into the filter condition
+    # bloats the generated code (three element_at sites each embed the
+    # constant) and the per-run compile eats more than the broadcast
+    # costs. Same row-vs-plan trade the LSH plane table documents
+    # (operators/similarity.py).
+    bm_df = spark.createDataFrame([(words,)], "bm array<bigint>")
 
     fact = table(spark, sf, "lineitem").select(
         "l_partkey", "l_returnflag", "l_quantity"
     )
-    fact = fact.withColumns(
+    fact = fact.crossJoin(F.broadcast(bm_df)).withColumns(
         {f"_p{i}": pos for i, pos in enumerate(positions(F.col("l_partkey")))}
     )
     might_match = None
     for i in range(_BLOOM_K):
-        word = F.element_at(bitmap, (F.col(f"_p{i}") / 64).cast("int") + 1)
+        word = F.element_at("bm", (F.col(f"_p{i}") / 64).cast("int") + 1)
         mask = F.expr(
             f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p{i}, 64) AS INT))"
         )
@@ -2027,7 +2035,7 @@ def q_join_bloom(spark: SparkSession, sf: str) -> DataFrame:
         might_match = hit if might_match is None else (might_match & hit)
     return (
         fact.filter(might_match)  # scan-side prune, no exchange yet
-        .drop(*[f"_p{i}" for i in range(_BLOOM_K)])
+        .drop("bm", *[f"_p{i}" for i in range(_BLOOM_K)])
         .join(F.broadcast(dim), F.col("l_partkey") == F.col("k"), "left_semi")
         .groupBy("l_returnflag")
         .agg(
