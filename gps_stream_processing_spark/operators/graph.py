@@ -28,6 +28,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _fits_broadcast(n_rows: int) -> bool:
+    """Size gate shared by the iterative operators' node-sized join
+    sides (pagerank ranks, LPA labels): ~32 B per (id, payload) row
+    against the engine's 64 MB broadcast threshold
+    (registry.tune_session sets spark.sql.autoBroadcastJoinThreshold
+    to the same constant) — up to ~2M rows broadcast; past that the
+    side must shuffle and the production layout co-partitions it with
+    the edges instead. One definition so the two gates and the session
+    threshold cannot drift independently."""
+    return n_rows * 32 <= _BROADCAST_THRESHOLD_BYTES
+
+
+# Mirrors registry.tune_session's autoBroadcastJoinThreshold.
+_BROADCAST_THRESHOLD_BYTES = 64 * (1 << 20)
+
+
 def triangle_count(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:
@@ -196,7 +212,7 @@ def label_propagation(
             # 1.17M sym edges; 5 interleaved trials): 2.27s vs 2.69s
             # median, identical labels. Counting the checkpointed
             # node-sized table is a cheap driver scalar.
-            bcast_labels = labels.count() * 32 <= 64 * (1 << 20)
+            bcast_labels = _fits_broadcast(labels.count())
             continue
         lhs = F.broadcast(labels) if bcast_labels else labels
         counts = (
@@ -279,7 +295,7 @@ def pagerank(
     # 9.9. Beyond the gate (a billion-node graph) ranks must shuffle —
     # there the production layout co-partitions ranks and edges on
     # src so the per-round exchange is ranks-sized only.
-    bcast_ranks = n * 32 <= 64 * (1 << 20)
+    bcast_ranks = _fits_broadcast(n)
 
     for _ in range(n_iterations):
         lhs = F.broadcast(ranks) if bcast_ranks else ranks

@@ -1969,9 +1969,8 @@ _BLOOM_K = 3
     "selective dim key set (Brand#23 parts) is folded into a 2^16-bit "
     "Bloom bitmap BY AGGREGATION (explode k hash positions -> bit_or "
     "per 64-bit word — ~1 KB of rows), collected as a bounded driver "
-    "scalar (1024 longs, the sanctioned O(1) pattern), re-shipped as "
-    "a 1-row broadcast, and applied to the fact scan BEFORE any key "
-    "join — so "
+    "scalar (1024 longs, the sanctioned O(1) pattern), and applied to "
+    "the fact scan as a literal-array predicate BEFORE any join — so "
     "at 100 TB the ~8 KB filter prunes ~96% of lineitem at scan speed "
     "without shuffling or broadcasting anything fact-sized. False "
     "positives are removed by the exact (broadcast) semi-join above "
@@ -2010,24 +2009,30 @@ def q_join_bloom(spark: SparkSession, sf: str) -> DataFrame:
     words = [0] * _BLOOM_WORDS
     for r in word_rows:
         words[r["w"]] = r["bits"]
-    # The bitmap rides as a 1-row BROADCAST, not an inline array
-    # literal: measured at sf0.1 (medians of 5 interleaved), 1.01s vs
-    # 1.32s — an 8 KB literal array inlined into the filter condition
-    # bloats the generated code (three element_at sites each embed the
-    # constant) and the per-run compile eats more than the broadcast
-    # costs. Same row-vs-plan trade the LSH plane table documents
-    # (operators/similarity.py).
-    bm_df = spark.createDataFrame([(words,)], "bm array<bigint>")
+    # The bitmap rides as an INLINE ARRAY LITERAL — the alternatives
+    # were measured and rejected on PLAN SHAPE, not just seconds
+    # (sf0.1 medians of 5): (a) 1-row broadcast + crossJoin, 1.01s vs
+    # 1.32s here — but Catalyst reorders the bitmap cross-join ABOVE
+    # the semi-join, so the bloom test no longer prunes the scan and
+    # the query's whole pre-exchange contract silently dies (caught by
+    # tests/test_plans.py::test_bloom_join_prunes_before_exchange,
+    # which resolves node ids, not line positions); (b) scalar
+    # subquery `element_at((SELECT bm ...), ...)`, right shape, 1.52s
+    # — no codegen bloat but subquery evaluation is slower than the
+    # folded constant. The literal's cost (three element_at sites each
+    # embedding 8 KB of generated constants) is per-plan compile time,
+    # irrelevant at scale.
+    bitmap = F.lit(words)
 
     fact = table(spark, sf, "lineitem").select(
         "l_partkey", "l_returnflag", "l_quantity"
     )
-    fact = fact.crossJoin(F.broadcast(bm_df)).withColumns(
+    fact = fact.withColumns(
         {f"_p{i}": pos for i, pos in enumerate(positions(F.col("l_partkey")))}
     )
     might_match = None
     for i in range(_BLOOM_K):
-        word = F.element_at("bm", (F.col(f"_p{i}") / 64).cast("int") + 1)
+        word = F.element_at(bitmap, (F.col(f"_p{i}") / 64).cast("int") + 1)
         mask = F.expr(
             f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p{i}, 64) AS INT))"
         )
@@ -2035,7 +2040,7 @@ def q_join_bloom(spark: SparkSession, sf: str) -> DataFrame:
         might_match = hit if might_match is None else (might_match & hit)
     return (
         fact.filter(might_match)  # scan-side prune, no exchange yet
-        .drop("bm", *[f"_p{i}" for i in range(_BLOOM_K)])
+        .drop(*[f"_p{i}" for i in range(_BLOOM_K)])
         .join(F.broadcast(dim), F.col("l_partkey") == F.col("k"), "left_semi")
         .groupBy("l_returnflag")
         .agg(

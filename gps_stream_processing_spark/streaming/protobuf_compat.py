@@ -9,15 +9,25 @@ one (the Google Cloud SDK ships protobuf — BSD-licensed public code —
 under ``platform/google_appengine/google/protobuf``). This module
 *discovers* such a runtime and wires it up; it copies nothing.
 
+Discovery wires a SHIM directory, not the SDK tree itself: the
+candidate trees carry dozens of other importable modules (google.auth,
+api_server, dev_appserver, ...) that would shadow same-named installed
+packages on a worker's PYTHONPATH, so a private temp dir exposing only
+a ``google/protobuf`` symlink (namespace-package ``google`` — merges
+with installed ``google.*`` distributions) is what goes on the path.
+
 Two wiring points, both required:
 
-- **Driver**: append the runtime dir to ``sys.path`` and set protobuf's
+- **Driver**: append the shim dir to ``sys.path`` and set protobuf's
   own documented escape hatch ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK``
   (runtime_version.py honors it) — needed because a discovered runtime
   may be an adjacent minor (6.32 vs the 6.33 gencode); the descriptor
   wire format is stable across minors, verified by the round-trip probe
-  below.
-- **Workers**: inject the same two settings into ``sc.environment``.
+  below. The flag is only ever left set when the shim is ACTIVE, i.e.
+  no protobuf is installed at all — so the disabled cross-version
+  check can only apply to gencode served by the discovered runtime.
+- **Workers**: inject the same two settings (shim dir + flag) into
+  ``sc.environment``.
   PySpark reads that dict at every function-wrap
   (``pyspark/core/rdd.py::_prepare_for_python_RDD`` returns
   ``sc.environment`` into ``SimplePythonFunction``), and the JVM's
@@ -50,18 +60,53 @@ _CANDIDATE_DIRS = (
 
 _DISABLE_FLAG = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
 
-# The discovered runtime dir, or None when google.protobuf imports
-# natively (no wiring needed) or no usable runtime exists.
+# The active SHIM dir (google/protobuf symlink only), or None when
+# google.protobuf imports natively (no wiring needed) or no usable
+# runtime exists.
 _vendor_dir: str | None = None
 _probed = False
+
+
+def _make_shim(vendor_dir: str) -> str:
+    """Build (or reuse) an isolated shim dir exposing ONLY
+    ``google/protobuf`` from ``vendor_dir`` via symlink.
+
+    The candidate dirs are full SDK platform trees carrying dozens of
+    other importable top-level modules (api_server, dev_appserver,
+    google.auth, google.appengine, ...); putting the tree itself on a
+    worker's PYTHONPATH would shadow same-named installed packages.
+    The shim's ``google`` directory has no ``__init__.py`` (namespace
+    package), so it MERGES with any installed ``google.*`` namespace
+    distributions instead of masking them. Deterministic per-vendor
+    path so every process (driver + workers on this host) reuses one
+    shim; creation races resolve to the same link."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(vendor_dir.encode()).hexdigest()[:12]
+    shim = os.path.join(tempfile.gettempdir(), f"gps_spark_pb_shim_{tag}")
+    os.makedirs(os.path.join(shim, "google"), exist_ok=True)
+    link = os.path.join(shim, "google", "protobuf")
+    if not os.path.exists(link):
+        try:
+            os.symlink(os.path.join(vendor_dir, "google", "protobuf"), link)
+        except FileExistsError:
+            pass  # concurrent creator won the race — same target
+    return shim
 
 
 def ensure_protobuf() -> bool:
     """Make ``google.protobuf`` importable in THIS process if possible.
 
     Returns True iff the import succeeds (natively or via a discovered
-    runtime). Idempotent; records the discovered dir for
-    :func:`configure_worker_env`."""
+    runtime). Idempotent; records the discovered shim dir for
+    :func:`configure_worker_env`. A candidate that fails to import is
+    rolled back completely — sys.path entry, the version-check env
+    flag, and any partially-imported ``google.*`` modules — so a failed
+    probe leaves no trace. On SUCCESS the flag stays set for the
+    process: every protobuf consumer here is necessarily using the
+    discovered runtime (there is no installed one), so the disabled
+    cross-version check can only apply to gencode this runtime serves."""
     global _vendor_dir, _probed
     if _probed:
         return _vendor_dir is not None or _native_ok()
@@ -73,14 +118,36 @@ def ensure_protobuf() -> bool:
             os.path.join(d, "google", "protobuf", "__init__.py")
         ):
             continue
-        os.environ.setdefault(_DISABLE_FLAG, "true")
-        if d not in sys.path:
-            sys.path.append(d)
+        try:
+            shim = _make_shim(d)
+        except OSError:
+            continue  # unwritable tmp / symlink-less FS: skip candidate
+        prev_flag = os.environ.get(_DISABLE_FLAG)
+        prev_google_mods = {
+            m for m in sys.modules if m == "google" or m.startswith("google.")
+        }
+        added = shim not in sys.path
+        if added:
+            sys.path.append(shim)
+        os.environ[_DISABLE_FLAG] = "true"
         if _native_ok():
-            _vendor_dir = d
+            _vendor_dir = shim
             return True
-        # Path didn't yield a working import — undo and keep scanning.
-        sys.path.remove(d)
+        # Roll back everything this candidate touched, then keep
+        # scanning: path entry (only if WE added it), env flag, and
+        # google.* modules a partial import may have cached (they
+        # would mask the next candidate's import).
+        if added:
+            sys.path.remove(shim)
+        if prev_flag is None:
+            os.environ.pop(_DISABLE_FLAG, None)
+        else:
+            os.environ[_DISABLE_FLAG] = prev_flag
+        for m in list(sys.modules):
+            if (m == "google" or m.startswith("google.")) and (
+                m not in prev_google_mods
+            ):
+                del sys.modules[m]
     return False
 
 

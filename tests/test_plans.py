@@ -431,16 +431,34 @@ def test_bloom_join_prunes_before_exchange(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    # the bitmap membership test (element_at on the literal word array)
-    # is present, and it lives in a Filter on the fact side BELOW the
-    # join in the plan tree: the Filter node's tree line must appear
-    # after (deeper than) the join's in formatted explain's tree section
-    tree = plan.split("\n\n")[0]
-    join_line = next(
-        i for i, ln in enumerate(tree.splitlines()) if "BroadcastHashJoin" in ln
+    # the bitmap membership test must be a Filter BELOW the semi-join
+    # (pre-exchange pruning — the query's whole point). Positional
+    # line counting is vacuously satisfiable (the dim side's p_brand
+    # Filter also sits under the join), so resolve node IDS: find every
+    # "(N) Filter" detail section whose body contains element_at, and
+    # require one of those N to appear in the tree as a DESCENDANT of
+    # the semi-join line (deeper indentation, after it).
+    import re
+
+    tree = plan.split("\n\n")[0].splitlines()
+    bloom_filter_ids = {
+        m.group(1)
+        for m in re.finditer(r"\((\d+)\) Filter\b([\s\S]*?)(?=\n\(\d+\) |\Z)", plan)
+        if "element_at" in m.group(0)
+    }
+    assert bloom_filter_ids, "no Filter node evaluates the bitmap"
+    join_idx, join_depth = next(
+        (i, ln.index("BroadcastHashJoin"))
+        for i, ln in enumerate(tree)
+        if "BroadcastHashJoin" in ln
     )
-    filter_lines = [
-        i for i, ln in enumerate(tree.splitlines()) if "Filter" in ln
-    ]
-    assert any(i > join_line for i in filter_lines), "no filter below join"
-    assert "element_at" in plan, "bitmap test missing from plan"
+    below_join = []
+    for ln in tree[join_idx + 1:]:
+        m = re.search(r"(\S[\w ]*?) \((\d+)\)", ln)
+        depth = len(ln) - len(ln.lstrip(" :+-*~"))
+        if m and depth > join_depth:
+            below_join.append(m.group(2))
+    assert bloom_filter_ids & set(below_join), (
+        "bitmap Filter is not below the semi-join — pre-exchange "
+        "pruning regressed"
+    )
