@@ -80,6 +80,7 @@ _COMMITTED_ROUNDS = (
     "CORRECTNESS_r03.json",
     "CORRECTNESS_r04.json",
     "CORRECTNESS_r05.json",
+    "CORRECTNESS_r06.json",
 )
 
 # Keys whose EXECUTION PLAN changed after their last green driver row,
@@ -99,25 +100,33 @@ _COMMITTED_ROUNDS = (
 # adjacency-intersect rewrite) but has never had a driver row, so
 # first-time rank already front-runs it.
 _CHANGED_SINCE_VERIFIED = (
-    # r6: q_rrf_fusion now excludes the query's own vector from the
-    # semantic candidate list (values CHANGE — plan and oracle moved
-    # together, ADVICE r5); q_ann_ivf pinned its centroid-assignment
-    # tie-break to the oracle's (cosine DESC, list_id ASC) — values
-    # unchanged by construction on tie-free data, re-check anyway.
-    # (The two r5 entries self-pruned when CORRECTNESS_r05.json entered
-    # the allowlist.)
-    ("q_rrf_fusion", 6),
-    ("q_ann_ivf", 6),
-    # r6 perf rewrites, values invariant by construction (pytest pins
-    # each against an exact replica / both orientations equal):
-    # q_pagerank broadcasts the node-sized ranks side under a size gate
-    # (no per-round edge shuffle); q_triangle_count gained the skew
-    # gate + (degree, id)-oriented path.
-    ("q_pagerank", 6),
-    ("q_triangle_count", 6),
-    # q_label_propagation: size-gated broadcast of the node-sized labels
-    # join side (labels invariant, replica-pinned).
-    ("q_label_propagation", 6),
+    # (The five r6 entries — q_rrf_fusion, q_ann_ivf, q_pagerank,
+    # q_triangle_count, q_label_propagation — self-pruned when
+    # CORRECTNESS_r06.json entered the allowlist with green rows for
+    # all of them.)
+    #
+    # r7: every availableNow streaming key now returns an eagerly
+    # checkpointed snapshot with the uuid memory-sink view dropped
+    # (streaming/runner.py — session-hygiene fix, VERDICT r6 item 3).
+    # Values are invariant by construction (same sink rows, snapshot
+    # taken before the drop; pinned by the streaming-vs-batch tests),
+    # but the returned plan changed shape → re-verify. q_stream_session
+    # (batch session_window) and q_stream_foreachbatch (parquet
+    # round-trip) don't ride run_available_now and are unchanged.
+    ("q_stream_fix_merge", 7),
+    ("q_stream_tws_fix_merge", 7),
+    ("q_stream_tws_timers", 7),
+    ("q_stream_tumbling", 7),
+    ("q_stream_sliding", 7),
+    ("q_stream_dedup", 7),
+    ("q_stream_static_join", 7),
+    ("q_stream_stream_join", 7),
+    ("q_stream_stream_left_join", 7),
+    ("q_stream_session_true", 7),
+    # r7: q_multimodal's decode stage is now a make_decode_batch
+    # closure with the capability flag bound by value (ADVICE r6) —
+    # same stub arithmetic in this environment, re-check anyway.
+    ("q_multimodal", 7),
 )
 
 

@@ -94,6 +94,23 @@ def main() -> None:
             "LATERAL _bench_warm_udtf(t.id)"
         ).collect()
 
+    def _warm_tws() -> None:
+        # transformWithStateInPandas cold-start is the worst in the
+        # suite: a dedicated protobuf-speaking Python worker pool plus
+        # RocksDB state-store provider load — measured 8-13s first
+        # touch vs 3-6s warm on the TWS pair (BENCH.json note3; the r6
+        # driver rows read 2.1-2.2x baseline purely from this). Warm it
+        # by running the registered fix-merge once at the smoke SF: the
+        # query is fixture-based (fixed 3x120s regardless of SF), so
+        # this compiles the exact timed plan shape and spawns the TWS
+        # worker + RocksDB machinery outside the timed loop. No-op
+        # where the API is unavailable (key not registered there).
+        if "q_stream_tws_fix_merge" not in plans.REGISTRY:
+            return
+        plans.REGISTRY["q_stream_tws_fix_merge"].fn(
+            spark, "/root/testdata/sf0.001"
+        ).write.format("noop").mode("overwrite").save()
+
     warmups = (
         ("agg", lambda: spark.range(1_000_000).selectExpr("sum(id)").collect()),
         (
@@ -123,6 +140,7 @@ def main() -> None:
         ),
         ("datasource", _warm_datasource),
         ("udtf", _warm_udtf),
+        ("tws", _warm_tws),
     )
     # Warm-up is best-effort (the timed loop records the real failure
     # per query), but a SILENT skip is indistinguishable from ambient
@@ -184,6 +202,53 @@ def main() -> None:
     if warmup_failures:
         out["warmup_failures"] = warmup_failures
     print(json.dumps(out))
+    # The driver captures only the LAST ~2000 chars of stdout; the full
+    # record above is ~8 KB, so every round through r6 recorded
+    # "parsed": null and per-key comparisons were reconstructed from a
+    # truncated alphabetical suffix (VERDICT r6 item 2). Emit a compact
+    # self-contained summary as the FINAL line — totals plus the
+    # worst-10 per-key ratios against the committed BENCH.json baseline
+    # — sized well under the capture window so the driver always parses
+    # a complete record. The full per-key line above remains for humans
+    # and for re-baselining.
+    summary = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+        "n_warmup_failures": len(warmup_failures),
+    }
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    try:
+        with open(base_path) as f:
+            base = json.load(f)
+        # Per-key ratios are only meaningful at the baseline's own SF —
+        # a side-run at another scale would read as phantom regressions.
+        # (str-normalized: the committed record carries 0.1 as a float,
+        # the dir-name parse yields "0.1".)
+        same_sf = str(base.get("sf")) == str(out["sf"])
+        base_q = base.get("queries", {}) if same_sf else {}
+        ratios = {
+            k: round(v / base_q[k], 2)
+            for k, v in timings.items()
+            if isinstance(base_q.get(k), (int, float)) and base_q[k] > 0
+        }
+        if same_sf:
+            summary["baseline_total"] = base.get("value")
+            if base.get("value"):
+                summary["total_vs_baseline"] = round(total / base["value"], 3)
+        else:
+            summary["baseline_sf_mismatch"] = base.get("sf")
+        summary["n_compared"] = len(ratios)
+        summary["n_over_2x"] = sum(1 for r in ratios.values() if r > 2.0)
+        summary["worst10_vs_baseline"] = dict(
+            sorted(ratios.items(), key=lambda kv: -kv[1])[:10]
+        )
+    except (OSError, ValueError):
+        summary["baseline_total"] = None  # no committed baseline to compare
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

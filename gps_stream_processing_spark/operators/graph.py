@@ -30,18 +30,30 @@ from pyspark.sql import functions as F
 
 def _fits_broadcast(n_rows: int) -> bool:
     """Size gate shared by the iterative operators' node-sized join
-    sides (pagerank ranks, LPA labels): ~32 B per (id, payload) row
-    against the engine's 64 MB broadcast threshold
-    (registry.tune_session sets spark.sql.autoBroadcastJoinThreshold
-    to the same constant) — up to ~2M rows broadcast; past that the
-    side must shuffle and the production layout co-partitions it with
-    the edges instead. One definition so the two gates and the session
-    threshold cannot drift independently."""
-    return n_rows * 32 <= _BROADCAST_THRESHOLD_BYTES
+    sides (pagerank ranks, LPA labels), against the engine's 64 MB
+    broadcast threshold (registry.tune_session sets
+    spark.sql.autoBroadcastJoinThreshold to the same constant). The
+    raw (id, payload) row is ~32 B, but ``F.broadcast()`` is a HINT
+    that bypasses Catalyst's size enforcement, and the driver-built
+    BroadcastHashJoin relation costs several times the payload (UnsafeRow
+    + LongHashedRelation map overhead) — so the gate budgets
+    ``_BROADCAST_ROW_OVERHEAD`` (4x) bytes per row, admitting ~500k
+    rows rather than the ~2M a payload-only estimate would wave
+    through near the memory-pressure edge (ADVICE r6). Past the gate
+    the side must shuffle and the production layout co-partitions it
+    with the edges instead. One definition so the two gates and the
+    session threshold cannot drift independently."""
+    return n_rows * 32 * _BROADCAST_ROW_OVERHEAD <= _BROADCAST_THRESHOLD_BYTES
 
 
 # Mirrors registry.tune_session's autoBroadcastJoinThreshold.
 _BROADCAST_THRESHOLD_BYTES = 64 * (1 << 20)
+# Hashed-relation blow-up over the 32 B/row payload estimate: measured
+# BroadcastExchange "data size" for a 1M-row (long, double) relation is
+# 39.6 MiB (~41 B/row serialized UnsafeRows) BEFORE the driver builds
+# the LongHashedRelation map (pointer pages roughly double that again),
+# so 4x (128 B/row) bounds the real driver+executor footprint.
+_BROADCAST_ROW_OVERHEAD = 4
 
 
 def triangle_count(

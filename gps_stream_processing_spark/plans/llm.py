@@ -897,12 +897,6 @@ def _image_decoder_available() -> bool:
 _REAL_IMAGE_DECODE = _image_decoder_available()
 
 
-def _decode_batch(it):
-    """Default-path decode stage: :func:`make_decode_batch` with the
-    import-time image-decoder capability."""
-    yield from make_decode_batch(real_image=_REAL_IMAGE_DECODE)(it)
-
-
 def make_decode_batch(real_image: bool = False):
     """Multimodal decode / feature-extract / resize / frame-sample stage
     (one Arrow-batched mapInPandas pass), returned as a generator
@@ -988,6 +982,18 @@ def make_decode_batch(real_image: bool = False):
             yield pd.DataFrame(rows)
 
     return _batches
+
+
+# Default-path decode stage: the driver's import-time capability
+# decision BOUND BY VALUE into the serialized closure. A module-level
+# `def` would pickle by reference and make each worker re-evaluate
+# ``_REAL_IMAGE_DECODE`` on import — on a heterogeneous driver/worker
+# environment (PIL on one side only) the driver-registered oracle kind
+# and the worker's decode path would diverge silently (ADVICE r6). A
+# closure returned by ``make_decode_batch`` has a non-importable
+# qualname, so cloudpickle serializes it (flag included) by value: one
+# plan, one path, decided once on the driver.
+_decode_batch = make_decode_batch(real_image=_REAL_IMAGE_DECODE)
 
 
 @register(

@@ -67,6 +67,29 @@ _vendor_dir: str | None = None
 _probed = False
 
 
+def _shim_ok(shim: str, target: str) -> bool:
+    """True iff ``shim`` is a directory WE own, private to us (no
+    group/other permission bits), whose ``google/protobuf`` entry is a
+    symlink resolving to exactly ``target``. Anything else — foreign
+    owner, looser mode, a regular dir/file where the link should be, a
+    link pointing elsewhere — is untrusted and must not reach
+    ``sys.path``/worker ``PYTHONPATH`` (ADVICE r6: a pre-created
+    world-writable path under the predictable name would hand the
+    attacker driver+executor code execution)."""
+    import stat
+
+    try:
+        st = os.lstat(shim)
+    except OSError:
+        return False
+    if not stat.S_ISDIR(st.st_mode):
+        return False
+    if st.st_uid != os.getuid() or st.st_mode & 0o077:
+        return False
+    link = os.path.join(shim, "google", "protobuf")
+    return os.path.islink(link) and os.path.realpath(link) == target
+
+
 def _make_shim(vendor_dir: str) -> str:
     """Build (or reuse) an isolated shim dir exposing ONLY
     ``google/protobuf`` from ``vendor_dir`` via symlink.
@@ -77,21 +100,39 @@ def _make_shim(vendor_dir: str) -> str:
     worker's PYTHONPATH would shadow same-named installed packages.
     The shim's ``google`` directory has no ``__init__.py`` (namespace
     package), so it MERGES with any installed ``google.*`` namespace
-    distributions instead of masking them. Deterministic per-vendor
-    path so every process (driver + workers on this host) reuses one
-    shim; creation races resolve to the same link."""
+    distributions instead of masking them.
+
+    Trust model (ADVICE r6): the deterministic per-user path is reused
+    ONLY after :func:`_shim_ok` verifies ownership, 0700 mode, and that
+    the symlink resolves to the vendor tree — a path someone else
+    pre-created under the predictable name fails verification and we
+    fall back to a fresh private ``mkdtemp`` (0700 by contract), never
+    importing through a directory we did not fully validate. Workers
+    need no path derivation: they receive whichever dir won via the
+    injected ``PYTHONPATH``."""
     import hashlib
     import tempfile
 
+    target = os.path.realpath(os.path.join(vendor_dir, "google", "protobuf"))
     tag = hashlib.md5(vendor_dir.encode()).hexdigest()[:12]
-    shim = os.path.join(tempfile.gettempdir(), f"gps_spark_pb_shim_{tag}")
-    os.makedirs(os.path.join(shim, "google"), exist_ok=True)
-    link = os.path.join(shim, "google", "protobuf")
-    if not os.path.exists(link):
-        try:
-            os.symlink(os.path.join(vendor_dir, "google", "protobuf"), link)
-        except FileExistsError:
-            pass  # concurrent creator won the race — same target
+    shim = os.path.join(
+        tempfile.gettempdir(), f"gps_spark_pb_shim_{os.getuid()}_{tag}"
+    )
+    if _shim_ok(shim, target):
+        return shim  # verified reuse — the common warm path
+    try:
+        os.mkdir(shim, mode=0o700)  # no exist_ok: pre-existing = untrusted
+        os.mkdir(os.path.join(shim, "google"), mode=0o700)
+        os.symlink(target, os.path.join(shim, "google", "protobuf"))
+    except OSError:
+        pass  # lost a race / squatter on the name — verify below decides
+    if _shim_ok(shim, target):
+        return shim
+    # Deterministic name unusable (foreign dir, wrong link, symlink-less
+    # FS probe happens at the caller) — fresh private dir, no reuse.
+    shim = tempfile.mkdtemp(prefix="gps_spark_pb_shim_")
+    os.mkdir(os.path.join(shim, "google"), mode=0o700)
+    os.symlink(target, os.path.join(shim, "google", "protobuf"))
     return shim
 
 

@@ -538,3 +538,47 @@ def test_multimodal_decode_dispatch():
         out = next(llm.make_decode_batch(real_image=True)([batch]))
     assert (out.width[0], out.height[0]) == (256, 64)
     assert pd.isna(out.width[1]) and pd.isna(out.height[1])
+
+
+def test_decode_stage_capability_pinned_by_value():
+    """The shipped decode stage must carry the driver's capability
+    decision INSIDE the serialized closure (ADVICE r6): a module-level
+    ``def`` pickles by reference and each worker would re-probe PIL on
+    import — silently diverging from the driver-registered oracle kind
+    on a heterogeneous cluster. Pin both halves: (a) the stage is a
+    ``make_decode_batch`` closure (non-importable qualname → cloudpickle
+    serializes it, flag included, by value); (b) a pickle round-trip
+    after flipping the module global still runs the original path."""
+    import pickle
+
+    import pandas as pd
+    from pyspark import cloudpickle
+
+    from gps_stream_processing_spark.plans import llm
+
+    assert llm._decode_batch.__qualname__.startswith("make_decode_batch.")
+
+    blob = cloudpickle.dumps(llm.make_decode_batch(real_image=False))
+    batch = pd.DataFrame(
+        {
+            "doc_id": [0],
+            "modality": ["image"],
+            "payload": [b"hello world png"],
+            "meta": [{"lang": "en"}],
+        }
+    )
+    # Deserializing in a "worker" where the probe would say True must
+    # still run the stub path the driver decided on.
+    orig = llm._REAL_IMAGE_DECODE
+    llm._REAL_IMAGE_DECODE = not orig
+    try:
+        out = next(pickle.loads(blob)([batch]))
+    finally:
+        llm._REAL_IMAGE_DECODE = orig
+    w = 64 + ord("h") * 7 % 1985
+    h = 64 + ord("g") * 11 % 1985
+    scale = max(w, h) / 256.0
+    assert (out.width[0], out.height[0]) == (
+        int(w / max(1.0, scale)),
+        int(h / max(1.0, scale)),
+    )

@@ -259,3 +259,74 @@ def test_events_stream_raises_on_non_utc_session(spark, tmp_path):
     sib.conf.set("spark.sql.session.timeZone", "America/New_York")
     with pytest.raises(RuntimeError, match="timeZone=UTC"):
         events_stream(sib, str(tmp_path))
+
+
+def test_run_available_now_leaves_no_sink_views(spark, stream_fixture_dir):
+    """Session hygiene (VERDICT r6): the uuid memory-sink table is
+    transient — run_available_now must materialize the result and drop
+    the temp view before returning, so a long-lived session (bench
+    loop, driver sweep) never accumulates driver-resident sink tables.
+    The returned frame must survive the drop (eager checkpoint)."""
+    from gps_stream_processing_spark.operators.gps_fix import parse_sentences
+    from gps_stream_processing_spark.streaming.runner import run_available_now
+    from gps_stream_processing_spark.streaming.stateful import (
+        nmea_json_stream,
+        streaming_fix_merge,
+    )
+
+    before = {t.name for t in spark.catalog.listTables()}
+    parsed = parse_sentences(nmea_json_stream(spark, stream_fixture_dir))
+    out = run_available_now(streaming_fix_merge(parsed), output_mode="update")
+    after = {t.name for t in spark.catalog.listTables()}
+    assert not {n for n in after - before if n.startswith("mem_")}
+    # the frame is detached from the dropped view: still fully readable
+    assert out.count() > 0
+
+
+def test_protobuf_shim_rejects_squatter(tmp_path):
+    """Shim trust model (ADVICE r6): _make_shim must reuse the
+    deterministic path ONLY when it is our own 0700 directory whose
+    google/protobuf is a symlink resolving to the vendor tree. A
+    squatter's pre-created directory under the predictable name (the
+    attack: world-writable /tmp, attacker plants a malicious
+    google/protobuf before we run) must be rejected in favor of a
+    fresh private mkdtemp dir."""
+    import os
+    import stat
+
+    from gps_stream_processing_spark.streaming import protobuf_compat as pc
+
+    vendor = tmp_path / "vendor"
+    (vendor / "google" / "protobuf").mkdir(parents=True)
+    (vendor / "google" / "protobuf" / "__init__.py").write_text("")
+
+    # clean build: deterministic per-user path, 0700, correct symlink
+    shim1 = pc._make_shim(str(vendor))
+    st = os.lstat(shim1)
+    assert st.st_uid == os.getuid() and not st.st_mode & 0o077
+    link = os.path.join(shim1, "google", "protobuf")
+    assert os.path.islink(link)
+    assert os.path.realpath(link) == os.path.realpath(
+        str(vendor / "google" / "protobuf")
+    )
+    # verified reuse: same path on the second call
+    assert pc._make_shim(str(vendor)) == shim1
+
+    # squatter: replace the symlink with a planted directory → the
+    # deterministic path must fail verification and a fresh private
+    # dir must be used instead
+    os.remove(link)
+    (tmp_path / "evil" / "protobuf").mkdir(parents=True)
+    os.symlink(str(tmp_path / "evil" / "protobuf"), link)
+    shim2 = pc._make_shim(str(vendor))
+    assert shim2 != shim1
+    st2 = os.lstat(shim2)
+    assert st2.st_uid == os.getuid() and not st2.st_mode & 0o077
+    link2 = os.path.join(shim2, "google", "protobuf")
+    assert os.path.realpath(link2) == os.path.realpath(
+        str(vendor / "google" / "protobuf")
+    )
+
+    # a loose-mode dir under the name is equally untrusted
+    os.chmod(shim1, stat.S_IRWXU | stat.S_IRWXG | stat.S_IRWXO)
+    assert pc._make_shim(str(vendor)) != shim1
