@@ -323,6 +323,13 @@ def pagerank(
         # With it materialized, the ranks plan stays one join deep, so
         # no separate ranks checkpoint is needed at all: 10 rounds = 10
         # small materialization jobs over node-count-sized data.
+        # Measured-and-rejected (r7): checkpointing every SECOND round
+        # (5 jobs, the skipped round's 2-consumer subtree re-executed
+        # inside the next job) — identical ranks, medians of 5
+        # interleaved trials at sf0.1: 5.46s vs 5.40s for this form
+        # (tools/bench_pagerank.py::pagerank_2per). Job-launch overhead
+        # at this SF is already below one round's compute, so halving
+        # the job count buys nothing and the extra re-execution costs.
         dist = (
             lhs.join(e_deg, ranks.id == e_deg.src)
             .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("contrib"))

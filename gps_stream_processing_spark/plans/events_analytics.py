@@ -259,3 +259,84 @@ def q_join_pit(spark: SparkSession, sf: str) -> DataFrame:
         F.col("pit_dim_value").alias("dim_value"),
         F.col("pit_ts").alias("version_from"),
     )
+
+
+@register(
+    "q_event_pattern",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ), lv AS (
+      SELECT *,
+             max(CASE WHEN event_type = 'view' THEN ts END) OVER w AS last_view_ts
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), qc AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN event_type = 'click'
+                   AND last_view_ts >= ts - INTERVAL 1 HOUR THEN ts END AS qts
+      FROM lv WHERE event_type IN ('click', 'purchase')
+    ), lq AS (
+      SELECT *, max(qts) OVER w AS last_qclick_ts
+      FROM qc
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           min(ts) AS first_match_ts
+    FROM lq
+    WHERE event_type = 'purchase'
+      AND last_qclick_ts >= ts - INTERVAL 24 HOUR
+    GROUP BY user_id
+    """,
+    doc="Ordered event-sequence pattern matching (the MATCH_RECOGNIZE / "
+    "CEP use case, SURVEY §2.7b beside q_funnel): count per user the "
+    "purchases preceded by a click within 24h where that click was "
+    "itself preceded by a view within 1h — nearest-preceding semantics "
+    "via two running-max window passes, NOT a 3-way self-join: the "
+    "naive view x click x purchase join is O(n^3) per user worst-case, "
+    "while this is two user-keyed sort-window scans, O(n log n) total "
+    "and linear state. q_funnel answers 'did the user ever convert' "
+    "(stage MIN-timestamps); this counts pattern INSTANCES under "
+    "per-step time bounds. At 100 TB both passes ride the same "
+    "user_id partitioning — one shuffle, reused.",
+)
+def q_event_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    e = table(spark, sf, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    lv = e.withColumn(
+        "last_view_ts",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    qc = lv.filter(F.col("event_type").isin("click", "purchase")).withColumn(
+        "qts",
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("last_view_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+            F.col("ts"),
+        ),
+    )
+    lq = qc.withColumn("last_qclick_ts", F.max("qts").over(w))
+    return (
+        lq.filter(
+            (F.col("event_type") == "purchase")
+            & (
+                F.col("last_qclick_ts")
+                >= F.col("ts") - F.expr("INTERVAL 24 HOURS")
+            )
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.min("ts").alias("first_match_ts"),
+        )
+    )

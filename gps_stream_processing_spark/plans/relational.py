@@ -2048,3 +2048,89 @@ def q_join_bloom(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("l_quantity").cast("double").alias("sum_qty"),
         )
     )
+
+
+@register(
+    "q_rolling_quantile",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(quantile_cont(value, 0.5) OVER w, 4) AS roll_median,
+           ROUND(quantile_cont(value, 0.9) OVER w, 4) AS roll_p90
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Rolling EXACT order statistics (trailing-25-row median and p90 "
+    "per user) — the window-frame family's quantile member, which no "
+    "running-aggregate rewrite covers (SURVEY §2.7; complements "
+    "q_win_frames' sum/avg/first/last). Spark's exact `percentile` with "
+    "linear interpolation over a ROWS frame == DuckDB quantile_cont. "
+    "One user-keyed shuffle + sort; the frame bound keeps per-row work "
+    "O(frame), so at 100 TB cost is rows x frame within each user "
+    "partition — no global sort, no Python. The production knob is the "
+    "frame width, not the node count; skewed users are bounded by the "
+    "per-user event cap upstream.",
+)
+def q_rolling_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, W.currentRow)
+    )
+    e = table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("roll_median"),
+        F.round(F.expr("percentile(value, 0.9)").over(w), 4).alias("roll_p90"),
+    )
+
+
+@register(
+    "q_approx_top_k",
+    # approx_top_k is EXACT whenever maxItemsTracked >= the column's
+    # distinct count (the sketch never evicts): 5 event_types (and at
+    # most ~31 (type, day) pairs below) against maxItemsTracked=10000
+    # -> counts equal the exact GROUP BY, making the full value oracle
+    # valid at every fixture SF. The ORDER BY pins the emission order
+    # the sketch already uses (count desc, then item) plus event_id
+    # determinism via the exact tie-break.
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS est_count
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY est_count DESC, item) AS INT) AS rnk,
+           item, est_count
+    FROM c ORDER BY rnk LIMIT 3
+    """,
+    doc="Sketch-tier heavy hitters: approx_top_k over event_type, the "
+    "result array exploded to (rank, item, count) rows (SURVEY §2.4 "
+    "approx family, beside approx_count_distinct/approx_percentile/"
+    "HLL). At 100 TB the sketch is the point: a bounded "
+    "maxItemsTracked summary merges map-side (one row per partition "
+    "crosses the wire) where the exact GROUP BY would shuffle every "
+    "distinct key; on this low-cardinality fixture the sketch is "
+    "provably exact, so the key carries a full value oracle rather "
+    "than a rows-only one.",
+)
+def q_approx_top_k(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    topk = e.agg(F.expr("approx_top_k(event_type, 3, 10000)").alias("tk"))
+    return (
+        topk.select(F.explode("tk").alias("entry"))
+        .select(
+            F.col("entry.item").alias("item"),
+            F.col("entry.count").alias("est_count"),
+        )
+        # the sketch emits count-desc already; rank with an explicit
+        # item tie-break so ties cannot flip rows vs the oracle
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.col("est_count").desc(), "item"))
+            .cast("int")
+            .alias("rnk"),
+            "item",
+            "est_count",
+        )
+    )

@@ -439,3 +439,46 @@ def q_point_in_polygon(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("inside")
         .agg(F.count("*").alias("n_points"))
     )
+
+
+@register(
+    "q_sql_udf",
+    oracle="""
+    SELECT event_id,
+           ROUND(value * 1.852, 3) AS speed_kmh,
+           CASE WHEN value * 1.852 >= 120 THEN 'fast'
+                WHEN value * 1.852 >= 40 THEN 'cruise'
+                ELSE 'slow' END AS speed_band
+    FROM events WHERE event_type = 'view'
+    """,
+    doc="Declarative SQL UDFs (Spark 4 `CREATE FUNCTION ... RETURNS ... "
+    "RETURN <expr>`, SURVEY §2.6/§2.10): the knots->km/h conversion and "
+    "a banding function COMPOSED from it, both defined in SQL DDL and "
+    "used from a plain query. Unlike Python UDFs these inline into the "
+    "Catalyst plan (project over the scan — no serialization boundary, "
+    "full codegen/pushdown), so at 100 TB they cost the same as writing "
+    "the expression by hand while staying centrally defined — the "
+    "sanctioned way to ship a function library with the engine. Oracle "
+    "is the inlined expression, which is exactly what the plan runs.",
+)
+def q_sql_udf(spark: SparkSession, sf: str) -> DataFrame:
+    # Idempotent per session; the second function composes the first —
+    # SQL-UDF-in-SQL-UDF inlining is part of the surface under test.
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gps_knots2kmh(v DOUBLE) "
+        "RETURNS DOUBLE RETURN v * 1.852"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gps_speed_band(v DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN gps_knots2kmh(v) >= 120 THEN 'fast' "
+        "WHEN gps_knots2kmh(v) >= 40 THEN 'cruise' ELSE 'slow' END"
+    )
+    e = table(spark, sf, "events")
+    e.createOrReplaceTempView("_sql_udf_events")
+    out = spark.sql(
+        "SELECT event_id, ROUND(gps_knots2kmh(value), 3) AS speed_kmh, "
+        "gps_speed_band(value) AS speed_band "
+        "FROM _sql_udf_events WHERE event_type = 'view'"
+    )
+    spark.catalog.dropTempView("_sql_udf_events")
+    return out

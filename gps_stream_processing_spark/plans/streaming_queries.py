@@ -545,3 +545,33 @@ def q_stream_foreachbatch(spark: SparkSession, sf: str) -> DataFrame:
     return landed.groupBy("event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
+
+
+@register(
+    "q_stream_dedup_watermark",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+    doc="Streaming dedup via dropDuplicatesWithinWatermark (SURVEY "
+    "§2.8) — the Spark-3.5+ API distinct from q_stream_dedup's "
+    "dropDuplicates: state for a key is EVICTED once the watermark "
+    "passes its event time + delay, so state is O(keys per watermark "
+    "window), not O(all keys ever) — the only dedup that runs forever "
+    "on an unbounded 100 TB/day stream where duplicates arrive close "
+    "together (at-least-once sources: Kafka producer retries). "
+    "availableNow over the finite fixture keeps every event inside "
+    "the final watermark, so the deduped per-type counts equal the "
+    "batch DISTINCT — full oracle, same as the unbounded-state twin, "
+    "making the two APIs' equivalence on bounded input an asserted "
+    "fact rather than an assumption.",
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    dedup = (
+        events_stream(spark, sf)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+    return run_available_now(dedup, output_mode="complete", state_partitions=4)

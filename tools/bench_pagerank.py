@@ -101,7 +101,10 @@ def pagerank_2per(
     un-checkpointed round's join+rollup subtree is embedded (twice —
     two consumers) into the next round's checkpoint job: per 2-round
     block ~3x the round compute in 1 job vs 2x compute in 2 jobs —
-    wins only if job-launch overhead exceeds one round's compute."""
+    wins only if job-launch overhead exceeds one round's compute.
+    Round-7 record: REJECTED — match True, medians of 5 interleaved
+    trials at sf0.1: old 5.40s vs 2per 5.46s (per-trial old
+    [5.43 5.79 5.17 5.13 5.40], 2per [5.46 5.29 5.24 5.59 6.24])."""
     from gps_stream_processing_spark.operators.graph import _fits_broadcast
 
     e = (
