@@ -507,9 +507,19 @@ def q_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
 def bucketed_lineitem_orders(spark: SparkSession, sf: str, n_buckets: int = 8):
     """Land lineitem/orders as external bucketed tables (8 buckets on the
     order key, one file per bucket via repartition) and return the two
-    bucketed scans. Idempotent per sf dir; shared by the registered query
-    and the plan-shape test."""
+    bucketed scans. Shared by the registered query and the plan-shape
+    test.
+
+    Reuse semantics match the production story the query documents
+    ("the shuffle is paid once at write time"): a NEW session re-ATTACHES
+    a previously landed layout instead of re-landing it — external-table
+    DDL with the bucket spec over the existing files (Spark re-derives
+    each file's bucket id from its name, so attach is lossless) — but
+    only when the staged fingerprint (source path+size+mtime, the
+    q_read_merge_schema staging discipline) still matches; anything
+    else re-lands. Within a session the catalog entry short-circuits."""
     import hashlib
+    import os
 
     tag = hashlib.md5(sf.encode()).hexdigest()[:8]
     out = {}
@@ -520,16 +530,37 @@ def bucketed_lineitem_orders(spark: SparkSession, sf: str, n_buckets: int = 8):
         tbl = f"bkt_{name}_{tag}"
         path = f"/tmp/gps_spark_bucketed_{tag}/{name}"
         if not spark.catalog.tableExists(tbl):
-            (
-                table(spark, sf, name)
-                .select(*cols)
-                .repartition(n_buckets, key)
-                .write.mode("overwrite")
-                .bucketBy(n_buckets, key)
-                .sortBy(key)
-                .option("path", path)
-                .saveAsTable(tbl)
-            )
+            src = os.path.join(sf, f"{name}.parquet")
+            st = os.stat(src)
+            fp = f"{src}:{st.st_size}:{int(st.st_mtime)}"
+            fp_file = os.path.join(path, "_SOURCE_FINGERPRINT")
+            slim = table(spark, sf, name).select(*cols)
+            try:
+                staged = open(fp_file).read() == fp
+            except OSError:
+                staged = False
+            if staged:
+                ddl_cols = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in slim.schema.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE {tbl} ({ddl_cols}) USING PARQUET "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                    f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+                )
+            else:
+                (
+                    slim.repartition(n_buckets, key)
+                    .write.mode("overwrite")
+                    .bucketBy(n_buckets, key)
+                    .sortBy(key)
+                    .option("path", path)
+                    .saveAsTable(tbl)
+                )
+                tmp = fp_file + ".tmp"
+                with open(tmp, "w") as f:  # atomic: no partial fingerprint
+                    f.write(fp)
+                os.replace(tmp, fp_file)
         out[name] = spark.table(tbl)
     return out["lineitem"], out["orders"]
 

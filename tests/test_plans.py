@@ -462,3 +462,49 @@ def test_bloom_join_prunes_before_exchange(spark):
         "bitmap Filter is not below the semi-join — pre-exchange "
         "pruning regressed"
     )
+
+
+def test_bucketed_layout_reattach(spark):
+    """A NEW session re-ATTACHES the landed bucketed layout (external
+    DDL with the bucket spec over the existing files, gated on the
+    source fingerprint) instead of re-landing it — and the attached
+    scans still satisfy the join's distribution requirement: SMJ/SHJ
+    with ZERO Exchange under broadcast-off, same as the landing
+    session. This is the contract that makes 'shuffle paid once at
+    write time' true across sessions, not just within one."""
+    import hashlib
+
+    from gps_stream_processing_spark.plans.relational import (
+        bucketed_lineitem_orders,
+    )
+
+    sf = SF  # sf0.001: cheap to (re-)land
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    # ensure landed once, then drop ONLY the catalog entries (files +
+    # fingerprint stay) — the next call must take the attach path
+    bucketed_lineitem_orders(spark, sf)
+    spark.sql(f"DROP TABLE IF EXISTS bkt_lineitem_{tag}")
+    spark.sql(f"DROP TABLE IF EXISTS bkt_orders_{tag}")
+    li, o = bucketed_lineitem_orders(spark, sf)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan
+        # attach is lossless: equals the plain shuffled join
+        plain = (
+            spark.read.parquet(f"{sf}/lineitem.parquet")
+            .join(
+                spark.read.parquet(f"{sf}/orders.parquet"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select("l_orderkey", "l_quantity", "o_orderpriority")
+        )
+        assert j.exceptAll(plain).count() == 0
+        assert plain.exceptAll(j).count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
