@@ -582,3 +582,127 @@ def test_decode_stage_capability_pinned_by_value():
         int(w / max(1.0, scale)),
         int(h / max(1.0, scale)),
     )
+
+
+def test_rolling_quantile_matches_pandas_replica(spark):
+    """q_rolling_quantile's exact windowed percentile == an independent
+    pandas rolling-quantile replica (linear interpolation, trailing-25
+    frame) on a synthetic multi-user series — pins Spark `percentile`'s
+    frame semantics against a second implementation, not just the
+    DuckDB oracle."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(400),
+            "user_id": np.repeat(np.arange(4), 100),
+            "ts": pd.date_range("2024-01-01", periods=400, freq="min"),
+            "value": rng.uniform(0, 100, 400).round(3),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-24, W.currentRow)
+    )
+    got = (
+        sdf.select(
+            "event_id",
+            F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("m"),
+            F.round(F.expr("percentile(value, 0.9)").over(w), 6).alias("p90"),
+        )
+        .toPandas()
+        .sort_values("event_id", ignore_index=True)
+    )
+    exp_m = (
+        pdf.groupby("user_id")["value"]
+        .rolling(25, min_periods=1)
+        .quantile(0.5, interpolation="linear")
+        .reset_index(drop=True)
+    )
+    exp_p90 = (
+        pdf.groupby("user_id")["value"]
+        .rolling(25, min_periods=1)
+        .quantile(0.9, interpolation="linear")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(got["m"], exp_m.round(6), atol=1e-6)
+    assert np.allclose(got["p90"], exp_p90.round(6), atol=1e-6)
+
+
+def test_event_pattern_step_bounds(spark):
+    """Hand-built sequences pin q_event_pattern's per-step time bounds
+    and nearest-preceding semantics: a purchase matches iff a click
+    within 24h before it was itself within 1h of a preceding view.
+    Covers: qualifying chain, click-too-late-after-view, purchase-too-
+    late-after-click, purchase-before-any-click, and two purchases
+    sharing one qualifying click (both count — instances are per
+    purchase, the click is not consumed)."""
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+
+    def rows(uid, *evs):
+        return [
+            {"user_id": uid, "event_id": i + uid * 100, "event_type": ty, "ts": ts}
+            for i, (ty, ts) in enumerate(evs)
+        ]
+
+    data = (
+        # u1: view -> +30min click -> +20h purchase => 1 match; a second
+        # purchase +23h (still <=24h after the same click) => 2 matches
+        rows(1, ("view", t0), ("click", t0 + 0.5 * h),
+             ("purchase", t0 + 20 * h), ("purchase", t0 + 23 * h))
+        # u2: click 2h after view (view stale) -> purchase => 0
+        + rows(2, ("view", t0), ("click", t0 + 2 * h), ("purchase", t0 + 3 * h))
+        # u3: qualifying click but purchase 25h later => 0
+        + rows(3, ("view", t0), ("click", t0 + 0.5 * h), ("purchase", t0 + 25 * h))
+        # u4: purchase with no click at all => 0
+        + rows(4, ("view", t0), ("purchase", t0 + 1 * h))
+    )
+    sdf = spark.createDataFrame(pd.DataFrame(data))
+    sdf.createOrReplaceTempView("_pattern_probe")
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    # same plan as the registered query, over the probe frame
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    e = sdf.filter(F.col("event_type").isin("view", "click", "purchase"))
+    lv = e.withColumn(
+        "last_view_ts",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    qc = lv.filter(F.col("event_type").isin("click", "purchase")).withColumn(
+        "qts",
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("last_view_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+            F.col("ts"),
+        ),
+    )
+    lq = qc.withColumn("last_qclick_ts", F.max("qts").over(w))
+    out = (
+        lq.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("last_qclick_ts") >= F.col("ts") - F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_matched"))
+        .toPandas()
+        .set_index("user_id")["n_matched"]
+        .to_dict()
+    )
+    spark.catalog.dropTempView("_pattern_probe")
+    assert out == {1: 2}

@@ -330,3 +330,44 @@ def test_protobuf_shim_rejects_squatter(tmp_path):
     # a loose-mode dir under the name is equally untrusted
     os.chmod(shim1, stat.S_IRWXU | stat.S_IRWXG | stat.S_IRWXO)
     assert pc._make_shim(str(vendor)) != shim1
+
+
+def test_stream_dedup_watermark_collapses_real_duplicates(spark, tmp_path):
+    """The registry fixture has unique event_ids, so the registered
+    q_stream_dedup_watermark oracle passes vacuously there — this test
+    feeds the SAME plan a stream with INJECTED duplicate event_ids
+    (each duplicate arriving within the watermark delay, the
+    at-least-once-producer retry shape the API exists for) and asserts
+    they collapse to the distinct set."""
+    import pandas as pd
+
+    from gps_stream_processing_spark.streaming.runner import run_available_now
+    from pyspark.sql import functions as F
+
+    base = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pd.date_range("2024-01-01 00:00:00", periods=5, freq="min"),
+            "event_type": ["view", "click", "view", "purchase", "view"],
+        }
+    )
+    dup = base.iloc[[0, 2, 4]].copy()  # producer retries, slightly later
+    dup["ts"] = dup["ts"] + pd.Timedelta(seconds=30)
+    # micros, not pandas-default nanos: the stream schema says TIMESTAMP
+    pd.concat([base, dup]).astype({"ts": "datetime64[us]"}).to_parquet(
+        tmp_path / "events.parquet", index=False
+    )
+
+    raw = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .parquet(str(tmp_path))
+    )
+    dedup = (
+        raw.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+    out = run_available_now(dedup, output_mode="complete", state_partitions=2)
+    got = {r.event_type: r.n_unique for r in out.collect()}
+    assert got == {"view": 3, "click": 1, "purchase": 1}
