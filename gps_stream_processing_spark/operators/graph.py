@@ -361,3 +361,64 @@ def pagerank(
             )
         )
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS hop distances over an undirected edge list:
+    returns (``id``, ``dist``) for every node within ``n_rounds`` hops
+    of any seed (dist 0 = the seeds themselves, capped frontier
+    expansion — the bounded-radius neighborhood query).
+
+    FRONTIER-based, the textbook distributed-BFS shape: each round
+    joins only the newly-discovered frontier against the edges (never
+    the full visited set), anti-joins out already-visited nodes, and
+    checkpoint-truncates lineage like the other iterative operators.
+    Work per round is O(edges touching the frontier); total O(m) over
+    the whole run — a visited-set join per round would be O(m * rounds).
+    The frontier is node-sized, so it rides the same size-gated
+    broadcast as pagerank's ranks (``_fits_broadcast``); past the gate
+    it shuffles and the production layout co-partitions frontier with
+    the symmetrized edges. Deterministic: hop distance is a pure
+    min-over-paths property, independent of traversal order."""
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .union(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")).filter(
+                F.col(src_col).isNotNull() & F.col(dst_col).isNotNull()
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+        .hint("shuffle_hash")
+    )
+    nodes = sym.select(F.col("s").alias("id")).distinct()
+    # seeds restricted to graph nodes: an absent seed has no distance
+    frontier = (
+        seeds.select(F.col(seeds.columns[0]).alias("id"))
+        .distinct()
+        .join(nodes, "id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    dist = frontier.select("id", F.lit(0).alias("dist"))
+    for r in range(1, n_rounds + 1):
+        n_frontier = frontier.count()  # feeds the gate AND the early exit
+        if n_frontier == 0:
+            break  # exhausted before the cap: further rounds are no-ops
+        fr = F.broadcast(frontier) if _fits_broadcast(n_frontier) else frontier
+        discovered = (
+            sym.join(fr, sym.s == fr.id)
+            .select(F.col("d").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.union(discovered.select("id", F.lit(r).alias("dist")))
+        frontier = discovered
+    return dist

@@ -196,3 +196,67 @@ def _lpa_oracle(n_iterations: int = 3) -> str:
 )
 def q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     return label_propagation(customer_supplier_edges(spark, sf), n_iterations=3)
+
+
+def _bfs_oracle(n_rounds: int = 3) -> str:
+    """Full DuckDB oracle for the capped multi-source BFS: rounds
+    unrolled as chained MATERIALIZED CTEs (the _pagerank_oracle
+    pattern). All-integer — exact. Frontier f{i} = nodes first seen in
+    round i; d{i} = everything seen so far; NOT EXISTS is the anti-join
+    the engine expresses with a left_anti."""
+    sql = [f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS a, l_suppkey + {_SUPP_OFFSET} AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT s AS id FROM sym),
+    f0 AS MATERIALIZED (
+      SELECT DISTINCT c_custkey AS id FROM customer
+      WHERE c_nationkey = 0
+        AND EXISTS (SELECT 1 FROM nodes n WHERE n.id = c_custkey)
+    ),
+    d0 AS MATERIALIZED (SELECT id, 0 AS dist FROM f0)"""]
+    for i in range(1, n_rounds + 1):
+        sql.append(f""",
+    f{i} AS MATERIALIZED (
+      SELECT DISTINCT sym.d AS id
+      FROM sym JOIN f{i - 1} f ON sym.s = f.id
+      WHERE NOT EXISTS (SELECT 1 FROM d{i - 1} v WHERE v.id = sym.d)
+    ),
+    d{i} AS MATERIALIZED (
+      SELECT id, dist FROM d{i - 1}
+      UNION ALL SELECT id, {i} AS dist FROM f{i}
+    )""")
+    sql.append(f"""
+    SELECT id, CAST(dist AS INT) AS dist FROM d{n_rounds}""")
+    return "".join(sql)
+
+
+@register(
+    "q_bfs_distance",
+    oracle=_bfs_oracle(),
+    doc="Capped multi-source BFS (3 hops) over the undirected "
+    "customer<->supplier purchase graph, seeded by nation-0 customers "
+    "— the bounded-radius neighborhood query (blast-radius / "
+    "influence-set analysis). FRONTIER-based (operators/graph.py "
+    "bfs_distances): each round joins only the newly-discovered "
+    "frontier against the edges and anti-joins the visited set, so "
+    "total work is O(m) across the whole run, not O(m x rounds); the "
+    "node-sized frontier rides the same size-gated broadcast as "
+    "pagerank's ranks. All-integer hop distances, deterministic by "
+    "construction -> full oracle with the rounds unrolled as "
+    "materialized DuckDB CTEs.",
+)
+def q_bfs_distance(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.graph import bfs_distances
+
+    seeds = (
+        table(spark, sf, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.col("c_custkey").alias("id"))
+    )
+    out = bfs_distances(customer_supplier_edges(spark, sf), seeds, n_rounds=3)
+    return out.select("id", F.col("dist").cast("int").alias("dist"))

@@ -232,3 +232,29 @@ def test_triangle_count_hub_graph_both_orientations_agree(spark):
     ):
         n_id = graph.triangle_count(edges).first()["n_triangles"]
     assert n_oriented == n_id == 30
+
+
+def test_bfs_distances_hand_graph(spark):
+    """Hand graph pins bfs_distances semantics: multi-source min-hop,
+    the cap (nodes beyond n_rounds hops excluded), unreachable
+    components excluded, seeds absent from the graph ignored, and
+    distance = min over SEEDS when a node is reachable from several."""
+    from gps_stream_processing_spark.operators.graph import bfs_distances
+
+    # path 1-2-3-4-5-6, seed 1 and seed 5; island 10-11; seed 99 absent
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (5,), (99,)], "id long")
+    got = {
+        r.id: r.dist
+        for r in bfs_distances(edges, seeds, n_rounds=2).collect()
+    }
+    #   1:0  5:0  2:1(from 1)  4:1(from 5)  6:1(from 5)  3:2(either)
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 6: 1, 3: 2}
+    # island 10-11 and the absent seed 99 never appear; cap=1 drops 3
+    got1 = {
+        r.id: r.dist
+        for r in bfs_distances(edges, seeds, n_rounds=1).collect()
+    }
+    assert got1 == {1: 0, 5: 0, 2: 1, 4: 1, 6: 1}
