@@ -20,6 +20,9 @@ joins + aggregations that Catalyst/AQE handle like any other query:
   truncated per round (``localCheckpoint``), the same discipline as
   ``connected_components``. Dangling-node mass is redistributed
   uniformly each round so ranks keep summing to 1.
+- ``label_propagation`` / ``bfs_distances``: see their docstrings —
+  the same per-round join + checkpoint discipline, with node-sized
+  sides (labels / frontier) riding the shared size-gated broadcast.
 """
 
 from __future__ import annotations

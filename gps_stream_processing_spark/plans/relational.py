@@ -2165,3 +2165,43 @@ def q_approx_top_k(spark: SparkSession, sf: str) -> DataFrame:
             "est_count",
         )
     )
+
+
+@register(
+    "q_bitmap_distinct",
+    oracle="""
+    SELECT c.c_nationkey,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_buyers
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="EXACT distinct counting via mergeable roaring-style bitmaps "
+    "(Spark 4 bitmap_construct_agg / bitmap_or_agg / bitmap_count — "
+    "SURVEY §2.4 beside the HLL sketch, which trades exactness for "
+    "fixed size): per (nation, month-segment, 32k-id bucket) the buyer "
+    "ids aggregate into a bitmap; segments then merge with bitwise OR "
+    "and the per-bucket cardinalities sum. Counts are EXACT — the "
+    "bitmap is a set, not an estimator — so the oracle is the plain "
+    "COUNT(DISTINCT). The 100 TB pattern: per-day segment bitmaps are "
+    "landed ONCE at ingest (map-side-combinable, one bitmap row per "
+    "(segment, bucket) crosses the wire instead of every distinct id), "
+    "and any later slice's exact distinct count is an OR over "
+    "pre-built bitmaps — no fact re-scan, unlike COUNT(DISTINCT) "
+    "whose expand+shuffle re-reads the fact every query; the id-bucket "
+    "dimension bounds each bitmap at 32k bits regardless of id range.",
+)
+def q_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").select("o_custkey", "o_orderdate")
+    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    fact = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    segments = fact.groupBy(
+        "c_nationkey",
+        F.month("o_orderdate").alias("seg"),
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("bm"))
+    merged = segments.groupBy("c_nationkey", "bkt").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return merged.groupBy("c_nationkey").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_buyers")
+    )
