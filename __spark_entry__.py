@@ -127,6 +127,10 @@ _CHANGED_SINCE_VERIFIED = (
     # closure with the capability flag bound by value (ADVICE r6) —
     # same stub arithmetic in this environment, re-check anyway.
     ("q_multimodal", 7),
+    # r7: q_join_bucketed's layout now re-attaches across sessions
+    # (fingerprint-gated external DDL) instead of re-landing — values
+    # invariant (attach losslessness pytest-pinned), re-check anyway.
+    ("q_join_bucketed", 7),
 )
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gps_stream_processing_spark.operators.graph import (
+    bfs_distances,
     label_propagation,
     pagerank,
     triangle_count,
@@ -251,8 +252,6 @@ def _bfs_oracle(n_rounds: int = 3) -> str:
     "materialized DuckDB CTEs.",
 )
 def q_bfs_distance(spark: SparkSession, sf: str) -> DataFrame:
-    from gps_stream_processing_spark.operators.graph import bfs_distances
-
     seeds = (
         table(spark, sf, "customer")
         .filter(F.col("c_nationkey") == 0)

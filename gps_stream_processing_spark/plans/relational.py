@@ -530,13 +530,26 @@ def bucketed_lineitem_orders(spark: SparkSession, sf: str, n_buckets: int = 8):
         tbl = f"bkt_{name}_{tag}"
         path = f"/tmp/gps_spark_bucketed_{tag}/{name}"
         if not spark.catalog.tableExists(tbl):
+            import glob as _glob
+
             src = os.path.join(sf, f"{name}.parquet")
             st = os.stat(src)
-            fp = f"{src}:{st.st_size}:{int(st.st_mtime)}"
+            # Fingerprint covers the SOURCE (path+size+mtime) AND the
+            # LAYOUT RECIPE (bucket count, key, column list): a recipe
+            # change with an unchanged source must re-land, not attach
+            # old files under a new DDL (stale column would read
+            # all-NULL). Attach additionally requires the bucket data
+            # files to actually exist — a /tmp cleaner that removed the
+            # parquet but left the fingerprint must not be attached
+            # over (it would silently return empty results).
+            fp = f"{src}:{st.st_size}:{int(st.st_mtime)}:{n_buckets}:{key}:{','.join(cols)}"
             fp_file = os.path.join(path, "_SOURCE_FINGERPRINT")
             slim = table(spark, sf, name).select(*cols)
             try:
-                staged = open(fp_file).read() == fp
+                staged = (
+                    open(fp_file).read() == fp
+                    and len(_glob.glob(os.path.join(path, "part-*"))) > 0
+                )
             except OSError:
                 staged = False
             if staged:
@@ -2120,12 +2133,14 @@ def q_rolling_quantile(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q_approx_top_k",
     # approx_top_k is EXACT whenever maxItemsTracked >= the column's
-    # distinct count (the sketch never evicts): 5 event_types (and at
-    # most ~31 (type, day) pairs below) against maxItemsTracked=10000
-    # -> counts equal the exact GROUP BY, making the full value oracle
-    # valid at every fixture SF. The ORDER BY pins the emission order
-    # the sketch already uses (count desc, then item) plus event_id
-    # determinism via the exact tie-break.
+    # distinct count (the sketch never evicts): 5 event_types against
+    # maxItemsTracked=10000 -> counts equal the exact GROUP BY, making
+    # the full value oracle valid at every fixture SF. k = the distinct
+    # count (5), so the SELECTION is total — a count tie at a k < n
+    # boundary would let the sketch and the oracle legitimately pick
+    # different items (the sketch's boundary choice is unspecified);
+    # with k = n the only freedom left is ORDER, which the explicit
+    # (count desc, item) rank pins identically on both sides.
     oracle="""
     WITH c AS (
       SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS est_count
@@ -2133,7 +2148,7 @@ def q_rolling_quantile(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT CAST(row_number() OVER (ORDER BY est_count DESC, item) AS INT) AS rnk,
            item, est_count
-    FROM c ORDER BY rnk LIMIT 3
+    FROM c ORDER BY rnk
     """,
     doc="Sketch-tier heavy hitters: approx_top_k over event_type, the "
     "result array exploded to (rank, item, count) rows (SURVEY §2.4 "
@@ -2147,7 +2162,7 @@ def q_rolling_quantile(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_approx_top_k(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "events")
-    topk = e.agg(F.expr("approx_top_k(event_type, 3, 10000)").alias("tk"))
+    topk = e.agg(F.expr("approx_top_k(event_type, 5, 10000)").alias("tk"))
     return (
         topk.select(F.explode("tk").alias("entry"))
         .select(

@@ -96,9 +96,16 @@ def _unload_idle_state_stores(spark: SparkSession) -> None:
     ``StateStore.stop()`` unloads all providers and stops the
     maintenance pool; the next streaming query lazily restarts it
     (``StateStore.get`` → ``startMaintenanceIfNeeded``), so calling it
-    between queries is safe by construction. Best-effort: internal JVM
-    API, guarded for Spark Connect / future renames."""
+    between queries is safe by construction. The call is JVM-GLOBAL —
+    it would also unload a concurrently RUNNING stream's providers and
+    force a per-batch state reload — so it is gated on the session
+    having no active streaming queries (today's callers are strictly
+    sequential, but the gate makes 'idle' true by check, not by
+    convention). Best-effort: internal JVM API, guarded for Spark
+    Connect / future renames."""
     try:
+        if spark.streams.active:
+            return  # another stream is live — unloading would thrash it
         jvm = spark._jvm  # noqa: SLF001 — no public API unloads providers
         jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     except Exception:  # noqa: BLE001
@@ -143,12 +150,18 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
+        return spark.table(name).localCheckpoint(eager=True)
     finally:
+        # Hygiene runs on FAILURE too: a stream that dies after start()
+        # has already registered the sink view and loaded state-store
+        # providers — exactly the leak this cleanup exists to prevent
+        # (and a bench adjudication re-run would leak again on retry).
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    _unload_idle_state_stores(spark)
-    return out
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001 — view may not exist if start() failed
+            pass
+        _unload_idle_state_stores(spark)
 
 
 def run_foreach_batch_parquet(

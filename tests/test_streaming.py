@@ -371,3 +371,31 @@ def test_stream_dedup_watermark_collapses_real_duplicates(spark, tmp_path):
     out = run_available_now(dedup, output_mode="complete", state_partitions=2)
     got = {r.event_type: r.n_unique for r in out.collect()}
     assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_run_available_now_cleans_up_on_failure(spark, tmp_path):
+    """Hygiene must hold on the FAILURE path too (r7 review finding):
+    a stream that dies after start() has already registered its memory
+    sink — the finally-based cleanup drops it, so a failing key
+    re-run by the bench adjudication loop cannot accumulate views."""
+    import pandas as pd
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.streaming.runner import run_available_now
+
+    pd.DataFrame(
+        {"event_id": [1, 2], "ts": pd.date_range("2024-01-01", periods=2, freq="min")}
+    ).astype({"ts": "datetime64[us]"}).to_parquet(
+        tmp_path / "events.parquet", index=False
+    )
+    raw = spark.readStream.schema("event_id long, ts timestamp").parquet(
+        str(tmp_path)
+    )
+    # ANSI mode: integer division by zero throws at execution time
+    bad = raw.withColumn("boom", F.expr("event_id div 0"))
+    before = {t.name for t in spark.catalog.listTables()}
+    with _pytest.raises(Exception):
+        run_available_now(bad, output_mode="append", state_partitions=2)
+    after = {t.name for t in spark.catalog.listTables()}
+    assert not {n for n in after - before if n.startswith("mem_")}
