@@ -2220,3 +2220,48 @@ def q_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return merged.groupBy("c_nationkey").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_buyers")
     )
+
+
+@register(
+    "q_read_xml",
+    oracle="""
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="XML source round-trip (SURVEY §2.1): nation dim → row-tagged "
+    "XML on disk → spark.read.format('xml') with an EXPLICIT schema "
+    "(the engine's schema discipline — inference is a full extra pass) "
+    "→ grouped aggregate. spark-xml is built into Spark 4 (no external "
+    "package), rounding out the text-format family beside JSON/CSV; "
+    "integers and strings survive the round-trip exactly → full oracle "
+    "over the original table. At 100 TB XML is an INGEST format, not a "
+    "working one: the pattern is land → parse with explicit schema → "
+    "rewrite columnar, exactly what this key's plan does before the "
+    "aggregate.",
+)
+def q_read_xml(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+    import os
+
+    out = f"/tmp/gps_spark_xml_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    # _SUCCESS written last: a killed writer leaves no marker and the
+    # next caller rewrites instead of reading a partial directory
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            table(spark, sf, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .write.mode("overwrite")
+            .option("rowTag", "nation")
+            .format("xml")
+            .save(out)
+        )
+    n = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("rowTag", "nation")
+        .format("xml")
+        .load(out)
+    )
+    return n.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"), F.min("n_name").alias("first_name")
+    )

@@ -575,3 +575,55 @@ def q_stream_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_unique"))
     )
     return run_available_now(dedup, output_mode="complete", state_partitions=4)
+
+
+@register(
+    "q_state_reader",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="State-store READER (Spark 4 'statestore' batch data source, "
+    "SURVEY §2.8): run a streaming aggregation to a persistent "
+    "checkpoint, then read the checkpoint's STATE back as a batch "
+    "DataFrame — key struct, value struct (the per-group aggregate "
+    "buffer), partition_id. This is the production state-introspection "
+    "/ debugging surface: at 100 TB you audit or repair a live "
+    "pipeline's state without replaying the stream. The streaming agg "
+    "has consumed the whole fixture by availableNow completion, so the "
+    "state's per-key counts equal the batch GROUP BY — full oracle; a "
+    "re-run over the same checkpoint processes zero new rows and the "
+    "read is idempotent.",
+)
+def q_state_reader(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    ckpt = f"/tmp/gps_spark_ssr_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    agg = (
+        events_stream(spark, sf)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        from gps_stream_processing_spark.streaming.runner import (
+            _unload_idle_state_stores,
+        )
+
+        _unload_idle_state_stores(spark)
+    st = spark.read.format("statestore").option("path", ckpt).load()
+    return st.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+    )
