@@ -59,6 +59,7 @@ def main() -> None:
         shingle_table,
     )
     from gps_stream_processing_spark.operators.graph import (
+        bfs_distances,
         pagerank,
         triangle_count,
     )
@@ -133,6 +134,25 @@ def main() -> None:
             # reintroduce the wedge-join's O(sum deg^2) growth.
             "triangle_adj": lambda: triangle_count(
                 replicate(edges0, ["src", "dst"], f)
+            ),
+            # Customers offset per replica (suppliers shared), seeds a
+            # fixed ~1% slice of customer ids — edges, seeds, and each
+            # round's frontier all grow ~linearly with the factor; the
+            # frontier formulation must NOT reintroduce a
+            # visited-set x edges join (O(m x rounds) growth).
+            "bfs_3r": lambda: (
+                lambda e: bfs_distances(
+                    e,
+                    e.select(F.col("src").alias("id"))
+                    .distinct()
+                    .filter(F.col("id") % 101 == 0),
+                    n_rounds=3,
+                )
+            )(
+                li.join(o, li.l_orderkey == o.o_orderkey).select(
+                    F.col("o_custkey").alias("src"),
+                    (F.col("l_suppkey") + 1_000_000_000).alias("dst"),
+                )
             ),
         }
         for name, mk in shapes.items():
