@@ -627,3 +627,62 @@ def q_state_reader(spark: SparkSession, sf: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n"),
     )
+
+
+def _synth_stream_oracle(n_tracks: int = 3, n_seconds: int = 120) -> str:
+    """Oracle for the custom STREAMING source: a VALUES literal of the
+    per-track reference reduction (row count + line_no checksum),
+    computed driver-side from the same deterministic generator the
+    executors run (``generate_track_rows`` — the nmea_oracle pattern:
+    the committed generator is the source of truth). What the compare
+    verifies is the DISTRIBUTED STREAMING DELIVERY: every row of every
+    micro-batch arrives exactly once across offset ranges, partitions,
+    and the multi-batch processAllAvailable drive — loss, duplication,
+    or a mis-sliced offset range all move the count or the checksum."""
+    from gps_stream_processing_spark.sources.nmea import generate_track_rows
+
+    vals = []
+    for t in range(n_tracks):
+        rows = generate_track_rows(t, n_seconds=n_seconds, seed=42)
+        vals.append(f"({t}, {len(rows)}, {sum(r[0] for r in rows)})")
+    return (
+        "SELECT CAST(track_id AS BIGINT) AS track_id, "
+        "CAST(n_lines AS BIGINT) AS n_lines, "
+        "CAST(sum_line_no AS BIGINT) AS sum_line_no "
+        f"FROM (VALUES {', '.join(vals)}) AS t(track_id, n_lines, sum_line_no)"
+    )
+
+
+@register(
+    "q_custom_stream_source",
+    oracle=_synth_stream_oracle(),
+    doc="Custom Python STREAMING data source (Spark 4 "
+    "DataSourceStreamReader, SURVEY §2.1/§2.8): the synthetic NMEA "
+    "receivers as a LIVE source — offsets are event-time seconds, "
+    "latestOffset admits 30 s per poll, so the processAllAvailable "
+    "drive executes 4 genuine micro-batches whose [s, e) offset "
+    "ranges partition the stream; partitions are per-track with "
+    "O(1)-byte descriptors and executor-side generation "
+    "(sources/nmea_datasource.py NmeaSynthStreamReader). The oracle "
+    "is the generator's own per-track reduction as a VALUES literal — "
+    "exactly-once delivery across batches and partitions is what the "
+    "hash verifies.",
+)
+def q_custom_stream_source(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.sources.nmea_datasource import (
+        register_nmea_datasource,
+    )
+    from gps_stream_processing_spark.streaming.runner import run_process_all
+
+    register_nmea_datasource(spark)
+    raw = (
+        spark.readStream.format("nmea_synth")
+        .option("n_tracks", 3)
+        .option("n_seconds", 120)
+        .option("seconds_per_batch", 30)
+        .load()
+    )
+    agg = raw.groupBy("track_id").agg(
+        F.count("*").alias("n_lines"), F.sum("line_no").alias("sum_line_no")
+    )
+    return run_process_all(agg, output_mode="complete")

@@ -195,19 +195,46 @@ def generate_track_rows(
             f"{TRACK_LINE_STRIDE}-wide per-track line_no namespace; "
             "raise TRACK_LINE_STRIDE or split the track"
         )
+    return [r for _, burst in generate_track_rows_by_second(
+        track, n_seconds=n_seconds, seed=seed, start=start
+    ) for r in burst]
+
+
+def generate_track_rows_by_second(
+    track: int,
+    n_seconds: int = 120,
+    seed: int = 42,
+    start: datetime | None = None,
+) -> list[tuple[int, list[tuple[int, int, str]]]]:
+    """:func:`generate_track_rows`'s rows grouped ``[(sec, rows)]`` —
+    the offset-sliceable shape the custom STREAMING data source reads
+    (a micro-batch covering seconds [s, e) is exactly the concatenation
+    of these groups). Single implementation: ``generate_track_rows``
+    flattens this, so the two can never drift; the RNG must be
+    consumed strictly in second order, which is why a batch read
+    regenerates from second 0 and slices (the fixture is tiny; a real
+    source would seek a broker offset instead)."""
+    if n_seconds * _MAX_BURST_LINES > TRACK_LINE_STRIDE:
+        raise ValueError(  # same collision guard as generate_track_rows
+            f"n_seconds={n_seconds} can emit up to "
+            f"{n_seconds * _MAX_BURST_LINES} lines — past the "
+            f"{TRACK_LINE_STRIDE}-wide per-track line_no namespace"
+        )
     rng = random.Random(f"{seed}/track/{track}")
     start = start or datetime(2024, 3, 23, 12, 35, 19, tzinfo=timezone.utc)
     lat = 48.0 + (track % 40) + rng.random()  # cap: stay in the ≤88° band
     lon = 11.0 + (track % 120) + rng.random()
     t = start + timedelta(minutes=5 * (track % 288))
-    rows: list[tuple[int, int, str]] = []
+    out: list[tuple[int, list[tuple[int, int, str]]]] = []
     line_no = track * TRACK_LINE_STRIDE
     for sec in range(n_seconds):
         lat, lon, lines = _second_burst(rng, lat, lon, t + timedelta(seconds=sec))
+        burst = []
         for line in lines:
-            rows.append((line_no, track, line))
+            burst.append((line_no, track, line))
             line_no += 1
-    return rows
+        out.append((sec, burst))
+    return out
 
 
 def nmea_fixture_df(spark: SparkSession, **kwargs) -> DataFrame:

@@ -27,7 +27,12 @@ the source of truth.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class NmeaFixtureDataSource(DataSource):
@@ -90,6 +95,9 @@ class NmeaSynthDataSource(DataSource):
     def reader(self, schema) -> "NmeaSynthReader":
         return NmeaSynthReader(self.options)
 
+    def streamReader(self, schema) -> "NmeaSynthStreamReader":
+        return NmeaSynthStreamReader(self.options)
+
 
 class NmeaSynthReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -125,6 +133,77 @@ class NmeaSynthReader(DataSourceReader):
             yield from generate_track_rows(
                 track, n_seconds=self.n_seconds, seed=self.seed
             )
+
+
+class NmeaSynthStreamReader(DataSourceStreamReader):
+    """STREAMING twin of :class:`NmeaSynthReader` (Spark 4 Python
+    DataSourceStreamReader): the synthetic receivers as a live source.
+
+    Offset model: event-time SECONDS emitted so far, ``{"sec": n}`` —
+    the analog of a per-topic high-watermark. ``latestOffset`` admits
+    ``seconds_per_batch`` more seconds per poll (capped at
+    ``n_seconds``), so a ``processAllAvailable`` drive executes
+    ceil(n_seconds / seconds_per_batch) genuine micro-batches with
+    offset ranges [s, e); each batch's partitions are one per track
+    group (the batch reader's task granularity), and ``read``
+    regenerates the track deterministically and slices seconds
+    [s, e) — exactly-once by construction since the offset ranges
+    partition the stream. Under trigger availableNow Spark caps at the
+    FIRST latestOffset (no admission-control API in the Python source
+    yet), i.e. one batch of ``seconds_per_batch`` seconds — the
+    registered query therefore drives with processAllAvailable.
+
+    Scale shape: offsets advance in O(1) driver-side; per-batch work is
+    O(tracks x batch-seconds) executor-side with O(1)-byte partition
+    descriptors — a real deployment swaps the regenerate-and-slice for
+    a broker seek, nothing else changes."""
+
+    def __init__(self, options) -> None:
+        import os
+
+        self.n_tracks = int(options.get("n_tracks", 3))
+        self.n_seconds = int(options.get("n_seconds", 120))
+        self.seed = int(options.get("seed", 42))
+        self.seconds_per_batch = int(options.get("seconds_per_batch", 30))
+        self.tracks_per_partition = int(options.get("tracks_per_partition", 1))
+        self._admitted = 0
+        self.repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"sec": 0}
+
+    def latestOffset(self) -> dict:
+        self._admitted = min(self._admitted + self.seconds_per_batch, self.n_seconds)
+        return {"sec": self._admitted}
+
+    def partitions(self, start: dict, end: dict):
+        step = self.tracks_per_partition
+        return [
+            InputPartition((lo, min(lo + step, self.n_tracks), start["sec"], end["sec"]))
+            for lo in range(0, self.n_tracks, step)
+        ]
+
+    def read(self, partition):
+        import sys
+
+        if self.repo_root not in sys.path:
+            sys.path.insert(0, self.repo_root)
+        from gps_stream_processing_spark.sources.nmea import (
+            generate_track_rows_by_second,
+        )
+
+        lo, hi, s, e = partition.value
+        for track in range(lo, hi):
+            for sec, burst in generate_track_rows_by_second(
+                track, n_seconds=self.n_seconds, seed=self.seed
+            ):
+                if s <= sec < e:
+                    yield from burst
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to acknowledge — generation is pure
 
 
 def register_nmea_datasource(spark) -> None:

@@ -190,3 +190,44 @@ def run_foreach_batch_parquet(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out_dir)
+
+
+def run_process_all(
+    sdf: DataFrame, output_mode: str = "complete", state_partitions: int = 4
+) -> DataFrame:
+    """:func:`run_available_now`'s twin for sources whose offsets ADVANCE
+    per poll (e.g. the custom Python stream reader, whose admission
+    happens in ``latestOffset``): trigger availableNow would cap at the
+    first poll, so drive with ``processAllAvailable`` — it blocks until
+    the sink has caught up with a no-longer-advancing latest offset,
+    executing every intermediate micro-batch — then stop. Same
+    transient-sink + state-store hygiene as the availableNow runner."""
+    spark = sdf.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    q = None
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if q is not None and q.isActive:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001
+                pass
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001 — view may not exist if start() failed
+            pass
+        _unload_idle_state_stores(spark)

@@ -508,3 +508,35 @@ def test_bucketed_layout_reattach(spark):
         assert plain.exceptAll(j).count() == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bitmap_distinct_spans_buckets(spark):
+    """The q_bitmap_distinct pattern groups by bitmap_bucket_number
+    BEFORE constructing bitmaps — required for ids beyond one 32k-bit
+    bitmap. The fixture custkeys all land in bucket 1, so this pins
+    the multi-bucket path on synthetic ids spanning several buckets
+    (incl. exact boundary values 32768/32769) against countDistinct."""
+    from pyspark.sql import functions as F
+
+    ids = (
+        spark.range(200_000)
+        .select((F.col("id") * 7 % 150_000 + 1).alias("uid"),
+                (F.col("id") % 3).alias("g"))
+    )
+    got = (
+        ids.groupBy("g", F.expr("bitmap_bucket_number(uid)").alias("bkt"))
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(uid))").alias("bm"))
+        .groupBy("g", "bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("g")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n"))
+    )
+    exact = ids.groupBy("g").agg(F.countDistinct("uid").alias("x"))
+    j = {r.g: (r.n, r.x) for r in got.join(exact, "g").collect()}
+    assert j and all(n == x for n, x in j.values()), j
+    # boundary ids: 32768 is the last bit of bucket 1, 32769 the first
+    # of bucket 2 — both must count, in different buckets
+    b = spark.sql(
+        "SELECT bitmap_bucket_number(32768) AS a, bitmap_bucket_number(32769) AS b"
+    ).collect()[0]
+    assert b.a != b.b

@@ -399,3 +399,44 @@ def test_run_available_now_cleans_up_on_failure(spark, tmp_path):
         run_available_now(bad, output_mode="append", state_partitions=2)
     after = {t.name for t in spark.catalog.listTables()}
     assert not {n for n in after - before if n.startswith("mem_")}
+
+
+def test_custom_stream_source_multibatch_exactly_once(spark):
+    """The custom Python streaming source must deliver every generated
+    row exactly once ACROSS multiple micro-batches: 60s of 2 tracks at
+    15s per poll → 4 batches with data (pinned via recentProgress),
+    union == the generator's rows, no loss, no dups."""
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.sources.nmea import generate_track_rows
+    from gps_stream_processing_spark.sources.nmea_datasource import (
+        register_nmea_datasource,
+    )
+
+    register_nmea_datasource(spark)
+    raw = (
+        spark.readStream.format("nmea_synth")
+        .option("n_tracks", 2)
+        .option("n_seconds", 60)
+        .option("seconds_per_batch", 15)
+        .load()
+    )
+    q = (
+        raw.writeStream.format("memory")
+        .queryName("css_probe")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    got = spark.table("css_probe").collect()
+    spark.catalog.dropTempView("css_probe")
+    with_data = [p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(with_data) == 4, with_data  # 60s / 15s-per-poll
+    expected = set()
+    for t in (0, 1):
+        expected |= set(generate_track_rows(t, n_seconds=60, seed=42))
+    assert {(r.line_no, r.track_id, r.value) for r in got} == expected
+    assert len(got) == len(expected)  # exactly once: no dup rows either
