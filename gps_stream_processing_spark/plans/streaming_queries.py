@@ -686,3 +686,45 @@ def q_custom_stream_source(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_lines"), F.sum("line_no").alias("sum_line_no")
     )
     return run_process_all(agg, output_mode="complete")
+
+
+@register(
+    "q_state_metadata",
+    # The stable identity of the checkpoint's stateful operator: id,
+    # operator name, store name, partition count. Batch-id columns are
+    # deliberately excluded — they advance if a future rerun ever
+    # commits another batch, while these four are pinned at the
+    # checkpoint's first start (numPartitions = the state_partitions
+    # sizing decision, locked per checkpoint).
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS operator_id,
+           'stateStoreSave' AS operator_name,
+           'default' AS state_store_name,
+           CAST(4 AS INT) AS num_partitions
+    """,
+    doc="State-metadata source (Spark 4 'state-metadata' batch format, "
+    "q_state_reader's companion): enumerate a checkpoint's stateful "
+    "operators and their store layout — operator id/name, store name, "
+    "and the partition count Spark LOCKED at first start. This is the "
+    "discovery step of state introspection at scale: you read the "
+    "metadata to learn which stores exist (and with how many shards) "
+    "before pointing the statestore reader or a repair job at them. "
+    "Full oracle: the values are the checkpoint's pinned identity — "
+    "the streaming agg writes through one stateStoreSave operator "
+    "sharded 4 ways (the state_partitions decision).",
+)
+def q_state_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    import hashlib
+
+    # ensure the shared q_state_reader checkpoint exists (idempotent)
+    from gps_stream_processing_spark.plans import streaming_queries as _self
+
+    _self.q_state_reader(spark, sf).limit(0).collect()
+    ckpt = f"/tmp/gps_spark_ssr_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    m = spark.read.format("state-metadata").load(ckpt)
+    return m.select(
+        F.col("operatorId").cast("long").alias("operator_id"),
+        F.col("operatorName").alias("operator_name"),
+        F.col("stateStoreName").alias("state_store_name"),
+        F.col("numPartitions").cast("int").alias("num_partitions"),
+    )
