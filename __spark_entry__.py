@@ -81,6 +81,7 @@ _COMMITTED_ROUNDS = (
     "CORRECTNESS_r04.json",
     "CORRECTNESS_r05.json",
     "CORRECTNESS_r06.json",
+    "CORRECTNESS_r07.json",
 )
 
 # Keys whose EXECUTION PLAN changed after their last green driver row,
