@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from gps_stream_processing_spark.operators.asof import asof_join
 from gps_stream_processing_spark.plans.registry import register, table
+from gps_stream_processing_spark.workdir import land_dir
 
 # ---------------------------------------------------------------- §2.1 scans
 
@@ -65,10 +66,9 @@ def q_scan(spark: SparkSession, sf: str) -> DataFrame:
     "the aggregate over the original table.",
 )
 def q_read_json(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
     import os
 
-    out = f"/tmp/gps_spark_json_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    out = land_dir("json", sf)
     # _SUCCESS is written last: a killed writer leaves no marker and the
     # next caller rewrites, instead of reading a partial directory
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -94,10 +94,9 @@ def q_read_json(spark: SparkSession, sf: str) -> DataFrame:
     "csv round-trip exactly).",
 )
 def q_read_csv(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
     import os
 
-    out = f"/tmp/gps_spark_csv_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    out = land_dir("csv", sf)
     # _SUCCESS is written last: a killed writer leaves no marker and the
     # next caller rewrites, instead of reading a partial directory
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -123,10 +122,9 @@ def q_read_csv(spark: SparkSession, sf: str) -> DataFrame:
     "table — numerics survive the columnar round-trip bit-exactly.",
 )
 def q_read_orc(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
     import os
 
-    out = f"/tmp/gps_spark_orc_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    out = land_dir("orc", sf)
     # _SUCCESS is written last: a killed writer leaves no marker and the
     # next caller rewrites, instead of reading a partial directory
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
@@ -151,9 +149,8 @@ def q_read_orc(spark: SparkSession, sf: str) -> DataFrame:
     "the re-read aggregate carries a full oracle over the source table.",
 )
 def q_sink_parquet(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
 
-    out = f"/tmp/gps_spark_sink_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    out = land_dir("sink", sf)
     (
         table(spark, sf, "orders")
         .write.mode("overwrite")
@@ -206,11 +203,9 @@ def date_partitioned_events(spark: SparkSession, sf: str) -> DataFrame:
     """Land events partitioned by event_date (directory-per-day, the
     standard big-fact layout) and return the partitioned scan.
     Idempotent per sf dir."""
-    import hashlib
     import os
 
-    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
-    out = f"/tmp/gps_spark_dpp_{tag}/events"
+    out = os.path.join(land_dir("dpp", sf), "events")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         (
             table(spark, sf, "events")
@@ -528,7 +523,7 @@ def bucketed_lineitem_orders(spark: SparkSession, sf: str, n_buckets: int = 8):
         ("orders", "o_orderkey", ["o_orderkey", "o_orderstatus", "o_orderpriority"]),
     ):
         tbl = f"bkt_{name}_{tag}"
-        path = f"/tmp/gps_spark_bucketed_{tag}/{name}"
+        path = os.path.join(land_dir("bucketed", sf), name)
         if not spark.catalog.tableExists(tbl):
             import glob as _glob
 
@@ -538,17 +533,22 @@ def bucketed_lineitem_orders(spark: SparkSession, sf: str, n_buckets: int = 8):
             # LAYOUT RECIPE (bucket count, key, column list): a recipe
             # change with an unchanged source must re-land, not attach
             # old files under a new DDL (stale column would read
-            # all-NULL). Attach additionally requires the bucket data
-            # files to actually exist — a /tmp cleaner that removed the
-            # parquet but left the fingerprint must not be attached
-            # over (it would silently return empty results).
+            # all-NULL). Attach additionally requires ALL bucket data
+            # files to exist — one file per bucket by construction
+            # (repartition(n_buckets, key) + bucketBy share Murmur3, so
+            # each task writes exactly its own bucket). A /tmp cleaner
+            # that removed SOME files but left the fingerprint must
+            # re-land, not attach a silently incomplete table (ADVICE
+            # r7, medium — the >0 check only caught all-gone). An
+            # empty bucket at tiny SF would undercount and re-land:
+            # harmless, idempotent.
             fp = f"{src}:{st.st_size}:{int(st.st_mtime)}:{n_buckets}:{key}:{','.join(cols)}"
             fp_file = os.path.join(path, "_SOURCE_FINGERPRINT")
             slim = table(spark, sf, name).select(*cols)
             try:
                 staged = (
                     open(fp_file).read() == fp
-                    and len(_glob.glob(os.path.join(path, "part-*"))) > 0
+                    and len(_glob.glob(os.path.join(path, "part-*"))) == n_buckets
                 )
             except OSError:
                 staged = False
@@ -1753,7 +1753,6 @@ def _mergeschema_root(sf: str) -> str:
     keyed by a fingerprint of the SOURCE parquet (path+size+mtime): a
     regenerated orders fixture gets a fresh directory instead of
     silently serving stale batches (ADVICE r3)."""
-    import hashlib
     import os
 
     src = os.path.join(sf, "orders.parquet")
@@ -1768,7 +1767,7 @@ def _mergeschema_root(sf: str) -> str:
             "(needed to key the staged evolved batches)"
         ) from ex
     fp = f"{src}:{st.st_size}:{st.st_mtime_ns}"
-    return f"/tmp/gps_spark_mergeschema_{hashlib.md5(fp.encode()).hexdigest()[:12]}"
+    return land_dir("mergeschema", fp, digest_len=12)
 
 
 @register(
@@ -2241,10 +2240,9 @@ def q_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
     "aggregate.",
 )
 def q_read_xml(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
     import os
 
-    out = f"/tmp/gps_spark_xml_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    out = land_dir("xml", sf)
     # _SUCCESS written last: a killed writer leaves no marker and the
     # next caller rewrites instead of reading a partial directory
     if not os.path.exists(os.path.join(out, "_SUCCESS")):

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from gps_stream_processing_spark.plans.nmea_oracle import ORACLE_STREAM_FIX_MERGE
 from gps_stream_processing_spark.plans.registry import register, table
 from gps_stream_processing_spark.streaming.runner import events_stream, run_available_now
+from gps_stream_processing_spark.workdir import land_dir
 
 
 @register(
@@ -125,7 +126,6 @@ def q_stream_session(spark: SparkSession, sf: str) -> DataFrame:
     "mirroring the 64-open-fix eviction bound.",
 )
 def q_stream_fix_merge(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
 
     from gps_stream_processing_spark.operators.gps_fix import parse_sentences
     from gps_stream_processing_spark.streaming.stateful import (
@@ -134,7 +134,7 @@ def q_stream_fix_merge(spark: SparkSession, sf: str) -> DataFrame:
         write_nmea_fixture_json,
     )
 
-    d = f"/tmp/gps_spark_nmea_stream_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    d = land_dir("nmea_stream", sf)
     import os
 
     if not os.path.exists(os.path.join(d, "nmea.jsonl")):
@@ -247,7 +247,6 @@ def _tws_available() -> bool:
 
 
 def q_stream_tws_fix_merge(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
     import os
 
     from gps_stream_processing_spark.operators.gps_fix import parse_sentences
@@ -257,7 +256,7 @@ def q_stream_tws_fix_merge(spark: SparkSession, sf: str) -> DataFrame:
         write_nmea_fixture_json,
     )
 
-    d = f"/tmp/gps_spark_nmea_stream_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    d = land_dir("nmea_stream", sf)
     if not os.path.exists(os.path.join(d, "nmea.jsonl")):
         write_nmea_fixture_json(d, n_tracks=3, n_seconds=120)
     provider_key = "spark.sql.streaming.stateStore.providerClass"
@@ -536,11 +535,10 @@ def q_stream_session_true(spark: SparkSession, sf: str) -> DataFrame:
     "oracle).",
 )
 def q_stream_foreachbatch(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
 
     from gps_stream_processing_spark.streaming.runner import run_foreach_batch_parquet
 
-    out_dir = f"/tmp/gps_spark_fb_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    out_dir = land_dir("fb", sf)
     landed = run_foreach_batch_parquet(events_stream(spark, sf), out_dir)
     return landed.groupBy("event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
@@ -596,9 +594,8 @@ def q_stream_dedup_watermark(spark: SparkSession, sf: str) -> DataFrame:
     "read is idempotent.",
 )
 def q_state_reader(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
 
-    ckpt = f"/tmp/gps_spark_ssr_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    ckpt = land_dir("ssr", sf)
     agg = (
         events_stream(spark, sf)
         .groupBy("event_type")
@@ -714,13 +711,12 @@ def q_custom_stream_source(spark: SparkSession, sf: str) -> DataFrame:
     "sharded 4 ways (the state_partitions decision).",
 )
 def q_state_metadata(spark: SparkSession, sf: str) -> DataFrame:
-    import hashlib
 
     # ensure the shared q_state_reader checkpoint exists (idempotent)
     from gps_stream_processing_spark.plans import streaming_queries as _self
 
     _self.q_state_reader(spark, sf).limit(0).collect()
-    ckpt = f"/tmp/gps_spark_ssr_{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+    ckpt = land_dir("ssr", sf)
     m = spark.read.format("state-metadata").load(ckpt)
     return m.select(
         F.col("operatorId").cast("long").alias("operator_id"),

@@ -17,6 +17,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from gps_stream_processing_spark.workdir import land_dir
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file stream (FIXTURES.md: events doubles as
@@ -70,9 +72,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_dir(parquet_file: str) -> str:
-    import hashlib
 
-    d = f"/tmp/gps_spark_stream_{hashlib.md5(parquet_file.encode()).hexdigest()[:8]}"
+    d = land_dir("stream", parquet_file)
     link = os.path.join(d, "events.parquet")
     os.makedirs(d, exist_ok=True)
     if not os.path.exists(link):
