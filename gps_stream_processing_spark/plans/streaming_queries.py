@@ -299,6 +299,61 @@ def q_stream_tws_timers(spark: SparkSession, sf: str) -> DataFrame:
             spark.conf.set(provider_key, prev)
 
 
+def q_stream_tws_recent_k(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.streaming.runner import (
+        events_stream,
+        run_data_drained,
+    )
+    from gps_stream_processing_spark.streaming.stateful import (
+        streaming_recent_k_tws,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = events_stream(spark, sf)
+        # run_data_drained, NOT availableNow/processAllAvailable: in
+        # timeMode=ProcessingTime (required to arm state TTL) the
+        # engine schedules "no new data but cleaning up state"
+        # maintenance batches forever, so neither terminator's
+        # quiescence condition is ever met — the drained-commit poll in
+        # the runner is the terminating drive for this mode.
+        return run_data_drained(
+            streaming_recent_k_tws(ev), output_mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+# Full oracle for the ListState last-k retention: per user, the 5 most
+# recent events by (ms-floored event time, event_id) — the exact order
+# key the processor trims on, so micro-batch boundaries cannot move the
+# kept set. Ties inside one ms are broken by the unique event_id on
+# both sides.
+ORACLE_STREAM_TWS_RECENT_K = """
+    WITH ranked AS (
+      SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_ms(ts) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_recent,
+           ROUND(SUM(value), 2) AS sum_recent_value,
+           make_timestamp(MAX(ts_ms) * 1000) AS last_ts
+    FROM ranked WHERE rn <= 5 GROUP BY user_id
+"""
+
+
 # Full oracle for the event-time-timer close-out: a user's visit closes
 # iff their timer (last event ms + 30 min) falls behind the final
 # watermark (global max event ms - 10 min). Event times are ms-truncated
@@ -345,6 +400,21 @@ else:
         "pattern: state is O(active users) and timers replace the "
         "full-keyspace scan a batch close-out would need.",
     )(q_stream_tws_timers)
+
+    q_stream_tws_recent_k = register(
+        "q_stream_tws_recent_k",
+        oracle=ORACLE_STREAM_TWS_RECENT_K,
+        doc="Typed ListState + state TTL on transformWithStateInPandas "
+        "(SURVEY §2.8): per-user last-5-events retention where the "
+        "processor trims the list inside every store round-trip — state "
+        "is O(k) per key forever — and the state variable carries the "
+        "store's own TTL (timeMode=ProcessingTime arms the clock), the "
+        "production idle-key eviction that needs no timers or scans. "
+        "Kept set is ordered by (ms-floored ts, event_id), a pure "
+        "function of the input regardless of batching → full oracle as "
+        "a per-user top-5 window. TTL eviction itself is pinned by a "
+        "sub-second-TTL two-run checkpoint test (tests/test_streaming).",
+    )(q_stream_tws_recent_k)
 
     q_stream_tws_fix_merge = register(
         "q_stream_tws_fix_merge",

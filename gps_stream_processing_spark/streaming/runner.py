@@ -193,6 +193,74 @@ def run_foreach_batch_parquet(
     return spark.read.parquet(out_dir)
 
 
+def run_data_drained(
+    sdf: DataFrame,
+    output_mode: str = "update",
+    state_partitions: int = 4,
+    timeout_sec: float = 120.0,
+) -> DataFrame:
+    """Drive for ``timeMode=ProcessingTime`` stateful plans (state TTL):
+    in that mode an availableNow query NEVER terminates — after the
+    data batch the engine schedules "no new data but cleaning up state"
+    maintenance batches forever (observed batchId 46+ on a 1k-row
+    fixture), and ``processAllAvailable`` never reaches its quiescent
+    condition for the same reason. So: run on a 0-second
+    processing-time trigger, poll progress until a batch that actually
+    consumed rows has COMMITTED (a later batchId exists in progress —
+    commit-before-read, so the sink rows are durable), then stop.
+    Sound for replay sources that expose everything at the first poll
+    (file source: all files in batch 0); a multi-poll source needs
+    :func:`run_process_all` instead. Same transient-sink + state-store
+    hygiene as the other runners."""
+    import time
+
+    spark = sdf.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    q = None
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = time.time() + timeout_sec
+        data_batch = None
+        while True:
+            if q.exception() is not None:
+                raise q.exception()
+            for p in q.recentProgress:
+                if p["numInputRows"] > 0:
+                    data_batch = max(data_batch or 0, p["batchId"])
+            last = q.lastProgress
+            if data_batch is not None and last and last["batchId"] > data_batch:
+                break
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"streaming query {name} did not drain its data batch "
+                    f"within {timeout_sec}s (last progress: {last})"
+                )
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if q is not None and q.isActive:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001
+                pass
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001 — view may not exist if start() failed
+            pass
+        _unload_idle_state_stores(spark)
+
+
 def run_process_all(
     sdf: DataFrame, output_mode: str = "complete", state_partitions: int = 4
 ) -> DataFrame:

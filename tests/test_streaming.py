@@ -440,3 +440,126 @@ def test_custom_stream_source_multibatch_exactly_once(spark):
         expected |= set(generate_track_rows(t, n_seconds=60, seed=42))
     assert {(r.line_no, r.track_id, r.value) for r in got} == expected
     assert len(got) == len(expected)  # exactly once: no dup rows either
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (absent here)",
+)
+def test_list_state_ttl_evicts_across_runs(spark, tmp_path):
+    """ListState TTL actually EVICTS: two runs over one durable
+    checkpoint with a 500 ms TTL and a >TTL pause between them. Run 1
+    seeds user 7's list from file A; run 2 (file B only — the source
+    checkpoint remembers A) reads the list back through the TTL filter,
+    so the A entries are gone and the emitted summary counts ONLY B.
+    A no-TTL control over the same two files keeps all entries —
+    pinning that the eviction came from the TTL, not the restart."""
+    import json as _json
+    import time
+
+    from pyspark.sql import types as T
+
+    from gps_stream_processing_spark.streaming.stateful import (
+        RECENT_K_OUTPUT_SCHEMA,
+        make_recent_k_processor,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def write_file(d, name, rows):
+        p = d / name
+        tmp = d / (name + ".tmp")
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        tmp.rename(p)
+
+    file_a = [
+        {"user_id": 7, "event_id": i, "ts": f"2024-01-01T00:00:0{i}", "value": 1.0}
+        for i in range(3)
+    ]
+    file_b = [
+        {"user_id": 7, "event_id": 10 + i, "ts": f"2024-01-01T00:01:0{i}", "value": 100.0}
+        for i in range(2)
+    ]
+
+    def drive(src_dir, ckpt, ttl_ms):
+        stream = (
+            spark.readStream.schema(schema).json(str(src_dir))
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                make_recent_k_processor(k=5, ttl_ms=ttl_ms),
+                outputStructType=RECENT_K_OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="ProcessingTime",
+            )
+        )
+        # foreachBatch sink: the memory sink cannot RESUME from a
+        # checkpoint ("does not support recovering"), and resuming is
+        # the whole point of this test. foreachBatch runs on the
+        # driver, so collecting into a closure list is sound.
+        outputs = []
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: outputs.append(bdf.toPandas())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            data_batch = None
+            while True:
+                if q.exception() is not None:
+                    raise q.exception()
+                for p in q.recentProgress:
+                    if p["numInputRows"] > 0:
+                        data_batch = max(data_batch or 0, p["batchId"])
+                last = q.lastProgress
+                if data_batch is not None and last and last["batchId"] > data_batch:
+                    break
+                assert time.time() < deadline, "data batch did not drain"
+                time.sleep(0.2)
+            q.stop()
+            q.awaitTermination()
+        finally:
+            if q.isActive:
+                q.stop()
+        import pandas as _pd
+
+        return _pd.concat([o for o in outputs if len(o)], ignore_index=True)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        for ttl_ms, expect_n, expect_sum in ((500, 2, 200.0), (None, 5, 203.0)):
+            src = tmp_path / f"src_{ttl_ms}"
+            src.mkdir()
+            ckpt = tmp_path / f"ckpt_{ttl_ms}"
+            write_file(src, "a.jsonl", file_a)
+            out1 = drive(src, ckpt, ttl_ms)
+            assert out1.loc[out1.user_id == 7, "n_recent"].iloc[-1] == 3
+            time.sleep(2.0)  # > TTL; state written at run-1 commit expires
+            write_file(src, "b.jsonl", file_b)
+            out2 = drive(src, ckpt, ttl_ms)
+            row = out2.loc[out2.user_id == 7].iloc[-1]
+            assert row["n_recent"] == expect_n, (ttl_ms, row.to_dict())
+            assert row["sum_recent_value"] == expect_sum
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
