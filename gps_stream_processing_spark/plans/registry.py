@@ -96,6 +96,16 @@ def tune_session(spark: SparkSession, sf_dir: str) -> None:
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Cost-based optimization ON for the session, the production
+        # posture. Both flags are inert for every path-based read (no
+        # catalog stats -> CBO falls back to the same size estimates,
+        # and joinReorder skips unless ALL joined relations carry row
+        # counts); they become load-bearing exactly for the ANALYZEd
+        # q_cbo_reorder star tables, where stats-driven reorder is the
+        # asserted behavior (tests/test_plans.py pins both the reorder
+        # and this inertness-without-stats control).
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
     }
     for k, v in conf.items():
         try:

@@ -578,6 +578,112 @@ def bucketed_lineitem_orders(spark: SparkSession, sf: str, n_buckets: int = 8):
     return out["lineitem"], out["orders"]
 
 
+_CBO_TABLES = (
+    ("orders", ["o_orderkey", "o_custkey", "o_orderpriority"]),
+    ("lineitem", ["l_orderkey", "l_quantity"]),
+    ("customer", ["c_custkey", "c_mktsegment"]),
+)
+
+
+def cbo_star_tables(spark: SparkSession, sf: str) -> dict[str, DataFrame]:
+    """Land the q_cbo_reorder star as external catalog tables and run
+    ``ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`` on each — the
+    statistics path a production warehouse maintains so the optimizer
+    can reorder joins and size broadcasts from row counts + NDVs
+    instead of file bytes (SURVEY §4.2; VERDICT r7 gap 2).
+
+    Landing reuses the bucketed-table staging discipline: fingerprint
+    = source path+size+mtime + column recipe, PLUS the landed file
+    count (second line) so a partially-deleted layout re-lands instead
+    of attaching incomplete (the ADVICE r7 gate, generalized to
+    non-bucketed landings where the expected count isn't derivable).
+    Stats live in the session catalog, not on disk, so an attach in a
+    NEW session re-runs ANALYZE over the slim table — a single cheap
+    scan."""
+    import glob as _glob
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    out: dict[str, DataFrame] = {}
+    for name, cols in _CBO_TABLES:
+        tbl = f"cbo_{name}_{tag}"
+        path = os.path.join(land_dir("cbo", sf), name)
+        if not spark.catalog.tableExists(tbl):
+            src = os.path.join(sf, f"{name}.parquet")
+            st = os.stat(src)
+            fp = f"{src}:{st.st_size}:{int(st.st_mtime)}:{','.join(cols)}"
+            fp_file = os.path.join(path, "_SOURCE_FINGERPRINT")
+            slim = table(spark, sf, name).select(*cols)
+            try:
+                fp_disk, n_files = open(fp_file).read().split("\n")
+                staged = fp_disk == fp and (
+                    len(_glob.glob(os.path.join(path, "part-*"))) == int(n_files)
+                )
+            except (OSError, ValueError):
+                staged = False
+            if staged:
+                ddl_cols = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in slim.schema.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE {tbl} ({ddl_cols}) USING PARQUET LOCATION '{path}'"
+                )
+            else:
+                slim.write.mode("overwrite").option("path", path).saveAsTable(tbl)
+                n_files = len(_glob.glob(os.path.join(path, "part-*")))
+                tmp = fp_file + ".tmp"
+                with open(tmp, "w") as f:  # atomic: no partial fingerprint
+                    f.write(f"{fp}\n{n_files}")
+                os.replace(tmp, fp_file)
+            spark.sql(
+                f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR COLUMNS "
+                + ", ".join(cols)
+            )
+        out[name] = spark.table(tbl)
+    return out
+
+
+@register(
+    "q_cbo_reorder",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    """,
+    doc="Cost-based join reorder from ANALYZEd statistics (SURVEY "
+    "§4.2): the star tables carry row counts + per-column NDVs "
+    "(cbo_star_tables), and the join is WRITTEN in the worst order — "
+    "fact ⋈ fact first, selective dim last. With "
+    "spark.sql.cbo.joinReorder.enabled (session default, "
+    "registry.tune_session) the optimizer reorders to orders ⋈ "
+    "σ(customer) ⋈ lineitem, shrinking the first join's output from "
+    "|lineitem| to |orders|·sel(BUILDING) — at 100 TB the difference "
+    "between shuffling the largest table's full width twice and once. "
+    "The stats-driven reorder (and its absence without stats/CBO) is "
+    "pinned by tests/test_plans.py::test_cbo_stats_drive_join_reorder; "
+    "values are order-invariant → plain 3-way-join oracle.",
+)
+def q_cbo_reorder(spark: SparkSession, sf: str) -> DataFrame:
+    t = cbo_star_tables(spark, sf)
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        )
+    )
+
+
 @register(
     "q_join_asof",
     oracle="""
@@ -1374,6 +1480,114 @@ def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         )
     )
+
+
+def skew_join_aqe_materialized(spark: SparkSession, sf: str):
+    """AQE skew-join demonstration: materialize a deliberately skewed
+    SMJ (≈50% of lineitem on one synthetic key) under scoped skew-split
+    confs and return ``(result_snapshot, executed_plan_string)`` — the
+    plan string is what tests/test_plans.py pins ``skew=true`` on.
+
+    Two smoke-scale realities drive the shape (both verified against
+    Spark 4.1's OptimizeSkewedJoin, which splits a hot partition ONLY
+    at map-output boundaries):
+
+    - the fact is landed as an 8-file parquet first: the source
+      parquet at test SFs is one row group → ONE non-empty map task →
+      an unsplittable hot partition (createSkewPartitionSpecs yields a
+      single spec and the rule reports zero skewed partitions). At
+      production scale a fact table is always multi-file; the landing
+      just restores that property.
+    - ``forceOptimizeSkewedJoin``: the downstream groupBy imposes a
+      distribution requirement the split would violate, so without
+      force AQE vetoes the split; with it, Spark accepts the extra
+      exchange — the documented production tradeoff for badly skewed
+      joins (split the straggler, pay one more shuffle of the small
+      aggregate input).
+
+    The skew confs (2KB thresholds) are scaled to the test SF and
+    scoped to this materialization; defaults (256MB) hold at
+    production sizes. The salted twin ``q_join_salted`` stays the
+    manual fallback for skew AQE cannot see."""
+    import os
+
+    out = os.path.join(land_dir("skewfact", sf), "fact")
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    fact_src = li.withColumn(
+        "skew_key",
+        F.when(F.col("l_orderkey") % 10 < 5, F.lit(0)).otherwise(
+            F.col("l_orderkey") % 997
+        ),
+    )
+    # _SUCCESS written last: a killed writer leaves no marker
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        fact_src.repartition(8).write.mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.range(0, 997).select(
+        F.col("id").alias("skew_key"), (F.col("id") % 5 + 1).alias("mult")
+    )
+    agg = (
+        fact.join(dim, "skew_key")
+        .groupBy((F.col("skew_key") % 7).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity") * F.col("mult")).cast("bigint").alias("wsum"),
+        )
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1B",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        rows = agg.collect()  # 7 buckets — O(1) driver result
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, schema=agg.schema), plan
+
+
+@register(
+    "q_join_skew_aqe",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0
+                  ELSE l_orderkey % 997 END AS skew_key,
+             l_quantity
+      FROM lineitem
+    ), dim AS (
+      SELECT range AS skew_key, range % 5 + 1 AS mult FROM range(0, 997)
+    )
+    SELECT skew_key % 7 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_quantity * mult) AS BIGINT) AS wsum
+    FROM fact JOIN dim USING (skew_key)
+    GROUP BY 1
+    """,
+    doc="AQE skew-join split (SURVEY §2.3/§4.2): ~50% of lineitem lands "
+    "on one synthetic join key; spark.sql.adaptive.skewJoin splits the "
+    "hot partition at map boundaries and duplicates the matching dim "
+    "partition per split — the engine-native answer to the skew that "
+    "q_join_salted handles manually. Materialized eagerly under scoped "
+    "smoke-scale thresholds (see skew_join_aqe_materialized: one-row-"
+    "group sources and the downstream agg would otherwise veto the "
+    "split); SortMergeJoin(skew=true) + 'AQEShuffleRead skewed' pinned "
+    "by tests/test_plans.py::test_aqe_skew_join_splits_hot_partition. "
+    "Values are split-invariant → full oracle as the plain join.",
+)
+def q_join_skew_aqe(spark: SparkSession, sf: str) -> DataFrame:
+    snapshot, _plan = skew_join_aqe_materialized(spark, sf)
+    return snapshot
 
 
 def _views(spark: SparkSession, sf: str, *names: str) -> None:

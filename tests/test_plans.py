@@ -540,3 +540,60 @@ def test_bitmap_distinct_spans_buckets(spark):
         "SELECT bitmap_bucket_number(32768) AS a, bitmap_bucket_number(32769) AS b"
     ).collect()[0]
     assert b.a != b.b
+
+
+def test_cbo_stats_drive_join_reorder(spark):
+    """q_cbo_reorder is WRITTEN fact-join-fact-first; with ANALYZEd
+    stats + CBO (session default) the optimizer must reorder so the
+    selective customer dim joins BEFORE lineitem. Control: with CBO
+    off the user order is kept — proving the reorder is stats-driven,
+    not an accident of the written shape."""
+    import hashlib
+
+    tag = hashlib.md5(SF.encode()).hexdigest()[:8]
+
+    def relation_order():
+        plan = (
+            REGISTRY["q_cbo_reorder"].fn(spark, SF)  # tuned wrapper: sets CBO confs
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        pos = {n: plan.find(f"cbo_{n}_{tag}") for n in ("lineitem", "orders", "customer")}
+        assert all(p >= 0 for p in pos.values()), plan
+        return sorted(pos, key=pos.get)
+
+    order_cbo = relation_order()  # wrapper's tune_session set the CBO flags
+    assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+    assert order_cbo.index("customer") < order_cbo.index("lineitem"), order_cbo
+    spark.conf.set("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    try:
+        assert relation_order() == ["lineitem", "orders", "customer"]
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The materialized q_join_skew_aqe plan must show AQE's native
+    skew handling: SortMergeJoin(skew=true) reading an 'AQEShuffleRead
+    skewed' on the hot side. Control: with skewJoin disabled the same
+    join executes unsplit — proving the split came from the AQE rule,
+    not the data layout."""
+    from gps_stream_processing_spark.plans.relational import (
+        skew_join_aqe_materialized,
+    )
+
+    snap, plan = skew_join_aqe_materialized(spark, SF)
+    assert "skew=true" in plan, plan
+    assert "AQEShuffleRead skewed" in plan.replace("\n", " ") or "skewed" in plan
+    assert snap.count() == 7  # buckets 0..6
+    key = "spark.sql.adaptive.skewJoin.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        _, plan_off = skew_join_aqe_materialized(spark, SF)
+        assert "skew=true" not in plan_off
+    finally:
+        spark.conf.set(key, prev)
