@@ -132,6 +132,11 @@ _CHANGED_SINCE_VERIFIED = (
     # (fingerprint-gated external DDL) instead of re-landing — values
     # invariant (attach losslessness pytest-pinned), re-check anyway.
     ("q_join_bucketed", 7),
+    # r8: q_bfs_distance reads the LANDED edge list
+    # (landed_customer_supplier_edges) instead of re-deriving it —
+    # values invariant (same edges, landing is lossless), re-check
+    # anyway since the scan subtree changed.
+    ("q_bfs_distance", 8),
 )
 
 
