@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -268,10 +269,14 @@ def main() -> None:
     # transient the suite induced (measured: the first join+agg key
     # after the streaming/RocksDB block runs ~2s slow regardless of
     # catalog/block cleanup, healing on the next run) — and scored the
-    # MIN of the observations. Bounded extra wall clock (suspects
-    # only), and the recorded number measures the plan, not the
-    # session's first-touch history. First-pass values are kept in the
-    # full record for transparency. A FAILED re-run never enters
+    # MEDIAN of the warm re-runs, the first pass excluded (ADVICE r7:
+    # min-scoring was asymmetric — it could hide an intermittent real
+    # regression behind one lucky observation; the warm median still
+    # discards the first-touch cost, which is the only thing the
+    # adjudication is licensed to remove). Bounded extra wall clock
+    # (suspects only), and the recorded number measures the plan, not
+    # the session's first-touch history. First-pass values are kept in
+    # the full record for transparency. A FAILED re-run never enters
     # `failures` — the key already has a valid first-pass timing, and
     # recording it would make the driver read a green round as red.
     retimed: dict[str, float] = {}
@@ -283,14 +288,17 @@ def main() -> None:
         and v / base_q[k] > 1.5
     ]
     for name in suspects:
+        warm: list[float] = []
         for _attempt in range(2):
             t2 = _time_one(name, record_failure=False)
             if t2 is None:
                 break
-            retimed.setdefault(name, timings[name])
-            timings[name] = min(timings[name], t2)
-            if timings[name] / base_q[name] <= 1.5:
+            warm.append(t2)
+            if t2 / base_q[name] <= 1.5:
                 break  # adjudicated clean — no second re-run
+        if warm:
+            retimed[name] = timings[name]
+            timings[name] = round(statistics.median(warm), 3)
 
     total = round(sum(v for k, v in timings.items() if k not in HEADLINE_EXCLUDE), 3)
     out = {

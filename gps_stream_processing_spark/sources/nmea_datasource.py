@@ -179,6 +179,19 @@ class NmeaSynthStreamReader(DataSourceStreamReader):
         return {"sec": self._admitted}
 
     def partitions(self, start: dict, end: dict):
+        # Restart monotonicity (ADVICE r7): the admission counter lives
+        # in driver memory and restarts at 0, so a query resumed from a
+        # durable checkpoint could see latestOffset transiently BEHIND
+        # the restored start offset. Seed the counter from the offsets
+        # Spark hands back — on restart the engine re-plans the last
+        # uncommitted range first, so this floors _admitted before the
+        # next latestOffset poll. Residual window: a restart whose
+        # checkpoint was fully committed consults latestOffset before
+        # any partitions() call; the Python source API has no
+        # restored-offset hook to close that (the engine just waits
+        # until admission catches up — no data is lost or duplicated,
+        # offset ranges still partition the stream).
+        self._admitted = max(self._admitted, end["sec"])
         step = self.tracks_per_partition
         return [
             InputPartition((lo, min(lo + step, self.n_tracks), start["sec"], end["sec"]))
@@ -203,7 +216,9 @@ class NmeaSynthStreamReader(DataSourceStreamReader):
                     yield from burst
 
     def commit(self, end: dict) -> None:
-        pass  # nothing external to acknowledge — generation is pure
+        # nothing external to acknowledge (generation is pure); keep
+        # the admission floor in step with the committed watermark
+        self._admitted = max(self._admitted, end["sec"])
 
 
 def register_nmea_datasource(spark) -> None:

@@ -99,15 +99,22 @@ def _unload_idle_state_stores(spark: SparkSession) -> None:
     (``StateStore.get`` → ``startMaintenanceIfNeeded``), so calling it
     between queries is safe by construction. The call is JVM-GLOBAL —
     it would also unload a concurrently RUNNING stream's providers and
-    force a per-batch state reload — so it is gated on the session
-    having no active streaming queries (today's callers are strictly
-    sequential, but the gate makes 'idle' true by check, not by
-    convention). Best-effort: internal JVM API, guarded for Spark
-    Connect / future renames."""
+    force a per-batch state reload — so the idle gate must be
+    JVM-global too: ``spark.streams.active`` alone is per-SESSION, and
+    this codebase does create sibling sessions (ADVICE r7), so after
+    the session check we also scan live JVM threads for any
+    StreamExecution worker ("stream execution thread for …" — the name
+    every micro-batch/continuous execution thread carries for its
+    query's lifetime, from any session sharing the JVM). Best-effort:
+    internal JVM API, guarded for Spark Connect / future renames; an
+    unrecognized state errs on NOT unloading (perf-only cost)."""
     try:
         if spark.streams.active:
-            return  # another stream is live — unloading would thrash it
+            return  # this session has a live stream
         jvm = spark._jvm  # noqa: SLF001 — no public API unloads providers
+        for t in jvm.java.lang.Thread.getAllStackTraces().keySet().toArray():
+            if t.getName().startswith("stream execution thread"):
+                return  # a sibling session's stream is live — don't thrash it
         jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     except Exception:  # noqa: BLE001
         pass
