@@ -644,6 +644,123 @@ def cbo_star_tables(spark: SparkSession, sf: str) -> dict[str, DataFrame]:
     return out
 
 
+# Identical text runs on Spark 4.1 and DuckDB: linear recursion (every
+# node has exactly ONE parent, node DIV 2 on the synthetic binary
+# hierarchy), so the working set shrinks geometrically instead of
+# exploding — Spark only supports UNION ALL recursion, which makes
+# multi-parent graph recursion walk-enumerating (use bfs_distances /
+# the iterative operators for graphs; recursion is for hierarchies).
+_RECURSIVE_CTE_SQL = """
+WITH RECURSIVE walk(leaf, node, depth, bal) AS (
+  SELECT s_suppkey, s_suppkey, 0, s_acctbal FROM supplier
+  UNION ALL
+  SELECT leaf, CAST(FLOOR(node / 2) AS BIGINT), depth + 1, bal
+  FROM walk WHERE node > 1
+)
+SELECT CAST(depth AS INT) AS root_depth,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(SUM(bal), 2) AS sum_bal
+FROM walk WHERE node = 1 GROUP BY depth
+"""
+
+
+@register(
+    "q_recursive_cte",
+    oracle=_RECURSIVE_CTE_SQL,
+    doc="RECURSIVE CTE (Spark 4 WITH RECURSIVE, SURVEY §2.3/§2.6): "
+    "walk every supplier up a synthetic binary management hierarchy "
+    "(parent = node DIV 2) to the root and roll up by path depth — "
+    "the org-chart/BOM ancestor rollup, expressed in pure SQL and "
+    "executed by Catalyst's UnionLoop iteration. Linear recursion by "
+    "construction (one parent per node → per-step working set never "
+    "grows), the shape recursion is FOR; multi-parent reachability "
+    "stays on the checkpointed DataFrame loops (q_bfs_distance). "
+    "Oracle: the identical SQL text on DuckDB's recursive CTE.",
+)
+def q_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    _views(spark, sf, "supplier")
+    return spark.sql(_RECURSIVE_CTE_SQL)
+
+
+@register(
+    "q_sql_variables",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_above,
+           ROUND(MIN(o_totalprice), 2) AS min_above
+    FROM orders
+    WHERE o_totalprice > (SELECT 1.5 * AVG(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    doc="SQL session variables + EXECUTE IMMEDIATE (Spark 4, SURVEY "
+    "§2.6 SQL surface): DECLARE OR REPLACE VARIABLE, SET VARIABLE "
+    "from a scalar subquery, then a parameterized EXECUTE IMMEDIATE "
+    "('… WHERE o_totalprice > ?' USING the variable) — the "
+    "procedural-SQL parameter-passing surface a migration from a "
+    "stored-procedure warehouse leans on. The variable is resolved "
+    "driver-side at SET time; the oracle inlines the defining "
+    "subquery.",
+)
+def q_sql_variables(spark: SparkSession, sf: str) -> DataFrame:
+    _views(spark, sf, "orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE")
+    spark.sql(
+        "SET VARIABLE price_floor = (SELECT 1.5 * AVG(o_totalprice) FROM orders)"
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above, "
+        "ROUND(MIN(o_totalprice), 2) AS min_above "
+        "FROM orders WHERE o_totalprice > ? GROUP BY o_orderpriority' "
+        "USING price_floor"
+    )
+
+
+@register(
+    "q_sql_scripting",
+    # The script's strict-> max with regionkey iteration order ==
+    # ORDER BY cnt DESC, r_regionkey ASC LIMIT 1.
+    oracle="""
+    WITH c AS (
+      SELECT r_regionkey, r_name,
+             (SELECT COUNT(*) FROM nation WHERE n_regionkey = r_regionkey) AS cnt
+      FROM region
+    )
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_nations,
+           (SELECT r_name FROM c ORDER BY cnt DESC, r_regionkey ASC LIMIT 1)
+             AS first_max_region,
+           CAST(MAX(cnt) AS BIGINT) AS n_in_max
+    FROM c
+    """,
+    doc="SQL scripting (Spark 4 BEGIN…END, SURVEY §2.6 SQL surface): "
+    "DECLARE / FOR-loop over a cursor / SET accumulation / IF-ELSE "
+    "branch — the control-flow block a stored-procedure migration "
+    "compiles to, executed entirely by the engine (each statement is "
+    "still a Catalyst plan; the loop is driver-orchestrated exactly "
+    "like the engine's own iterative operators). Deterministic cursor "
+    "order (ORDER BY r_regionkey) → the first-max branch is "
+    "well-defined; oracle re-derives the same aggregates in plain SQL.",
+)
+def q_sql_scripting(spark: SparkSession, sf: str) -> DataFrame:
+    _views(spark, sf, "region", "nation")
+    return spark.sql("""
+    BEGIN
+      DECLARE total BIGINT DEFAULT 0;
+      DECLARE biggest STRING DEFAULT '';
+      DECLARE bign BIGINT DEFAULT -1;
+      DECLARE cnt BIGINT;
+      FOR r AS SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey DO
+        SET cnt = (SELECT COUNT(*) FROM nation WHERE n_regionkey = r.r_regionkey);
+        SET total = total + cnt;
+        IF cnt > bign THEN
+          SET bign = cnt; SET biggest = r.r_name;
+        END IF;
+      END FOR;
+      SELECT total AS n_nations, biggest AS first_max_region, bign AS n_in_max;
+    END
+    """)
+
+
 @register(
     "q_cbo_reorder",
     oracle="""

@@ -299,6 +299,30 @@ def q_stream_tws_timers(spark: SparkSession, sf: str) -> DataFrame:
             spark.conf.set(provider_key, prev)
 
 
+def q_stream_tws_map_state(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.streaming.runner import events_stream
+    from gps_stream_processing_spark.streaming.stateful import (
+        streaming_type_counts_tws,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = events_stream(spark, sf)
+        return run_available_now(
+            streaming_type_counts_tws(ev), output_mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
 def q_stream_tws_recent_k(spark: SparkSession, sf: str) -> DataFrame:
     from gps_stream_processing_spark.streaming.runner import (
         events_stream,
@@ -400,6 +424,24 @@ else:
         "pattern: state is O(active users) and timers replace the "
         "full-keyspace scan a batch close-out would need.",
     )(q_stream_tws_timers)
+
+    q_stream_tws_map_state = register(
+        "q_stream_tws_map_state",
+        oracle="""
+        SELECT user_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id, event_type
+        """,
+        doc="Typed MapState on transformWithStateInPandas (SURVEY §2.8) "
+        "— the third typed state kind, completing the trio (ValueState: "
+        "q_stream_tws_fix_merge; ListState: q_stream_tws_recent_k): "
+        "per-user map of event_type → running count, updated PER CELL "
+        "(only the types touched in a batch round-trip the store) — the "
+        "production shape for per-key feature counters where a "
+        "ValueState blob would rewrite the whole vector every batch. "
+        "availableNow over the one-file fixture emits each user's final "
+        "map once → full oracle as the plain per-user-per-type count.",
+    )(q_stream_tws_map_state)
 
     q_stream_tws_recent_k = register(
         "q_stream_tws_recent_k",

@@ -251,6 +251,71 @@ def nmea_json_stream(spark, path: str) -> DataFrame:
     return spark.readStream.schema(schema).json(path)
 
 
+TYPE_COUNT_OUTPUT_SCHEMA = "user_id bigint, event_type string, n_events bigint"
+
+
+def make_type_count_processor():
+    """Per-user event-type counters on typed MapState — the third typed
+    state kind (ValueState: fix-merge; ListState: recent-k; MapState:
+    here), completing the transformWithStateInPandas surface. The map
+    key is the event type, the value its running count: the store
+    reads/writes PER MAP ENTRY (updateValue on the dirty keys only), so
+    a user with thousands of counter cells pays only the touched cells
+    per batch — the production shape for per-key feature counters where
+    a ValueState blob would rewrite the whole vector every batch.
+
+    Emission: the full current map per batch (update mode, tiny per
+    user); deterministic because counts are order-independent."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _TypeCountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "type_counts", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            batch_counts: dict[str, int] = {}
+            for pdf in rows:
+                for et, n in pdf["event_type"].value_counts().items():
+                    batch_counts[et] = batch_counts.get(et, 0) + int(n)
+            for et, n in batch_counts.items():  # touched cells only
+                prev = self._counts.getValue((et,)) if self._counts.containsKey((et,)) else None
+                self._counts.updateValue((et,), (int(prev[0]) + n if prev else n,))
+            out = [
+                {"user_id": user_id, "event_type": k[0], "n_events": int(v[0])}
+                for k, v in self._counts.iterator()
+            ]
+            yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return _TypeCountProcessor()
+
+
+def streaming_type_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-user per-type event counters on TWS MapState."""
+    from gps_stream_processing_spark.streaming.protobuf_compat import (
+        configure_worker_env,
+        ensure_protobuf,
+    )
+
+    ensure_protobuf()
+    configure_worker_env(events.sparkSession)
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            make_type_count_processor(),
+            outputStructType=TYPE_COUNT_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 # --- event-time timers (transformWithStateInPandas timeMode=EventTime) ---
 
 ACTIVITY_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, last_ts timestamp"
