@@ -2594,3 +2594,104 @@ def q_read_xml(spark: SparkSession, sf: str) -> DataFrame:
     return n.groupBy("n_regionkey").agg(
         F.count("*").alias("n_nations"), F.min("n_name").alias("first_name")
     )
+
+
+@register(
+    "q_from_xml",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    doc="Scalar XML parse (Spark 4 from_xml/to_xml, SURVEY §2.6): each "
+    "nation row serialized to an XML fragment and parsed back with an "
+    "explicit schema — the per-message twin of the file-level XML "
+    "round-trip (q_read_xml), i.e. the shape of an XML payload column "
+    "landing from a queue. Lossless for the typed fields → oracle is "
+    "the original projection.",
+)
+def q_from_xml(spark: SparkSession, sf: str) -> DataFrame:
+    n = table(spark, sf, "nation").select(
+        "n_nationkey",
+        F.to_xml(F.struct("n_name", "n_regionkey")).alias("xml"),
+    )
+    parsed = n.select(
+        "n_nationkey",
+        F.from_xml("xml", "n_name string, n_regionkey int").alias("v"),
+    )
+    return parsed.select(
+        "n_nationkey", F.col("v.n_name").alias("n_name"),
+        F.col("v.n_regionkey").alias("n_regionkey"),
+    )
+
+
+@register(
+    "q_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS sum_price,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_finished
+    FROM orders
+    """,
+    doc="Pipeline observability via the Observation API (SURVEY §2.6/"
+    "§4.2): named metrics attached to a pass-through node "
+    "(df.observe) are accumulated AS A SIDE EFFECT of the normal "
+    "action — zero extra scan, the production pattern for row-count /"
+    "quality-gate telemetry on a 100 TB write (vs a separate audit "
+    "query that doubles the read). The observed frame is driven "
+    "through the noop sink; the harvested metrics are returned as a "
+    "1-row frame with a plain-aggregate oracle proving the "
+    "side-channel equals the ground truth.",
+)
+def q_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    obs = Observation("order_gate")
+    o = table(spark, sf, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+            "n_finished"
+        ),
+    )
+    o.write.format("noop").mode("overwrite").save()  # the real action
+    row = obs.get
+    return spark.createDataFrame(
+        [(int(row["n_rows"]), float(row["sum_price"]), int(row["n_finished"]))],
+        "n_rows bigint, sum_price double, n_finished bigint",
+    )
+
+
+@register(
+    "q_rebalance_write",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="REBALANCE write layout (SURVEY §2.1/§4.2): the events fact is "
+    "written partitionBy(event_type) behind a REBALANCE(event_type) "
+    "hint — AQE sizes the shuffle so every output partition directory "
+    "gets evenly-sized files (splitting oversized reducers when "
+    "optimizeSkewsInRebalancePartitions is on), the production fix "
+    "for the small-files / straggler-writer problem a plain "
+    "partitionBy write has under key skew. Plan carries "
+    "REBALANCE_PARTITIONS_BY_COL (pinned by tests/test_plans.py); "
+    "round-trip is lossless → plain-aggregate oracle over the source.",
+)
+def q_rebalance_write(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    out = land_dir("rebal", sf)
+    ev = table(spark, sf, "events")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            ev.hint("rebalance", "event_type")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )

@@ -482,3 +482,83 @@ def q_sql_udf(spark: SparkSession, sf: str) -> DataFrame:
     )
     spark.catalog.dropTempView("_sql_udf_events")
     return out
+
+
+@register(
+    "q_collation",
+    # Deterministic output: the collated GROUP BY's representative key
+    # is whichever casing a partition sees first, so the projected key
+    # is lower()ed on BOTH sides; counts/sums are casing-invariant.
+    oracle="""
+    SELECT lower(prio_mixed) AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM (
+      SELECT o_totalprice,
+             CASE WHEN o_orderkey % 3 = 0 THEN upper(o_orderpriority)
+                  WHEN o_orderkey % 3 = 1 THEN lower(o_orderpriority)
+                  ELSE o_orderpriority END AS prio_mixed
+      FROM orders
+    ) GROUP BY 1
+    """,
+    doc="Collation-aware comparison semantics (Spark 4 COLLATE, SURVEY "
+    "§2.6): a deliberately mixed-case priority column grouped under "
+    "UTF8_LCASE — equality, grouping, and joins follow the column's "
+    "collation in the ENGINE (one hash per collation key) instead of "
+    "wrapping every comparison in lower() (which defeats pushdown and "
+    "doubles the CPU on a 100 TB string-heavy scan). Oracle: the "
+    "lower() rewrite, provably equivalent for grouping.",
+)
+def q_collation(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    mixed = o.select(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.upper("o_orderpriority"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lower("o_orderpriority"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio_mixed"),
+    )
+    return (
+        mixed.groupBy(F.expr("prio_mixed COLLATE UTF8_LCASE").alias("ck"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(F.lower("ck").alias("prio"), "n", "sum_price")
+    )
+
+
+@register(
+    "q_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS sla_deadline,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(date_trunc('quarter', o_orderdate) + INTERVAL 3 MONTH
+                - INTERVAL 1 DAY AS DATE) AS quarter_end,
+           CAST(date_diff('day', o_orderdate,
+                          date_trunc('quarter', o_orderdate)
+                          + INTERVAL 3 MONTH - INTERVAL 1 DAY) AS INTEGER)
+             AS days_to_quarter_end
+    FROM orders
+    """,
+    doc="ANSI INTERVAL arithmetic (SURVEY §2.6): day-time and "
+    "year-month interval literals composed with date_trunc — SLA "
+    "deadlines, calendar-quarter ends, day distances. All "
+    "calendar-aware engine arithmetic (codegen'd, no UDF), identical "
+    "semantics on DuckDB's interval algebra.",
+)
+def q_interval_arith(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    qend = F.expr(
+        "date_trunc('quarter', o_orderdate) + INTERVAL 3 MONTH - INTERVAL 1 DAY"
+    )
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderdate + INTERVAL 90 DAY").cast("date").alias("sla_deadline"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        qend.cast("date").alias("quarter_end"),
+        F.datediff(qend.cast("date"), F.col("o_orderdate")).alias(
+            "days_to_quarter_end"
+        ),
+    )

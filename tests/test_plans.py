@@ -597,3 +597,15 @@ def test_aqe_skew_join_splits_hot_partition(spark):
         assert "skew=true" not in plan_off
     finally:
         spark.conf.set(key, prev)
+
+
+def test_rebalance_write_plan_has_rebalance_exchange(spark):
+    """q_rebalance_write's write-side plan must carry the
+    REBALANCE_PARTITIONS_BY_COL shuffle origin (AQE file-size
+    leveling), not a plain ENSURE_REQUIREMENTS exchange."""
+    from gps_stream_processing_spark.plans.registry import table as _table
+
+    ev = _table(spark, SF, "events")
+    df = ev.hint("rebalance", "event_type")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "REBALANCE_PARTITIONS_BY_COL" in plan, plan
