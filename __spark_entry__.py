@@ -132,11 +132,15 @@ _CHANGED_SINCE_VERIFIED = (
     # (fingerprint-gated external DDL) instead of re-landing — values
     # invariant (attach losslessness pytest-pinned), re-check anyway.
     ("q_join_bucketed", 7),
-    # r8: q_bfs_distance reads the LANDED edge list
-    # (landed_customer_supplier_edges) instead of re-deriving it —
-    # values invariant (same edges, landing is lossless), re-check
-    # anyway since the scan subtree changed.
+    # r8: the iterative graph consumers read LANDED edge lists
+    # (landed_customer_supplier_edges / landed_copurchase_edges)
+    # instead of re-deriving them per call — values invariant (same
+    # edges, landing is lossless; all four HASH-OK at sf0.01 locally),
+    # re-check anyway since the scan subtrees changed.
     ("q_bfs_distance", 8),
+    ("q_pagerank", 8),
+    ("q_label_propagation", 8),
+    ("q_triangle_count", 8),
 )
 
 

