@@ -22,7 +22,7 @@ from gps_stream_processing_spark.operators.gps_fix import (
     quality_filter,
 )
 from gps_stream_processing_spark.plans import nmea_oracle as _orc
-from gps_stream_processing_spark.plans.registry import register
+from gps_stream_processing_spark.plans.registry import register, table
 from gps_stream_processing_spark.sources.nmea import nmea_fixture_df
 
 # One deterministic fixture shape for every NMEA query (seed pinned in
@@ -379,3 +379,68 @@ def q_pandas_grouped_agg(spark: SparkSession, sf: str) -> DataFrame:
         fixes.groupBy("track_id")
         .agg(F.round(trimmed_mean_10("speed_knots"), 6).alias("trimmed_mean_speed"))
     )
+
+
+@register(
+    "q_udtf_analyze",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_quantity / (l_quantity + l_extendedprice + l_discount + 1),
+                 6) AS l_quantity_frac,
+           ROUND(l_extendedprice /
+                 (l_quantity + l_extendedprice + l_discount + 1), 6)
+             AS l_extendedprice_frac,
+           ROUND((l_discount + 1) /
+                 (l_quantity + l_extendedprice + l_discount + 1), 6)
+             AS shifted_discount_frac
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+    doc="Polymorphic Python UDTF with analyze() (Spark 4, SURVEY "
+    "§2.10): the UDTF derives its OUTPUT SCHEMA from the input "
+    "struct's fields at plan time (one `<field>_frac` column per "
+    "numeric input — schema-on-call, the table-function analog of "
+    "schema inference), then row-normalizes each tuple. Static-"
+    "returnType UDTFs (q_udtf_gsv) can't express this; analyze() is "
+    "what lets one UDTF serve any struct width. Arrow-evaluated "
+    "(pythonUDTF.arrow.enabled rides tune_session); fraction "
+    "arithmetic mirrors left-to-right IEEE order on both sides → "
+    "full oracle. Python round() is banker's vs DuckDB half-up, but "
+    "the fractions are non-terminating binary rationals — an exact "
+    "6-dp midpoint cannot occur.",
+)
+def q_udtf_analyze(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class NormalizeRow:
+        @staticmethod
+        def analyze(arg: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for f in arg.dataType.fields:
+                schema.add(f.name + "_frac", "double")
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, row):
+            vals = [float(v) for v in row]
+            s = 0.0
+            for v in vals:  # left-to-right, same order as the SQL sum
+                s += v
+            yield tuple(round(v / s, 6) if s else None for v in vals)
+
+    spark.udtf.register("normalize_row", udtf(NormalizeRow))
+    li = table(spark, sf, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    li.createOrReplaceTempView("_udtf_an_lineitem")
+    out = spark.sql(
+        """
+        SELECT l.l_orderkey, l.l_linenumber, n.*
+        FROM _udtf_an_lineitem l,
+        LATERAL normalize_row(struct(
+            l.l_quantity,
+            l.l_extendedprice,
+            l.l_discount + 1 AS shifted_discount
+        )) n
+        """
+    )
+    spark.catalog.dropTempView("_udtf_an_lineitem")
+    return out

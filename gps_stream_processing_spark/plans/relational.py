@@ -2695,3 +2695,57 @@ def q_rebalance_write(spark: SparkSession, sf: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
+
+
+@register(
+    "q_metadata_cols",
+    # The landed file is written coalesce(1) + sortWithinPartitions
+    # (event_id), so _metadata.row_index == rank-by-event_id - 1 by
+    # construction; the oracle re-derives it with a window.
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id,
+             ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS ri
+      FROM events
+    )
+    SELECT CAST(FLOOR(ri / 1000) AS BIGINT) AS block,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS first_event,
+           CAST(MAX(event_id) AS BIGINT) AS last_event
+    FROM ranked GROUP BY 1
+    """,
+    doc="Hidden _metadata lineage columns (SURVEY §2.1): every file "
+    "source exposes _metadata.file_path/file_name/file_size/"
+    "row_index without storing them — the provenance surface a "
+    "100 TB pipeline uses to trace a bad record back to its source "
+    "file and row position, or to build dedup keys that survive "
+    "reprocessing (file identity + row index). Here events are "
+    "landed as one ordered file and read back with "
+    "_metadata.row_index aggregated into 1000-row blocks; the "
+    "landed order makes row_index == rank(event_id)-1, giving an "
+    "exact oracle via a window over the source.",
+)
+def q_metadata_cols(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    out = land_dir("metacols", sf)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            table(spark, sf, "events")
+            .select("event_id")
+            .coalesce(1)
+            .sortWithinPartitions("event_id")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    back = spark.read.parquet(out).select(
+        "event_id", F.col("_metadata.row_index").alias("ri")
+    )
+    return (
+        back.groupBy(F.floor(F.col("ri") / 1000).alias("block"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
