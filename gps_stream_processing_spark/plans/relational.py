@@ -2749,3 +2749,111 @@ def q_metadata_cols(spark: SparkSession, sf: str) -> DataFrame:
             F.max("event_id").alias("last_event"),
         )
     )
+
+
+@register(
+    "q_session_dynamic_gap",
+    # Spark merge rule (probed, r8): an event EXTENDS the session when
+    # ts <= the running max of previous interval ends (boundary
+    # equality merges); the merged session's end is the MAX of its
+    # events' individual ts+gap ends (an early long-gap event can
+    # outlast later short-gap ones). The oracle is the classic
+    # interval-merge: flag rows where ts > max-end-so-far, running-sum
+    # the flags into session ids, then aggregate.
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts, event_id,
+             ts + CASE WHEN event_type IN ('click', 'view')
+                       THEN INTERVAL 10 MINUTE
+                       ELSE INTERVAL 45 MINUTE END AS iv_end
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, iv_end,
+             CASE WHEN MAX(iv_end) OVER w IS NULL
+                  OR ts > MAX(iv_end) OVER w THEN 1 ELSE 0 END AS new_s
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), sess AS (
+      SELECT user_id, ts, iv_end,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, iv_end
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(iv_end) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Dynamic-gap sessionization via session_window with a per-row "
+    "gap EXPRESSION (SURVEY §2.7 ext): engaged event types (click/view) "
+    "close after 10 idle minutes, heavyweight ones (signup/purchase/"
+    "error) hold the session 45 — the per-event-class timeout rule "
+    "every product-analytics stack wants and constant-gap sessionize "
+    "(q_sessionize) cannot express. The engine's native session_window "
+    "merges overlapping [ts, ts+gap) intervals per key in one shuffle "
+    "(same single-exchange shape as a groupBy); the streaming twin "
+    "(q_stream_session_true) shares the operator, so batch backfill "
+    "and live cut agree by construction. Oracle: interval-merge via "
+    "running-max-end flag + running-sum ids (merge rule probed against "
+    "the engine, boundary equality merges).",
+)
+def q_session_dynamic_gap(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    gap = (
+        F.when(F.col("event_type").isin("click", "view"), F.lit("10 minutes"))
+        .otherwise(F.lit("45 minutes"))
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q_window_time",
+    # 21600000000 us = 6 h. DuckDB's make_timestamp(BIGINT) takes
+    # microseconds since epoch; integer floor-div reproduces the
+    # engine's tumbling-window assignment exactly, and window_time is
+    # definitionally end - 1 microsecond (the largest event time the
+    # window contains — the value downstream event-time operators chain
+    # on).
+    oracle="""
+    SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+             AS win_start,
+           make_timestamp((epoch_us(ts) // 21600000000) * 21600000000
+                          + 21600000000 - 1) AS event_time,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling-window aggregation projected through window_time() "
+    "(SURVEY §2.7 ext): the 6-hour rollup plus the window's "
+    "event-time representative (end - 1 microsecond) — the column a "
+    "second-tier windowed aggregation or an event-time join keys on "
+    "when windowed results re-enter an event-time pipeline (the "
+    "streaming cascade idiom; here on data at rest, same operator). "
+    "Pure hash aggregate on the derived window — one shuffle, no "
+    "window function. Oracle: epoch-microsecond floor arithmetic.",
+)
+def q_window_time(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.window_time("window").alias("event_time"),
+            "n",
+            "sum_value",
+        )
+    )

@@ -562,3 +562,101 @@ def q_interval_arith(spark: SparkSession, sf: str) -> DataFrame:
             "days_to_quarter_end"
         ),
     )
+
+
+@register(
+    "q_try_arith",
+    # DuckDB has no try_* family: the oracle computes each case in a
+    # wider type and CASEs the overflow / zero-divisor / zero-modulus
+    # rows to NULL — the exact value semantics Spark's try_ variants
+    # implement on INT under ANSI mode.
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity = 25.0 THEN NULL
+                ELSE ROUND(l_extendedprice / (l_quantity - 25.0), 6)
+           END AS safe_ratio,
+           CASE WHEN (l_partkey % 1100) * CAST(2000000 AS BIGINT)
+                     > 2147483647 THEN NULL
+                ELSE CAST((l_partkey % 1100) * 2000000 AS INTEGER)
+           END AS scaled_part,
+           CASE WHEN 2147483000
+                     + CAST(l_linenumber AS BIGINT) * 80
+                     + CASE WHEN l_orderkey % 500 = 0 THEN 1000 ELSE 0 END
+                     > 2147483647 THEN NULL
+                ELSE CAST(2147483000 + l_linenumber * 80
+                          + CASE WHEN l_orderkey % 500 = 0
+                                 THEN 1000 ELSE 0 END AS INTEGER)
+           END AS bumped,
+           CASE WHEN l_linenumber = 1 THEN NULL
+                ELSE l_orderkey % (l_linenumber - 1)
+           END AS alt_mod
+    FROM lineitem
+    """,
+    doc="ANSI-mode-safe try_* arithmetic (SURVEY §2.6): the engine runs "
+    "with spark.sql.ansi.enabled=true (overflow/div-zero THROW — the "
+    "production posture), so lossy hot-path arithmetic over untrusted "
+    "values uses the try_ family: try_divide (zero divisor), "
+    "try_multiply / try_add (INT overflow), try_mod (zero modulus) — "
+    "NULL instead of a 100-TB-job-killing exception, still fully "
+    "codegen'd JVM column expressions. SCALE NOTE (measured r8, sf0.1): "
+    "the zero-divisor/zero-modulus guards are branch-based and free "
+    "(~0.13s/600k rows), but the INT overflow path is Java "
+    "throw/catch via Math.addExact — ~14 us PER OVERFLOWING ROW (a "
+    "95%-overflow column cost 8s vs 0.13s). try_ is for EXCEPTIONAL "
+    "bad rows; a column where overflow is the common case must be "
+    "pre-guarded with explicit CASE, so the operands here keep the "
+    "overflow rate ~2% by construction. Oracle: widened arithmetic "
+    "with explicit CASE guards (DuckDB has no try_ family).",
+)
+def q_try_arith(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    rare_bonus = F.when(F.col("l_orderkey") % 500 == 0, 1000).otherwise(0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25.0), 6
+        ).alias("safe_ratio"),
+        F.try_multiply(
+            (F.col("l_partkey") % 1100).cast("int"), F.lit(2000000).cast("int")
+        ).alias("scaled_part"),
+        F.try_add(
+            F.lit(2147483000).cast("int"),
+            (F.col("l_linenumber") * 80 + rare_bonus).cast("int"),
+        ).alias("bumped"),
+        F.try_mod(F.col("l_orderkey"), F.col("l_linenumber") - 1).alias("alt_mod"),
+    )
+
+
+@register(
+    "q_lateral_alias",
+    # DuckDB supports lateral column aliases natively, but the oracle
+    # expands them anyway so the equivalence being tested is the
+    # ENGINE's analyzer resolution, not DuckDB's.
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 6) AS net,
+           ROUND(ROUND(l_extendedprice * (1 - l_discount), 6)
+                 * (1 + l_tax), 6) AS gross,
+           ROUND(ROUND(ROUND(l_extendedprice * (1 - l_discount), 6)
+                       * (1 + l_tax), 6)
+                 - ROUND(l_extendedprice * (1 - l_discount), 6), 6) AS tax_amt
+    FROM lineitem
+    """,
+    doc="Lateral column aliases (SURVEY §2.6): a SELECT list where each "
+    "computed column references the PREVIOUS alias in the same list "
+    "(net -> gross -> tax_amt) — the analyzer inlines the chain, so the "
+    "plan stays one codegen'd Project (no self-join, no subquery "
+    "nesting), the idiom every hand-written revenue pipeline uses. "
+    "Oracle: the aliases expanded manually; rounds pinned at each step "
+    "so both engines quantize identically.",
+)
+def q_lateral_alias(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "round(l_extendedprice * (1 - l_discount), 6) AS net",
+        "round(net * (1 + l_tax), 6) AS gross",
+        "round(gross - net, 6) AS tax_amt",
+    )

@@ -609,3 +609,72 @@ def test_rebalance_write_plan_has_rebalance_exchange(spark):
     df = ev.hint("rebalance", "event_type")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "REBALANCE_PARTITIONS_BY_COL" in plan, plan
+
+
+def test_session_dynamic_gap_merge_semantics(spark):
+    """Pin the probed session_window dynamic-gap merge rules the
+    q_session_dynamic_gap oracle encodes: (1) boundary equality MERGES
+    (an event at exactly the running max end joins the session);
+    (2) the merged session's end is the max of individual ts+gap ends,
+    so an early long-gap event outlasts later short-gap ones."""
+    import datetime as dt
+
+    rows = [
+        # user 1: long(45m)@00:00, short(10m)@00:10/00:25/00:45 — the
+        # 00:45 event sits exactly at the running max end (00:45 from
+        # the long event) -> merges; session = [00:00, 00:55).
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), "long"),
+        (1, dt.datetime(2024, 1, 1, 0, 10, 0), "short"),
+        (1, dt.datetime(2024, 1, 1, 0, 25, 0), "short"),
+        (1, dt.datetime(2024, 1, 1, 0, 45, 0), "short"),
+        # user 2: 1 microsecond PAST the boundary -> splits.
+        (2, dt.datetime(2024, 1, 1, 0, 0, 0), "short"),
+        (2, dt.datetime(2024, 1, 1, 0, 10, 0, 1), "short"),
+    ]
+    df = spark.createDataFrame(rows, "user int, ts timestamp, kind string")
+    gap = (
+        F.when(F.col("kind") == "long", F.lit("45 minutes"))
+        .otherwise(F.lit("10 minutes"))
+    )
+    got = {
+        (r["user"], r["start"], r["end"]): r["n"]
+        for r in df.groupBy("user", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user",
+            F.col("session_window.start").alias("start"),
+            F.col("session_window.end").alias("end"),
+            "n",
+        )
+        .collect()
+    }
+    d = dt.datetime
+    assert got[(1, d(2024, 1, 1, 0, 0), d(2024, 1, 1, 0, 55))] == 4
+    assert got[(2, d(2024, 1, 1, 0, 0), d(2024, 1, 1, 0, 10))] == 1
+    assert (
+        got[(2, d(2024, 1, 1, 0, 10, 0, 1), d(2024, 1, 1, 0, 20, 0, 1))] == 1
+    )
+
+
+def test_try_arith_nulls_exactly_where_ansi_would_throw(spark):
+    """try_* must NULL precisely the overflow/zero rows (and only
+    those), under the session's ansi.enabled=true posture."""
+    df = REGISTRY["q_try_arith"].fn(spark, SF)
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.count("safe_ratio").alias("n_ratio"),
+        F.count("bumped").alias("n_bump"),
+        F.count("alt_mod").alias("n_mod"),
+    ).collect()[0]
+    import duckdb
+
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""SELECT COUNT(*) n, COUNT(*) FILTER (l_quantity != 25.0) r,
+            COUNT(*) FILTER (l_linenumber * 80
+              + CASE WHEN l_orderkey % 500 = 0 THEN 1000 ELSE 0 END <= 647) b,
+            COUNT(*) FILTER (l_linenumber != 1) m
+            FROM read_parquet('{SF}/lineitem.parquet')"""
+    ).fetchone()
+    con.close()
+    assert (agg["n"], agg["n_ratio"], agg["n_bump"], agg["n_mod"]) == exp
