@@ -167,6 +167,49 @@ def jaccard_pairs(shingles: DataFrame, threshold: float, id_col: str = "doc_id",
     )
 
 
+def containment_pairs(
+    shingles: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Asymmetric containment similarity C(A→B) = |A∩B| / |A| for doc
+    pairs sharing ≥1 shingle — the sub-document duplicate detector:
+    a short doc pasted inside a longer one has high containment but low
+    Jaccard (the union is dominated by the long doc), so Jaccard-only
+    dedup misses it. One co-shingle equi-join computes the half-matrix
+    (doc_a < doc_b) and projects BOTH directions' containments; a pair
+    survives when either direction clears ``threshold``. Same join
+    shape and scale path as :func:`jaccard_pairs` (bucketable by
+    shingle; LSH candidates restrict it identically)."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    cont_ab = F.col("n_inter") / F.col("n_a")
+    cont_ba = F.col("n_inter") / F.col("n_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.greatest(cont_ab, cont_ba) >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont_ab, 6).alias("cont_a_in_b"),
+            F.round(cont_ba, 6).alias("cont_b_in_a"),
+        )
+    )
+
+
 def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """16-bit SimHash per document: per-token hash, one vote per bit
     position, bit set where positive votes win. Single explode +

@@ -1385,7 +1385,12 @@ def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", "lang").filter(bucket < rate)
 
 
-def _kmeans_oracle(k: int = 8, n_iterations: int = 4, dim: int = 64) -> str:
+def _kmeans_oracle(
+    k: int = 8,
+    n_iterations: int = 4,
+    dim: int = 64,
+    tail: str | None = None,
+) -> str:
     """Full DuckDB oracle for fixed-iteration Lloyd's k-means: the
     rounds unrolled as chained CTEs (the same honest-unroll pattern as
     graph_queries._pagerank_oracle — driver-fed centroids per round are
@@ -1439,8 +1444,12 @@ def _kmeans_oracle(k: int = 8, n_iterations: int = 4, dim: int = 64) -> str:
       SELECT p.cluster, COALESCE(n.c, p.c) AS c
       FROM c{i - 1} p LEFT JOIN cm{i} n USING (cluster)
     )""")
-    sql.append(f"""
-    SELECT vec_id, cluster, ROUND(SQRT(d2), 6) AS dist FROM a{n_iterations}""")
+    sql.append(
+        tail
+        if tail is not None
+        else f"""
+    SELECT vec_id, cluster, ROUND(SQRT(d2), 6) AS dist FROM a{n_iterations}"""
+    )
     return "".join(sql)
 
 
@@ -1911,3 +1920,108 @@ def q_dedup_chunk_cross(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+_SEMANTIC_DEDUP_TAIL = """
+    , assign AS (SELECT vec_id, cluster FROM a4),
+    cl AS (SELECT s.vec_id, s.cluster, v.v FROM assign s JOIN v USING (vec_id)),
+    sd_pairs AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             ROUND(list_cosine_similarity(x.v, y.v), 6) AS cs
+      FROM cl x JOIN cl y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    ),
+    sd_dups AS (
+      SELECT vec_b AS vec_id, MIN(vec_a) AS dup_of
+      FROM sd_pairs WHERE cs >= 0.32 GROUP BY 1
+    )
+    SELECT a.vec_id, a.cluster, d.dup_of, d.dup_of IS NULL AS keep
+    FROM assign a LEFT JOIN sd_dups d USING (vec_id)
+"""
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=_kmeans_oracle(tail=_SEMANTIC_DEDUP_TAIL),
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023, "
+    "SURVEY §2.9 ext): k-means clusters the embedding space (k=8, 4 "
+    "deterministic Lloyd rounds — the q_kmeans operator), then "
+    "near-duplicate pairs are searched ONLY within each cluster "
+    "(cosine >= 0.32 on the 6-dp-rounded similarity); a vector is a "
+    "dup if a lower-id cluster-mate clears the threshold (dup_of = "
+    "that mate's min id, keep = no such mate). This is the published "
+    "scale path for embedding-level dedup: clustering shrinks the "
+    "pairwise candidate space from O(n^2) to O(sum n_c^2) ~ O(n^2/k) "
+    "with data-dependent blocks, vs the label-blocked exact tier "
+    "(q_dedup_embedding) whose blocks are fixed metadata. Within-"
+    "cluster pairs ride the numpy gram-matrix batch (the sanctioned "
+    "group-linear-algebra crossing, operators/similarity.py); at 100 "
+    "TB, k grows with the corpus so cluster blocks stay bounded and "
+    "the gram tiles fit worker memory (SCALE.md). Oracle: the Lloyd "
+    "rounds unrolled as materialized CTEs (_kmeans_oracle) + the "
+    "pairwise tail in plain SQL.",
+)
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.clustering import kmeans
+    from gps_stream_processing_spark.operators.similarity import (
+        pairwise_cosine_np,
+    )
+
+    emb = table(spark, sf, "embeddings")
+    assign = kmeans(emb, k=8, n_iterations=4).select("vec_id", "cluster")
+    clustered = emb.join(assign, "vec_id").select(
+        "vec_id", "embedding", "cluster"
+    )
+    pairs = pairwise_cosine_np(clustered, label_col="cluster").filter(
+        F.col("cos_sim") >= 0.32
+    )
+    dups = (
+        pairs.groupBy("vec_b")
+        .agg(F.min("vec_a").alias("dup_of"))
+        .withColumnRenamed("vec_b", "vec_id")
+    )
+    return assign.join(dups, "vec_id", "left").select(
+        "vec_id", "cluster", "dup_of", F.col("dup_of").isNull().alias("keep")
+    )
+
+
+@register(
+    "q_dedup_containment",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / sa.n, 6) AS cont_a_in_b,
+           ROUND(CAST(n_inter AS DOUBLE) / sb.n, 6) AS cont_b_in_a
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE greatest(CAST(n_inter AS DOUBLE) / sa.n,
+                   CAST(n_inter AS DOUBLE) / sb.n) >= 0.9
+    """,
+    doc="Asymmetric containment near-dup pairs (SURVEY §2.9 ext): "
+    "C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| >= 0.9 in "
+    "either direction — catches the sub-document duplicates "
+    "(boilerplate wrapping, quote-expansion, doc-inside-doc pastes) "
+    "that symmetric Jaccard misses because the union term drowns the "
+    "short side. Shares the checkpointed distinct-shingle table with "
+    "the Jaccard/MinHash family (one derivation, four consumers) and "
+    "the same co-shingle equi-join scale path — never all-pairs; at "
+    "100 TB the identical LSH-candidate restriction applies "
+    "(operators/dedup.py containment_pairs). Oracle: the same "
+    "intersect/size arithmetic in plain SQL.",
+)
+def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_shingles(spark, sf), threshold=0.9)

@@ -836,3 +836,69 @@ def q_state_metadata(spark: SparkSession, sf: str) -> DataFrame:
         F.col("stateStoreName").alias("state_store_name"),
         F.col("numPartitions").cast("int").alias("num_partitions"),
     )
+
+
+def q_stream_tws_init_state(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.streaming.runner import events_stream
+    from gps_stream_processing_spark.streaming.stateful import (
+        streaming_seeded_totals_tws,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        cutoff = "2024-01-15 00:00:00"
+        # Batch backfill aggregate = the initial state; the live stream
+        # carries only post-cutoff events.
+        seed = (
+            table(spark, sf, "events")
+            .filter(F.col("ts") < cutoff)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        )
+        live = events_stream(spark, sf).filter(F.col("ts") >= cutoff)
+        snap = run_available_now(
+            streaming_seeded_totals_tws(live, seed), output_mode="update"
+        )
+        return snap.select(
+            "user_id", "n_events", F.round("sum_value", 6).alias("sum_value")
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+q_stream_tws_init_state = register(
+    "q_stream_tws_init_state",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(value) AS sv
+      FROM events GROUP BY 1
+    ), live AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    )
+    SELECT a.user_id, a.n_events, ROUND(a.sv, 6) AS sum_value
+    FROM agg a JOIN live USING (user_id)
+    """,
+    doc="TWS INITIAL STATE (SURVEY §2.8): the batch→stream handoff — a "
+    "historical backfill aggregate (events before Jan 15) is handed to "
+    "transformWithStateInPandas as initialState (routed per-key to "
+    "handleInitialState before the first batch), and the live stream "
+    "(events from Jan 15 on) increments the seeded per-user totals. "
+    "The emitted totals therefore cover the FULL history without the "
+    "stream ever re-reading it — at 100 TB the seed is one batch "
+    "aggregation job, and the streaming job's state starts warm. "
+    "Oracle: full-table per-user totals restricted to users with at "
+    "least one live event (seed-only users never emit in update "
+    "mode). Completes the TWS surface: ValueState / ListState+TTL / "
+    "MapState / event-time timers / initial state "
+    "(streaming/stateful.py).",
+)(q_stream_tws_init_state)

@@ -509,3 +509,79 @@ def streaming_activity_close_tws(
             timeMode="EventTime",
         )
     )
+
+
+# --- initial state (transformWithStateInPandas initialState=...) ---------
+
+SEEDED_TOTALS_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
+SEEDED_TOTALS_STATE_SCHEMA = "n bigint, s double"
+
+
+def make_seeded_totals_processor():
+    """Per-user running (count, value-sum) totals SEEDED from a batch
+    backfill via TWS initial state — the batch→stream handoff every
+    production pipeline performs when a streaming job takes over from
+    a historical backfill: the seed aggregate arrives as
+    ``initialState`` (a per-key DataFrame Spark routes to
+    ``handleInitialState`` before the first batch's data), and live
+    rows increment it. Without initial-state support the stream would
+    either re-read the full history (100 TB re-scan) or report totals
+    that silently exclude it.
+
+    Emission: the current totals per touched key per batch (update
+    mode); keys with seed but no live rows stay silent — the
+    registered query's oracle restricts to live users accordingly."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _SeededTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", SEEDED_TOTALS_STATE_SCHEMA
+            )
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            # One row per key by construction (a groupBy aggregate).
+            n = int(initialState["n"].iloc[0])
+            s = float(initialState["s"].iloc[0])
+            self._totals.update((n, s))
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                [{"user_id": user_id, "n_events": n, "sum_value": s}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _SeededTotalsProcessor()
+
+
+def streaming_seeded_totals_tws(
+    live_events: DataFrame, seed: DataFrame
+) -> DataFrame:
+    """Running per-user totals over a live stream, seeded with a batch
+    backfill aggregate through TWS ``initialState``."""
+    from gps_stream_processing_spark.streaming.protobuf_compat import (
+        configure_worker_env,
+        ensure_protobuf,
+    )
+
+    ensure_protobuf()
+    configure_worker_env(live_events.sparkSession)
+    return (
+        live_events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            make_seeded_totals_processor(),
+            outputStructType=SEEDED_TOTALS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+            initialState=seed.groupBy("user_id"),
+        )
+    )

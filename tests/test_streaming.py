@@ -563,3 +563,45 @@ def test_list_state_ttl_evicts_across_runs(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_tws_init_state_seeds_history(spark):
+    """The seeded totals must cover the FULL history (seed + live), not
+    just the live slice — and seed-only users must not emit (update
+    mode emits touched keys only)."""
+    sf = "/root/testdata/sf0.001"
+    from gps_stream_processing_spark.plans.registry import REGISTRY, table
+
+    out = REGISTRY["q_stream_tws_init_state"].fn(spark, sf).toPandas()
+    ev = table(spark, sf, "events")
+    cutoff = "2024-01-15 00:00:00"
+    full = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("s"))
+        .collect()
+    }
+    live_users = {
+        r["user_id"]
+        for r in ev.filter(F.col("ts") >= cutoff)
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    live_only = {
+        r["user_id"]: r["n"]
+        for r in ev.filter(F.col("ts") >= cutoff)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(out["user_id"]) == live_users
+    for _, row in out.iterrows():
+        n, s = full[row["user_id"]]
+        assert row["n_events"] == n  # full history, not live-only
+        assert abs(row["sum_value"] - s) < 1e-6
+    # the seed is load-bearing: at least one user's full count exceeds
+    # the live-only count (otherwise this test proves nothing)
+    assert any(
+        full[u][0] > live_only.get(u, 0) for u in live_users
+    ), "fixture has no pre-cutoff history for any live user"
