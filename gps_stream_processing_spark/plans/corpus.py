@@ -400,3 +400,142 @@ def fuzzy_best_match(
     return p.join(F.broadcast(best), p.p_name == best.n1).select(
         "p_partkey", "p_name", "match_key", "match_name", "dist"
     )
+
+
+def _hilbert_d(x0, y0, order: int = 4):
+    """Hilbert xy→d for a 2^order grid as pure column arithmetic — the
+    classic per-level reflect+swap unrolled ``order`` times (no UDF,
+    no XOR builtin: the (3*rx)^ry quadrant index is a 4-way CASE so
+    the engine and the SQL oracle share semantics symbol-for-symbol).
+    The reflect uses the CANONICAL n-1 (full grid), not s-1: the s-1
+    variant drives intermediates negative, where Python / JVM / DuckDB
+    floor-div and modulo semantics diverge (caught by the grid pin —
+    84/256 cells differed engine-vs-DuckDB before the fix); with n-1
+    every intermediate stays in [0, 2^order) on every engine.
+    Pinned against the textbook xy2d on the full grid by pytest."""
+    n = 2**order
+    x, y, d = x0.cast("long"), y0.cast("long"), F.lit(0).cast("long")
+    s = n // 2
+    while s > 0:
+        rx1 = x.bitwiseAND(F.lit(s)) > 0
+        ry1 = y.bitwiseAND(F.lit(s)) > 0
+        quad = (
+            F.when(~rx1 & ~ry1, 0)
+            .when(~rx1 & ry1, 1)
+            .when(rx1 & ~ry1, 3)
+            .otherwise(2)
+        )
+        d = d + F.lit(s * s) * quad
+        refl = ~ry1 & rx1
+        xr = F.when(refl, F.lit(n - 1) - x).otherwise(x)
+        yr = F.when(refl, F.lit(n - 1) - y).otherwise(y)
+        x, y = F.when(~ry1, yr).otherwise(x), F.when(~ry1, xr).otherwise(y)
+        s //= 2
+    return d
+
+
+def _hilbert_oracle(order: int = 4) -> str:
+    """The same per-level unroll as chained DuckDB CTEs (n-1 reflect —
+    see _hilbert_d: intermediates stay non-negative, so // and % agree
+    across engines)."""
+    n = 2**order
+    lvls = []
+    s = n // 2
+    i = 0
+    prev = "binned"
+    while s > 0:
+        nxt = f"h{i}"
+        lvls.append(f""",
+    {nxt} AS (
+      SELECT d + {s * s} * CASE WHEN x // {s} % 2 = 0 AND y // {s} % 2 = 0 THEN 0
+                                WHEN x // {s} % 2 = 0 THEN 1
+                                WHEN y // {s} % 2 = 0 THEN 3
+                                ELSE 2 END AS d,
+             CASE WHEN y // {s} % 2 = 0
+                  THEN (CASE WHEN x // {s} % 2 = 1 THEN {n - 1} - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN y // {s} % 2 = 0
+                  THEN (CASE WHEN x // {s} % 2 = 1 THEN {n - 1} - x ELSE x END)
+                  ELSE y END AS y,
+             ub, vb
+      FROM {prev}
+    )""")
+        prev = nxt
+        s //= 2
+        i += 1
+    return "".join(lvls), prev
+
+
+_HILBERT_LVLS, _HILBERT_LAST = _hilbert_oracle()
+
+_HILBERT_SQL = f"""
+    WITH stats AS (
+      SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+             MIN(value) AS vmin, MAX(value) AS vmax
+      FROM events
+    ),
+    binned AS (
+      SELECT CAST(0 AS BIGINT) AS d, ub AS x, vb AS y, ub, vb FROM (
+        SELECT CAST(LEAST(15, FLOOR((e.user_id - s.umin) * 16.0
+                                    / GREATEST(s.umax - s.umin, 1e-9))) AS BIGINT) AS ub,
+               CAST(LEAST(15, FLOOR((e.value - s.vmin) * 16.0
+                                    / GREATEST(s.vmax - s.vmin, 1e-9))) AS BIGINT) AS vb
+        FROM events e CROSS JOIN stats s
+      )
+    ){_HILBERT_LVLS}
+    SELECT d AS h, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ub) AS min_ub, MAX(ub) AS max_ub,
+           MIN(vb) AS min_vb, MAX(vb) AS max_vb
+    FROM {_HILBERT_LAST} GROUP BY d
+"""
+
+
+@register(
+    "q_hilbert_layout",
+    oracle=_HILBERT_SQL,
+    doc="Hilbert-curve clustering key over (user_id, value) — the "
+    "z-order twin (q_zorder_layout) with strictly better locality: "
+    "the Hilbert curve has NO long diagonal jumps, so consecutive key "
+    "ranges map to contiguous 2-D tiles and per-file min/max "
+    "envelopes are tighter on average than Morton's (this is why "
+    "modern table formats offer Hilbert alongside z-order for "
+    "OPTIMIZE ... CLUSTER BY). Same plan shape: scan + broadcast "
+    "1-row min/max stats + 4-bit bin per dimension + the order-4 "
+    "reflect/swap unroll (pure integer CASE arithmetic, "
+    "whole-stage-codegen'd, exact on any engine) + hash-agg on the "
+    "256-value key; the layout write would repartitionByRange on h. "
+    "Oracle: the identical unroll as chained DuckDB CTEs "
+    "(_hilbert_oracle); pytest pins the column transform against the "
+    "textbook xy2d on every grid cell.",
+)
+def q_hilbert_layout(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    stats = e.agg(
+        F.min("user_id").alias("umin"),
+        F.max("user_id").alias("umax"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+    def _bin(col, lo, hi):
+        span = F.greatest(F.col(hi) - F.col(lo), F.lit(1e-9))
+        return F.least(
+            F.lit(15).cast("long"),
+            F.floor((F.col(col) - F.col(lo)) * 16.0 / span),
+        ).cast("long")
+
+    binned = e.crossJoin(F.broadcast(stats)).select(
+        _bin("user_id", "umin", "umax").alias("ub"),
+        _bin("value", "vmin", "vmax").alias("vb"),
+    )
+    return (
+        binned.withColumn("h", _hilbert_d(F.col("ub"), F.col("vb")))
+        .groupBy("h")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ub").alias("min_ub"),
+            F.max("ub").alias("max_ub"),
+            F.min("vb").alias("min_vb"),
+            F.max("vb").alias("max_vb"),
+        )
+    )

@@ -2857,3 +2857,130 @@ def q_window_time(spark: SparkSession, sf: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, ts, ROUND(SUM(value), 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), prev AS (
+      SELECT c.event_id, c.user_id, c.ts, p.ts AS pts, p.purchase_value AS pv
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    ), bracketed AS (
+      SELECT pr.event_id, pr.user_id, pr.ts, pr.pts, pr.pv,
+             n.ts AS nts, n.purchase_value AS nv
+      FROM prev pr ASOF LEFT JOIN purch n
+        ON pr.user_id = n.user_id AND pr.ts <= n.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN pts IS NOT NULL AND (nts IS NULL
+                     OR epoch_us(ts) - epoch_us(pts)
+                        <= epoch_us(nts) - epoch_us(ts))
+                THEN pts ELSE nts END AS near_ts,
+           CASE WHEN pts IS NOT NULL AND (nts IS NULL
+                     OR epoch_us(ts) - epoch_us(pts)
+                        <= epoch_us(nts) - epoch_us(ts))
+                THEN pv ELSE nv END AS near_purchase_value
+    FROM bracketed
+    WHERE pts IS NOT NULL OR nts IS NOT NULL
+    """,
+    doc="NEAREST-direction as-of join (SURVEY §2.3 ext): each click "
+    "matched to the user's closest purchase in TIME — either side; "
+    "equidistant ties resolve to the earlier purchase. The backward "
+    "twin is q_join_asof; nearest is what sensor-fusion / "
+    "feature-attach pipelines want when the reference signal brackets "
+    "the observation (pandas merge_asof direction='nearest', "
+    "distributed). One union + one hash shuffle on user_id + two "
+    "ordered window passes (backward last / forward first — no second "
+    "Exchange, no theta join; operators/asof.py asof_nearest_join). "
+    "Oracle: two native DuckDB ASOF joins (>= and <=) + the same "
+    "epoch-microsecond tie-break CASE.",
+)
+def q_join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.asof import asof_nearest_join
+
+    e = table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.sum("value"), 2).alias("purchase_value"))
+    )
+    return asof_nearest_join(clicks, purch, by=["user_id"], ts_col="ts").select(
+        "event_id", "user_id", "near_ts", "near_purchase_value"
+    )
+
+
+@register(
+    "q_listagg",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS supplier_csv
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="ANSI LISTAGG ... WITHIN GROUP (Spark 4 SQL surface, SURVEY "
+    "§2.4): per-nation ordered CSV of supplier names — the "
+    "report-formatting aggregate every warehouse migration needs, "
+    "previously only expressible as array_sort(collect_list(...)) + "
+    "array_join. The WITHIN GROUP order makes the result "
+    "deterministic under parallelism (the bare collect_list is NOT); "
+    "it is still one hash aggregate with map-side partials — the "
+    "per-group sort happens inside the agg buffer, never as a global "
+    "sort. At 100 TB the caveat is group VALUE size (a CSV of a "
+    "billion-row group is a driver-killer) — the operator is for "
+    "bounded groups, like every string_agg. Oracle: DuckDB "
+    "string_agg with ORDER BY (same semantics).",
+)
+def q_listagg(spark: SparkSession, sf: str) -> DataFrame:
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.expr(
+                "listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)"
+            ).alias("supplier_csv"),
+        )
+    )
+
+
+@register(
+    "q_identifier_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="IDENTIFIER() clause (Spark 4 SQL surface, SURVEY §2.6): "
+    "table AND column names passed as query PARAMETERS — "
+    "constant-expression identifiers resolved at analysis time, the "
+    "SQL-injection-safe way to template object names (vs string "
+    "concatenation into SQL text, which Spark's parameter markers "
+    "rightly refuse for identifiers). The templated query here picks "
+    "both the fact table and the measure column via :params; the "
+    "plan is identical to the literal query (verified by the "
+    "oracle), so the indirection is free at any scale.",
+)
+def q_identifier_clause(spark: SparkSession, sf: str) -> DataFrame:
+    _views(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(IDENTIFIER(:measure)), 2) AS total_price
+        FROM IDENTIFIER(:tbl) GROUP BY o_orderpriority
+        """,
+        args={"measure": "o_totalprice", "tbl": "orders"},
+    )

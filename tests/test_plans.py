@@ -678,3 +678,76 @@ def test_try_arith_nulls_exactly_where_ansi_would_throw(spark):
     ).fetchone()
     con.close()
     assert (agg["n"], agg["n_ratio"], agg["n_bump"], agg["n_mod"]) == exp
+
+
+def test_hilbert_transform_matches_textbook_on_full_grid(spark):
+    """Pin the column-arithmetic Hilbert transform against the textbook
+    xy2d on every cell of the 16x16 grid (bijectivity + unit-step
+    adjacency are implied by exact equality with the reference)."""
+    from gps_stream_processing_spark.plans.corpus import _hilbert_d
+
+    def xy2d_ref(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in grid.withColumn(
+            "h", _hilbert_d(F.col("x"), F.col("y"))
+        ).collect()
+    }
+    for x in range(16):
+        for y in range(16):
+            assert got[(x, y)] == xy2d_ref(16, x, y), (x, y)
+
+
+def test_asof_nearest_picks_closer_side_and_breaks_ties_earlier(spark):
+    """Pin nearest-as-of semantics: closer side wins; equidistant ties
+    take the EARLIER right row; ts-equal right rows match at dt=0;
+    keys with no right rows drop (inner)."""
+    import datetime as dt
+
+    from gps_stream_processing_spark.operators.asof import asof_nearest_join
+
+    d = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 0, 10), "a"),  # prev@00:05(d5) next@00:30(d20) -> prev
+            (1, d(2024, 1, 1, 0, 25), "b"),  # prev@00:05(d20) next@00:30(d5) -> next
+            (2, d(2024, 1, 1, 0, 20), "c"),  # equidistant 00:10/00:30 -> earlier
+            (3, d(2024, 1, 1, 0, 15), "d"),  # exact-equal right at 00:15 -> dt=0
+            (4, d(2024, 1, 1, 0, 0), "e"),  # no rights for key 4 -> dropped
+        ],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 0, 5), 50.0),
+            (1, d(2024, 1, 1, 0, 30), 51.0),
+            (2, d(2024, 1, 1, 0, 10), 60.0),
+            (2, d(2024, 1, 1, 0, 30), 61.0),
+            (3, d(2024, 1, 1, 0, 15), 70.0),
+        ],
+        "k int, ts timestamp, v double",
+    )
+    got = {
+        r["tag"]: (r["near_ts"], r["near_v"])
+        for r in asof_nearest_join(left, right, by=["k"]).collect()
+    }
+    assert got["a"] == (d(2024, 1, 1, 0, 5), 50.0)
+    assert got["b"] == (d(2024, 1, 1, 0, 30), 51.0)
+    assert got["c"] == (d(2024, 1, 1, 0, 10), 60.0)  # tie -> earlier
+    assert got["d"] == (d(2024, 1, 1, 0, 15), 70.0)  # dt=0
+    assert "e" not in got
