@@ -82,6 +82,7 @@ _COMMITTED_ROUNDS = (
     "CORRECTNESS_r05.json",
     "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
+    "CORRECTNESS_r08.json",
 )
 
 # Keys whose EXECUTION PLAN changed after their last green driver row,

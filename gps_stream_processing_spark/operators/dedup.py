@@ -174,7 +174,11 @@ def containment_pairs(
     pairs sharing ≥1 shingle — the sub-document duplicate detector:
     a short doc pasted inside a longer one has high containment but low
     Jaccard (the union is dominated by the long doc), so Jaccard-only
-    dedup misses it. One co-shingle equi-join computes the half-matrix
+    dedup misses it. ``shingles`` must be distinct per (id_col,
+    shingle) — duplicate rows inflate both n_inter and the per-doc
+    sizes (same precondition as :func:`jaccard_pairs`; the shared
+    shingle derivation already applies ``.distinct()``). One
+    co-shingle equi-join computes the half-matrix
     (doc_a < doc_b) and projects BOTH directions' containments; a pair
     survives when either direction clears ``threshold``. Same join
     shape and scale path as :func:`jaccard_pairs` (bucketable by

@@ -385,13 +385,14 @@ def q_pandas_grouped_agg(spark: SparkSession, sf: str) -> DataFrame:
     "q_udtf_analyze",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_quantity / (l_quantity + l_extendedprice + l_discount + 1),
-                 6) AS l_quantity_frac,
+           ROUND(l_quantity /
+                 (l_quantity + l_extendedprice + (l_discount + 1)), 6)
+             AS l_quantity_frac,
            ROUND(l_extendedprice /
-                 (l_quantity + l_extendedprice + l_discount + 1), 6)
+                 (l_quantity + l_extendedprice + (l_discount + 1)), 6)
              AS l_extendedprice_frac,
            ROUND((l_discount + 1) /
-                 (l_quantity + l_extendedprice + l_discount + 1), 6)
+                 (l_quantity + l_extendedprice + (l_discount + 1)), 6)
              AS shifted_discount_frac
     FROM lineitem WHERE l_orderkey % 50 = 0
     """,

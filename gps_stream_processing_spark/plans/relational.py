@@ -2768,15 +2768,18 @@ def q_metadata_cols(spark: SparkSession, sf: str) -> DataFrame:
                        ELSE INTERVAL 45 MINUTE END AS iv_end
       FROM events
     ), flagged AS (
-      SELECT user_id, ts, iv_end,
+      SELECT user_id, ts, event_id, iv_end,
              CASE WHEN MAX(iv_end) OVER w IS NULL
                   OR ts > MAX(iv_end) OVER w THEN 1 ELSE 0 END AS new_s
       FROM iv
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     ), sess AS (
+      -- the sid window must order EXACTLY like the flag window (ts,
+      -- event_id) — ordering by iv_end here could assign same-ts rows
+      -- to sessions in a different order than their flags (ADVICE r8)
       SELECT user_id, ts, iv_end,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, iv_end
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )

@@ -61,6 +61,8 @@ NESTED_LOOP_ALLOWED = {
     "aggregate (the scalar-subquery shape, as in q_tpch_q22)",
     "q_zorder_layout": "1-row broadcast min/max binning-stats aggregate "
     "(on a lakehouse these come free from table column stats)",
+    "q_hilbert_layout": "1-row broadcast min/max binning-stats aggregate "
+    "— same shape as q_zorder_layout",
     "q_rrf_fusion": "1-row broadcast query-vector cross for the "
     "semantic ranking side (the q_tfidf 1-row-stats shape); the fusion "
     "join itself is a bounded 100-row x 100-row equi join",
