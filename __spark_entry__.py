@@ -142,6 +142,15 @@ _CHANGED_SINCE_VERIFIED = (
     ("q_pagerank", 8),
     ("q_label_propagation", 8),
     ("q_triangle_count", 8),
+    # r9: ORACLE text changed (ADVICE r8 low items) — the engine plans
+    # are untouched but the driver compares against the new SQL, so
+    # both re-enter the window: q_session_dynamic_gap's session-id
+    # window now tie-orders by (ts, event_id) like its flag window;
+    # q_udtf_analyze's denominator is parenthesized to match the
+    # engine's left-to-right field sum. Values invariant on current
+    # fixtures (verified at sf0.01), re-check anyway.
+    ("q_session_dynamic_gap", 9),
+    ("q_udtf_analyze", 9),
 )
 
 

@@ -24,6 +24,36 @@ def haversine_km_np(
     return pd.Series(2 * 6371.0 * np.arcsin(np.minimum(1.0, np.sqrt(a))))
 
 
+def make_charge_score_iter(on_setup=None):
+    """Iterator-style scalar pandas UDF (SCALAR_ITER, SURVEY §2.10):
+    the amortized-setup shape every model-inference enrichment uses —
+    the expensive per-task initialization (model/tokenizer load; here a
+    deterministic weight vector standing in for it) runs ONCE when the
+    iterator is created, then every Arrow batch of the task streams
+    through the already-loaded state. A plain scalar pandas UDF would
+    re-enter per batch with no place to hang the state; SCALAR_ITER is
+    the sanctioned home. ``on_setup`` (test hook) fires at each setup,
+    letting pytest pin setup-per-task — not per-batch — via an
+    accumulator."""
+    from typing import Iterator, Tuple
+
+    @F.pandas_udf("double")
+    def charge_score_iter(
+        batches: Iterator[Tuple[pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        # the "model load" — once per task, amortized over all batches
+        weights = np.asarray([0.5, 2.0])
+        if on_setup is not None:
+            on_setup()
+        for qty, price, disc in batches:
+            yield weights[0] * qty + weights[1] * (price * (1.0 - disc))
+
+    return charge_score_iter
+
+
+charge_score_iter = make_charge_score_iter()
+
+
 @F.pandas_udf("double")
 def trimmed_mean_10(v: pd.Series) -> float:
     """Grouped-agg pandas UDF (SURVEY §2.10): mean of the middle 80%

@@ -394,6 +394,121 @@ def q_custom_datasource(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_custom_datasink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="Custom Python Data Source WRITER (Spark 4 DataSourceWriter, "
+    "SURVEY §2.1 ext) — the sink-side twin of q_custom_datasource: "
+    "events stream through our `jsonl_land` format "
+    "(sources/nmea_datasource.py), whose per-task temp files publish "
+    "only at driver-side commit() (two-phase commit: a failed job "
+    "leaves no torn dataset), then the landed files re-read and "
+    "aggregate to exactly the batch result — write-path losslessness "
+    "as a full oracle, the q_stream_foreachbatch pattern for the "
+    "DataSource-API write path. One file per task, commit is O(tasks).",
+)
+def q_custom_datasink(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import uuid
+
+    from gps_stream_processing_spark.sources.nmea_datasource import (
+        register_nmea_datasource,
+    )
+    from gps_stream_processing_spark.workdir import land_dir
+
+    register_nmea_datasource(spark)
+    # fresh subdir per invocation: re-runs must not append to (and
+    # double-count) a previous run's landed files
+    out = os.path.join(land_dir("sink", sf), uuid.uuid4().hex)
+    ev = table(spark, sf, "events").select("event_type", "value", "user_id")
+    ev.write.format("jsonl_land").mode("append").save(out)
+    landed = spark.read.schema("event_type string, value double, user_id bigint").json(
+        os.path.join(out, "*.jsonl")
+    )
+    return landed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def _synth_track_oracle(track: int, n_seconds: int = 120, seed: int = 42) -> str:
+    """VALUES-literal oracle for the pushdown scan: the generator's own
+    per-sentence-type reduction for exactly the pushed track (the
+    q_custom_stream_source pattern — the committed generator is the
+    source of truth). What the compare verifies is that the CONSUMED
+    filter was honored exactly by the source: a track leaking through
+    (pruning ignored) or missing rows (over-pruning) moves every
+    count."""
+    from collections import Counter
+
+    from gps_stream_processing_spark.sources.nmea import generate_track_rows
+
+    counts: Counter = Counter()
+    line_sums: Counter = Counter()
+    for line_no, _t, value in generate_track_rows(
+        track, n_seconds=n_seconds, seed=seed
+    ):
+        st = value[1:6].upper()
+        counts[st] += 1
+        line_sums[st] += line_no
+    vals = ", ".join(
+        f"('{st}', {counts[st]}, {line_sums[st]})" for st in sorted(counts)
+    )
+    return (
+        "SELECT stype, CAST(n_lines AS BIGINT) AS n_lines, "
+        "CAST(sum_line_no AS BIGINT) AS sum_line_no "
+        f"FROM (VALUES {vals}) AS t(stype, n_lines, sum_line_no)"
+    )
+
+
+@register(
+    "q_custom_source_pushdown",
+    oracle=_synth_track_oracle(4),
+    doc="Python DataSource FILTER PUSHDOWN (Spark 4.1 "
+    "`DataSourceReader.pushFilters`, SURVEY §2.1 ext): `WHERE "
+    "track_id = 4` over the 6-receiver nmea_synth scan reaches the "
+    "source, which consumes the EqualTo, prunes five of six "
+    "partitions at PLANNING time, and generates only the surviving "
+    "track — the DataSource-API analog of parquet row-group pruning. "
+    "At 10^5 receivers this schedules ONE task instead of 10^5; "
+    "without pushFilters the same query generates everything and "
+    "filters after the fact. Consumed filters are not re-checked by "
+    "Spark, so the oracle (the generator's own reduction for exactly "
+    "that track, as a VALUES literal) verifies the source honored the "
+    "predicate bit-exactly; pruning itself is pytest-pinned at the "
+    "reader level (partitions() count) and honored inside multi-track "
+    "partitions too.",
+)
+def q_custom_source_pushdown(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.sources.nmea_datasource import (
+        register_nmea_datasource,
+    )
+
+    register_nmea_datasource(spark)
+    raw = (
+        spark.read.format("nmea_synth")
+        .option("n_tracks", 6)
+        .option("n_seconds", 120)
+        .load()
+    )
+    return (
+        raw.filter(F.col("track_id") == 4)
+        .select(F.upper(F.substring("value", 2, 5)).alias("stype"), "line_no")
+        .groupBy("stype")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("line_no").alias("sum_line_no"),
+        )
+    )
+
+
 # ------------------------------------------------- Arrow-native UDF
 
 

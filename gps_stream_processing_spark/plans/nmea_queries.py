@@ -382,6 +382,41 @@ def q_pandas_grouped_agg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_pandas_udf_iter",
+    # Association mirrors the UDF exactly: (0.5*q) + (2.0*(ep*(1-d))),
+    # both sides left-to-right IEEE doubles; rounding applied OUTSIDE
+    # the UDF on both sides (F.round vs ROUND — the q_pandas_udf
+    # precedent).
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(0.5 * l_quantity
+                 + 2.0 * (l_extendedprice * (1 - l_discount)), 6) AS score
+    FROM lineitem WHERE l_orderkey % 20 = 0
+    """,
+    doc="Iterator-style scalar pandas UDF (SCALAR_ITER, SURVEY §2.10 "
+    "ext): per-task amortized setup — the 'load the model once, stream "
+    "every Arrow batch through it' shape of LLM-inference enrichment "
+    "pipelines. The weight-vector load runs once per task regardless "
+    "of batch count (pytest pins setup-per-task via an accumulator "
+    "with maxRecordsPerBatch forced small); a plain scalar pandas UDF "
+    "re-enters per batch with nowhere to hang loaded state. At 100 TB "
+    "this is THE difference between loading a tokenizer 10^6 times "
+    "(per batch) and 10^3 times (per task).",
+)
+def q_pandas_udf_iter(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.functions.pandas_udfs import charge_score_iter
+
+    li = table(spark, sf, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            charge_score_iter("l_quantity", "l_extendedprice", "l_discount"), 6
+        ).alias("score"),
+    )
+
+
+@register(
     "q_udtf_analyze",
     oracle="""
     SELECT l_orderkey, l_linenumber,
@@ -444,4 +479,88 @@ def q_udtf_analyze(spark: SparkSession, sf: str) -> DataFrame:
         """
     )
     spark.catalog.dropTempView("_udtf_an_lineitem")
+    return out
+
+
+@register(
+    "q_udtf_table_arg",
+    # All durations in whole seconds via integer floor-div of exact
+    # microsecond deltas (timedelta // timedelta(seconds=1) on the
+    # engine side; epoch_us // 1000000 in the oracle) — no float
+    # rounding anywhere. max_gap is order-insensitive under ts ties:
+    # equal timestamps sort adjacently whatever the tiebreak, so the
+    # multiset of consecutive diffs is invariant.
+    oracle="""
+    WITH e AS (SELECT user_id, ts, event_id FROM events WHERE user_id % 5 = 0),
+    g AS (
+      SELECT user_id, ts,
+             (epoch_us(ts) - epoch_us(
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             )) // 1000000 AS gap
+      FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS span_sec,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_sec
+    FROM g GROUP BY user_id
+    """,
+    doc="Polymorphic UDTF with TABLE argument + PARTITION BY ... ORDER "
+    "BY (Spark 4, SURVEY §2.10 ext): the table-valued, partition-aware "
+    "UDTF surface — Spark shuffles the input on the PARTITION BY key, "
+    "sorts each group by the ORDER BY, instantiates the class once per "
+    "key, streams eval() the ordered rows, and terminate() emits the "
+    "per-key summary. This is the sanctioned home for sequential "
+    "per-key logic (session stitching, order-dependent state machines) "
+    "that a grouped-agg pandas UDF can't stream and a window function "
+    "can't hold state across. Oracle: the same per-user count/span/"
+    "max-consecutive-gap as window SQL.",
+)
+def q_udtf_table_arg(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, span_sec bigint, "
+          "max_gap_sec bigint")
+    class UserSpan:
+        def __init__(self) -> None:
+            self.user = None
+            self.n = 0
+            self.first = None
+            self.prev = None
+            self.max_gap = None
+
+        def eval(self, row):
+            from datetime import timedelta
+
+            self.user = row["user_id"]
+            ts = row["ts"]
+            self.n += 1
+            if self.first is None:
+                self.first = ts
+            else:
+                gap = (ts - self.prev) // timedelta(seconds=1)
+                if self.max_gap is None or gap > self.max_gap:
+                    self.max_gap = gap
+            self.prev = ts
+
+        def terminate(self):
+            from datetime import timedelta
+
+            if self.user is not None:
+                span = (self.prev - self.first) // timedelta(seconds=1)
+                yield self.user, self.n, span, self.max_gap
+
+    spark.udtf.register("user_span", UserSpan)
+    ev = table(spark, sf, "events").filter(F.col("user_id") % 5 == 0).select(
+        "user_id", "ts", "event_id"
+    )
+    ev.createOrReplaceTempView("_udtf_tab_events")
+    out = spark.sql(
+        """
+        SELECT * FROM user_span(
+          TABLE(_udtf_tab_events) PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
+    )
+    spark.catalog.dropTempView("_udtf_tab_events")
     return out

@@ -106,6 +106,11 @@ def tune_session(spark: SparkSession, sf_dir: str) -> None:
         # and this inertness-without-stats control).
         "spark.sql.cbo.enabled": "true",
         "spark.sql.cbo.joinReorder.enabled": "true",
+        # Python DataSource filter pushdown (Spark 4.1, default off):
+        # inert for sources that don't implement pushFilters (the
+        # default implementation declines every filter); load-bearing
+        # for the nmea_synth track-pruning scan (q_custom_source_pushdown).
+        "spark.sql.python.filterPushdown.enabled": "true",
     }
     for k, v in conf.items():
         try:

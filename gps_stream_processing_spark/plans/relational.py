@@ -2237,6 +2237,78 @@ def q_hll_partitioned_sketch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_kll_quantile_sketch",
+    # Same contract shape as q_hll_partitioned_sketch: sketch bytes
+    # are engine-specific (and KLL compaction is randomized), so the
+    # checkable output is the exact median plus a within-envelope
+    # flag. Envelope = the exact 45th..55th percentile band: KLL at
+    # k=200 has ~1.65% one-sided rank error at 99% confidence, so a
+    # ±5% rank band is a >3-sigma assertion that still fails loudly
+    # on a broken merge. DuckDB quantile_cont == Spark percentile
+    # (both linear interpolation); ROUND(4) absorbs ulp drift.
+    oracle="""
+    SELECT l_returnflag AS level,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+           TRUE AS approx_within_rank5pct
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL',
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4),
+           TRUE
+    FROM lineitem
+    """,
+    doc="Mergeable QUANTILE sketch rollup (Apache DataSketches KLL via "
+    "Spark 4.1 kll_sketch_agg_double / kll_merge_agg_double — SURVEY "
+    "§2.4 ext): per-segment KllDoublesSketches built in ONE pass, then "
+    "the global median produced by MERGING the sketches, never "
+    "re-scanning the data — the quantile twin of the HLL rollup "
+    "(q_hll_partitioned_sketch). This is the only way to get segment "
+    "AND global percentiles from one scan at 100 TB: exact percentile "
+    "needs a global sort per grouping level, approx_percentile buffers "
+    "aren't user-mergeable across queries, but KLL sketches are tiny "
+    "(~KB), shippable, and unionable at query time. Exact medians come "
+    "from the same pass via percentile(); the oracle asserts each "
+    "estimate lands inside the exact p45..p55 rank band.",
+)
+def q_kll_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.expr("kll_sketch_agg_double(l_extendedprice)").alias("sk"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.45, 0.5, 0.55))"
+        ).alias("exact_q"),
+    )
+    per_rows = per.select(
+        F.col("l_returnflag").alias("level"),
+        F.round(F.col("exact_q")[1], 4).alias("exact_p50"),
+        F.expr("kll_sketch_get_quantile_double(sk, 0.5)")
+        .between(F.col("exact_q")[0], F.col("exact_q")[2])
+        .alias("approx_within_rank5pct"),
+    )
+    # global row: merge the per-segment sketches (no second data scan);
+    # the exact global band is one more 1-row aggregate over the fact
+    merged = per.agg(
+        F.expr(
+            "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)"
+        ).alias("approx_p50")
+    ).crossJoin(
+        li.agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.45, 0.5, 0.55))"
+            ).alias("exact_q")
+        )
+    )
+    all_row = merged.select(
+        F.lit("ALL").alias("level"),
+        F.round(F.col("exact_q")[1], 4).alias("exact_p50"),
+        F.col("approx_p50")
+        .between(F.col("exact_q")[0], F.col("exact_q")[2])
+        .alias("approx_within_rank5pct"),
+    )
+    return per_rows.unionByName(all_row)
+
+
+@register(
     "q_join_lateral",
     oracle="""
     SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice

@@ -229,6 +229,104 @@ def q_stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_stream_stream_full_join",
+    # Completes the interval-join mode family next to the left-outer
+    # twin: null-padding now fires on BOTH sides at state eviction.
+    # Eviction bounds derive from the range condition per side:
+    #   views  evict when wm > view_ts + 12h  (future clicks all have
+    #          click_ts > wm, so none can satisfy click_ts <= ts+12h)
+    #   clicks evict when wm > click_ts       (future views all have
+    #          view_ts > wm, so none can satisfy click_ts >= view_ts)
+    # Both strict (<), matching the left twin's probed boundary.
+    # Deterministic under availableNow → exact oracle.
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+               FROM events),
+    v AS (SELECT event_id AS view_id, user_id, ts FROM e WHERE event_type = 'view'),
+    c AS (SELECT event_id AS click_id, user_id, ts FROM e WHERE event_type = 'click'),
+    mx AS (SELECT least(
+             (SELECT to_timestamp(floor(epoch_ms(max(ts)) / 1000.0 * 1000) / 1000.0) FROM v),
+             (SELECT to_timestamp(floor(epoch_ms(max(ts)) / 1000.0 * 1000) / 1000.0) FROM c)
+           ) - INTERVAL 1 HOUR AS wm),
+    matched AS (
+      SELECT v.view_id, c.click_id, v.user_id,
+             (epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS lag_sec
+      FROM v JOIN c ON v.user_id = c.user_id
+       AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR
+    ),
+    unmatched_v AS (
+      SELECT v.view_id, CAST(NULL AS BIGINT) AS click_id, v.user_id,
+             CAST(NULL AS BIGINT) AS lag_sec
+      FROM v, mx
+      WHERE v.ts + INTERVAL 12 HOUR < mx.wm
+        AND NOT EXISTS (
+          SELECT 1 FROM c WHERE c.user_id = v.user_id
+           AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR)
+    ),
+    unmatched_c AS (
+      SELECT CAST(NULL AS BIGINT) AS view_id, c.click_id, c.user_id,
+             CAST(NULL AS BIGINT) AS lag_sec
+      FROM c, mx
+      WHERE c.ts < mx.wm
+        AND NOT EXISTS (
+          SELECT 1 FROM v WHERE v.user_id = c.user_id
+           AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR)
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM unmatched_v
+    UNION ALL SELECT * FROM unmatched_c
+    """,
+    doc="Stream-stream FULL OUTER interval join (SURVEY §2.8): the "
+    "remaining member of the join-mode family next to "
+    "q_stream_stream_left_join — clicks with no view inside the bound "
+    "ALSO emit null-padded once the watermark evicts their join state "
+    "(the CDC-reconciliation shape: neither side's orphans may be "
+    "dropped). Rows still open at stream end stay unemitted on both "
+    "sides (state, not loss). Same state sizing as the left twin.",
+)
+def q_stream_stream_full_join(spark: SparkSession, sf: str) -> DataFrame:
+    views = (
+        events_stream(spark, sf)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        events_stream(spark, sf)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = click_user_id AND click_ts >= view_ts "
+            "AND click_ts <= view_ts + INTERVAL 12 HOURS"
+        ),
+        "fullOuter",
+    )
+    out = run_available_now(joined, output_mode="append", state_partitions=4)
+    return out.select(
+        "view_id",
+        "click_id",
+        # each side's key survives only on its own rows — coalesce for
+        # the unified output (null-padded clicks carry click_user_id)
+        F.coalesce("user_id", "click_user_id").alias("user_id"),
+        F.expr(
+            "(unix_micros(click_ts) - unix_micros(view_ts)) div 1000000"
+        ).alias("lag_sec"),
+    )
+
+
 def _tws_available() -> bool:
     """``transformWithStateInPandas`` boots Python workers that speak
     protobuf to the JVM state server; without ``google.protobuf`` they
@@ -654,6 +752,58 @@ def q_stream_foreachbatch(spark: SparkSession, sf: str) -> DataFrame:
     landed = run_foreach_batch_parquet(events_stream(spark, sf), out_dir)
     return landed.groupBy("event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+@register(
+    "q_custom_stream_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="Custom Python STREAMING sink (Spark 4 DataSourceStreamWriter, "
+    "SURVEY §2.8): the event stream lands through our `jsonl_land` "
+    "format's per-micro-batch two-phase commit — tasks write private "
+    "temp files, driver-side commit(batchId) publishes them and drops "
+    "a _commits/<id> marker whose presence makes a replayed batch "
+    "discard its duplicates (at-least-once re-delivery → exactly-once "
+    "output, the contract every production streaming sink implements). "
+    "Landed rows re-read and aggregate to exactly the batch result — "
+    "write-path losslessness as a full oracle, completing the custom-"
+    "source story's 2x2: batch/stream read (q_custom_datasource / "
+    "q_custom_stream_source) x batch/stream write (q_custom_datasink / "
+    "this).",
+)
+def q_custom_stream_sink(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import uuid
+
+    from gps_stream_processing_spark.sources.nmea_datasource import (
+        register_nmea_datasource,
+    )
+
+    register_nmea_datasource(spark)
+    run = uuid.uuid4().hex
+    out = os.path.join(land_dir("ssink", sf), run)
+    ckpt = os.path.join(land_dir("ssink_ckpt", sf), run)
+    q = (
+        events_stream(spark, sf)
+        .select("event_type", "user_id", "event_id")
+        .writeStream.format("jsonl_land")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    landed = spark.read.schema(
+        "event_type string, user_id bigint, event_id bigint"
+    ).json(os.path.join(out, "batch-*.jsonl"))
+    return landed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
     )
 
 

@@ -31,6 +31,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
 )
 
@@ -114,12 +116,52 @@ class NmeaSynthReader(DataSourceReader):
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
 
+        # filter-pushdown state: None = no pushed predicate; else the
+        # set of track_ids the scan must produce (source-side pruning)
+        self.pushed_tracks = None
+
+    def pushFilters(self, filters):
+        """Spark 4.1 source-side FILTER PUSHDOWN: accept
+        ``track_id = <v>`` (and In-style OR groups arrive as separate
+        EqualTo calls only when AND'd — Spark sends conjuncts), prune
+        whole partitions before they are scheduled, and hand every
+        other predicate back for Spark to evaluate. This is the
+        DataSource-API analog of parquet row-group pruning: at 10⁵
+        receivers, `WHERE track_id = k` schedules ONE task instead of
+        10⁵ — the work never happens rather than being filtered after
+        generation."""
+        from pyspark.sql.datasource import EqualTo, In
+
+        unsupported = []  # eager, not a generator: the pruning side
+        for f in filters:  # effect must fire even if Spark never
+            vals = None  # iterates the returned remainder
+            if isinstance(f, EqualTo) and f.attribute == ("track_id",):
+                vals = {f.value}
+            elif isinstance(f, In) and f.attribute == ("track_id",):
+                vals = set(f.value)
+            if vals is not None and all(isinstance(v, int) for v in vals):
+                self.pushed_tracks = (
+                    vals
+                    if self.pushed_tracks is None
+                    else self.pushed_tracks & vals
+                )
+            else:
+                unsupported.append(f)  # Spark keeps evaluating it
+        return unsupported
+
     def partitions(self):
         step = self.tracks_per_partition
-        return [
-            InputPartition((lo, min(lo + step, self.n_tracks)))
+        parts = [
+            (lo, min(lo + step, self.n_tracks))
             for lo in range(0, self.n_tracks, step)
         ]
+        if self.pushed_tracks is not None:
+            parts = [
+                (lo, hi)
+                for lo, hi in parts
+                if any(lo <= t < hi for t in self.pushed_tracks)
+            ]
+        return [InputPartition(p) for p in parts]
 
     def read(self, partition):
         import sys
@@ -129,7 +171,13 @@ class NmeaSynthReader(DataSourceReader):
         from gps_stream_processing_spark.sources.nmea import generate_track_rows
 
         lo, hi = partition.value
-        for track in range(lo, hi):
+        tracks = range(lo, hi)
+        if self.pushed_tracks is not None:
+            # consumed filters are NOT re-checked by Spark — the scan
+            # itself must honor them exactly, including within a
+            # multi-track partition
+            tracks = [t for t in tracks if t in self.pushed_tracks]
+        for track in tracks:
             yield from generate_track_rows(
                 track, n_seconds=self.n_seconds, seed=self.seed
             )
@@ -221,9 +269,166 @@ class NmeaSynthStreamReader(DataSourceStreamReader):
         self._admitted = max(self._admitted, end["sec"])
 
 
+class JsonlLandDataSource(DataSource):
+    """``format("jsonl_land")`` — a pure-Python DataSource WRITER
+    (Spark 4 ``DataSourceWriter``), the sink-side twin of the readers
+    above: each task streams its rows to a private ``*.jsonl.tmp``
+    file under ``path``, returns the name as its commit message, and
+    the driver-side ``commit()`` renames every temp file to its final
+    ``part-*.jsonl`` name in one pass — the classic two-phase commit
+    (task outputs invisible until the job commits; a failed job leaves
+    only ``.tmp`` litter that ``abort()`` removes, never a torn
+    dataset). Scale: one file per task, no driver data movement —
+    commit touches O(tasks) names, not O(rows)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_land"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlLandWriter":
+        return JsonlLandWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "JsonlLandStreamWriter":
+        return JsonlLandStreamWriter(self.options)
+
+
+class JsonlLandWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_land requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        """Task-side: rows → one private jsonl temp file."""
+        import json
+        import os
+        import uuid
+
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f"part-{uuid.uuid4().hex}.jsonl.tmp"
+        n = 0
+        with open(os.path.join(self.path, tmp), "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+
+        class _Msg(WriterCommitMessage):
+            pass
+
+        m = _Msg()
+        m.tmp_name = tmp
+        m.n_rows = n
+        return m
+
+    def commit(self, messages) -> None:
+        """Driver-side: publish every task file atomically-enough
+        (rename is atomic per file; readers only glob ``*.jsonl``)."""
+        import os
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, f))
+        for m in messages:
+            if m is None:
+                continue
+            src = os.path.join(self.path, m.tmp_name)
+            os.rename(src, src[: -len(".tmp")])
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages or []:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.tmp_name))
+            except OSError:
+                pass
+
+
+class JsonlLandStreamWriter(DataSourceStreamWriter):
+    """STREAMING twin of :class:`JsonlLandWriter` (Spark 4
+    ``DataSourceStreamWriter``): per-MICRO-BATCH two-phase commit.
+    Tasks land private temp files exactly like the batch writer; the
+    driver-side ``commit(messages, batchId)`` publishes them under a
+    ``batch-<id>-`` prefix and drops a ``_commits/<id>`` marker FIRST
+    checking for that marker — a replayed micro-batch (checkpoint
+    recovery re-delivers the last uncommitted batch) discards its
+    duplicate temp files instead of double-publishing. That marker
+    check is what turns Spark's at-least-once batch re-delivery into
+    exactly-once sink output — the contract every custom streaming
+    sink must implement (Kafka's transactional producer, Delta's txn
+    table do the same thing). Commit touches O(tasks) names/batch."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_land requires a path")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f"part-{uuid.uuid4().hex}.jsonl.tmp"
+        n = 0
+        with open(os.path.join(self.path, tmp), "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+
+        class _Msg(WriterCommitMessage):
+            pass
+
+        m = _Msg()
+        m.tmp_name = tmp
+        m.n_rows = n
+        return m
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        marker_dir = os.path.join(self.path, "_commits")
+        os.makedirs(marker_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, str(batchId))
+        if os.path.exists(marker):
+            # replayed batch after checkpoint recovery: the data is
+            # already published — discard the duplicate temps
+            self.abort(messages, batchId)
+            return
+        for m in messages:
+            if m is None:
+                continue
+            src = os.path.join(self.path, m.tmp_name)
+            dst = os.path.join(
+                self.path, f"batch-{batchId}-{m.tmp_name[: -len('.tmp')]}"
+            )
+            os.rename(src, dst)
+        with open(marker, "w") as fh:
+            fh.write(str(sum(m.n_rows for m in messages if m is not None)))
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages or []:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.tmp_name))
+            except OSError:
+                pass
+
+
 def register_nmea_datasource(spark) -> None:
-    """Idempotent per-session registration of both formats."""
-    for src in (NmeaFixtureDataSource, NmeaSynthDataSource):
+    """Idempotent per-session registration of all formats."""
+    for src in (NmeaFixtureDataSource, NmeaSynthDataSource, JsonlLandDataSource):
         try:
             spark.dataSource.register(src)
         except Exception:  # noqa: BLE001 — already registered is fine

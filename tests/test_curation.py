@@ -311,3 +311,129 @@ def test_pit_join_never_sees_the_future(spark):
             v for v in versions[r.user_id] if r.version_from < v <= r.ts
         ]
         assert not later, f"stale version for event {r.event_id}"
+
+
+def test_kll_sketch_envelope_flags_true(spark):
+    """Every per-segment AND the merged-global KLL median must land
+    inside the exact p45..p55 rank band (a >3-sigma envelope at
+    k=200); 'ALL' proves the merge path produced a sane sketch."""
+    out = REGISTRY["q_kll_quantile_sketch"].fn(spark, SF).toPandas()
+    assert out["approx_within_rank5pct"].all()
+    assert "ALL" in set(out["level"])
+    assert (out["exact_p50"] > 0).all()
+
+
+def test_jsonl_land_commit_publishes_abort_removes(tmp_path):
+    """Two-phase-commit contract of the jsonl_land writer, unit-level:
+    write() leaves only invisible .tmp files; commit() publishes them
+    as .jsonl; abort() removes the litter of a failed job."""
+    import os
+
+    from pyspark.sql import Row
+
+    from gps_stream_processing_spark.sources.nmea_datasource import (
+        JsonlLandWriter,
+    )
+
+    p = str(tmp_path / "land")
+    w = JsonlLandWriter({"path": p}, overwrite=False)
+    rows = [Row(a=1, b="x"), Row(a=2, b="y")]
+    m1 = w.write(iter(rows))
+    m2 = w.write(iter(rows))
+    names = sorted(os.listdir(p))
+    assert all(n.endswith(".jsonl.tmp") for n in names) and len(names) == 2
+    w.commit([m1])  # publish task 1 only
+    names = sorted(os.listdir(p))
+    assert sum(n.endswith(".jsonl") for n in names) == 1
+    w.abort([m2])  # task 2's litter removed
+    names = sorted(os.listdir(p))
+    assert len(names) == 1 and names[0].endswith(".jsonl")
+    assert m1.n_rows == 2
+
+
+def test_jsonl_land_roundtrip_and_overwrite(spark, tmp_path):
+    """End-to-end through the Spark write path: landed rows re-read
+    losslessly; a second overwrite-mode write replaces (not appends)."""
+    from gps_stream_processing_spark.sources.nmea_datasource import (
+        register_nmea_datasource,
+    )
+
+    register_nmea_datasource(spark)
+    p = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr(
+        "cast(id as bigint) AS user_id",
+        "cast(id % 7 as double) AS value",
+        "concat('t', cast(id % 3 as string)) AS event_type",
+    )
+    df.write.format("jsonl_land").mode("append").save(p)
+    back = spark.read.schema("user_id bigint, value double, event_type string").json(
+        p + "/*.jsonl"
+    )
+    assert back.count() == 100
+    assert back.agg({"value": "sum"}).first()[0] == df.agg({"value": "sum"}).first()[0]
+    df.limit(10).write.format("jsonl_land").mode("overwrite").save(p)
+    assert (
+        spark.read.schema("user_id bigint, value double, event_type string")
+        .json(p + "/*.jsonl")
+        .count()
+        == 10
+    )
+
+
+def test_scalar_iter_setup_once_per_task(spark):
+    """SCALAR_ITER amortization pin: with Arrow batches forced small
+    (many batches per task), the 'model load' still runs exactly once
+    per task — the contract that makes the iterator UDF the right
+    home for per-task-expensive setup."""
+    from gps_stream_processing_spark.functions.pandas_udfs import (
+        make_charge_score_iter,
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+    udf = make_charge_score_iter(on_setup=lambda: acc.add(1))
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "100")
+    try:
+        # range with explicit numPartitions (no repartition: Spark may
+        # push the UDF below a round-robin exchange, making task count
+        # the PRE-shuffle parallelism)
+        df = spark.range(0, 2000, 1, 2).selectExpr(
+            "cast(id as double) AS q",
+            "cast(id as double) AS p",
+            "cast(0.1 as double) AS d",
+        )
+        out = df.select(udf("q", "p", "d").alias("s"))
+        assert out.filter("s IS NOT NULL").count() == 2000
+    finally:
+        spark.conf.set(key, old)
+    # 2 tasks x ~10 batches each: per-batch setup would read ~20
+    assert acc.value == 2, f"setup ran {acc.value}x, expected once per task"
+
+
+def test_synth_pushdown_prunes_partitions():
+    """Reader-level pushdown pin: a track_id EqualTo is consumed
+    (unsupported filters handed back), partitions() drops pruned
+    tracks at planning time, and a multi-track partition's read()
+    honors the filter for the tracks it still covers."""
+    from pyspark.sql.datasource import EqualTo, In
+
+    from gps_stream_processing_spark.sources.nmea_datasource import (
+        NmeaSynthReader,
+    )
+
+    r = NmeaSynthReader({"n_tracks": "6"})
+    left = list(r.pushFilters([EqualTo(("track_id",), 4), EqualTo(("value",), "x")]))
+    assert len(left) == 1 and left[0].attribute == ("value",)
+    assert len(r.partitions()) == 1  # 5 of 6 pruned before scheduling
+    # multi-track partitions: pruning keeps the partition but read()
+    # must still generate only the pushed track
+    r2 = NmeaSynthReader({"n_tracks": "6", "tracks_per_partition": "3"})
+    assert list(r2.pushFilters([In(("track_id",), (4,))])) == []
+    parts = r2.partitions()
+    assert len(parts) == 1
+    rows = list(r2.read(parts[0]))
+    assert rows and all(t == 4 for _, t, _ in rows)
+    # no filter -> no pruning (default path untouched)
+    r3 = NmeaSynthReader({"n_tracks": "6"})
+    assert len(r3.partitions()) == 6

@@ -55,6 +55,9 @@ NESTED_LOOP_ALLOWED = {
     "single pass and the broadcast-anti FK check",
     "q_hll_partitioned_sketch": "cross of two 1-row aggregates (merged "
     "sketch estimate x exact global count) — the q_funnel shape",
+    "q_kll_quantile_sketch": "cross of two 1-row aggregates (merged "
+    "sketch median x exact global band) — same shape as "
+    "q_hll_partitioned_sketch",
     "q_pmi_bigrams": "1-row broadcast (nu, nb) corpus-totals aggregate "
     "for the PMI denominator — same pattern as q_tfidf/q_bm25",
     "q_tpch_q11": "1-row broadcast (count, sum) global-threshold "

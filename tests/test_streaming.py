@@ -605,3 +605,73 @@ def test_tws_init_state_seeds_history(spark):
     assert any(
         full[u][0] > live_only.get(u, 0) for u in live_users
     ), "fixture has no pre-cutoff history for any live user"
+
+
+def test_stream_full_outer_join_emits_both_sides(spark):
+    """Structural contract of the FULL outer interval join: matched
+    pairs equal the batch inner join, AND both sides' evicted-unmatched
+    rows appear null-padded (views missing clicks and clicks missing
+    views) — the property that distinguishes fullOuter from the left
+    twin. Value-level parity is the oracle test's job."""
+    from gps_stream_processing_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["q_stream_stream_full_join"].fn(spark, sf).toPandas()
+    matched = out[out["view_id"].notna() & out["click_id"].notna()]
+    orphan_views = out[out["click_id"].isna() & out["view_id"].notna()]
+    orphan_clicks = out[out["view_id"].isna() & out["click_id"].notna()]
+    assert len(matched) > 0
+    assert len(orphan_views) > 0, "no evicted unmatched views emitted"
+    assert len(orphan_clicks) > 0, "no evicted unmatched clicks emitted"
+    # matched set == batch inner interval join
+    from gps_stream_processing_spark.plans.registry import table as _table
+    from pyspark.sql import functions as F
+
+    e = _table(spark, sf, "events")
+    v = e.filter("event_type = 'view'").selectExpr(
+        "event_id view_id", "user_id", "ts view_ts"
+    )
+    c = e.filter("event_type = 'click'").selectExpr(
+        "event_id click_id", "user_id cuid", "ts click_ts"
+    )
+    n_inner = v.join(
+        c,
+        F.expr(
+            "user_id = cuid AND click_ts >= view_ts "
+            "AND click_ts <= view_ts + INTERVAL 12 HOURS"
+        ),
+    ).count()
+    assert len(matched) == n_inner
+    # every orphan's lag is null; no row is null on both sides
+    assert out[["view_id", "click_id"]].isna().all(axis=1).sum() == 0
+
+
+def test_jsonl_stream_sink_replay_is_exactly_once(tmp_path):
+    """The _commits/<batchId> marker makes a replayed micro-batch a
+    no-op: same batchId committed twice publishes once and cleans the
+    duplicate temps — the at-least-once → exactly-once conversion."""
+    import os
+
+    from pyspark.sql import Row
+
+    from gps_stream_processing_spark.sources.nmea_datasource import (
+        JsonlLandStreamWriter,
+    )
+
+    p = str(tmp_path / "ssink")
+    w = JsonlLandStreamWriter({"path": p})
+    rows = [Row(a=1), Row(a=2)]
+    m = w.write(iter(rows))
+    w.commit([m], batchId=0)
+    published = [f for f in os.listdir(p) if f.endswith(".jsonl")]
+    assert len(published) == 1 and published[0].startswith("batch-0-")
+    # checkpoint recovery re-delivers batch 0: new temps, same batchId
+    m2 = w.write(iter(rows))
+    w.commit([m2], batchId=0)
+    after = sorted(f for f in os.listdir(p) if f.endswith(".jsonl"))
+    assert after == sorted(published), "replayed batch double-published"
+    assert not [f for f in os.listdir(p) if f.endswith(".tmp")]
+    # a NEW batch publishes normally
+    m3 = w.write(iter(rows))
+    w.commit([m3], batchId=1)
+    assert any(f.startswith("batch-1-") for f in os.listdir(p))
