@@ -255,6 +255,91 @@ def q_mix_sources(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_mix_temperature",
+    # Engine-portable fractional-rate hash sampling: the md5 uniform is
+    # the FIRST 8 HEX CHARS compared LEXICOGRAPHICALLY against a hex
+    # threshold (fixed-length lowercase hex sorts numerically), so no
+    # hex->int conversion is needed in either engine. Rates are rounded
+    # to 6 dp before thresholding so an ulp of pow()/sum() divergence
+    # between JVM and DuckDB libm cannot move the cut; rate>=1 sources
+    # bypass the compare (their threshold would need 9 hex digits).
+    oracle="""
+    WITH stats AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(POW(n, 0.7)) AS z, SUM(n) AS n_total FROM stats
+    ), rates AS (
+      SELECT source,
+             ROUND(LEAST(1.0, (POW(n, 0.7) / z) * (0.5 * n_total) / n), 6)
+               AS rate
+      FROM stats, tot
+    ), kept AS (
+      SELECT d.source, d.n_chars, r.rate
+      FROM documents d JOIN rates r USING (source)
+      WHERE r.rate >= 1.0
+         OR substring(md5('temp' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+            < lower(lpad(to_hex(CAST(FLOOR(r.rate * 4294967296) AS BIGINT)),
+                         8, '0'))
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           ROUND(ANY_VALUE(rate), 6) AS rate
+    FROM kept GROUP BY source
+    """,
+    doc="Temperature-based mixture reweighting (SURVEY §2.9 ext) — the "
+    "multinomial source-sampling rule of the published LLM data "
+    "recipes (GPT-3/PaLM-style): weight_s ∝ n_s^0.7 normalized, "
+    "per-source keep rate = min(1, w_s·target/n_s) with target = half "
+    "the corpus — upsampling rare high-quality sources relative to "
+    "the dominant crawl WITHOUT a fixed head/tail split (contrast "
+    "q_mix_sources' curriculum rates). Rates derive from one k-row "
+    "stats aggregate (k = #sources, broadcast back); the sample "
+    "itself is a deterministic md5-threshold scan filter — "
+    "reproducible across reruns AND engines, no rand(). At 100 TB "
+    "this is one scan + one k-row broadcast: the mixture recompute "
+    "costs nothing compared to the data pass.",
+)
+def q_mix_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    stats = d.groupBy("source").agg(F.count("*").alias("n"))
+    tot = stats.agg(
+        F.sum(F.pow("n", F.lit(0.7))).alias("z"),
+        F.sum("n").alias("n_total"),
+    )
+    rates = stats.crossJoin(tot).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.pow("n", F.lit(0.7)) / F.col("z"))
+                * (F.lit(0.5) * F.col("n_total"))
+                / F.col("n"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    thresh = F.lower(
+        F.lpad(
+            F.hex(F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint")),
+            8,
+            "0",
+        )
+    )
+    u = F.substring(
+        F.md5(F.concat(F.lit("temp"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    kept = d.join(F.broadcast(rates), "source").filter(
+        (F.col("rate") >= 1.0) | (u < thresh)
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.round(F.any_value("rate"), 6).alias("rate"),
+    )
+
+
+@register(
     "q_variant_json",
     oracle="""
     SELECT event_type,

@@ -2237,6 +2237,83 @@ def q_hll_partitioned_sketch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_agg_mode",
+    # mode(expr, true) — the DETERMINISTIC variant: ties resolve to
+    # the lowest value (probed; the default variant is explicitly
+    # non-deterministic and could never carry a value oracle). The
+    # oracle spells the same rule out as count-desc/value-asc rank.
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ), r AS (
+      SELECT l_returnflag, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, l_quantity ASC) AS rk
+      FROM c
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty FROM r WHERE rk = 1
+    """,
+    doc="Deterministic MODE aggregate (SURVEY §2.4 ext): the most "
+    "frequent value per group via mode(expr, true) — one hash-agg, "
+    "map-side partial counts, where the naive 'count per value then "
+    "rank' spelling (the oracle) needs a second shuffle + window. "
+    "The deterministic flag is the operational point: rerunning the "
+    "pipeline must not flip tie-broken modes between runs.",
+)
+def q_agg_mode(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("mode(l_quantity, true)").alias("mode_qty")
+    )
+
+
+@register(
+    "q_transpose",
+    # Spark's transpose() names the header column "key", makes the
+    # index values the new column names, and upcasts every cell to
+    # the least common type (double here) — the oracle mirrors all
+    # three. Scalar subqueries per cell are fine: the input is the
+    # 3-row aggregate, not the fact table.
+    oracle="""
+    WITH a AS (
+      SELECT l_returnflag AS f,
+             CAST(COUNT(*) AS DOUBLE) AS n_rows,
+             CAST(ROUND(SUM(l_quantity), 2) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT 'n_rows' AS key,
+           (SELECT n_rows FROM a WHERE f = 'A') AS A,
+           (SELECT n_rows FROM a WHERE f = 'N') AS N,
+           (SELECT n_rows FROM a WHERE f = 'R') AS R
+    UNION ALL
+    SELECT 'sum_qty',
+           (SELECT sum_qty FROM a WHERE f = 'A'),
+           (SELECT sum_qty FROM a WHERE f = 'N'),
+           (SELECT sum_qty FROM a WHERE f = 'R')
+    """,
+    doc="DataFrame TRANSPOSE (Spark 4 df.transpose(), SURVEY §2.7 "
+    "ext): metrics-as-rows x groups-as-columns — the report/dashboard "
+    "pivot of a small aggregate. Applied where it belongs at scale: "
+    "AFTER reduction (a k-groups x m-metrics aggregate), never on the "
+    "fact table — transpose materializes the input on the driver-side "
+    "plan as one row per former column, so its input must already be "
+    "aggregate-sized. Cells upcast to the least common type (double).",
+)
+def q_transpose(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("double").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return agg.transpose()
+
+
+@register(
     "q_kll_quantile_sketch",
     # Same contract shape as q_hll_partitioned_sketch: sketch bytes
     # are engine-specific (and KLL compaction is randomized), so the

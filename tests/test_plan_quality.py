@@ -69,6 +69,9 @@ NESTED_LOOP_ALLOWED = {
     "q_rrf_fusion": "1-row broadcast query-vector cross for the "
     "semantic ranking side (the q_tfidf 1-row-stats shape); the fusion "
     "join itself is a bounded 100-row x 100-row equi join",
+    "q_mix_temperature": "1-row broadcast (z, n_total) corpus-totals "
+    "aggregate for the temperature weights — the q_tfidf shape; the "
+    "rates join back to the fact as a k-source broadcast equi join",
 }
 # Empty since the Arrow UDTF switch (spark.sql.execution.pythonUDTF.
 # arrow.enabled, set by get_spark AND tune_session): q_udtf_gsv now

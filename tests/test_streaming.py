@@ -675,3 +675,39 @@ def test_jsonl_stream_sink_replay_is_exactly_once(tmp_path):
     m3 = w.write(iter(rows))
     w.commit([m3], batchId=1)
     assert any(f.startswith("batch-1-") for f in os.listdir(p))
+
+
+def test_stream_resume_processes_only_delta(spark, tmp_path):
+    """Checkpoint-resume pin (q_stream_resume's mechanics): run 2 with
+    the SAME checkpoint must read ONLY files that arrived after run 1 —
+    the file-source offset log is the exactly-once bookkeeping."""
+    import os
+
+    inc = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[tuple[int, int]] = []  # (batchId, n_rows) — driver-side
+
+    def drive():
+        q = (
+            spark.readStream.schema("id long")
+            .parquet(inc)
+            .writeStream.foreachBatch(
+                lambda b, i: seen.append((i, b.count()))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.range(100).coalesce(1).write.mode("append").parquet(inc)
+    drive()
+    assert sum(n for _, n in seen) == 100
+    spark.range(100, 130).coalesce(1).write.mode("append").parquet(inc)
+    drive()
+    run2 = sum(n for _, n in seen) - 100
+    assert run2 == 30, f"resume re-read old files (run2 saw {run2} rows)"
+    # a third run with nothing new processes nothing
+    before = len(seen)
+    drive()
+    assert sum(n for _, n in seen[before:]) == 0
