@@ -134,6 +134,82 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_dup_rate_curve",
+    # Thresholds compare against the 6-dp-ROUNDED jaccard on both
+    # sides (the engine's pair table already carries the rounded
+    # value), so a pair at exactly 0.600000 lands identically.
+    # DuckDB VALUES literals are DECIMAL — cast to DOUBLE to match
+    # the engine's float threshold column.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6)
+               AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    ), th AS (
+      SELECT CAST(threshold AS DOUBLE) AS threshold
+      FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) AS v(threshold)
+    ), pt AS (
+      SELECT threshold, doc_a, doc_b FROM pairs, th
+      WHERE jaccard >= threshold
+    ), np AS (
+      SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pt GROUP BY threshold
+    ), nd AS (
+      SELECT threshold, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_dup_docs
+      FROM (SELECT threshold, doc_a AS d FROM pt
+            UNION ALL SELECT threshold, doc_b FROM pt)
+      GROUP BY threshold
+    )
+    SELECT threshold, n_pairs, n_dup_docs FROM np JOIN nd USING (threshold)
+    """,
+    doc="Dedup threshold CALIBRATION curve (SURVEY §2.9 ext): pair "
+    "count and affected-doc count at Jaccard cutoffs 0.5..0.9 — the "
+    "sweep every dedup deployment runs BEFORE choosing its threshold "
+    "(too low deletes genuine variants, too high leaves templated "
+    "spam; the knee of this curve is the decision). Costs nothing "
+    "beyond the memoized ≥0.5 pair table: the 5-threshold explode "
+    "multiplies PAIRS (already ~duplicate-count-sized), never "
+    "documents, and at 100 TB rides the same LSH-candidate "
+    "restriction as the pair table itself.",
+)
+def q_dup_rate_curve(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = _jaccard_pairs_05(spark, sf)
+    pt = pairs.select(
+        F.explode(
+            F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)])
+        ).alias("threshold"),
+        "doc_a",
+        "doc_b",
+        "jaccard",
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    np_ = pt.groupBy("threshold").agg(F.count("*").alias("n_pairs"))
+    nd = (
+        pt.select(
+            "threshold", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("d").alias("n_dup_docs"))
+    )
+    return np_.join(nd, "threshold")
+
+
+@register(
     "q_dedup_near",
     # Same oracle as the exact-Jaccard operator: the LSH candidates are a
     # deterministic function of the data (seeded xxhash64, no RNG), and on

@@ -2421,6 +2421,60 @@ def q_join_lateral(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_anomaly_rolling",
+    # Band values rounded to 6 dp on BOTH sides before the compare
+    # (the q_outliers threshold discipline): window mean/stddev are
+    # computed by different incremental algorithms in the two engines
+    # (Spark streaming add/remove vs DuckDB segment tree) and agree to
+    # ~1e-12 relative — far inside the 1e-6 rounding grain.
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             COUNT(*) OVER win AS n_win,
+             ROUND(AVG(value) OVER win, 6) AS mu,
+             ROUND(2 * STDDEV_SAMP(value) OVER win, 6) AS band
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ROUND(value, 6) AS value, mu, band
+    FROM w
+    WHERE n_win >= 10 AND ABS(value - mu) > band
+    """,
+    doc="Rolling per-key anomaly screen (SURVEY §2.7 ext, the "
+    "windowed twin of q_outliers' global bands): per user, a 20-event "
+    "trailing mean ± 2σ band over (ts, event_id) order; an event "
+    "outside its OWN recent band flags, where a global band would "
+    "drown per-user drift. One shuffle on the key, one sort, "
+    "incremental frame aggregation — the telemetry/fraud shape that "
+    "runs at any scale because state is O(frame) per key. Bands "
+    "need ≥10 trailing events (cold keys can't alarm).",
+)
+def q_anomaly_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf, "events")
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, W.currentRow)
+    )
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count("*").over(win).alias("n_win"),
+        F.round(F.avg("value").over(win), 6).alias("mu"),
+        F.round(2 * F.stddev_samp("value").over(win), 6).alias("band"),
+    )
+    return flagged.filter(
+        (F.col("n_win") >= 10) & (F.abs(F.col("value") - F.col("mu")) > F.col("band"))
+    ).select(
+        "user_id", "event_id", F.round("value", 6).alias("value"), "mu", "band"
+    )
+
+
+@register(
     "q_outliers",
     oracle="""
     WITH s AS (
