@@ -528,6 +528,140 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_bucket_ann(table(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
+def _sq8_oracle(dim: int = 64, n_cand: int = 20, k: int = 10) -> str:
+    """Full DuckDB oracle for the SQ8 ANN: quantization is pure
+    closed-form arithmetic (per-dim min/max → round to a 0..255 code →
+    dequantize), so every stage re-derives in SQL. Float discipline:
+    the quantize/dequantize expressions associate identically on both
+    sides, per-dim min/max are exact (no arithmetic), and the ADC dot
+    folds in the same sequential element order (the kmeans-oracle
+    evidence: Spark `aggregate` ≡ DuckDB `list_sum(list_transform)`
+    bitwise on this data); candidate and final orderings tie-break on
+    vec_id over 6-dp-rounded scores."""
+    rng = f"range(1, {dim + 1})"
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT i.i, MIN(v.v[i.i]) AS mn, MAX(v.v[i.i]) AS mx
+      FROM v, (SELECT unnest({rng}) AS i) i
+      GROUP BY i.i
+    ),
+    a AS (
+      SELECT list(mn ORDER BY i) AS mn_arr, list(mx ORDER BY i) AS mx_arr
+      FROM dims
+    ),
+    dq AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform({rng}, i ->
+               CASE WHEN a.mx_arr[i] > a.mn_arr[i]
+                    THEN a.mn_arr[i]
+                         + ROUND((v.v[i] - a.mn_arr[i]) * 255.0
+                                 / (a.mx_arr[i] - a.mn_arr[i]))
+                           * (a.mx_arr[i] - a.mn_arr[i]) / 255.0
+                    ELSE a.mn_arr[i] END) AS dv
+      FROM v, a
+    ),
+    qdq AS (SELECT dv AS qdv FROM dq WHERE vec_id = 0),
+    adot AS (
+      SELECT dq.vec_id,
+             ROUND(list_sum(list_transform({rng}, i -> dq.dv[i] * q.qdv[i])),
+                   6) AS approx_dot
+      FROM dq, qdq q WHERE dq.vec_id <> 0
+    ),
+    cand AS (
+      SELECT vec_id, approx_dot FROM adot
+      ORDER BY approx_dot DESC, vec_id LIMIT {n_cand}
+    ),
+    q AS (SELECT v AS qv FROM v WHERE vec_id = 0)
+    SELECT c.vec_id, c.approx_dot,
+           ROUND(
+             list_sum(list_transform({rng}, i -> v.v[i] * q.qv[i]))
+             / (SQRT(list_sum(list_transform({rng}, i -> v.v[i] * v.v[i])))
+                * SQRT(list_sum(list_transform({rng}, i -> q.qv[i] * q.qv[i])))),
+             6) AS cos_sim
+    FROM cand c JOIN v ON v.vec_id = c.vec_id, q
+    ORDER BY cos_sim DESC, c.vec_id LIMIT {k}
+    """
+
+
+@register(
+    "q_ann_sq8",
+    oracle=_sq8_oracle(),
+    doc="ANN via int8 SCALAR QUANTIZATION (FAISS SQ8 shape, SURVEY "
+    "§2.9): per-dim min/max → each float32 becomes an 8-bit code (4× "
+    "memory cut; 16× vs float32 with the usual int8 SIMD kernels), "
+    "approximate dot products on DEQUANTIZED codes select 20 "
+    "candidates, exact cosine re-ranks to top-10. Completes the ANN "
+    "family's memory axis next to the partition axes (LSH buckets, "
+    "IVF lists): at 100 TB of embeddings, SQ is what makes the scan "
+    "side FIT — codes stream at a quarter of the bandwidth and the "
+    "re-rank touches only candidates. Quantization is closed-form "
+    "(no RNG, no iteration), so the full index→ADC→re-rank pipeline "
+    "carries an exact SQL oracle; recall floor pytest-pinned vs the "
+    "exact top-k.",
+)
+def q_ann_sq8(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    dims = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    stats = dims.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)"
+        ).alias("mn_arr"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)"
+        ).alias("mx_arr"),
+    )
+    # quantize + dequantize in one expression (codes never materialize
+    # separately here; a stored index would persist round(...) as TINYINT)
+    dq = emb.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.expr(
+            "transform(v, (x, i) -> CASE WHEN mx_arr[i] > mn_arr[i] "
+            "THEN mn_arr[i] + round((x - mn_arr[i]) * 255.0 "
+            "/ (mx_arr[i] - mn_arr[i])) * (mx_arr[i] - mn_arr[i]) / 255.0 "
+            "ELSE mn_arr[i] END)"
+        ).alias("dv"),
+        "v",
+    )
+    qrow = dq.filter(F.col("vec_id") == 0).select(
+        F.col("dv").alias("qdv"), F.col("v").alias("qv")
+    )
+    scored = dq.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qrow))
+    adot = F.expr(
+        "aggregate(zip_with(dv, qdv, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
+    )
+    cand = scored.select(
+        "vec_id", "v", "qv", F.round(adot, 6).alias("approx_dot")
+    ).orderBy(F.desc("approx_dot"), "vec_id").limit(20)
+    dot = F.expr(
+        "aggregate(zip_with(v, qv, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
+    )
+    nv = F.sqrt(
+        F.expr("aggregate(transform(v, x -> x * x), 0.0D, (acc, x) -> acc + x)")
+    )
+    nq = F.sqrt(
+        F.expr("aggregate(transform(qv, x -> x * x), 0.0D, (acc, x) -> acc + x)")
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "approx_dot",
+            F.round(dot / (nv * nq), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
 @register(
     "q_knn",
     oracle="""

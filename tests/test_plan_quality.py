@@ -33,6 +33,9 @@ NESTED_LOOP_ALLOWED = {
     "q_join_range": "kept as the nested-loop contrast for the binned rewrite",
     "q_join_cross": "the cross-join operator itself",
     "q_sim_search": "1-row broadcast query vector",
+    "q_ann_sq8": "two 1-row broadcasts: the per-dim min/max stats "
+    "arrays and the quantized query vector (the q_sim_search shape); "
+    "the scan side stays linear in the corpus",
     "q_ann_lsh": "constant 64-row broadcast hyperplane table",
     "q_ann_ivf": "constant-size broadcast centroid table (nearest-centroid "
     "assignment is O(k) per row, k fixed)",

@@ -706,3 +706,18 @@ def test_event_pattern_step_bounds(spark):
     )
     spark.catalog.dropTempView("_pattern_probe")
     assert out == {1: 2}
+
+
+def test_ann_sq8_recall_floor(spark):
+    """SQ8 quantization at 8 bits/dim loses almost nothing on cosine
+    ordering — recall@10 vs the exact ranking should be near-perfect
+    (the 20-candidate ADC cut is the only loss source); pinned at
+    >= 0.8, well above the LSH/IVF partition-axis floors."""
+    from gps_stream_processing_spark.operators.similarity import cosine_topk
+    from gps_stream_processing_spark.plans.registry import REGISTRY, table
+
+    sf = "/root/testdata/sf0.01"
+    emb = table(spark, sf, "embeddings")
+    exact = {r.vec_id for r in cosine_topk(emb, 0, k=10).collect()}
+    got = {r.vec_id for r in REGISTRY["q_ann_sq8"].fn(spark, sf).collect()}
+    assert len(got & exact) / 10 >= 0.8
