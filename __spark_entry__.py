@@ -151,6 +151,12 @@ _CHANGED_SINCE_VERIFIED = (
     # fixtures (verified at sf0.01), re-check anyway.
     ("q_session_dynamic_gap", 9),
     ("q_udtf_analyze", 9),
+    # r9: ivf_ann's centroid/assignment/probe stages refactored into
+    # shared helpers (operators/similarity.py _label_centroids /
+    # _nearest_list_assignment / _ivf_probe_lists) so the new IVF×SQ
+    # key composes them — expressions identical by construction
+    # (hash-verified at sf0.001/sf0.01 post-refactor), re-check anyway.
+    ("q_ann_ivf", 9),
 )
 
 

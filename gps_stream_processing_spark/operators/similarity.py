@@ -351,6 +351,89 @@ def pairwise_cosine_np(
     return e.groupBy(label_col).applyInPandas(gram, schema=PAIRWISE_SCHEMA)
 
 
+def _label_centroids(
+    embeddings: DataFrame, vec: Column, label_col: str
+) -> DataFrame:
+    """Coarse quantizer: per-label centroid (deterministic, no RNG —
+    k-means iterations would add nothing on synthetic blocks).
+    A 2-level split (sign of first-coordinate residual) was tried and
+    REJECTED: on this corpus it scattered true neighbors across
+    sub-lists (recall 0.5 -> 0.3 at sf0.1 for the same probed
+    fraction) and the extra agg+join pass doubled runtime — more
+    lists only pay off with a discriminative splitter."""
+    return (
+        embeddings.select(label_col, vec.alias("v"))
+        .groupBy(label_col)
+        .agg(
+            F.array(
+                *[
+                    F.avg(F.element_at("v", i + 1)).alias(f"c{i}")
+                    for i in range(64)
+                ]
+            ).alias("cv")
+        )
+        .select(F.col(label_col).alias("list_id"), "cv")
+    )
+
+
+def _nearest_list_assignment(
+    base: DataFrame, cents: DataFrame, id_col: str
+) -> DataFrame:
+    """Assignment: nearest centroid per vector (broadcast |labels|
+    rows). Tie-break pinned BY CONSTRUCTION to the oracle's
+    (cosine DESC, list_id ASC): maximize the struct (dist, -list_id),
+    lexicographic — equal cosines fall through to the smaller
+    list_id. The data keeps decisions far from ties, but parity must
+    not depend on that (ADVICE r5)."""
+    dist = dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * norm(F.col("cv")))
+    return (
+        base.join(F.broadcast(cents))
+        .groupBy(id_col)
+        .agg(
+            F.first("v").alias("v"),
+            F.max_by(
+                "list_id",
+                F.struct(
+                    dist.alias("d"),
+                    (-F.col("list_id")).alias("neg_list"),
+                ),
+            ).alias("list_id"),
+        )
+    )
+
+
+def _ivf_probe_lists(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    query_vec_id: int,
+    n_probe: int,
+    id_col: str,
+    vec: Column,
+):
+    """Query side: nearest n_probe centroids, computed driver-side
+    from the collected centroid table (|labels| x dim doubles — bytes,
+    the same pattern as lsh_bucket_ann's probe sketch). Returns
+    (probe list_ids, raw query vector)."""
+    import numpy as np
+
+    crows = cents.collect()
+    q_row = (
+        embeddings.filter(F.col(id_col) == query_vec_id).select(vec.alias("qv")).head()
+    )
+    if q_row is None:
+        raise ValueError(f"query vector {query_vec_id!r} not found")
+    qv = np.array(q_row["qv"])
+    sims = sorted(
+        (
+            float(np.dot(qv, np.array(r["cv"]))
+                  / (np.linalg.norm(qv) * np.linalg.norm(np.array(r["cv"])))),
+            r["list_id"],
+        )
+        for r in crows
+    )
+    return [lid for _, lid in sims[-n_probe:]], qv
+
+
 def ivf_ann(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -374,68 +457,13 @@ def ivf_ann(
     data. The query's probe list is computed driver-side from the
     collected centroid table (|labels| x dim doubles — bytes, the same
     pattern as lsh_bucket_ann's probe sketch)."""
-    import numpy as np
-
     vec = F.col(vec_col).cast("array<double>")
     base = embeddings.select(id_col, vec.alias("v"))
-    # coarse quantizer: per-label centroid (deterministic, no RNG —
-    # k-means iterations would add nothing on synthetic blocks).
-    # A 2-level split (sign of first-coordinate residual) was tried and
-    # REJECTED: on this corpus it scattered true neighbors across
-    # sub-lists (recall 0.5 -> 0.3 at sf0.1 for the same probed
-    # fraction) and the extra agg+join pass doubled runtime — more
-    # lists only pay off with a discriminative splitter.
-    cents = (
-        embeddings.select(label_col, vec.alias("v"))
-        .groupBy(label_col)
-        .agg(
-            F.array(
-                *[
-                    F.avg(F.element_at("v", i + 1)).alias(f"c{i}")
-                    for i in range(64)
-                ]
-            ).alias("cv")
-        )
-        .select(F.col(label_col).alias("list_id"), "cv")
+    cents = _label_centroids(embeddings, vec, label_col)
+    assigned = _nearest_list_assignment(base, cents, id_col)
+    probe_lists, qv = _ivf_probe_lists(
+        embeddings, cents, query_vec_id, n_probe, id_col, vec
     )
-    # assignment: nearest centroid per vector (broadcast |labels| rows)
-    dist = dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * norm(F.col("cv")))
-    # Tie-break pinned BY CONSTRUCTION to the oracle's
-    # (cosine DESC, list_id ASC): maximize the struct (dist, -list_id),
-    # lexicographic — equal cosines fall through to the smaller
-    # list_id. The data keeps decisions far from ties, but parity must
-    # not depend on that (ADVICE r5).
-    assigned = (
-        base.join(F.broadcast(cents))
-        .groupBy(id_col)
-        .agg(
-            F.first("v").alias("v"),
-            F.max_by(
-                "list_id",
-                F.struct(
-                    dist.alias("d"),
-                    (-F.col("list_id")).alias("neg_list"),
-                ),
-            ).alias("list_id"),
-        )
-    )
-    # query side: nearest n_probe centroids, computed driver-side
-    crows = cents.collect()
-    q_row = (
-        embeddings.filter(F.col(id_col) == query_vec_id).select(vec.alias("qv")).head()
-    )
-    if q_row is None:
-        raise ValueError(f"query vector {query_vec_id!r} not found")
-    qv = np.array(q_row["qv"])
-    sims = sorted(
-        (
-            float(np.dot(qv, np.array(r["cv"]))
-                  / (np.linalg.norm(qv) * np.linalg.norm(np.array(r["cv"])))),
-            r["list_id"],
-        )
-        for r in crows
-    )
-    probe_lists = [lid for _, lid in sims[-n_probe:]]
     qv_lit = F.array(*[F.lit(float(x)) for x in qv])
     return (
         assigned.filter(
@@ -446,5 +474,89 @@ def ivf_ann(
             F.round(cosine_sim(F.col("v"), qv_lit), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), id_col)
+        .limit(k)
+    )
+
+
+def ivf_sq_ann(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_probe: int = 6,
+    n_cand: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF × SQ8 — the PRODUCTION ANN composition: the IVF coarse
+    quantizer prunes WHICH vectors are scanned (n_probe posting
+    lists), int8 scalar quantization cuts the BYTES per scanned vector
+    (float32 → 8-bit codes, 4×), and only the ``n_cand`` best
+    ADC-scored candidates pay an exact re-rank. This is the FAISS
+    ``IVFx,SQ8`` index shape — each axis alone is ivf_ann / the SQ8
+    plan; composed they multiply: at 100 TB the probed fraction
+    streams at a quarter bandwidth.
+
+    Same shared quantizer as :func:`ivf_ann` (per-label centroids,
+    identical assignment tie-break), same closed-form quantization as
+    the SQ8 key (per-dim min/max over the WHOLE corpus — the index is
+    built offline over everything, not per probe)."""
+    vec = F.col(vec_col).cast("array<double>")
+    base = embeddings.select(id_col, vec.alias("v"))
+    cents = _label_centroids(embeddings, vec, label_col)
+    assigned = _nearest_list_assignment(base, cents, id_col)
+    probe_lists, _qv = _ivf_probe_lists(
+        embeddings, cents, query_vec_id, n_probe, id_col, vec
+    )
+    # SQ stats over the whole corpus (offline index build)
+    dims = (
+        base.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    stats = dims.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)"
+        ).alias("mn_arr"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)"
+        ).alias("mx_arr"),
+    )
+    dq_expr = F.expr(
+        "transform(v, (x, i) -> CASE WHEN mx_arr[i] > mn_arr[i] "
+        "THEN mn_arr[i] + round((x - mn_arr[i]) * 255.0 "
+        "/ (mx_arr[i] - mn_arr[i])) * (mx_arr[i] - mn_arr[i]) / 255.0 "
+        "ELSE mn_arr[i] END)"
+    )
+    # quantize the query through the SAME Spark expression (python
+    # round() is banker's vs Spark HALF_UP — never quantize driver-side)
+    qrow = (
+        base.filter(F.col(id_col) == query_vec_id)
+        .crossJoin(F.broadcast(stats))
+        .select(dq_expr.alias("qdv"), F.col("v").alias("qv"))
+    )
+    probed = (
+        assigned.filter(
+            (F.col("list_id").isin(probe_lists)) & (F.col(id_col) != query_vec_id)
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, "v", dq_expr.alias("dv"))
+        .crossJoin(F.broadcast(qrow))
+    )
+    adot = F.expr(
+        "aggregate(zip_with(dv, qdv, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
+    )
+    cand = (
+        probed.select(id_col, "v", "qv", F.round(adot, 6).alias("approx_dot"))
+        .orderBy(F.desc("approx_dot"), id_col)
+        .limit(n_cand)
+    )
+    return (
+        cand.select(
+            id_col,
+            "approx_dot",
+            F.round(cosine_sim(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )

@@ -1525,6 +1525,116 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_ann(table(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
+def _ivfsq_oracle(dim: int = 64, k: int = 10, n_probe: int = 6, n_cand: int = 20) -> str:
+    """Full DuckDB oracle for IVF×SQ8: the IVF stages splice from
+    _ivf_ann_oracle (deterministic per-label centroids, assignment,
+    n_probe selection) and the quantization stages from _sq8_oracle
+    (closed-form per-dim min/max → code → dequantize), so the composed
+    pipeline stays exactly re-derivable. Same float discipline as
+    both parents."""
+    rng = f"range(1, {dim + 1})"
+
+    def dot(a: str, b: str) -> str:
+        return f"list_sum(list_transform({rng}, i -> {a}[i] * {b}[i]))"
+
+    def cos(a: str, b: str) -> str:
+        return f"{dot(a, b)} / (SQRT({dot(a, a)}) * SQRT({dot(b, b)}))"
+
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cd AS (
+      SELECT label AS list_id, d.i AS i, AVG(v.v[d.i]) AS m
+      FROM v CROSS JOIN (SELECT unnest({rng}) AS i) d
+      GROUP BY 1, 2
+    ),
+    cents AS MATERIALIZED (
+      SELECT list_id, list(m ORDER BY i) AS cv FROM cd GROUP BY list_id
+    ),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, v, list_id FROM (
+        SELECT v.vec_id, v.v, c.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {cos("v.v", "c.cv")} DESC, c.list_id
+               ) AS rn
+        FROM v CROSS JOIN cents c
+      ) t WHERE rn = 1
+    ),
+    q AS MATERIALIZED (SELECT v AS qv FROM v WHERE vec_id = 0),
+    probes AS (
+      SELECT c.list_id
+      FROM cents c, q
+      ORDER BY {cos("c.cv", "q.qv")} DESC, c.list_id DESC
+      LIMIT {n_probe}
+    ),
+    dims AS (
+      SELECT i.i, MIN(v.v[i.i]) AS mn, MAX(v.v[i.i]) AS mx
+      FROM v, (SELECT unnest({rng}) AS i) i
+      GROUP BY i.i
+    ),
+    a AS (
+      SELECT list(mn ORDER BY i) AS mn_arr, list(mx ORDER BY i) AS mx_arr
+      FROM dims
+    ),
+    qdq AS (
+      SELECT list_transform({rng}, i ->
+               CASE WHEN a.mx_arr[i] > a.mn_arr[i]
+                    THEN a.mn_arr[i]
+                         + ROUND((q.qv[i] - a.mn_arr[i]) * 255.0
+                                 / (a.mx_arr[i] - a.mn_arr[i]))
+                           * (a.mx_arr[i] - a.mn_arr[i]) / 255.0
+                    ELSE a.mn_arr[i] END) AS qdv
+      FROM q, a
+    ),
+    probed AS (
+      SELECT s.vec_id, s.v,
+             list_transform({rng}, i ->
+               CASE WHEN a.mx_arr[i] > a.mn_arr[i]
+                    THEN a.mn_arr[i]
+                         + ROUND((s.v[i] - a.mn_arr[i]) * 255.0
+                                 / (a.mx_arr[i] - a.mn_arr[i]))
+                           * (a.mx_arr[i] - a.mn_arr[i]) / 255.0
+                    ELSE a.mn_arr[i] END) AS dv
+      FROM assigned s JOIN probes p ON s.list_id = p.list_id, a
+      WHERE s.vec_id <> 0
+    ),
+    cand AS (
+      SELECT vec_id, v,
+             ROUND(list_sum(list_transform({rng}, i -> dv[i] * qd.qdv[i])),
+                   6) AS approx_dot
+      FROM probed, qdq qd
+      ORDER BY approx_dot DESC, vec_id LIMIT {n_cand}
+    )
+    SELECT c.vec_id, c.approx_dot,
+           ROUND({cos("c.v", "q.qv")}, 6) AS cos_sim
+    FROM cand c, q
+    ORDER BY cos_sim DESC, c.vec_id LIMIT {k}
+    """
+
+
+@register(
+    "q_ann_ivfsq",
+    oracle=_ivfsq_oracle(),
+    doc="IVF × SQ8 composed ANN (the FAISS `IVFx,SQ8` production "
+    "index, SURVEY §2.9): the coarse quantizer prunes WHICH vectors "
+    "are scanned (n_probe=6 posting lists), int8 scalar quantization "
+    "cuts the BYTES per scanned vector (4×), and only the 20 best "
+    "ADC-scored candidates pay an exact re-rank — the two registered "
+    "axes (q_ann_ivf, q_ann_sq8) multiplied. Both stages are "
+    "deterministic/closed-form, so the COMPOSED pipeline still "
+    "carries an exact SQL oracle (centroid build → assignment → "
+    "probe → quantize → ADC → re-rank, all re-derived); recall floor "
+    "pytest-pinned vs exact top-k.",
+)
+def q_ann_ivfsq(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.similarity import ivf_sq_ann
+
+    return ivf_sq_ann(table(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
 @register(
     "q_decontaminate",
     oracle="""

@@ -39,6 +39,9 @@ NESTED_LOOP_ALLOWED = {
     "q_ann_lsh": "constant 64-row broadcast hyperplane table",
     "q_ann_ivf": "constant-size broadcast centroid table (nearest-centroid "
     "assignment is O(k) per row, k fixed)",
+    "q_ann_ivfsq": "the q_ann_ivf centroid broadcast plus the q_ann_sq8 "
+    "1-row stats/query broadcasts — the composed index inherits both "
+    "parents' declared constant-size crossings",
     "q_geofence": "3-row broadcast fence dim; a large fence set would switch "
     "to grid-cell binning (the range_join pattern)",
     "q_tpch_q22": "1-row broadcast global aggregate (the scalar-subquery "

@@ -721,3 +721,17 @@ def test_ann_sq8_recall_floor(spark):
     exact = {r.vec_id for r in cosine_topk(emb, 0, k=10).collect()}
     got = {r.vec_id for r in REGISTRY["q_ann_sq8"].fn(spark, sf).collect()}
     assert len(got & exact) / 10 >= 0.8
+
+
+def test_ann_ivfsq_recall_floor(spark):
+    """The composed IVF×SQ8 index loses recall only at the probe cut
+    (SQ8's ADC is near-lossless per the SQ8 floor test), so its floor
+    matches the IVF parent's: recall@10 >= 0.5 vs the exact ranking."""
+    from gps_stream_processing_spark.operators.similarity import cosine_topk
+    from gps_stream_processing_spark.plans.registry import REGISTRY, table
+
+    sf = "/root/testdata/sf0.01"
+    emb = table(spark, sf, "embeddings")
+    exact = {r.vec_id for r in cosine_topk(emb, 0, k=10).collect()}
+    got = {r.vec_id for r in REGISTRY["q_ann_ivfsq"].fn(spark, sf).collect()}
+    assert len(got & exact) / 10 >= 0.5
