@@ -598,6 +598,56 @@ def q_custom_source_pushdown(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_mapinarrow",
+    # Arithmetic mirrors the SQL exactly (ep * (1 - d), float64
+    # elementwise); rounding applied OUTSIDE the Arrow stage on both
+    # sides (F.round vs ROUND — the q_pandas_udf precedent), so
+    # pyarrow's half-to-even round never enters the comparison.
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 6) AS disc_price
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    """,
+    doc="mapInArrow (SURVEY §2.10, Spark 4): a per-RecordBatch "
+    "transform computed directly with pyarrow.compute — the "
+    "UNGROUPED Arrow-native boundary next to groupBy().applyInArrow "
+    "(q_applyinarrow_stats) and mapInPandas (q_multimodal): no "
+    "pandas conversion, no grouping shuffle, batches stream through "
+    "zero-copy. This is the right crossing for columnar Python "
+    "libraries (pyarrow/polars/numpy-on-buffers) applied to the "
+    "whole stream; at 100 TB it costs one Arrow serialization per "
+    "batch and nothing else — no shuffle, partition-parallel.",
+)
+def q_mapinarrow(spark: SparkSession, sf: str) -> DataFrame:
+
+    def disc_price(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("l_orderkey"),
+                    b.column("l_linenumber"),
+                    pc.multiply(
+                        b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                    ),
+                ],
+                ["l_orderkey", "l_linenumber", "disc_price"],
+            )
+
+    li = table(spark, sf, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    out = li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount").mapInArrow(
+        disc_price,
+        "l_orderkey bigint, l_linenumber int, disc_price double",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("disc_price", 6).alias("disc_price")
+    )
+
+
+@register(
     "q_applyinarrow_stats",
     oracle="""
     SELECT event_type,
