@@ -2421,6 +2421,84 @@ def q_join_lateral(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_stats_profile",
+    # min/max surfaced as strings so one schema serves every column
+    # type; numeric formatting pinned by casting through BIGINT/exact
+    # decimals only (o_totalprice is ROUND(...,2) then DECIMAL(18,2)
+    # text — both engines print '12345.67').
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(CAST(ROUND(MIN(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(ROUND(MAX(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    """,
+    doc="Column PROFILER (SURVEY §2.2 ext, the q_dq_checks companion): "
+    "per-column row count, null count, distinct count, min/max — the "
+    "first thing anyone runs against an unknown 100 TB table, and the "
+    "stats a quality dashboard tracks per ingest batch. ONE pass over "
+    "the fact computes every column's metrics side by side (Spark "
+    "fuses the aggregates; count-distincts expand per column but "
+    "share the scan), then the wide row unpivots to the "
+    "column-per-row report shape. min/max stringified so one schema "
+    "serves every type.",
+)
+def q_stats_profile(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+
+    def metrics(c: str, minmax):
+        return [
+            F.count("*").alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            minmax(F.min(c)).alias(f"{c}__min"),
+            minmax(F.max(c)).alias(f"{c}__max"),
+        ]
+
+    as_str = lambda col: col.cast("string")  # noqa: E731
+    price_str = lambda col: F.round(col, 2).cast("decimal(18,2)").cast(  # noqa: E731
+        "string"
+    )
+    wide = o.agg(
+        *metrics("o_custkey", as_str),
+        *metrics("o_orderstatus", as_str),
+        *metrics("o_totalprice", price_str),
+    )
+    rows = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__n_null").alias("n_null"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c in ("o_custkey", "o_orderstatus", "o_totalprice")
+    ]
+    return wide.select(
+        F.explode(F.array(*rows)).alias("p")
+    ).select("p.*")
+
+
+@register(
     "q_anomaly_rolling",
     # Band values rounded to 6 dp on BOTH sides before the compare
     # (the q_outliers threshold discipline): window mean/stddev are
@@ -2862,6 +2940,55 @@ def q_observe_metrics(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(row["n_rows"]), float(row["sum_price"]), int(row["n_finished"]))],
         "n_rows bigint, sum_price double, n_finished bigint",
+    )
+
+
+@register(
+    "q_compaction",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Small-file COMPACTION (SURVEY §2.1 ext, the maintenance twin "
+    "of q_rebalance_write): a 64-file fragmented landing is re-read "
+    "and rewritten into ceil(bytes/4 MiB) right-sized files — the "
+    "OPTIMIZE/compact job every lakehouse runs, because at 100 TB the "
+    "small-file problem is quadratic pain (NameNode/manifest pressure, "
+    "a task per splinter file, dead scan parallelism). Sizing comes "
+    "from the actual landed bytes, not row counts — the one number "
+    "that tracks compression. Round-trip is lossless → plain-aggregate "
+    "oracle over the source; the file-count collapse itself is "
+    "pytest-pinned.",
+)
+def q_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    import glob as _glob
+    import math
+    import os
+    import uuid
+
+    base = os.path.join(land_dir("compact", sf), uuid.uuid4().hex)
+    small = os.path.join(base, "small")
+    compacted = os.path.join(base, "compacted")
+    ev = table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.repartition(64).write.parquet(small)  # the fragmented landing
+    src = spark.read.parquet(small)
+    n_bytes = sum(
+        os.path.getsize(p) for p in _glob.glob(os.path.join(small, "*.parquet"))
+    )
+    n_files = max(1, math.ceil(n_bytes / (4 * 1024 * 1024)))
+    src.repartition(n_files).write.parquet(compacted)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
     )
 
 

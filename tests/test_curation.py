@@ -437,3 +437,28 @@ def test_synth_pushdown_prunes_partitions():
     # no filter -> no pruning (default path untouched)
     r3 = NmeaSynthReader({"n_tracks": "6"})
     assert len(r3.partitions()) == 6
+
+
+def test_compaction_collapses_file_count(spark, tmp_path):
+    """The compaction mechanics: a fragmented landing rewrites into
+    ceil(bytes / target) files — losslessly, and strictly fewer files."""
+    import glob
+    import math
+    import os
+
+    small = str(tmp_path / "small")
+    compacted = str(tmp_path / "compacted")
+    df = spark.range(50_000).selectExpr("id", "cast(id % 13 as double) AS v")
+    df.repartition(32).write.parquet(small)
+    n_small = len(glob.glob(os.path.join(small, "*.parquet")))
+    assert n_small == 32
+    n_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(small, "*.parquet"))
+    )
+    n_files = max(1, math.ceil(n_bytes / (4 * 1024 * 1024)))
+    spark.read.parquet(small).repartition(n_files).write.parquet(compacted)
+    n_comp = len(glob.glob(os.path.join(compacted, "*.parquet")))
+    assert n_comp == n_files < n_small
+    back = spark.read.parquet(compacted)
+    assert back.count() == 50_000
+    assert back.agg({"v": "sum"}).first()[0] == df.agg({"v": "sum"}).first()[0]
