@@ -72,6 +72,9 @@ def main() -> None:
     o0 = load_table(spark, SF_DIR, "orders")
     ev0 = load_table(spark, SF_DIR, "events")
     docs0 = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb0 = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
     # Co-purchase edge list derived once (the derivation self-join is
     # q_triangle_count's input, not the shape under test); replicated
     # per factor inside the loop.
@@ -91,7 +94,8 @@ def main() -> None:
         o = replicate(o0, ["o_orderkey", "o_custkey"], f).cache()
         ev = replicate(ev0, ["event_id", "user_id"], f).cache()
         docs = replicate(docs0, ["doc_id"], f).cache()
-        for d in (li, o, ev, docs):
+        emb = replicate(emb0, ["vec_id"], f).cache()
+        for d in (li, o, ev, docs, emb):
             d.count()  # materialize the cache so IO is out of the timing
 
         shapes = {
@@ -154,13 +158,57 @@ def main() -> None:
                     (F.col("l_suppkey") + 1_000_000_000).alias("dst"),
                 )
             ),
+            # r9 shapes: the rolling anomaly window (per-key sort +
+            # incremental frame agg — expect ~linear), the KLL sketch
+            # hash-agg (bounded sketch state per group — expect <=
+            # linear), and the SQ8 ADC scan (1-row stats broadcast +
+            # per-vector fold + TakeOrdered — expect ~linear).
+            "anomaly_window": lambda: (
+                lambda w: ev.select(
+                    "user_id",
+                    "event_id",
+                    (F.abs(F.col("value") - F.avg("value").over(w))
+                     > 2 * F.stddev_samp("value").over(w)).alias("flag"),
+                )
+            )(
+                W.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(-19, W.currentRow)
+            ),
+            "kll_sketch": lambda: li.groupBy("l_returnflag").agg(
+                F.expr("kll_sketch_get_quantile_double("
+                       "kll_sketch_agg_double(l_extendedprice), 0.5)").alias("p50")
+            ),
+            "sq8_adc": lambda: (
+                lambda stats: emb.crossJoin(F.broadcast(stats))
+                .select(
+                    "vec_id",
+                    F.expr(
+                        "aggregate(transform(v, (x, i) -> "
+                        "round((x - mn_arr[i]) * 255.0 / (mx_arr[i] - mn_arr[i]))"
+                        " * x), 0.0D, (acc, y) -> acc + y)"
+                    ).alias("adc"),
+                )
+                .orderBy(F.desc("adc"), "vec_id")
+                .limit(10)
+            )(
+                emb.select(F.posexplode("v").alias("pos", "x"))
+                .groupBy("pos")
+                .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+                .agg(
+                    F.expr("transform(array_sort(collect_list(struct(pos, mn)))"
+                           ", s -> s.mn)").alias("mn_arr"),
+                    F.expr("transform(array_sort(collect_list(struct(pos, mx)))"
+                           ", s -> s.mx)").alias("mx_arr"),
+                )
+            ),
         }
         for name, mk in shapes.items():
             sec = timed(mk)
             rec = {"shape": name, "factor": f, "sec": sec}
             results.append(rec)
             print(json.dumps(rec), flush=True)
-        for d in (li, o, ev, docs):
+        for d in (li, o, ev, docs, emb):
             d.unpersist()
 
     # scaling exponent between 1x and 4x: log4(t4/t1)

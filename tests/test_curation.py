@@ -462,3 +462,33 @@ def test_compaction_collapses_file_count(spark, tmp_path):
     back = spark.read.parquet(compacted)
     assert back.count() == 50_000
     assert back.agg({"v": "sum"}).first()[0] == df.agg({"v": "sum"}).first()[0]
+
+
+def test_mix_temperature_rates_and_sampling(spark):
+    """Temperature-mixing invariants: every rate in (0, 1]; the rate is
+    monotonically non-increasing in source size (n^0.7/n = n^-0.3 —
+    bigger sources get downsampled harder); and the kept count per
+    source tracks rate*n within hash-sampling deviation."""
+    import math
+
+    out = (
+        REGISTRY["q_mix_temperature"].fn(spark, SF).toPandas().set_index("source")
+    )
+    full = (
+        table(spark, SF, "documents")
+        .groupBy("source")
+        .count()
+        .toPandas()
+        .set_index("source")
+    )
+    assert ((out["rate"] > 0) & (out["rate"] <= 1.0)).all()
+    joined = out.join(full)
+    # monotonicity: sort by corpus size; rates must not increase
+    by_n = joined.sort_values("count")
+    uncapped = by_n[by_n["rate"] < 1.0]
+    assert (uncapped["rate"].diff().dropna() <= 1e-9).all()
+    # kept ~ rate * n (md5 uniform: 4-sigma binomial envelope + slack)
+    for s, r in joined.iterrows():
+        expect = r["rate"] * r["count"]
+        tol = 4 * math.sqrt(max(r["count"], 1)) + 2
+        assert abs(r["n_docs"] - expect) <= tol, (s, r["n_docs"], expect)
