@@ -2421,6 +2421,54 @@ def q_join_lateral(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_ewma",
+    # Both engines evaluate EXACTLY the recursion y_t = 0.8*y_{t-1} +
+    # 0.2*x_t as a sequential fold over the same (ts, event_id)-sorted
+    # list (Spark `aggregate` ≡ DuckDB `list_reduce` with the first
+    # element as init — bitwise-equal per the kmeans-oracle evidence).
+    # The closed-form window-SUM spelling was REJECTED: it needs
+    # (1-α)^(-i) terms that overflow doubles beyond ~700 rows per key.
+    # DuckDB decimal trap: bare 0.8 parses as DECIMAL — CAST both
+    # literals to DOUBLE or the fold runs in decimal arithmetic.
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                 (acc, x) -> acc * CAST(0.8 AS DOUBLE)
+                             + x * CAST(0.2 AS DOUBLE)), 6) AS ewma
+    FROM events GROUP BY user_id
+    """,
+    doc="Exponentially-weighted moving average per key (SURVEY §2.7 "
+    "ext): the telemetry smoother — y_t = (1-α)y_(t-1) + αx_t over "
+    "each user's (ts, event_id)-ordered history, α=0.2, evaluated as "
+    "a sequential fold so the recursion is EXACT (no float-explosive "
+    "closed form). Implementation contract: per-key history collects "
+    "into one array, so this is for bounded per-key sequences "
+    "(sessions, days) — the unbounded-stream twin is a TWS ValueState "
+    "holding just y_(t-1), O(1) per key forever.",
+)
+def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    g = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, value))),"
+            " s -> s.value)"
+        ).alias("vals"),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.round(
+            F.expr(
+                "aggregate(slice(vals, 2, size(vals)), vals[0],"
+                " (acc, x) -> acc * 0.8D + x * 0.2D)"
+            ),
+            6,
+        ).alias("ewma"),
+    )
+
+
+@register(
     "q_stats_profile",
     # min/max surfaced as strings so one schema serves every column
     # type; numeric formatting pinned by casting through BIGINT/exact
