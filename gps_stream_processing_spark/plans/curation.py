@@ -255,6 +255,53 @@ def q_mix_sources(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_cap_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM ranked WHERE rk <= 50 GROUP BY source
+    """,
+    doc="Per-group CAP (SURVEY §2.9 ext): at most 50 docs per source, "
+    "chosen by deterministic md5 order — the 'no domain may dominate' "
+    "guard every crawl-derived training set applies (a single SEO farm "
+    "can be 10% of raw CommonCrawl). Hash order makes the kept set a "
+    "uniform random-looking sample that is REPRODUCIBLE across reruns "
+    "and engines (rand() would be neither); one window over the group "
+    "key, no second pass. Contrast q_mix_temperature: temperature "
+    "reweights proportionally, the cap is a hard ceiling — real "
+    "pipelines run both.",
+)
+def q_cap_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("cap"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    return (
+        d.withColumn("rk", rk)
+        .filter(F.col("rk") <= 50)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+@register(
     "q_mix_temperature",
     # Engine-portable fractional-rate hash sampling: the md5 uniform is
     # the FIRST 8 HEX CHARS compared LEXICOGRAPHICALLY against a hex

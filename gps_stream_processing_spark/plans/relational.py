@@ -833,6 +833,59 @@ def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_join_asof_tolerance",
+    # LEFT as-of + post-hoc staleness gate: a match older than the
+    # 2-day tolerance degrades to NULL (not to the next-older row —
+    # that's what distinguishes tolerance from a range join). The
+    # NULL-ing happens AFTER the as-of pick on both sides.
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, ts, ROUND(SUM(value), 2) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id,
+           CASE WHEN p.ts IS NOT NULL AND c.ts <= p.ts + INTERVAL 2 DAY
+                THEN p.ts END AS asof_ts,
+           CASE WHEN p.ts IS NOT NULL AND c.ts <= p.ts + INTERVAL 2 DAY
+                THEN p.purchase_value END AS asof_purchase_value
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="As-of join with TOLERANCE (SURVEY §2.3 ext, completing the "
+    "as-of trio: backward / nearest / tolerance-bounded): each click "
+    "takes the user's latest prior purchase ONLY if it is at most 2 "
+    "days stale, else NULL — the max-staleness contract of quote "
+    "enrichment (a 3-week-old price must not silently decorate "
+    "today's trade; pandas merge_asof's `tolerance=`). Same "
+    "union+ordered-window shape as q_join_asof (one shuffle per "
+    "side, no range explosion) plus one scan-side CASE; the stale "
+    "match degrades to NULL, never to an older row.",
+)
+def q_join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.sum("value"), 2).alias("purchase_value"))
+    )
+    j = asof_join(clicks, purch, by=["user_id"], ts_col="ts", how="left")
+    fresh = F.col("asof_ts").isNotNull() & (
+        F.col("ts") <= F.col("asof_ts") + F.expr("INTERVAL 2 DAYS")
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("asof_ts")).alias("asof_ts"),
+        F.when(fresh, F.col("asof_purchase_value")).alias("asof_purchase_value"),
+    )
+
+
+@register(
     "q_lag_delta",
     oracle="""
     SELECT event_id, user_id,
