@@ -134,6 +134,85 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_vocab_coverage",
+    # Cumulative token share at fixed vocab-size cutoffs. Counts are
+    # exact integers; the share divides two BIGINTs as doubles with
+    # identical association → ROUND(6) is safe. Rank ties break on
+    # the token string so the cumulative sum is a total order.
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ), counts AS (
+      SELECT t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY t
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk,
+             SUM(c) OVER (ORDER BY c DESC, t
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts
+    ), tot AS (SELECT SUM(c) AS n_total, COUNT(*) AS n_vocab FROM counts)
+    SELECT v.vocab_size,
+           CAST(LEAST(v.vocab_size, tot.n_vocab) AS BIGINT) AS n_types,
+           ROUND(CAST(MAX(CASE WHEN rk <= v.vocab_size THEN cum END)
+                      AS DOUBLE) / tot.n_total, 6) AS coverage
+    FROM ranked, tot,
+         (SELECT unnest([100, 500, 1000, 5000]) AS vocab_size) v
+    GROUP BY v.vocab_size, tot.n_vocab, tot.n_total
+    """,
+    doc="Vocabulary COVERAGE curve (SURVEY §2.9 ext): what fraction of "
+    "all token occurrences the top-k most frequent types cover, at "
+    "k ∈ {100, 500, 1000, 5000} — the sizing study behind every "
+    "tokenizer/vocab decision (the knee tells you where added types "
+    "stop paying for embedding-matrix rows). One explode + hash-agg "
+    "(the Zipf head dominates, so map-side partials collapse almost "
+    "everything) + one rank window over the VOCABULARY (types, not "
+    "tokens — the window input is already aggregate-sized).",
+)
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    w = W.orderBy(F.desc("c"), "t")
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).alias("rk"),
+        F.sum("c").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "cum"
+        ),
+    )
+    tot = counts.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("n_vocab")
+    )
+    sizes = F.explode(F.array(*[F.lit(k) for k in (100, 500, 1000, 5000)])).alias(
+        "vocab_size"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(sizes, "rk", "cum", "n_total", "n_vocab")
+        .groupBy("vocab_size", "n_vocab", "n_total")
+        .agg(
+            F.max(
+                F.when(F.col("rk") <= F.col("vocab_size"), F.col("cum"))
+            ).alias("mcum")
+        )
+        .select(
+            "vocab_size",
+            F.least(F.col("vocab_size").cast("bigint"), F.col("n_vocab")).alias(
+                "n_types"
+            ),
+            F.round(F.col("mcum").cast("double") / F.col("n_total"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+@register(
     "q_dup_rate_curve",
     # Thresholds compare against the 6-dp-ROUNDED jaccard on both
     # sides (the engine's pair table already carries the rounded
