@@ -305,13 +305,24 @@ def main() -> None:
     ]
     for name in suspects:
         warm: list[float] = []
-        for _attempt in range(2):
+        for attempt in range(4):
             t2 = _time_one(name, record_failure=False)
             if t2 is None:
                 break
             warm.append(t2)
             if t2 / base_q[name] <= 1.5:
-                break  # adjudicated clean — no second re-run
+                break  # adjudicated clean — no further re-runs
+            # Transient-stall guard (r9): if the re-runs read far
+            # SLOWER than the key's own already-warm first pass, the
+            # retime window itself is contaminated (observed: a
+            # machine-wide stall during the retime block scored
+            # q_ngrams 6.6s whose first pass was 0.77s — a 13x
+            # phantom). Let the stall pass before the next sample;
+            # the sleep is outside every timed region. A genuine
+            # regression keeps reading slow through all 4 samples
+            # and the median stays honest.
+            if attempt == 1 and all(t > 2 * timings[name] for t in warm):
+                time.sleep(2.0)
         if warm:
             retimed[name] = timings[name]
             timings[name] = round(statistics.median(warm), 3)
