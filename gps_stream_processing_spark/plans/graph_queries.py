@@ -326,3 +326,43 @@ def q_bfs_distance(spark: SparkSession, sf: str) -> DataFrame:
     # materialized graph - profiled ~1.1s/call saved at sf0.1
     out = bfs_distances(landed_customer_supplier_edges(spark, sf), seeds, n_rounds=3)
     return out.select("id", F.col("dist").cast("int").alias("dist"))
+
+
+@register(
+    "q_degree_distribution",
+    # The landed co-purchase edge list is undirected half-matrix (a<b):
+    # a node's degree counts BOTH endpoint roles. Histogram over
+    # degrees (node-count per degree value) — the standard first look
+    # at any graph's shape (hub detection, power-law check).
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS a,
+                      GREATEST(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY node
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    doc="Degree distribution of the co-purchase graph (SURVEY §2.7b "
+    "ext): explode both endpoints of the landed half-matrix edge list, "
+    "count per node, histogram per degree — two hash-aggs over the "
+    "materialized graph, the profiling pass that decides every "
+    "downstream graph strategy (a power-law tail means salting/hub "
+    "orientation; see q_triangle_count's measured skew gate). At "
+    "100 TB the edge list never re-derives (landed once per sf) and "
+    "degrees shuffle 8-byte keys.",
+)
+def q_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    e = landed_copurchase_edges(spark, sf)
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))

@@ -2474,6 +2474,55 @@ def q_join_lateral(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_gap_fill",
+    # 'error' events stand in for missing sensor readings (value
+    # masked to NULL), then forward-fill per user — Spark last(col,
+    # ignorenulls=True) == DuckDB last_value(col IGNORE NULLS) over
+    # the identical frame/order. Values pass through unchanged
+    # (no arithmetic), so the fill is bit-exact by construction.
+    oracle="""
+    WITH m AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE value END AS v,
+             event_type
+      FROM events WHERE user_id % 7 = 0
+    )
+    SELECT event_id, user_id,
+           ROUND(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS filled_value,
+           (v IS NULL) AS was_missing
+    FROM m
+    """,
+    doc="Forward gap-fill (SURVEY §2.7 ext): missing readings (here "
+    "'error' events masked to NULL) take the key's LAST KNOWN value — "
+    "last(col, ignorenulls=True) over an unbounded-preceding frame, "
+    "THE telemetry imputation primitive and the window-function form "
+    "of the reference's $CurrentUTC forward-fill "
+    "(class.nmea.parser.php:226; the merge pipeline does it "
+    "stateful-streaming-style, this is the batch spelling). One "
+    "shuffle on the key, one sort, O(1) per row — leading NULLs "
+    "before any observation stay NULL (nothing to carry).",
+)
+def q_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events").filter(F.col("user_id") % 7 == 0)
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(v, ignorenulls=True).over(w), 6).alias("filled_value"),
+        v.isNull().alias("was_missing"),
+    )
+
+
+@register(
     "q_ewma",
     # Both engines evaluate EXACTLY the recursion y_t = 0.8*y_{t-1} +
     # 0.2*x_t as a sequential fold over the same (ts, event_id)-sorted
