@@ -255,6 +255,70 @@ def q_mix_sources(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_sample_weighted",
+    # Efraimidis–Spirakis A-ES with HASH-derived uniforms: key =
+    # u^(1/w), global top-500 by key = a weighted sample without
+    # replacement — deterministic across reruns AND engines because u
+    # comes from md5, not rand(). Float discipline: the uniform is the
+    # same 32-bit integer / 2^32 on both sides (Spark conv(hex,16,10)
+    # == DuckDB CAST('0x'||hex AS BIGINT)); pow() may differ by an ulp
+    # between libms, but adjacent order-statistic gaps at n≈corpus are
+    # ~1e-7 while ulp drift is ~1e-16 — the rank-500 boundary is far
+    # from any tie (doc_id tie-break regardless).
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, source, n_chars,
+             CAST(concat('0x',
+                  substring(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS uni
+      FROM documents
+    ), keyed AS (
+      SELECT source, n_chars, doc_id, POW(uni, 1.0 / n_chars) AS k
+      FROM u
+    ), top AS (
+      SELECT source, n_chars FROM keyed ORDER BY k DESC, doc_id LIMIT 500
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM top GROUP BY source
+    """,
+    doc="Deterministic WEIGHTED sampling without replacement (SURVEY "
+    "§2.9 ext; Efraimidis–Spirakis A-ES): each doc draws key "
+    "u^(1/weight) with u an md5-derived uniform and weight = n_chars, "
+    "and the global top-500 keys ARE a weighted sample — longer docs "
+    "proportionally likelier, yet the whole draw replays bit-identically "
+    "on rerun (rand()-based weighted sampling is neither reproducible "
+    "nor oracle-checkable). This is how a curation pipeline takes a "
+    "quality-weighted subsample (swap n_chars for a model quality "
+    "score) at any scale: scan + one top-k (TakeOrdered — no global "
+    "sort), no shuffle of the corpus.",
+)
+def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    uni = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    keyed = d.select(
+        "source",
+        "n_chars",
+        "doc_id",
+        F.pow(uni, F.lit(1.0) / F.col("n_chars")).alias("k"),
+    )
+    top = keyed.orderBy(F.desc("k"), "doc_id").limit(500)
+    return top.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
     "q_cap_per_group",
     oracle="""
     WITH ranked AS (
