@@ -808,6 +808,73 @@ def q_custom_stream_sink(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_stream_upsert_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Streaming UPSERT into a serving table (SURVEY §2.8): an "
+    "update-mode aggregation emits only the keys each micro-batch "
+    "CHANGED, and foreachBatch merges them into a landed parquet "
+    "'serving' directory (replace-matched-keys ∪ insert-new, swapped "
+    "in atomically via a staging dir + rename) — the most common "
+    "production streaming sink after Kafka: a continuously-maintained "
+    "aggregate a dashboard reads. Contrast q_stream_foreachbatch "
+    "(append raw rows) and q_merge_upsert (batch MERGE): this is the "
+    "streaming+merge composition. Full oracle: the final serving "
+    "state equals the batch aggregate (any lost/duplicated upsert "
+    "moves a count).",
+)
+def q_stream_upsert_sink(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    base = os.path.join(land_dir("upsert", sf), uuid.uuid4().hex)
+    serving = os.path.join(base, "serving")
+    ckpt = os.path.join(base, "ckpt")
+
+    def upsert(batch_df, _batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)  # detach from the
+        # streaming plan AND from the serving files we're about to swap
+        if os.path.exists(serving):
+            existing = spark.read.parquet(serving).localCheckpoint(eager=True)
+            keep = existing.join(
+                batch_df.select("event_type"), "event_type", "left_anti"
+            )
+            merged = keep.unionByName(batch_df)
+        else:
+            merged = batch_df
+        staging = serving + ".staging"
+        merged.coalesce(1).write.mode("overwrite").parquet(staging)
+        old = serving + ".old"
+        if os.path.exists(serving):
+            os.rename(serving, old)
+        os.rename(staging, serving)
+        shutil.rmtree(old, ignore_errors=True)
+
+    agg = (
+        events_stream(spark, sf)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(serving)
+
+
+@register(
     "q_stream_resume",
     oracle="""
     SELECT event_type,

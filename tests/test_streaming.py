@@ -711,3 +711,61 @@ def test_stream_resume_processes_only_delta(spark, tmp_path):
     before = len(seen)
     drive()
     assert sum(n for _, n in seen[before:]) == 0
+
+
+def test_stream_upsert_sink_merges_across_batches(spark, tmp_path):
+    """Multi-batch upsert contract: a later batch REPLACES matched keys
+    and inserts new ones; untouched keys survive. Driven through a real
+    update-mode stream over two file arrivals (the q_stream_resume
+    mechanics) into the same merge logic shape."""
+    import os
+
+    inc = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    serving = str(tmp_path / "serving")
+    import shutil
+
+    def upsert(batch_df, _bid):
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if os.path.exists(serving):
+            existing = spark.read.parquet(serving).localCheckpoint(eager=True)
+            merged = existing.join(
+                batch_df.select("k"), "k", "left_anti"
+            ).unionByName(batch_df)
+        else:
+            merged = batch_df
+        staging = serving + ".staging"
+        merged.coalesce(1).write.mode("overwrite").parquet(staging)
+        old = serving + ".old"
+        if os.path.exists(serving):
+            os.rename(serving, old)
+        os.rename(staging, serving)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def drive():
+        q = (
+            spark.readStream.schema("k string, v long")
+            .parquet(inc)
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .withColumnRenamed("sum(v)", "s")
+            .writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([("A", 1), ("B", 2)], "k string, v long").coalesce(
+        1
+    ).write.mode("append").parquet(inc)
+    drive()
+    spark.createDataFrame([("B", 3), ("C", 7)], "k string, v long").coalesce(
+        1
+    ).write.mode("append").parquet(inc)
+    drive()  # resumes: batch 2 updates B (now 2+3=5) and inserts C
+    got = {
+        r.k: r.s for r in spark.read.parquet(serving).collect()
+    }
+    assert got == {"A": 1, "B": 5, "C": 7}, got
