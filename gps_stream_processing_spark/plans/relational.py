@@ -2474,6 +2474,88 @@ def q_join_lateral(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_market_basket",
+    # lift = (n_ab * N) / (n_a * n_b): all-integer numerator and
+    # denominator computed BEFORE one double division → 6-dp round is
+    # the only float step, identical both sides.
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+    items AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+      FROM b GROUP BY l_partkey
+    ), pairs AS (
+      SELECT x.l_partkey AS item_a, y.l_partkey AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                       AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT p.item_a, p.item_b, p.n_ab,
+           ROUND(CAST(p.n_ab * n.n_orders AS DOUBLE)
+                 / (ia.n_item * ib.n_item), 6) AS lift
+    FROM pairs p
+    JOIN items ia ON ia.l_partkey = p.item_a
+    JOIN items ib ON ib.l_partkey = p.item_b, n
+    """,
+    doc="Market-basket frequent pairs + LIFT (SURVEY §2.3/§2.7b ext): "
+    "co-occurring parts within an order basket at support ≥ 3, scored "
+    "by lift = P(a,b)/(P(a)P(b)) — the co-purchase recommender "
+    "primitive (FP-growth's pair tier, which captures most of the "
+    "value at a fraction of the machinery). The pair join is quadratic "
+    "only WITHIN baskets (~7 items each: ~21 pairs/basket — the "
+    "co-shingle shape, linear in baskets); item counts broadcast back; "
+    "the global N is a 1-row aggregate. All-integer counts; one "
+    "rounded division at the end → exact oracle.",
+)
+def q_market_basket(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=True
+    )
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    items = b.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    x = b.alias("x")
+    y = b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("item_a"),
+            F.col("y.l_partkey").alias("item_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ia = items.select(
+        F.col("l_partkey").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    ib = items.select(
+        F.col("l_partkey").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(ia, "item_a")
+        .join(ib, "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
     "q_gap_fill",
     # 'error' events stand in for missing sensor readings (value
     # masked to NULL), then forward-fill per user — Spark last(col,

@@ -81,6 +81,9 @@ NESTED_LOOP_ALLOWED = {
     "q_vocab_coverage": "1-row broadcast (n_total, n_vocab) corpus-"
     "totals aggregate crossed onto the vocabulary ranking — the "
     "q_tfidf shape; the window input is types, already agg-sized",
+    "q_market_basket": "1-row broadcast n_orders aggregate for the "
+    "lift denominator — the q_tfidf shape; the pair join itself is "
+    "a basket-keyed equi join",
 }
 # Empty since the Arrow UDTF switch (spark.sql.execution.pythonUDTF.
 # arrow.enabled, set by get_spark AND tune_session): q_udtf_gsv now
