@@ -2474,6 +2474,70 @@ def q_join_lateral(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_rfm_segments",
+    # ntile needs a TOTAL order to be deterministic: every quartile
+    # window tie-breaks on o_custkey. Monetary is DECIMAL(18,2)-summed
+    # on BOTH sides (double re-association flipped a cent at 2 dp in
+    # the first draft), and the per-segment total stays in exact
+    # decimal until one final lossless cast (totals ~1e9 << 2^53; an
+    # AVG variant hit a true .xx5 midpoint that the engines round
+    # differently on doubles — sums have no midpoints).
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS recency,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey, monetary,
+             NTILE(4) OVER (ORDER BY recency, o_custkey) AS r,
+             NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f,
+             NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m
+      FROM rfm
+    )
+    SELECT CAST(r * 100 + f * 10 + m AS INT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) AS sum_monetary
+    FROM scored GROUP BY 1
+    """,
+    doc="RFM segmentation (SURVEY §2.7 ext): the marketing-analytics "
+    "staple — per customer recency/frequency/monetary, each cut into "
+    "quartiles (ntile over a TOTAL order: metric + custkey tie-break, "
+    "or reruns shuffle equal customers between segments), combined "
+    "into a 3-digit segment code, then per-segment accounting. One "
+    "customer-keyed aggregate + three rank windows over the CUSTOMER "
+    "table (already aggregate-sized relative to the fact) — at 100 TB "
+    "the orders scan dominates and the windows are noise.",
+)
+def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(W.orderBy("recency", "o_custkey")).alias("r"),
+        F.ntile(4).over(W.orderBy("frequency", "o_custkey")).alias("f"),
+        F.ntile(4).over(W.orderBy("monetary", "o_custkey")).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+            .cast("int")
+            .alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary").cast("double").alias("sum_monetary"),
+        )
+    )
+
+
+@register(
     "q_market_basket",
     # lift = (n_ab * N) / (n_a * n_b): all-integer numerator and
     # denominator computed BEFORE one double division → 6-dp round is
