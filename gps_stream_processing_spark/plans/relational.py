@@ -2474,6 +2474,96 @@ def q_join_lateral(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_cohort_revenue",
+    # month_offset via portable integer arithmetic ((y2-y1)*12 +
+    # (m2-m1)) — months_between/datediff('month') disagree across
+    # engines on day-of-month edge cases; year/month extraction
+    # cannot. Revenue DECIMAL-summed (the q_rfm_segments lesson).
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, MIN(o_orderdate) AS first_dt
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(date_trunc('month', f.first_dt) AS DATE) AS cohort_month,
+           CAST((year(o.o_orderdate) - year(f.first_dt)) * 12
+                + (month(o.o_orderdate) - month(f.first_dt)) AS INT)
+             AS month_offset,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+           CAST(SUM(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS revenue
+    FROM orders o JOIN firsts f USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort revenue matrix (SURVEY §2.7b ext, the revenue twin of "
+    "q_retention's activity cohorts): customers grouped by FIRST-order "
+    "month, revenue and active count per (cohort, month-offset) cell — "
+    "the LTV curve every subscription/commerce analytics stack draws. "
+    "One customer-keyed MIN aggregate (broadcast back, it's "
+    "customer-sized) + one pass over orders; month arithmetic is "
+    "all-integer (year*12+month), revenue is DECIMAL-exact until one "
+    "lossless cast.",
+)
+def q_cohort_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    firsts = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    j = o.join(firsts, "o_custkey")
+    offset = (
+        (F.year("o_orderdate") - F.year("first_dt")) * 12
+        + (F.month("o_orderdate") - F.month("first_dt"))
+    ).cast("int")
+    return (
+        j.groupBy(
+            F.trunc("first_dt", "month").alias("cohort_month"),
+            offset.alias("month_offset"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_mom_change",
+    # Ratio of two exact-decimal sums, cast losslessly to double,
+    # rounded once — no midpoint risk (the ratio is irrational).
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT m, CAST(rev AS DOUBLE) AS revenue,
+           ROUND((CAST(rev AS DOUBLE) - CAST(lag(rev) OVER w AS DOUBLE))
+                 / CAST(lag(rev) OVER w AS DOUBLE) * 100, 6) AS pct_change
+    FROM monthly WINDOW w AS (ORDER BY m)
+    """,
+    doc="Month-over-month % change (SURVEY §2.7 ext): the reporting "
+    "primitive — monthly revenue with lag-based growth rate; first "
+    "month NULL (nothing to compare). The window runs over MONTHS "
+    "(already aggregate-sized), so the single-partition lag is free at "
+    "any scale; the fact scan + one hash-agg dominate.",
+)
+def q_mom_change(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    monthly = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("m")
+    ).agg(
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("rev")
+    )
+    w = W.orderBy("m")
+    rev_d = F.col("rev").cast("double")
+    prev_d = F.lag("rev").over(w).cast("double")
+    return monthly.select(
+        "m",
+        rev_d.alias("revenue"),
+        F.round((rev_d - prev_d) / prev_d * 100, 6).alias("pct_change"),
+    )
+
+
+@register(
     "q_rfm_segments",
     # ntile needs a TOTAL order to be deterministic: every quartile
     # window tie-breaks on o_custkey. Monetary is DECIMAL(18,2)-summed
