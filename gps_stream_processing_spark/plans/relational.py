@@ -2473,6 +2473,97 @@ def q_join_lateral(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _corrupt_jsonl_lines(n: int = 40) -> list[str]:
+    """Deterministic mixed-validity JSONL: every 4th line is malformed
+    (bare token where a value belongs). Shared by the landing, the
+    oracle reduction, and the pytest pin."""
+    out = []
+    for i in range(n):
+        if i % 4 == 3:
+            out.append('{"k": %d, "v": oops}' % i)
+        else:
+            out.append('{"k": %d, "v": %s}' % (i, i / 2))
+    return out
+
+
+def _corrupt_ingest_oracle(n: int = 40) -> str:
+    good = [i for i in range(n) if i % 4 != 3]
+    return (
+        f"SELECT CAST({len(good)} AS BIGINT) AS n_good, "
+        f"CAST({n - len(good)} AS BIGINT) AS n_bad, "
+        f"CAST({sum(good)} AS BIGINT) AS sum_k"
+    )
+
+
+@register(
+    "q_read_corrupt_json",
+    oracle=_corrupt_ingest_oracle(),
+    doc="Corrupt-record-tolerant ingest (SURVEY §2.1 ext): PERMISSIVE "
+    "JSON read with columnNameOfCorruptRecord — malformed lines land "
+    "in the corrupt column (their typed fields NULL) instead of "
+    "killing the job, and the good/bad accounting is one aggregate. "
+    "THE robustness contract of crawl-scale ingest: at 100 TB some "
+    "fraction of every feed is garbage, and FAILFAST means the whole "
+    "job re-runs for one bad line while DROPMALFORMED silently loses "
+    "data — PERMISSIVE + quarantine accounting is the production "
+    "posture. Oracle: the landed fixture's known good/bad split as a "
+    "literal (the generator is the source of truth).",
+)
+def q_read_corrupt_json(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    out = land_dir("corrupt_json", sf)
+    path = os.path.join(out, "mixed.jsonl")
+    if not os.path.exists(path):
+        os.makedirs(out, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(_corrupt_jsonl_lines()) + "\n")
+        os.replace(tmp, path)
+    df = (
+        spark.read.schema("k long, v double, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    return df.agg(
+        F.sum(F.col("_corrupt").isNull().cast("bigint")).alias("n_good"),
+        F.sum(F.col("_corrupt").isNotNull().cast("bigint")).alias("n_bad"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("k"))).alias("sum_k"),
+    )
+
+
+@register(
+    "q_count_distinct_twostage",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM d GROUP BY o_orderpriority
+    """,
+    doc="Two-stage distinct count (SURVEY §2.4 ext) — the skew-proof "
+    "spelling of COUNT(DISTINCT v) per key: stage 1 dedups (key, v) "
+    "pairs (hash-agg, partials combine map-side, the HOT KEY's "
+    "distinct values spread across ALL partitions), stage 2 counts "
+    "rows per key. Semantically identical to q_agg_count_distinct; "
+    "operationally different at 100 TB under skew: the single-pass "
+    "COUNT(DISTINCT) materializes one key's entire distinct SET in "
+    "one task's aggregation buffer (the OOM that kills the nightly "
+    "job when one tenant is 100x the rest), while the two-stage form "
+    "never holds more than a hash-map partition of pairs. The "
+    "rewrite IS the fix — registered so the contrast is plan-visible "
+    "next to its single-pass twin.",
+)
+def q_count_distinct_twostage(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    pairs = o.select("o_orderpriority", "o_custkey").distinct()
+    return pairs.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
 @register(
     "q_cohort_revenue",
     # month_offset via portable integer arithmetic ((y2-y1)*12 +
