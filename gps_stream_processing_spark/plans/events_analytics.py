@@ -23,6 +23,166 @@ from gps_stream_processing_spark.plans.registry import register, table
 
 
 @register(
+    "q_missing_buckets",
+    # Spark sequence() and DuckDB generate_series are both
+    # endpoint-inclusive over DATE + 1-day step; counts are
+    # all-integer. Users restricted (% 20) so the expected-bucket
+    # explode stays proportional at every SF.
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0,
+             MAX(CAST(date_trunc('day', ts) AS DATE)) AS d1
+      FROM events WHERE user_id % 20 = 0 GROUP BY user_id
+    ), expected AS (
+      SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    ), observed AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events WHERE user_id % 20 = 0
+    )
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_expected,
+           CAST(SUM(CASE WHEN o.day IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_active,
+           CAST(SUM(CASE WHEN o.day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing
+    FROM expected e LEFT JOIN observed o
+      ON e.user_id = o.user_id AND e.day = o.day
+    GROUP BY e.user_id
+    """,
+    doc="Missing-bucket detection (SURVEY §2.7 ext): per user, the "
+    "expected day series between first and last activity (sequence + "
+    "explode) anti-checked against observed days — the sensor-"
+    "downtime / data-gap audit every telemetry pipeline runs (a day "
+    "with zero rows is invisible to every GROUP BY; you must "
+    "MANUFACTURE the expected axis to see the hole). Explode cost is "
+    "span-proportional, join is equi on (user, day) — linear, and at "
+    "100 TB the expected side is generated, never stored.",
+)
+def q_missing_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events").filter(F.col("user_id") % 20 == 0)
+    day = F.to_date(F.date_trunc("day", "ts"))
+    span = e.groupBy("user_id").agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    expected = span.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(d0, d1, interval 1 day)")
+        ).alias("day"),
+    )
+    observed = e.select("user_id", day.alias("day")).distinct().withColumn(
+        "hit", F.lit(1)
+    )
+    return (
+        expected.join(observed, ["user_id", "day"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_expected"),
+            F.sum(F.col("hit").isNotNull().cast("bigint")).alias("n_active"),
+            F.sum(F.col("hit").isNull().cast("bigint")).alias("n_missing"),
+        )
+    )
+
+
+@register(
+    "q_transition_matrix",
+    # Transition probability = n_ab / n_from: integer counts, one
+    # rounded division. (ts, event_id) tie-break keeps each user's
+    # sequence a total order.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ), totals AS (
+      SELECT from_type, SUM(n) AS n_from FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n,
+           ROUND(CAST(p.n AS DOUBLE) / t.n_from, 6) AS p_transition
+    FROM pairs p JOIN totals t USING (from_type)
+    """,
+    doc="Event TRANSITION MATRIX (SURVEY §2.7b ext): per-user "
+    "next-event via lead(), then (from, to) counts normalized into "
+    "first-order Markov transition probabilities — the user-flow / "
+    "Sankey primitive behind every journey diagram, and the input to "
+    "next-action models. One shuffle on the user key + one sort for "
+    "the lead, then type-pair aggregation over a handful of states — "
+    "the window is the only data-sized stage and it's the q_lag_delta "
+    "shape. All-integer counts; one rounded division.",
+)
+def q_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n"))
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias(
+            "p_transition"
+        ),
+    )
+
+
+@register(
+    "q_cumulative_users",
+    # A user counts from their FIRST day: first-seen per user, then a
+    # cumulative sum over the day series — the one-pass spelling of
+    # "cumulative COUNT(DISTINCT)" (which no engine can window
+    # directly without quadratic state).
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT d0 AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY d0
+    )
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cumulative
+    FROM daily
+    """,
+    doc="Cumulative distinct users by day (SURVEY §2.7b ext): the "
+    "growth curve — computed as first-seen-date per user + a running "
+    "sum over DAYS, the linear-state spelling of a cumulative "
+    "COUNT(DISTINCT) (windowing a distinct count directly would hold "
+    "every prior key per frame). One user-keyed MIN aggregate + a "
+    "window over the day series (aggregate-sized). All-integer.",
+)
+def q_cumulative_users(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.to_date(F.date_trunc("day", "ts"))).alias("d0")
+    )
+    daily = firsts.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day", "n_new", F.sum("n_new").over(w).alias("n_cumulative")
+    )
+
+
+@register(
     "q_funnel",
     oracle="""
     WITH s AS (
