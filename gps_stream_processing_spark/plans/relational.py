@@ -2473,6 +2473,108 @@ def q_join_lateral(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_ab_assignment",
+    # Value sums DECIMAL-stabilized (the family rule); the variant is
+    # a pure function of user_id so the same user lands in the same
+    # arm in every run, engine, and table — the invariant that makes
+    # an experiment analyzable at all.
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id, value,
+             CASE WHEN substring(md5('exp1' || CAST(user_id AS VARCHAR)),
+                                 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_value
+    FROM assigned GROUP BY variant
+    """,
+    doc="Deterministic A/B assignment + per-arm accounting (SURVEY "
+    "§2.9 ext): variant = hash(salt ‖ user_id) — the experiment "
+    "primitive. Hash assignment (never rand()) is what guarantees a "
+    "user stays in one arm across sessions, tables, engines, and "
+    "reruns, and that the split is reproducible for audit; the salt "
+    "namespaces concurrent experiments so arms stay independent. "
+    "First hex digit < '8' → exactly 1/2 of the hash space per arm; "
+    "scan-speed predicate, no shuffle beyond the final accounting.",
+)
+def q_ab_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    variant = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp1"), F.col("user_id").cast("string"))), 1, 1
+        )
+        < "8",
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    return (
+        e.select(variant.alias("variant"), "user_id", "value")
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.round("value", 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q_benford_digits",
+    # Leading digit extracted from the INTEGER cents string — never
+    # from double formatting (engines print doubles differently).
+    # Benford expectation log10(1 + 1/d) is a literal table.
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), n AS (SELECT COUNT(*) AS total FROM d)
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / n.total, 6) AS observed_p,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_p
+    FROM d, n GROUP BY digit, n.total
+    """,
+    doc="Benford leading-digit audit (SURVEY §2.2 ext, the forensic "
+    "member of the DQ family): the first-significant-digit "
+    "distribution of order totals against Benford's law — the "
+    "fraud/fabrication screen auditors run on financial facts "
+    "(fabricated numbers over-use middle digits). Digit comes from "
+    "the integer-cents STRING (double formatting differs across "
+    "engines; bigint strings don't); expectation log10(1+1/d) "
+    "computed per row from the digit — one scan + a 9-group agg.",
+)
+def q_benford_digits(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    d = o.select(digit.alias("digit"))
+    n = d.agg(F.count("*").alias("total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n_orders"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(F.col("n_orders").cast("double") / F.col("total"), 6).alias(
+                "observed_p"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_p"),
+        )
+    )
+
+
 def _corrupt_jsonl_lines(n: int = 40) -> list[str]:
     """Deterministic mixed-validity JSONL: every 4th line is malformed
     (bare token where a value belongs). Shared by the landing, the

@@ -84,6 +84,9 @@ NESTED_LOOP_ALLOWED = {
     "q_market_basket": "1-row broadcast n_orders aggregate for the "
     "lift denominator — the q_tfidf shape; the pair join itself is "
     "a basket-keyed equi join",
+    "q_benford_digits": "1-row broadcast total-count aggregate for "
+    "the observed-probability denominator — the q_tfidf shape over "
+    "a 9-group digit table",
 }
 # Empty since the Arrow UDTF switch (spark.sql.execution.pythonUDTF.
 # arrow.enabled, set by get_spark AND tune_session): q_udtf_gsv now
