@@ -2367,6 +2367,124 @@ def q_transpose(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_hll_sliding",
+    # Same contract shape as the other sketch keys: exact value +
+    # within-envelope flag. The exact trailing-7d distinct uses the
+    # contribute-to-windows explode (each event feeds days d..d+6 —
+    # linear ×7) instead of a day×events range join; windows outside
+    # the observed day set are dropped on both sides.
+    oracle="""
+    WITH obs AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    ), contrib AS (
+      SELECT user_id,
+             UNNEST(generate_series(CAST(date_trunc('day', ts) AS DATE),
+                    CAST(date_trunc('day', ts) AS DATE) + 6,
+                    INTERVAL 1 DAY))::DATE AS wday
+      FROM events
+    )
+    SELECT c.wday AS day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS exact_users_7d,
+           TRUE AS approx_within_5pct
+    FROM contrib c JOIN obs o ON o.day = c.wday
+    GROUP BY c.wday
+    """,
+    doc="SLIDING-WINDOW distinct users via temporal HLL rollup (SURVEY "
+    "§2.4/§2.7 ext): one daily sketch per day (hll_sketch_agg), then "
+    "the trailing-7-day estimate is hll_union_agg AS A WINDOW FUNCTION "
+    "over the day series — the sketch-rollup architecture applied "
+    "temporally. This is THE way to get rolling distinct counts at "
+    "100 TB: exact rolling distinct re-scans 7 days per day (or "
+    "explodes ×7, as the verification twin here does); daily sketches "
+    "are built once, stored, and unioned per window at ~KB each. "
+    "Exact twin via contribute-to-windows explode; the oracle asserts "
+    "each estimate lands within ±5%.",
+)
+def q_hll_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    day = F.to_date(F.date_trunc("day", "ts"))
+    daily = e.groupBy(day.alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    est = daily.selectExpr(
+        "day",
+        "hll_sketch_estimate(hll_union_agg(sk) OVER (ORDER BY day "
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS approx_7d",
+    )
+    contrib = e.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "sequence(to_date(date_trunc('day', ts)), "
+                "date_add(to_date(date_trunc('day', ts)), 6), "
+                "interval 1 day)"
+            )
+        ).alias("day"),
+    )
+    exact = (
+        contrib.join(F.broadcast(daily.select("day")), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "exact_users_7d",
+        (
+            F.abs(F.col("approx_7d") - F.col("exact_users_7d"))
+            <= 0.05 * F.col("exact_users_7d")
+        ).alias("approx_within_5pct"),
+    )
+
+
+@register(
+    "q_bounce_rate",
+    # Session definition identical to q_sessionize / q_stream_session
+    # (30-minute gap); the oracle is the same gaps-and-islands SQL
+    # reduced to the bounce accounting. All-integer until one rounded
+    # division.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), per AS (
+      SELECT user_id, sid, COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS bounce_rate
+    FROM per
+    """,
+    doc="Bounce rate (SURVEY §2.7 ext): single-event sessions over "
+    "total sessions at the 30-minute gap — the engagement KPI that "
+    "rides the sessionizer (same session_window operator as "
+    "q_sessionize, one shuffle) plus one tiny accounting aggregate. "
+    "All-integer counts, one rounded division.",
+)
+def q_bounce_rate(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    per = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count("*").alias("n_events"))
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("bigint")).alias("n_bounces"),
+        F.round(
+            F.sum((F.col("n_events") == 1).cast("double")) / F.count("*"), 6
+        ).alias("bounce_rate"),
+    )
+
+
+@register(
     "q_kll_quantile_sketch",
     # Same contract shape as q_hll_partitioned_sketch: sketch bytes
     # are engine-specific (and KLL compaction is randomized), so the
