@@ -325,7 +325,19 @@ def main() -> None:
                 time.sleep(2.0)
         if warm:
             retimed[name] = timings[name]
-            timings[name] = round(statistics.median(warm), 3)
+            # The adjudication's license is to REMOVE first-touch cost
+            # — never to add cost the standard measurement didn't show.
+            # Cap the adjudicated value at the key's own first pass:
+            # a sustained machine stall that outlives all 4 re-run
+            # samples (observed twice in r9 — different keys each
+            # time, ~20s+ stalls) would otherwise replace a clean
+            # first-pass timing with a contaminated median. A real
+            # regression is visible in the first pass itself, so this
+            # cap cannot hide one (unlike min-of-re-runs, which the r7
+            # ADVICE rejected for exactly that reason).
+            timings[name] = round(
+                min(timings[name], statistics.median(warm)), 3
+            )
 
     total = round(sum(v for k, v in timings.items() if k not in HEADLINE_EXCLUDE), 3)
     out = {
