@@ -2437,6 +2437,61 @@ def q_hll_sliding(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_session_duration",
+    # Durations are whole seconds (integer-valued doubles), so the
+    # interpolated percentiles land on .0/.5 values that are exactly
+    # representable — compared UNROUNDED (rounding a true .5 is the
+    # one case the engines disagree on; not rounding sidesteps it).
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), dur AS (
+      SELECT CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+                  AS DOUBLE) AS dur_sec
+      FROM sessions GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           quantile_cont(dur_sec, 0.5) AS p50_sec,
+           quantile_cont(dur_sec, 0.9) AS p90_sec,
+           CAST(MAX(dur_sec) AS DOUBLE) AS max_sec
+    FROM dur
+    """,
+    doc="Session duration distribution (SURVEY §2.7 ext, the "
+    "engagement-depth twin of q_bounce_rate): per-session wall time "
+    "at the 30-minute gap, summarized as p50/p90/max — the dwell-time "
+    "KPI. Rides the same session_window shuffle; the percentile runs "
+    "over SESSIONS (already aggregate-sized). Integer-second "
+    "durations keep the interpolated percentiles exactly "
+    "representable → exact unrounded oracle.",
+)
+def q_session_duration(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    dur = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.expr(
+                "cast((unix_micros(max(ts)) - unix_micros(min(ts))) "
+                "div 1000000 as double)"
+            ).alias("dur_sec")
+        )
+    )
+    return dur.agg(
+        F.count("*").alias("n_sessions"),
+        F.expr("percentile(dur_sec, 0.5)").alias("p50_sec"),
+        F.expr("percentile(dur_sec, 0.9)").alias("p90_sec"),
+        F.max("dur_sec").alias("max_sec"),
+    )
+
+
+@register(
     "q_bounce_rate",
     # Session definition identical to q_sessionize / q_stream_session
     # (30-minute gap); the oracle is the same gaps-and-islands SQL
