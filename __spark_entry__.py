@@ -83,6 +83,7 @@ _COMMITTED_ROUNDS = (
     "CORRECTNESS_r06.json",
     "CORRECTNESS_r07.json",
     "CORRECTNESS_r08.json",
+    "CORRECTNESS_r09.json",
 )
 
 # Keys whose EXECUTION PLAN changed after their last green driver row,
@@ -157,6 +158,18 @@ _CHANGED_SINCE_VERIFIED = (
     # key composes them — expressions identical by construction
     # (hash-verified at sf0.001/sf0.01 post-refactor), re-check anyway.
     ("q_ann_ivf", 9),
+    # r10 (ADVICE r9 fixes): q_gap_fill's mask now mirrors the
+    # oracle's CASE on NULL event_type; q_hll_sliding's approx frame
+    # is RANGE over calendar days (was ROWS over observed-day rows);
+    # q_session_duration rounds p50/p90 to 6 dp BOTH sides (oracle
+    # text changed too); q_custom_stream_sink's publish names are now
+    # deterministic (batchId, task idx) for idempotent replay — same
+    # rows, new file names under the same glob. All four re-verified
+    # green at sf0.01 locally, re-check in the driver window anyway.
+    ("q_gap_fill", 10),
+    ("q_hll_sliding", 10),
+    ("q_session_duration", 10),
+    ("q_custom_stream_sink", 10),
 )
 
 

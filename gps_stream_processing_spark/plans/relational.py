@@ -2406,10 +2406,16 @@ def q_hll_sliding(spark: SparkSession, sf: str) -> DataFrame:
     daily = e.groupBy(day.alias("day")).agg(
         F.expr("hll_sketch_agg(user_id)").alias("sk")
     )
+    # RANGE over the day value, not ROWS over observed-day rows: with a
+    # gap in the day series a 6-PRECEDING ROWS frame would span more
+    # than 7 calendar days while the exact twin counts by calendar day
+    # (ADVICE r9 — latent on the 30-contiguous-day fixtures, wrong the
+    # first time a day has zero events).
     est = daily.selectExpr(
         "day",
         "hll_sketch_estimate(hll_union_agg(sk) OVER (ORDER BY day "
-        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS approx_7d",
+        "RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)) "
+        "AS approx_7d",
     )
     contrib = e.select(
         "user_id",
@@ -2438,10 +2444,11 @@ def q_hll_sliding(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_session_duration",
-    # Durations are whole seconds (integer-valued doubles), so the
-    # interpolated percentiles land on .0/.5 values that are exactly
-    # representable — compared UNROUNDED (rounding a true .5 is the
-    # one case the engines disagree on; not rounding sidesteps it).
+    # Interpolated percentiles are rounded to 6 dp on BOTH sides (the
+    # repo's standard float discipline): integer-second durations only
+    # guarantee exact representability when the interpolation fraction
+    # is 0/.5, and frac(0.9*(n-1)) is data-dependent — the unrounded
+    # compare held only by fixture luck (ADVICE r9).
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts,
@@ -2459,8 +2466,8 @@ def q_hll_sliding(spark: SparkSession, sf: str) -> DataFrame:
       FROM sessions GROUP BY user_id, sid
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
-           quantile_cont(dur_sec, 0.5) AS p50_sec,
-           quantile_cont(dur_sec, 0.9) AS p90_sec,
+           ROUND(quantile_cont(dur_sec, 0.5), 6) AS p50_sec,
+           ROUND(quantile_cont(dur_sec, 0.9), 6) AS p90_sec,
            CAST(MAX(dur_sec) AS DOUBLE) AS max_sec
     FROM dur
     """,
@@ -2468,9 +2475,9 @@ def q_hll_sliding(spark: SparkSession, sf: str) -> DataFrame:
     "engagement-depth twin of q_bounce_rate): per-session wall time "
     "at the 30-minute gap, summarized as p50/p90/max — the dwell-time "
     "KPI. Rides the same session_window shuffle; the percentile runs "
-    "over SESSIONS (already aggregate-sized). Integer-second "
-    "durations keep the interpolated percentiles exactly "
-    "representable → exact unrounded oracle.",
+    "over SESSIONS (already aggregate-sized). Interpolated "
+    "percentiles rounded to 6 dp on both sides (standard float "
+    "discipline).",
 )
 def q_session_duration(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "events")
@@ -2485,8 +2492,8 @@ def q_session_duration(spark: SparkSession, sf: str) -> DataFrame:
     )
     return dur.agg(
         F.count("*").alias("n_sessions"),
-        F.expr("percentile(dur_sec, 0.5)").alias("p50_sec"),
-        F.expr("percentile(dur_sec, 0.9)").alias("p90_sec"),
+        F.round(F.expr("percentile(dur_sec, 0.5)"), 6).alias("p50_sec"),
+        F.round(F.expr("percentile(dur_sec, 0.9)"), 6).alias("p90_sec"),
         F.max("dur_sec").alias("max_sec"),
     )
 
@@ -3110,7 +3117,13 @@ def q_market_basket(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "events").filter(F.col("user_id") % 7 == 0)
-    v = F.when(F.col("event_type") != "error", F.col("value"))
+    # Mask EXACTLY like the oracle's CASE WHEN = 'error' THEN NULL ELSE
+    # value: the earlier `when(type != 'error', value)` spelling NULLed
+    # a NULL event_type too, where the oracle's ELSE keeps the value —
+    # a latent divergence the fixtures never exercised (ADVICE r9).
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")

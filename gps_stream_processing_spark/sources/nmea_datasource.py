@@ -354,15 +354,23 @@ class JsonlLandStreamWriter(DataSourceStreamWriter):
     """STREAMING twin of :class:`JsonlLandWriter` (Spark 4
     ``DataSourceStreamWriter``): per-MICRO-BATCH two-phase commit.
     Tasks land private temp files exactly like the batch writer; the
-    driver-side ``commit(messages, batchId)`` publishes them under a
-    ``batch-<id>-`` prefix and drops a ``_commits/<id>`` marker FIRST
-    checking for that marker — a replayed micro-batch (checkpoint
-    recovery re-delivers the last uncommitted batch) discards its
-    duplicate temp files instead of double-publishing. That marker
-    check is what turns Spark's at-least-once batch re-delivery into
-    exactly-once sink output — the contract every custom streaming
-    sink must implement (Kafka's transactional producer, Delta's txn
-    table do the same thing). Commit touches O(tasks) names/batch."""
+    driver-side ``commit(messages, batchId)`` publishes them under
+    DETERMINISTIC ``batch-<id>-part-<taskIdx>`` names, then drops a
+    ``_commits/<id>`` marker via temp-write + atomic rename — the
+    marker is the single commit point. Replay safety has two layers
+    (ADVICE r9 hardening): (1) a marker hit means the batch is fully
+    published — the replay discards its duplicate temps; (2) a crash
+    INSIDE the commit window (some files renamed, no marker yet)
+    leaves no marker, so the replayed commit runs again — and because
+    publish names derive from (batchId, task index), not the task
+    uuid, the re-publish OVERWRITES the partial attempt's files
+    (rename-over is atomic on POSIX) instead of adding duplicates;
+    stale leftovers from an attempt with more tasks are swept by
+    prefix before the rename loop. That idempotent-republish + marker
+    protocol is what turns Spark's at-least-once batch re-delivery
+    into exactly-once sink output — the contract every custom
+    streaming sink must implement (Kafka's transactional producer,
+    Delta's txn table do the same). Commit touches O(tasks) names."""
 
     def __init__(self, options) -> None:
         self.path = options.get("path")
@@ -403,16 +411,27 @@ class JsonlLandStreamWriter(DataSourceStreamWriter):
             # already published — discard the duplicate temps
             self.abort(messages, batchId)
             return
-        for m in messages:
+        # no marker → either first attempt or a crash mid-commit.
+        # Sweep any partial attempt's files (the deterministic names
+        # below overwrite same-index files, but a previous attempt
+        # with MORE tasks could leave orphans behind), then publish
+        # under (batchId, task index) names so re-publish overwrites.
+        prefix = f"batch-{batchId}-part-"
+        for f in os.listdir(self.path):
+            if f.startswith(prefix) and f.endswith(".jsonl"):
+                os.remove(os.path.join(self.path, f))
+        for i, m in enumerate(messages):
             if m is None:
                 continue
             src = os.path.join(self.path, m.tmp_name)
-            dst = os.path.join(
-                self.path, f"batch-{batchId}-{m.tmp_name[: -len('.tmp')]}"
-            )
-            os.rename(src, dst)
-        with open(marker, "w") as fh:
+            dst = os.path.join(self.path, f"{prefix}{i:05d}.jsonl")
+            os.replace(src, dst)
+        # marker write is itself atomic: temp file + rename is the one
+        # commit point — a crash anywhere earlier replays cleanly.
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as fh:
             fh.write(str(sum(m.n_rows for m in messages if m is not None)))
+        os.replace(tmp_marker, marker)
 
     def abort(self, messages, batchId: int) -> None:
         import os

@@ -677,6 +677,55 @@ def test_jsonl_stream_sink_replay_is_exactly_once(tmp_path):
     assert any(f.startswith("batch-1-") for f in os.listdir(p))
 
 
+def test_jsonl_stream_sink_crash_in_commit_window_no_duplicates(tmp_path):
+    """ADVICE r9 (medium): a driver crash AFTER some task-file renames
+    but BEFORE the marker write must not duplicate rows on replay.
+    Publish names derive from (batchId, task index), so the replayed
+    commit overwrites the partial attempt instead of adding to it."""
+    import json
+    import os
+
+    from pyspark.sql import Row
+
+    from gps_stream_processing_spark.sources.nmea_datasource import (
+        JsonlLandStreamWriter,
+    )
+
+    p = str(tmp_path / "ssink")
+    w = JsonlLandStreamWriter({"path": p})
+    # attempt 1: two tasks; simulate the crash by hand-publishing ONE
+    # file the way the old non-idempotent protocol would have (renamed,
+    # marker never written)
+    m_a = w.write(iter([Row(a=1)]))
+    m_b = w.write(iter([Row(a=2)]))
+    os.replace(
+        os.path.join(p, m_a.tmp_name),
+        os.path.join(p, "batch-0-part-00000.jsonl"),
+    )
+    # ...and one orphan from a hypothetical wider attempt
+    with open(os.path.join(p, "batch-0-part-00007.jsonl"), "w") as fh:
+        fh.write(json.dumps({"a": 99}) + "\n")
+    os.remove(os.path.join(p, m_b.tmp_name))
+    assert not os.path.exists(os.path.join(p, "_commits", "0"))
+    # replay: checkpoint recovery re-runs batch 0 end-to-end
+    m1 = w.write(iter([Row(a=1)]))
+    m2 = w.write(iter([Row(a=2)]))
+    w.commit([m1, m2], batchId=0)
+    published = sorted(f for f in os.listdir(p) if f.endswith(".jsonl"))
+    assert published == ["batch-0-part-00000.jsonl", "batch-0-part-00001.jsonl"]
+    vals = []
+    for f in published:
+        with open(os.path.join(p, f)) as fh:
+            vals += [json.loads(line)["a"] for line in fh]
+    assert sorted(vals) == [1, 2], "commit-window crash duplicated rows"
+    assert os.path.exists(os.path.join(p, "_commits", "0"))
+    # a second replay AFTER the marker is a pure no-op
+    m3 = w.write(iter([Row(a=1)]))
+    w.commit([m3], batchId=0)
+    assert sorted(f for f in os.listdir(p) if f.endswith(".jsonl")) == published
+    assert not [f for f in os.listdir(p) if f.endswith(".tmp")]
+
+
 def test_stream_resume_processes_only_delta(spark, tmp_path):
     """Checkpoint-resume pin (q_stream_resume's mechanics): run 2 with
     the SAME checkpoint must read ONLY files that arrived after run 1 —
