@@ -66,6 +66,73 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return toks.select(id_col, F.explode(sh_hashes).alias("shingle"))
 
 
+def line_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+    boilerplate_min_docs: int = 2,
+    keep_floor: float = 0.3,
+) -> DataFrame:
+    """Line-level exact dedup across the corpus (Dolma/CCNet-style):
+    every document's text is cut into deterministic units, a unit that
+    recurs in ``boilerplate_min_docs``+ DISTINCT documents is
+    boilerplate and dropped from every document, and a document whose
+    surviving-unit ratio falls below ``keep_floor`` is dropped
+    entirely — the standard curation stage that strips nav bars,
+    cookie banners and license headers the document-level dedups
+    can't see. The unit here is a non-overlapping ``seg_words``-word
+    segment (the testdata corpus carries no newlines; with real
+    documents substitute ``split(text, '\\n')`` — the plan shape is
+    identical).
+
+    Scale design: segments are hashed map-side (``xxhash64`` of the
+    joined segment, inside one narrow projection), so the corpus-wide
+    frequency pass and the join back to documents shuffle ONLY
+    (doc_id, 8-byte hash) pairs — document text never crosses the
+    wire, the same discipline as :func:`exact_dedup`. Two shuffles
+    total (count by hash, re-join on hash, both partitioned by the
+    hash), each with map-side partial aggregation. No UDFs."""
+    toks = df.select(
+        id_col, F.split(F.lower(F.col(text_col)), " ").alias("__toks")
+    )
+    n_seg = F.ceil(F.size("__toks") / F.lit(float(seg_words))).cast("int")
+    # Spark's sequence(0, stop) DESCENDS when stop < 0 — guard the
+    # zero-word case explicitly rather than emitting [0, -1].
+    seg_hashes = F.when(
+        n_seg > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.xxhash64(
+                F.array_join(
+                    F.slice(F.col("__toks"), i * seg_words + 1, seg_words),
+                    " ",
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    seg = toks.select(id_col, F.explode(seg_hashes).alias("seg_h"))
+    counts = seg.groupBy("seg_h").agg(
+        F.countDistinct(id_col).alias("__n_docs")
+    )
+    kept = F.sum(
+        F.when(F.col("__n_docs") < boilerplate_min_docs, 1).otherwise(0)
+    )
+    stats = (
+        seg.join(counts, "seg_h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_segments"), kept.alias("n_kept"))
+    )
+    ratio = F.col("n_kept") / F.col("n_segments")
+    return stats.select(
+        id_col,
+        "n_segments",
+        "n_kept",
+        F.round(ratio, 6).alias("kept_ratio"),
+        (ratio >= F.lit(keep_floor)).alias("doc_kept"),
+    )
+
+
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16, id_col: str = "doc_id") -> DataFrame:
     """MinHash signature per doc: ``mh_i = min(xxhash64(seed_i, shingle))``.
     One hash-aggregate pass computes all permutations (seeded xxhash64

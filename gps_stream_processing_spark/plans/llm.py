@@ -22,6 +22,7 @@ from gps_stream_processing_spark.functions.text import (
 from gps_stream_processing_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
+    line_dedup_stats,
     lsh_candidate_pairs,
     minhash_signatures,
     shingle_table,
@@ -94,6 +95,53 @@ def _jaccard_pairs_05(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return exact_dedup(table(spark, sf, "documents"))
+
+
+@register(
+    "q_dedup_lines",
+    # Engine groups xxhash64(segment); oracle groups the raw segment
+    # text — identical absent 64-bit collisions (the q_dedup_exact
+    # argument). DuckDB list slice w[a:b] is 1-based INCLUSIVE both
+    # ends and clamps past the end, mirroring Spark slice(w, a, 10).
+    # kept_ratio rounded 6 dp; the keep flag compares the unrounded
+    # exact n/m division against CAST(0.3 AS DOUBLE) on both engines.
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), seg AS (
+      SELECT doc_id,
+             array_to_string(w[(i*10+1):(i*10+10)], ' ') AS segment
+      FROM words,
+           UNNEST(generate_series(0,
+                  CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS t(i)
+    ), seg_docs AS (
+      SELECT segment, COUNT(DISTINCT doc_id) AS n_docs
+      FROM seg GROUP BY segment
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN d.n_docs < 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN d.n_docs < 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS kept_ratio,
+           (CAST(SUM(CASE WHEN d.n_docs < 2 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*)) >= CAST(0.3 AS DOUBLE)
+             AS doc_kept
+    FROM seg s JOIN seg_docs d ON d.segment = s.segment
+    GROUP BY s.doc_id
+    """,
+    doc="LINE-level exact dedup across the corpus (Dolma/CCNet "
+    "boilerplate removal, SURVEY §2.9): cut every document into "
+    "deterministic units (10-word segments here — the corpus has no "
+    "newlines; '\\n'-split is the same plan), drop any unit appearing "
+    "in ≥2 distinct documents CORPUS-WIDE, and flag documents whose "
+    "surviving-unit ratio falls below 0.3 — the curation stage that "
+    "catches nav bars/cookie banners/license headers that document-"
+    "level dedup can't see. Shuffles only (doc_id, xxhash64) longs — "
+    "segment text is hashed map-side and never crosses the wire.",
+)
+def q_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
+    return line_dedup_stats(table(spark, sf, "documents"))
 
 
 @register(

@@ -492,3 +492,40 @@ def test_mix_temperature_rates_and_sampling(spark):
         expect = r["rate"] * r["count"]
         tol = 4 * math.sqrt(max(r["count"], 1)) + 2
         assert abs(r["n_docs"] - expect) <= tol, (s, r["n_docs"], expect)
+
+
+def test_dedup_lines_drops_boilerplate_units_only(spark):
+    """q_dedup_lines semantics on a hand-built corpus: a 10-word unit
+    shared by 2+ documents is boilerplate (dropped from every doc, not
+    just the copies); unique units survive; the doc_kept floor fires at
+    kept_ratio < 0.3; within-doc repetition of a UNIQUE unit does not
+    make it boilerplate (distinct-doc counting)."""
+    from gps_stream_processing_spark.operators.dedup import line_dedup_stats
+
+    def words(tag, n=10):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    boiler = words("nav")
+    rows = [
+        # doc 0: 1 boiler + 2 unique units -> kept 2/3
+        (0, f"{boiler} {words('a')} {words('b')}"),
+        # doc 1: 1 boiler + 1 unique -> kept 1/2
+        (1, f"{boiler} {words('c')}"),
+        # doc 2: all boiler -> kept 0/1, doc dropped
+        (2, boiler),
+        # doc 3: the same UNIQUE unit twice -> within-doc repetition
+        # is NOT boilerplate; kept 2/2
+        (3, f"{words('d')} {words('d')}"),
+    ]
+    out = (
+        line_dedup_stats(spark.createDataFrame(rows, "doc_id long, text string"))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, ["n_segments", "n_kept"]].tolist() == [3, 2]
+    assert out.loc[1, ["n_segments", "n_kept"]].tolist() == [2, 1]
+    assert out.loc[2, ["n_segments", "n_kept"]].tolist() == [1, 0]
+    assert not out.loc[2, "doc_kept"]
+    assert out.loc[3, ["n_segments", "n_kept"]].tolist() == [2, 2]
+    assert out.loc[[0, 1, 3], "doc_kept"].all()

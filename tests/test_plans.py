@@ -751,3 +751,29 @@ def test_asof_nearest_picks_closer_side_and_breaks_ties_earlier(spark):
     assert got["c"] == (d(2024, 1, 1, 0, 10), 60.0)  # tie -> earlier
     assert got["d"] == (d(2024, 1, 1, 0, 15), 70.0)  # dt=0
     assert "e" not in got
+
+
+def test_dedup_lines_shuffles_hashes_not_text(spark):
+    """q_dedup_lines' 100 TB contract: segments are hashed map-side
+    (xxhash64 inside the pre-shuffle projection) and the text column
+    never survives past the first Exchange; both aggregations get a
+    map-side partial (partial+final HashAggregate pairs)."""
+    plan = plan_of(REGISTRY["q_dedup_lines"].fn(spark, SF))
+    assert "xxhash64" in plan
+    # text is consumed by the scan-side projection only: no Exchange
+    # (shuffle OR broadcast) ever carries the text column — the blocks'
+    # Input lists are (doc_id, seg_h, counts)-shaped longs
+    import re
+
+    sections = re.split(r"\n(?=\(\d+\) )", plan)
+    exchange_blocks = [
+        b
+        for b in sections
+        if re.match(r"\(\d+\) (Exchange|BroadcastExchange)\b", b.strip())
+    ]
+    assert exchange_blocks, "expected at least one Exchange in the plan"
+    for b in exchange_blocks:
+        assert "text#" not in b, b.splitlines()[0]
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x (partial+final)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
