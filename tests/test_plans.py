@@ -777,3 +777,87 @@ def test_dedup_lines_shuffles_hashes_not_text(spark):
     assert plan.count("HashAggregate") >= 4  # 2 aggs x (partial+final)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _executed_scan_rows(df) -> int:
+    """Sum of numOutputRows across the executed plan's FileScan leaves —
+    the rows the parquet reader actually DELIVERED after row-group
+    min/max pruning (collect() first so the metrics are populated)."""
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        mm = leaves.apply(i).metrics()
+        it = mm.iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numOutputRows":
+                total += kv._2().value()
+    return total
+
+
+def test_zorder_layout_actually_skips_row_groups(spark, tmp_path):
+    """Runtime proof of the claim SCALE.md makes for the layout
+    operators (q_zorder_layout / q_hilbert_layout): writing files in
+    clustering-key ranges gives every file a tight min/max envelope on
+    BOTH dimensions, so a selective 2-D box predicate prunes row
+    groups at SCAN time — measured via the FileScan's numOutputRows,
+    not inferred from the plan. Same Morton arithmetic as
+    q_zorder_layout (plans/corpus.py), applied row-level."""
+    e = table(spark, SF, "events")
+    stats = e.agg(
+        F.min("user_id").alias("umin"),
+        F.max("user_id").alias("umax"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    ).collect()[0]
+
+    def _bin(col, lo, hi):
+        span = max(hi - lo, 1e-9)
+        return F.least(
+            F.lit(15).cast("long"),
+            F.floor((F.col(col) - F.lit(lo)) * 16.0 / F.lit(span)),
+        ).cast("long")
+
+    ub = _bin("user_id", stats.umin, stats.umax)
+    vb = _bin("value", stats.vmin, stats.vmax)
+    bit = lambda c, i: F.shiftright(c, i).bitwiseAND(F.lit(1))  # noqa: E731
+    z = sum(
+        (
+            F.shiftleft(bit(ub, i), 2 * i + 1) + F.shiftleft(bit(vb, i), 2 * i)
+            for i in range(4)
+        ),
+        start=F.lit(0),
+    ).cast("long")
+    keyed = e.withColumn("z", z)
+    clustered = str(tmp_path / "clustered")
+    scattered = str(tmp_path / "scattered")
+    keyed.repartitionByRange(8, "z").sortWithinPartitions("z").write.parquet(
+        clustered
+    )
+    keyed.repartition(8, "event_id").write.parquet(scattered)
+
+    # selective 2-D box: the bottom ~1/8 of BOTH dimensions. The
+    # user_id bound must stay an INT: comparing the bigint column to a
+    # float literal would wrap it in cast(user_id as double), which is
+    # not pushable to parquet stats -- no pruning at all.
+    u_hi = int(stats.umin + (stats.umax - stats.umin) / 8.0)
+    v_hi = float(stats.vmin) + (float(stats.vmax) - float(stats.vmin)) / 8.0
+
+    def box(path):
+        return spark.read.parquet(path).filter(
+            (F.col("user_id") <= u_hi) & (F.col("value") <= v_hi)
+        )
+
+    n_clu = box(clustered).count()
+    n_sca = box(scattered).count()
+    assert n_clu == n_sca and n_clu > 0, "layout must not change results"
+    scanned_clu = _executed_scan_rows(box(clustered))
+    scanned_sca = _executed_scan_rows(box(scattered))
+    total = keyed.count()
+    # the scattered layout's per-file min/max spans everything -> no skip
+    assert scanned_sca == total
+    # the clustered layout must deliver strictly fewer rows from the
+    # scan (row groups whose (user_id, value) envelopes miss the box
+    # are skipped) -- require at least a 2x reduction
+    assert scanned_clu * 2 <= scanned_sca, (scanned_clu, scanned_sca)
