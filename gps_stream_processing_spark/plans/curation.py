@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gps_stream_processing_spark.functions.text import token_count
 from gps_stream_processing_spark.plans.registry import register, table
 from gps_stream_processing_spark.sources.nmea import fixture_parquet_path
 
@@ -315,6 +316,78 @@ def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
     return top.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "q_shard_assignment",
+    # Engine-portable hashing: Spark conv(md5-prefix, 16, 10) ==
+    # DuckDB CAST('0x'||prefix AS BIGINT) (the q_sample_weighted
+    # identity); the balance ratio divides two exact BIGINTs cast to
+    # double — same IEEE ops both engines, rounded 6 dp anyway.
+    oracle="""
+    WITH sharded AS (
+      SELECT CAST(concat('0x',
+                 substring(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 16 AS shard,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    ), per AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      FROM sharded GROUP BY shard
+    ), tot AS (SELECT SUM(n_tokens) AS t FROM per)
+    SELECT shard, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE)
+                 / (CAST(t AS DOUBLE) / 16.0), 6) AS balance
+    FROM per, tot
+    """,
+    doc="Deterministic training-shard assignment with per-shard token "
+    "accounting (SURVEY §2.9 ext): every document hashes to one of 16 "
+    "shards via an md5-derived key (reproducible across reruns AND "
+    "engines — rand() would be neither), and the output is each "
+    "shard's doc/token totals plus its balance ratio vs the ideal "
+    "1/16 share. This is the step that cuts a curated corpus into "
+    "the fixed shards a distributed training job consumes, and the "
+    "balance column is the skew audit that tells you whether shard "
+    "sizes will starve data-parallel ranks. Scale: one scan (token "
+    "count is a map-side column), one 16-key hash-agg with map-side "
+    "combine, one broadcast 1-row total — the corpus never shuffles; "
+    "the physical shard WRITE would be partitionBy('shard') on the "
+    "same key, zero extra computation.",
+)
+def q_shard_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 16
+    )
+    per = (
+        d.select(shard.alias("shard"), token_count(F.col("text")).alias("__t"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__t").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("__total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double")
+            / (F.col("__total").cast("double") / F.lit(16.0)),
+            6,
+        ).alias("balance"),
     )
 
 

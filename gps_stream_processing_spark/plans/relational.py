@@ -1475,6 +1475,43 @@ def q_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_keyset_page",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderdate > DATE '1995-06-15'
+       OR (o_orderdate = DATE '1995-06-15' AND o_orderkey > 3000)
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 50
+    """,
+    doc="KEYSET pagination (seek method, SURVEY §2.7 ext): the next "
+    "50-row page strictly after the cursor (o_orderdate, o_orderkey) "
+    "= ('1995-06-15', 3000), expressed as a composite-key seek "
+    "predicate + bounded top-k. This is THE scale-correct pagination: "
+    "OFFSET N forces the engine to produce and discard N rows per "
+    "page (and Spark's global sort+offset funnels through one "
+    "partition), while the seek predicate pushes to the parquet scan "
+    "— min/max stats skip every row group before the cursor on a "
+    "date-laid-out table — and the LIMIT plans as "
+    "TakeOrderedAndProject (per-partition k-row partials, no global "
+    "sort). Page N costs the same as page 1 forever.",
+)
+def q_keyset_page(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    cur_date, cur_key = "1995-06-15", 3000
+    seek = (F.col("o_orderdate") > F.lit(cur_date).cast("date")) | (
+        (F.col("o_orderdate") == F.lit(cur_date).cast("date"))
+        & (F.col("o_orderkey") > F.lit(cur_key))
+    )
+    return (
+        o.filter(seek)
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(50)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@register(
     "q_sort",
     oracle="""
     SELECT o_orderkey, o_orderdate, o_totalprice,
@@ -2616,6 +2653,178 @@ def q_kll_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
         .alias("approx_within_rank5pct"),
     )
     return per_rows.unionByName(all_row)
+
+
+@register(
+    "q_countmin_heavy",
+    # Same contract shape as the HLL/KLL sketch keys: exact value +
+    # within-envelope flag, with the oracle asserting the flag TRUE.
+    # The CMS is seeded (42) so the estimate is deterministic; the
+    # one-sided guarantee exact <= est <= exact + eps*N is what the
+    # flag checks (eps=1e-4, so the slack at sf0.1 is ~60 counts).
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_n,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+    doc="Count-min-sketch frequency estimation (SURVEY §2.4 sketch "
+    "tier; df.stat.countMinSketch — the one Spark sketch surface the "
+    "HLL/KLL keys don't touch): a seeded CMS over event_type is built "
+    "distributed (per-partition sketches, JVM-side treeAggregate "
+    "merge — the driver receives ONE ~1 MB sketch, never rows), then "
+    "each type's estimate is checked against the exact count and the "
+    "CMS guarantee exact ≤ est ≤ exact + eps·N. This is the "
+    "frequency-sketch architecture for heavy-hitter monitoring at "
+    "100 TB: the sketch is mergeable across executors/days exactly "
+    "like the HLL rollup, at O(w·d) bytes regardless of cardinality. "
+    "Both driver-side collections are bounded by design: the sketch "
+    "is fixed-size, and the probe set is the enum-sized event_type "
+    "domain (the 1024-bloom-words argument, plans/relational.py "
+    "q_join_bloom).",
+)
+def q_countmin_heavy(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    # distributed build: per-partition CMS, JVM-side merge; the driver
+    # collects ONE fixed-size binary (~1 MB at eps=1e-4), never rows.
+    # (PySpark 4 dropped df.stat.countMinSketch — the SQL aggregate +
+    # org.apache.spark.util.sketch.CountMinSketch.readFrom replaces it.)
+    buf = (
+        e.agg(
+            F.count_min_sketch(
+                "event_type", F.lit(1e-4), F.lit(0.99), F.lit(42)
+            ).alias("s")
+        )
+        .collect()[0]
+        .s
+    )
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(buf))
+    )
+    slack = int(1e-4 * cms.totalCount()) + 1
+    types = sorted(
+        r[0] for r in e.select("event_type").distinct().collect()
+    )  # bounded: enum-sized domain
+    est = spark.createDataFrame(
+        [(t, cms.estimateCount(t)) for t in types],
+        "event_type string, __est bigint",
+    )
+    exact = e.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type",
+        "exact_n",
+        (
+            (F.col("__est") >= F.col("exact_n"))
+            & (F.col("__est") - F.col("exact_n") <= F.lit(slack))
+        ).alias("within_bound"),
+    )
+
+
+@register(
+    "q_theta_sketch_setops",
+    # Same exact-value + envelope-flag contract as the HLL/KLL/CMS
+    # keys. Theta sketches at the default lgK=12 are in EXACT mode
+    # below ~4096 retained entries, and the flag allows the published
+    # ~1/sqrt(k) relative error beyond that (5% envelope).
+    oracle="""
+    WITH per AS (
+      SELECT event_type AS op,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY event_type
+    ), flags AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY user_id
+    )
+    SELECT op, exact_users, TRUE AS within_5pct FROM per
+    UNION ALL
+    SELECT 'purchase_union_view', CAST(COUNT(*) AS BIGINT), TRUE FROM flags
+    UNION ALL
+    SELECT 'purchase_intersect_view',
+           CAST(SUM(CASE WHEN p = 1 AND v = 1 THEN 1 ELSE 0 END) AS BIGINT),
+           TRUE FROM flags
+    UNION ALL
+    SELECT 'purchase_minus_view',
+           CAST(SUM(CASE WHEN p = 1 AND v = 0 THEN 1 ELSE 0 END) AS BIGINT),
+           TRUE FROM flags
+    """,
+    doc="Theta-sketch distinct counting WITH SET ALGEBRA (SURVEY §2.4 "
+    "sketch tier; Spark 4.1 theta_sketch_agg / theta_union / "
+    "theta_intersection / theta_difference): per-event-type distinct "
+    "users as mergeable sketches, then audience-overlap questions — "
+    "users who purchased AND viewed (intersection), purchased OR "
+    "viewed (union), purchased but never viewed (difference) — "
+    "answered on the KB-sized sketches alone. This is what HLL "
+    "cannot do (HLL unions but never intersects) and exactly how "
+    "audience-overlap dashboards work at 100 TB: sketches build "
+    "partial+final per segment/day, set ops run driver-fast on "
+    "binaries, the fact table is scanned once ever. Exact twins "
+    "verify every row (the set-op twins ride one flags aggregate).",
+)
+def q_theta_sketch_setops(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    sk = e.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("s")
+    )
+    exact_per = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    within = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) <= 0.05 * exact
+    ) | ((exact == 0) & (est == 0))
+    rows_type = exact_per.join(sk, "event_type").select(
+        F.col("event_type").alias("op"),
+        "exact_users",
+        within(
+            F.expr("theta_sketch_estimate(s)"), F.col("exact_users")
+        ).alias("within_5pct"),
+    )
+    # the (purchase, view) pair: two 1-row sketch sides, one broadcast
+    p = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("s").alias("sp")
+    )
+    v = sk.filter(F.col("event_type") == "view").select(F.col("s").alias("sv"))
+    ests = p.crossJoin(F.broadcast(v)).select(
+        F.expr("theta_sketch_estimate(theta_union(sp, sv))").alias("u"),
+        F.expr("theta_sketch_estimate(theta_intersection(sp, sv))").alias(
+            "i"
+        ),
+        F.expr("theta_sketch_estimate(theta_difference(sp, sv))").alias("d"),
+    )
+    flags = (
+        e.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("p"),
+            F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+        )
+    )
+    exact_ops = flags.agg(
+        F.count("*").alias("u_ex"),
+        F.sum(((F.col("p") == 1) & (F.col("v") == 1)).cast("int")).alias(
+            "i_ex"
+        ),
+        F.sum(((F.col("p") == 1) & (F.col("v") == 0)).cast("int")).alias(
+            "d_ex"
+        ),
+    )
+    combined = exact_ops.crossJoin(F.broadcast(ests))
+    rows_ops = combined.selectExpr(
+        "stack(3, "
+        "'purchase_union_view', cast(u_ex as bigint), u, "
+        "'purchase_intersect_view', cast(i_ex as bigint), i, "
+        "'purchase_minus_view', cast(d_ex as bigint), d) "
+        "AS (op, exact_users, est)"
+    ).select(
+        "op",
+        "exact_users",
+        within(F.col("est"), F.col("exact_users")).alias("within_5pct"),
+    )
+    return rows_type.unionByName(rows_ops)
 
 
 @register(

@@ -87,6 +87,12 @@ NESTED_LOOP_ALLOWED = {
     "q_benford_digits": "1-row broadcast total-count aggregate for "
     "the observed-probability denominator — the q_tfidf shape over "
     "a 9-group digit table",
+    "q_shard_assignment": "1-row broadcast total-tokens aggregate for "
+    "the balance denominator, crossed onto a 16-row shard aggregate — "
+    "the q_tfidf shape",
+    "q_theta_sketch_setops": "crosses of 1-row sketch/exact aggregates "
+    "(the purchase x view sketch pair and the set-op flags row) — the "
+    "q_hll_partitioned_sketch shape; every input is aggregate-sized",
 }
 # Empty since the Arrow UDTF switch (spark.sql.execution.pythonUDTF.
 # arrow.enabled, set by get_spark AND tune_session): q_udtf_gsv now
