@@ -2656,6 +2656,147 @@ def q_kll_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_regression",
+    # Float discipline: every aggregate is EXACT integer arithmetic —
+    # x is centered epoch SECONDS (bigint), the measure is CENTS
+    # (round(value*100), exact for the 2-dp fixture values), and the
+    # five sums run in DECIMAL(38,0)/HUGEINT so no double ever
+    # re-associates. Only the final slope/r² ratios are double, with
+    # IDENTICAL parenthesization on both engines, rounded 6 dp.
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000 - 1704067200 AS x,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ), a AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(c) AS DOUBLE) AS sc,
+             CAST(SUM(x * c) AS DOUBLE) AS sxc,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(c * c) AS DOUBLE) AS scc
+      FROM b GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           ROUND(((n_events * sxc - sx * sc)
+                  / NULLIF(n_events * sxx - sx * sx, 0)) * 864.0, 6)
+             AS slope_per_day,
+           ROUND(((n_events * sxc - sx * sc) * (n_events * sxc - sx * sc))
+                 / NULLIF((n_events * sxx - sx * sx)
+                          * (n_events * scc - sc * sc), 0), 6) AS r2
+    FROM a
+    """,
+    doc="Per-key OLS trend (SURVEY §2.4 ext): the least-squares slope "
+    "of value over time per user (units/day) plus r² — drift "
+    "detection for telemetry, the statistical upgrade of q_lag_delta "
+    "(is this sensor trending, and how well does a line explain "
+    "it?). One scan, one hash-agg of five sufficient statistics "
+    "(n, Σx, Σy, Σxy, Σx², Σy²) — the mergeable-moments shape: "
+    "partials combine map-side, shards/days sum associatively later "
+    "(regr_slope/corr are built-ins, but their internal double "
+    "accumulation is engine/order-dependent; the sufficient "
+    "statistics in exact integer arithmetic are both portable AND "
+    "the form you'd persist in a rollup table at 100 TB).",
+)
+def q_regression(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    b = e.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000 - 1704067200").alias("x"),
+        F.expr("cast(round(value * 100) as bigint)").alias("c"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    a = b.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("c"))).cast("double").alias("sc"),
+        F.sum(dec(F.col("x") * F.col("c"))).cast("double").alias("sxc"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("c") * F.col("c"))).cast("double").alias("scc"),
+    )
+    num = F.col("n_events") * F.col("sxc") - F.col("sx") * F.col("sc")
+    den = F.col("n_events") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n_events") * F.col("scc") - F.col("sc") * F.col("sc")
+    return a.select(
+        "user_id",
+        "n_events",
+        F.round((num / F.nullif(den, F.lit(0.0))) * F.lit(864.0), 6).alias(
+            "slope_per_day"
+        ),
+        F.round(
+            (num * num) / F.nullif(den * deny, F.lit(0.0)), 6
+        ).alias("r2"),
+    )
+
+
+@register(
+    "q_time_weighted_avg",
+    # Exact trapezoid areas: cents (bigint) x microsecond gaps
+    # (bigint) summed in DECIMAL(38,0)/HUGEINT; the single final
+    # division is double with identical parenthesization both sides.
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             epoch_us(ts) AS tu
+      FROM events
+    ), d AS (
+      SELECT user_id,
+             c + lag(c) OVER w AS csum,
+             tu - lag(tu) OVER w AS dt
+      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           ROUND(CAST(SUM(csum * dt) AS DOUBLE)
+                 / NULLIF(200.0 * CAST(SUM(dt) AS DOUBLE), 0), 6) AS twa,
+           ROUND(CAST(SUM(dt) AS DOUBLE) / 86400000000.0, 6) AS span_days
+    FROM d WHERE dt IS NOT NULL GROUP BY user_id
+    """,
+    doc="TIME-weighted average per key (SURVEY §2.4 ext): trapezoidal "
+    "integration of value over each user's irregular sample times — "
+    "Σ(vᵢ+vᵢ₋₁)/2·Δtᵢ / Σ Δtᵢ. THE correct mean for irregularly-"
+    "sampled telemetry (the plain AVG the reference's per-second "
+    "merge implies over-weights burst periods; a GPS track's average "
+    "speed is exactly this integral). One window pass for the "
+    "(lag value, lag time) pairs, one hash-agg of exact integer "
+    "areas; the interval table is also what a gap/outage audit "
+    "consumes, so at 100 TB this shares its shuffle with "
+    "q_session_duration-style keys (same partition key, same sort).",
+)
+def q_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("c"),
+        F.expr("unix_micros(ts)").alias("tu"),
+    )
+    d = s.select(
+        "user_id",
+        (F.col("c") + F.lag("c").over(w)).alias("csum"),
+        (F.col("tu") - F.lag("tu").over(w)).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    agg = d.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum((F.col("csum") * F.col("dt")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sa"),
+        F.sum(F.col("dt").cast("decimal(38,0)")).cast("double").alias("sdt"),
+    )
+    return agg.select(
+        "user_id",
+        "n_intervals",
+        F.round(
+            F.col("sa") / F.nullif(F.lit(200.0) * F.col("sdt"), F.lit(0.0)),
+            6,
+        ).alias("twa"),
+        F.round(F.col("sdt") / F.lit(86400000000.0), 6).alias("span_days"),
+    )
+
+
+@register(
     "q_countmin_heavy",
     # Same contract shape as the HLL/KLL sketch keys: exact value +
     # within-envelope flag, with the oracle asserting the flag TRUE.
