@@ -2656,6 +2656,207 @@ def q_kll_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_entropy",
+    # H = log2(n) − (Σ kᵢ·log2 kᵢ)/n: the log2 arguments are exact
+    # INTEGERS (per-type counts), so both engines evaluate log2 on
+    # identical doubles; the ≤|types| term sum drifts at most a few
+    # ulp under reordering, absorbed by the 6-dp round.
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS k
+      FROM events GROUP BY user_id, event_type
+    ), a AS (
+      SELECT user_id, CAST(SUM(k) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             SUM(k * log2(k)) AS s
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           ROUND(log2(n_events) - s / n_events, 6) AS entropy_bits
+    FROM a
+    """,
+    doc="Behavioral entropy per key (SURVEY §2.4 ext): Shannon "
+    "entropy of each user's event-type distribution in bits — 0 for "
+    "single-behavior users, log2(|types|) for uniform ones. The "
+    "segmentation feature behind bot detection (too regular) and "
+    "engagement scoring (diverse usage), and the same statistic a "
+    "curation pipeline uses for corpus-diversity audits. Two "
+    "hash-aggs ((user,type) counts then per-user fold), both with "
+    "map-side partials; the identity H = log2 n − Σk·log2k/n keeps "
+    "every log argument an exact integer so the oracle is portable.",
+)
+def q_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("k"))
+    a = c.groupBy("user_id").agg(
+        F.sum("k").cast("bigint").alias("n_events"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("k") * F.log2("k")).alias("s"),
+    )
+    return a.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(
+            F.log2("n_events") - F.col("s") / F.col("n_events"), 6
+        ).alias("entropy_bits"),
+    )
+
+
+@register(
+    "q_changepoint_cusum",
+    # ALL-INTEGER CUSUM: the deviation at position k is
+    # |n·prefix_k − k·total| in cents·count — no float enters until
+    # the final normalization, so the max and its position are exact
+    # on both engines (the float CUSUM recursion would re-associate).
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ), d AS (
+      SELECT user_id,
+             CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre,
+             CAST(row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS BIGINT) AS k
+      FROM s
+    ), t AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS tot
+      FROM s GROUP BY user_id
+    ), dev AS (
+      SELECT d.user_id, d.k, t.n,
+             abs(t.n * d.pre - d.k * t.tot) AS dv
+      FROM d JOIN t ON t.user_id = d.user_id
+    ), m AS (
+      SELECT user_id, MAX(dv) AS md FROM dev GROUP BY user_id
+    )
+    SELECT dev.user_id,
+           CAST(MAX(dev.n) AS BIGINT) AS n_events,
+           ROUND(CAST(MAX(dev.dv) AS DOUBLE)
+                 / (CAST(MAX(dev.n) AS DOUBLE) * 100.0), 6) AS max_cusum,
+           CAST(MIN(dev.k) AS BIGINT) AS cp_pos
+    FROM dev JOIN m ON m.user_id = dev.user_id AND dev.dv = m.md
+    GROUP BY dev.user_id
+    """,
+    doc="CUSUM change-point detection per key (SURVEY §2.4 ext): the "
+    "position k maximizing |n·prefix_k − k·total| — algebraically "
+    "n·max_k|Σ_{j≤k}(v_j − mean)|, the classic mean-shift statistic — "
+    "flags WHERE a sensor's level changed, which the rolling z-score "
+    "keys (q_anomaly_rolling) can't say. Kept in exact integer "
+    "arithmetic (cents) until the final normalization so max and "
+    "argmax are portable; ties break to the earliest position "
+    "explicitly (MIN k at the max), never by engine whim. One "
+    "(key, time) window pass — the sessionization family's shuffle — "
+    "plus two agg/join steps over key-sized tables.",
+)
+def q_changepoint_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("c"),
+    )
+    d = s.select(
+        "user_id",
+        F.sum("c")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("pre"),
+        F.row_number().over(w).cast("bigint").alias("k"),
+    )
+    t = s.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("c").cast("bigint").alias("tot")
+    )
+    dev = d.join(t, "user_id").select(
+        "user_id",
+        "k",
+        "n",
+        F.abs(F.col("n") * F.col("pre") - F.col("k") * F.col("tot")).alias(
+            "dv"
+        ),
+    )
+    m = dev.groupBy("user_id").agg(F.max("dv").alias("md"))
+    return (
+        dev.join(m, "user_id")
+        .filter(F.col("dv") == F.col("md"))
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.round(
+                F.max("dv").cast("double")
+                / (F.max("n").cast("double") * F.lit(100.0)),
+                6,
+            ).alias("max_cusum"),
+            F.min("k").cast("bigint").alias("cp_pos"),
+        )
+    )
+
+
+@register(
+    "q_dp_counts",
+    # The Laplace draw is DETERMINISTIC: u is the md5-derived uniform
+    # of the group key (the q_sample_weighted identity), the inverse
+    # CDF −b·sign(u−½)·ln(1−2|u−½|) runs on identical doubles, and ln
+    # ulp drift (~1e-16 relative) is far inside the 6-dp round. A
+    # rand()-based release would be neither reproducible nor
+    # oracle-checkable.
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ), u AS (
+      SELECT event_type, n,
+             CAST(concat('0x',
+                  substring(md5('dp' || event_type), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS uni
+      FROM c
+    )
+    SELECT event_type,
+           ROUND(n + (-2.0) * sign(uni - 0.5)
+                     * ln(1.0 - 2.0 * abs(uni - 0.5)), 6) AS noisy_count,
+           CAST(0.5 AS DOUBLE) AS epsilon
+    FROM u
+    """,
+    doc="Differentially-private count release (SURVEY §2.9 ext, the "
+    "aggregate-release twin of q_redact's row-level privacy): "
+    "per-group counts + Laplace(1/ε) noise, ε=0.5 — the standard "
+    "mechanism for publishing corpus/cohort statistics without "
+    "exposing any individual's contribution (count sensitivity 1 → "
+    "scale b=1/ε). The draw is an md5-derived inverse-CDF sample, so "
+    "the release replays bit-identically across reruns and engines — "
+    "auditable DP, which rand() noise is not (a production system "
+    "would key the hash by release-id to get fresh noise per "
+    "release). Scale: one hash-agg; the noise is a scalar expression "
+    "on the k-row aggregate.",
+)
+def q_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    c = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    uni = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp"), F.col("event_type"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    noise = (
+        F.lit(-2.0)
+        * F.signum(uni - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(uni - F.lit(0.5)))
+    )
+    return c.select(
+        "event_type",
+        F.round(F.col("n") + noise, 6).alias("noisy_count"),
+        F.lit(0.5).cast("double").alias("epsilon"),
+    )
+
+
+@register(
     "q_regression",
     # Float discipline: every aggregate is EXACT integer arithmetic —
     # x is centered epoch SECONDS (bigint), the measure is CENTS
