@@ -2656,6 +2656,209 @@ def q_kll_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_funnel_timing",
+    # Durations are exact integer microseconds; the single /3.6e9
+    # division to hours runs on identical integers both sides, and
+    # the interpolated percentiles follow the q_session_duration
+    # discipline (round 6 dp both engines).
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS vt
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS pt
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.vt
+      GROUP BY e.user_id
+    ), d AS (
+      SELECT (p.pt - v.vt) / 3600000000.0 AS h
+      FROM p JOIN v ON v.user_id = p.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(h, 0.5), 6) AS p50_hours,
+           ROUND(quantile_cont(h, 0.9), 6) AS p90_hours,
+           ROUND(MAX(h), 6) AS max_hours
+    FROM d
+    """,
+    doc="Funnel TIMING (SURVEY §2.7b ext, the latency companion of "
+    "q_funnel's conversion counts): hours from each user's first "
+    "'view' to their first 'purchase' at-or-after it, summarized as "
+    "p50/p90/max time-to-convert — the metric that distinguishes an "
+    "impulse funnel from a week-long consideration cycle, which "
+    "conversion RATE alone cannot. Two per-user min-aggregates and "
+    "one user-keyed equi join (all user-sized after the first agg); "
+    "the percentile runs over converting users only.",
+)
+def q_funnel_timing(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.expr("unix_micros(ts)")).alias("vt"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.expr("unix_micros(ts)") >= F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min(F.expr("unix_micros(ts)")).alias("pt"))
+    )
+    d = p.join(v, "user_id").select(
+        ((F.col("pt") - F.col("vt")) / F.lit(3600000000.0)).alias("h")
+    )
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(h, 0.5)"), 6).alias("p50_hours"),
+        F.round(F.expr("percentile(h, 0.9)"), 6).alias("p90_hours"),
+        F.round(F.max("h"), 6).alias("max_hours"),
+    )
+
+
+@register(
+    "q_pareto_concentration",
+    # All-integer until the final share division: the 80% cut
+    # compares cum*5 >= tot*4 (never 0.8*tot in floats), the top
+    # decile is rn*10 <= n_users. The ranking window runs over the
+    # USER-SIZED aggregate (the q_vocab_coverage precedent), never
+    # the fact table.
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k
+      FROM events GROUP BY user_id
+    ), r AS (
+      SELECT k,
+             CAST(row_number() OVER (ORDER BY k DESC, user_id)
+                  AS BIGINT) AS rn,
+             CAST(SUM(k) OVER (ORDER BY k DESC, user_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM c
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(k) AS BIGINT) AS tot
+      FROM c
+    )
+    SELECT t.n_users, t.tot AS n_events,
+           CAST(MIN(CASE WHEN r.cum * 5 >= t.tot * 4 THEN r.rn END)
+                AS BIGINT) AS n_users_80pct,
+           ROUND(CAST(MAX(CASE WHEN r.rn * 10 <= t.n_users THEN r.cum END)
+                      AS DOUBLE) / t.tot, 6) AS top_decile_share
+    FROM r CROSS JOIN t
+    GROUP BY t.n_users, t.tot
+    """,
+    doc="Pareto concentration audit (SURVEY §2.4 ext): how many users "
+    "produce 80% of events, and what share the top decile holds — "
+    "the 80/20 skew check behind capacity planning, abuse detection, "
+    "and (on the corpus twin: swap events for documents per source) "
+    "the domain-dominance audit q_cap_per_group then enforces. The "
+    "cumulative ranking runs over the per-user AGGREGATE (users-"
+    "sized, the q_vocab_coverage precedent) — the fact table is "
+    "touched once by the counting agg; cuts stay in exact integer "
+    "arithmetic (cum*5 >= tot*4).",
+)
+def q_pareto_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    c = e.groupBy("user_id").agg(F.count("*").alias("k"))
+    wo = W.orderBy(F.desc("k"), "user_id")
+    r = c.select(
+        "k",
+        F.row_number().over(wo).cast("bigint").alias("rn"),
+        F.sum("k")
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    t = c.agg(
+        F.count("*").alias("n_users"), F.sum("k").cast("bigint").alias("tot")
+    )
+    j = r.crossJoin(F.broadcast(t))
+    return j.groupBy("n_users", "tot").agg(
+        F.min(
+            F.when(F.col("cum") * 5 >= F.col("tot") * 4, F.col("rn"))
+        )
+        .cast("bigint")
+        .alias("n_users_80pct"),
+        F.round(
+            F.max(
+                F.when(F.col("rn") * 10 <= F.col("n_users"), F.col("cum"))
+            ).cast("double")
+            / F.col("tot"),
+            6,
+        ).alias("top_decile_share"),
+    ).select(
+        "n_users",
+        F.col("tot").alias("n_events"),
+        "n_users_80pct",
+        "top_decile_share",
+    )
+
+
+@register(
+    "q_seasonal_profile",
+    # avg_value divides two exact integers (cent sums / counts); the
+    # peak flag is pure integer logic with the tie broken to the
+    # EARLIEST hour explicitly — arg_max tie order is engine whim,
+    # min-hour-at-max is not.
+    oracle="""
+    WITH a AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+      FROM events GROUP BY event_type, hour(ts)
+    ), w AS (
+      SELECT *,
+             MAX(n_events) OVER (PARTITION BY event_type) AS mx
+      FROM a
+    ), pk AS (
+      SELECT *,
+             MIN(CASE WHEN n_events = mx THEN hr END)
+               OVER (PARTITION BY event_type) AS peak_hr
+      FROM w
+    )
+    SELECT event_type, hr, n_events,
+           ROUND(CAST(sc AS DOUBLE) / (100.0 * n_events), 6) AS avg_value,
+           (hr = peak_hr) AS is_peak_hour
+    FROM pk
+    """,
+    doc="Hour-of-day seasonal profile (SURVEY §2.4 ext): traffic and "
+    "average value per (event_type, hour) with the peak hour flagged "
+    "— the load-shaping/campaign-timing profile, and the diurnal "
+    "twin of q_missing_buckets' completeness audit. One (type, hour) "
+    "hash-agg over the fact (≤ |types|×24 groups, map-side combine "
+    "does almost all the work), then two windows over that tiny "
+    "aggregate; cent-sums keep avg_value exact and the peak tie "
+    "breaks to the earliest hour deterministically.",
+)
+def q_seasonal_profile(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    a = e.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hr")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.expr("cast(round(value * 100) as bigint)"))
+        .cast("bigint")
+        .alias("sc"),
+    )
+    wt = W.partitionBy("event_type")
+    withmx = a.withColumn("mx", F.max("n_events").over(wt))
+    pk = withmx.withColumn(
+        "peak_hr",
+        F.min(
+            F.when(F.col("n_events") == F.col("mx"), F.col("hr"))
+        ).over(wt),
+    )
+    return pk.select(
+        "event_type",
+        "hr",
+        "n_events",
+        F.round(
+            F.col("sc").cast("double") / (F.lit(100.0) * F.col("n_events")),
+            6,
+        ).alias("avg_value"),
+        (F.col("hr") == F.col("peak_hr")).alias("is_peak_hour"),
+    )
+
+
+@register(
     "q_entropy",
     # H = log2(n) − (Σ kᵢ·log2 kᵢ)/n: the log2 arguments are exact
     # INTEGERS (per-type counts), so both engines evaluate log2 on

@@ -93,6 +93,9 @@ NESTED_LOOP_ALLOWED = {
     "q_theta_sketch_setops": "crosses of 1-row sketch/exact aggregates "
     "(the purchase x view sketch pair and the set-op flags row) — the "
     "q_hll_partitioned_sketch shape; every input is aggregate-sized",
+    "q_pareto_concentration": "1-row broadcast (n_users, tot) totals "
+    "aggregate crossed onto the user-sized cumulative ranking — the "
+    "q_vocab_coverage shape",
 }
 # Empty since the Arrow UDTF switch (spark.sql.execution.pythonUDTF.
 # arrow.enabled, set by get_spark AND tune_session): q_udtf_gsv now
