@@ -425,3 +425,36 @@ def bfs_distances(
         dist = dist.union(discovered.select("id", F.lit(r).alias("dist")))
         frontier = discovered
     return dist
+
+
+def kcore_edges(edges: DataFrame, k: int = 2, rounds: int = 6) -> DataFrame:
+    """k-core peeling: drop nodes with degree < k, restrict edges to
+    surviving endpoints, repeat ``rounds`` times; returns the surviving
+    (src, dst) edge set. A FIXED round count keeps the computation
+    oracle-replicable (the unroll discipline of :func:`pagerank` /
+    :func:`label_propagation`); convergence inside the budget is
+    pytest-pinned at the verification SFs, and the operator's contract
+    is 'rounds of peeling' — exact on both engines, converged or not.
+
+    Scale: per round one degree hash-agg over 2|E| node ids (map-side
+    partial) plus two node-id equi joins — ids shuffle, never
+    attributes; lineage truncated per round with an eager
+    localCheckpoint exactly like the other iterative graph loops. The
+    round count needed is the graph's degeneracy-peeling depth, small
+    for the power-law graphs this targets."""
+    e = edges.select("src", "dst")
+    for _ in range(rounds):
+        keep = (
+            e.select(F.col("src").alias("n"))
+            .unionAll(e.select(F.col("dst").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("n")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("n", "src"), "src")
+            .join(keep.withColumnRenamed("n", "dst"), "dst")
+            .localCheckpoint(eager=True)
+        )
+    return e

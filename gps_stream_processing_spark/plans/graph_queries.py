@@ -366,3 +366,70 @@ def q_degree_distribution(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 6) -> str:
+    """Unrolled k-core peeling SQL: the same fixed-round computation
+    the engine runs (the pagerank/LPA unroll discipline) — each round
+    a degree HAVING filter plus an edge restriction."""
+    parts = [
+        """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS a,
+                      GREATEST(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey <> b.l_partkey
+    )"""
+    ]
+    # Every CTE is MATERIALIZED: each round references its predecessor
+    # three times, so inlined CTEs would re-expand the base self-join
+    # 3^rounds times (observed as a "Too many open files" blow-up).
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+    , d{i} AS MATERIALIZED (
+      SELECT n FROM (
+        SELECT a AS n FROM e{i - 1} UNION ALL SELECT b AS n FROM e{i - 1}
+      ) GROUP BY n HAVING COUNT(*) >= {k}
+    ), e{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{i - 1} e
+      JOIN d{i} x ON x.n = e.a
+      JOIN d{i} y ON y.n = e.b
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (SELECT a AS n FROM e{rounds}
+          UNION ALL SELECT b AS n FROM e{rounds})
+    GROUP BY n
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "q_kcore",
+    oracle=_kcore_oracle(k=2, rounds=6),
+    doc="2-core of the co-purchase graph (SURVEY §2.7b ext, completing "
+    "the classic graph-mining set beside triangles/PageRank/LPA/BFS/"
+    "components): iterative peeling — drop degree<2 nodes, restrict "
+    "edges, repeat — over a FIXED 6-round budget, returning each "
+    "surviving node with its in-core degree. The k-core is the "
+    "standard dense-substructure filter (spam/community cores, graph "
+    "sparsification before expensive algorithms); peeling converges "
+    "within the budget on these fixtures (pytest-pinned round-5 == "
+    "round-6), and the fixed-round contract is what makes the full "
+    "DuckDB oracle possible (operators/graph.py kcore_edges; same "
+    "per-round localCheckpoint discipline as pagerank).",
+)
+def q_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.graph import kcore_edges
+
+    e = kcore_edges(landed_copurchase_edges(spark, sf), k=2, rounds=6)
+    return (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_degree"))
+    )

@@ -258,3 +258,38 @@ def test_bfs_distances_hand_graph(spark):
         for r in bfs_distances(edges, seeds, n_rounds=1).collect()
     }
     assert got1 == {1: 0, 5: 0, 2: 1, 4: 1, 6: 1}
+
+
+def test_kcore_hand_graph_and_convergence(spark):
+    """kcore_edges semantics on a hand graph: a triangle with a tail —
+    the triangle is the 2-core, the tail peels off over two rounds
+    (proving peeling iterates, not just filters once). Then the
+    registered query's 6-round budget is pinned CONVERGED at the
+    verification SF: round 5 == round 6."""
+    from gps_stream_processing_spark.operators.graph import kcore_edges
+    from gps_stream_processing_spark.plans.graph_queries import (
+        landed_copurchase_edges,
+    )
+
+    # triangle 1-2-3 plus chain 3-4-5: one peel removes 5 (deg 1),
+    # the second removes 4 (deg 1 after 5 left) — a single filter
+    # pass would keep 4
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    core = sorted(
+        (r.src, r.dst) for r in kcore_edges(edges, k=2, rounds=6).collect()
+    )
+    assert core == [(1, 2), (1, 3), (2, 3)]
+    one_round = {
+        (r.src, r.dst) for r in kcore_edges(edges, k=2, rounds=1).collect()
+    }
+    assert (3, 4) in one_round, "round 1 alone must NOT reach the fixpoint"
+
+    e = landed_copurchase_edges(spark, "/root/testdata/sf0.001")
+    r5 = kcore_edges(e, k=2, rounds=5)
+    r6 = kcore_edges(e, k=2, rounds=6)
+    assert r5.exceptAll(r6).count() == 0 and r6.exceptAll(r5).count() == 0, (
+        "6-round budget did not converge at sf0.001 — raise rounds in "
+        "q_kcore AND its oracle together"
+    )
