@@ -145,6 +145,101 @@ def q_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_pipeline_pretrain",
+    # Every stage is deterministic (segment-hash line dedup, sha2
+    # exact dedup with min-id survivorship, an integer quality floor,
+    # md5 shard hashing), so the four-stage composition carries ONE
+    # exact end-to-end oracle — the q_pipeline_curation discipline
+    # applied to this round's new stages.
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), seg AS (
+      SELECT doc_id,
+             array_to_string(w[(i*10+1):(i*10+10)], ' ') AS segment
+      FROM words,
+           UNNEST(generate_series(0,
+                  CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS t(i)
+    ), sd AS (
+      SELECT segment, COUNT(DISTINCT doc_id) AS nd
+      FROM seg GROUP BY segment
+    ), ls AS (
+      SELECT s.doc_id,
+             (CAST(SUM(CASE WHEN d.nd < 2 THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*)) >= CAST(0.3 AS DOUBLE) AS doc_kept
+      FROM seg s JOIN sd d ON d.segment = s.segment
+      GROUP BY s.doc_id
+    ), kept AS (
+      SELECT d.doc_id, d.text, d.n_chars
+      FROM documents d JOIN ls ON ls.doc_id = d.doc_id AND ls.doc_kept
+    ), surv AS (
+      SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
+    ), corpus AS (
+      SELECT k.doc_id, k.text FROM kept k
+      JOIN surv s ON s.doc_id = k.doc_id
+      WHERE k.n_chars >= 100
+    ), sh AS (
+      SELECT CAST(concat('0x',
+                 substring(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 16 AS shard,
+             len(string_split(text, ' ')) AS n_toks
+      FROM corpus
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+    FROM sh GROUP BY shard
+    """,
+    doc="End-to-end PRETRAIN-CORPUS pipeline composing this round's "
+    "new stages (SURVEY §2.9 ext, the capstone beside "
+    "q_pipeline_curation): line-level boilerplate dedup (docs below "
+    "the 0.3 surviving-segment floor dropped) → exact dedup (sha2, "
+    "min-id survivor) → length quality gate (n_chars ≥ 100) → "
+    "deterministic md5 shard assignment, reporting per-shard "
+    "doc/token totals — documents in, training shards out, one exact "
+    "oracle across all four stages. Scale: the stages share the "
+    "dedup family's disciplines (only hashes and doc_ids shuffle; "
+    "text is scanned, never moved except the final survivor join), "
+    "and the shard write is partitionBy on the final 16-key column.",
+)
+def q_pipeline_pretrain(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.functions.text import token_count
+
+    d = table(spark, sf, "documents")
+    ls = line_dedup_stats(d)
+    kept = d.join(
+        ls.filter(F.col("doc_kept")).select("doc_id"), "doc_id"
+    ).select("doc_id", "text", "n_chars")
+    surv = kept.groupBy(F.sha2("text", 256)).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    corpus = kept.join(surv.select("doc_id"), "doc_id").filter(
+        F.col("n_chars") >= 100
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 16
+    )
+    return (
+        corpus.select(
+            shard.alias("shard"), token_count(F.col("text")).alias("__t")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__t").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@register(
     "q_dedup_ngram_jaccard",
     oracle="""
     WITH tok AS (

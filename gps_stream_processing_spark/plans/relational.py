@@ -2656,6 +2656,93 @@ def q_kll_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_skew_kurtosis",
+    # The four raw moment sums are EXACT (cents as integers; c^4 <=
+    # 1.6e17 fits a BIGINT term, sums in DECIMAL(38,0)/HUGEINT); the
+    # standardized moments then run in double with IDENTICAL
+    # parenthesization both engines — m2^1.5 spelled sqrt(m2)*m2
+    # (sqrt is IEEE correctly-rounded; pow(x,1.5) is not guaranteed
+    # to be), rounded 6 dp. The built-in skewness()/kurtosis()
+    # accumulate central moments in order-dependent doubles.
+    oracle="""
+    WITH b AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ), a AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(c) AS DOUBLE) AS s1,
+             CAST(SUM(c * c) AS DOUBLE) AS s2,
+             CAST(SUM(c * c * c) AS DOUBLE) AS s3,
+             CAST(SUM(c * c * c * c) AS DOUBLE) AS s4
+      FROM b GROUP BY event_type
+    ), m AS (
+      SELECT event_type, n_events,
+             s1 / n_events AS m1,
+             s2 / n_events - (s1 / n_events) * (s1 / n_events) AS m2,
+             s3 / n_events
+               - 3.0 * (s1 / n_events) * (s2 / n_events)
+               + 2.0 * (s1 / n_events) * (s1 / n_events) * (s1 / n_events)
+               AS m3,
+             s4 / n_events
+               - 4.0 * (s1 / n_events) * (s3 / n_events)
+               + 6.0 * (s1 / n_events) * (s1 / n_events) * (s2 / n_events)
+               - 3.0 * (s1 / n_events) * (s1 / n_events)
+                     * (s1 / n_events) * (s1 / n_events) AS m4
+      FROM a
+    )
+    SELECT event_type, n_events,
+           ROUND(m1 / 100.0, 6) AS mean_value,
+           ROUND(m3 / (sqrt(m2) * m2), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+    FROM m
+    """,
+    doc="Population skewness + excess kurtosis per group (SURVEY §2.4 "
+    "ext, completing the moments family beside q_agg_stats and "
+    "q_regression): distribution-shape profiling — heavy tails and "
+    "asymmetry that mean/stddev monitoring misses. Raw moment sums "
+    "Σc..Σc⁴ are exact integers, so this is the mergeable-moments "
+    "architecture again: one hash-agg with map-side partials, and "
+    "the same four sums stored per shard/day combine associatively "
+    "into any rollup window. The engine-native skewness()/kurtosis() "
+    "exist but their central-moment accumulation is order-dependent "
+    "— fine for dashboards, not for an oracle-checked contract.",
+)
+def q_skew_kurtosis(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    b = e.select(
+        "event_type", F.expr("cast(round(value * 100) as bigint)").alias("c")
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    c = F.col("c")
+    a = b.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(dec(c)).cast("double").alias("s1"),
+        F.sum(dec(c * c)).cast("double").alias("s2"),
+        F.sum(dec(c * c * c)).cast("double").alias("s3"),
+        F.sum(dec(c * c * c * c)).cast("double").alias("s4"),
+    )
+    n = F.col("n_events")
+    m1 = F.col("s1") / n
+    m2 = F.col("s2") / n - m1 * m1
+    m3 = F.col("s3") / n - F.lit(3.0) * m1 * (F.col("s2") / n) + F.lit(
+        2.0
+    ) * m1 * m1 * m1
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4.0) * m1 * (F.col("s3") / n)
+        + F.lit(6.0) * m1 * m1 * (F.col("s2") / n)
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    return a.select(
+        "event_type",
+        "n_events",
+        F.round(m1 / F.lit(100.0), 6).alias("mean_value"),
+        F.round(m3 / (F.sqrt(m2) * m2), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis"),
+    )
+
+
+@register(
     "q_funnel_timing",
     # Durations are exact integer microseconds; the single /3.6e9
     # division to hours runs on identical integers both sides, and
