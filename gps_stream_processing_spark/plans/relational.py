@@ -2666,7 +2666,8 @@ def q_kll_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     # accumulate central moments in order-dependent doubles.
     oracle="""
     WITH b AS (
-      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      SELECT event_type,
+             CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS c
       FROM events
     ), a AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -2712,14 +2713,19 @@ def q_skew_kurtosis(spark: SparkSession, sf: str) -> DataFrame:
     b = e.select(
         "event_type", F.expr("cast(round(value * 100) as bigint)").alias("c")
     )
+    # c can reach ~5.6e4 cents at sf0.1 — c^4 ~ 9.9e18 overflows a
+    # BIGINT term (observed under ANSI), so the cubic/quartic products
+    # run in DECIMAL(19,0)x(19,0) -> (38,0), exact at these magnitudes
+    # (oracle twin: HUGEINT). c^2 <= 3.2e9 stays a safe BIGINT term.
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
     c = F.col("c")
     a = b.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(dec(c)).cast("double").alias("s1"),
         F.sum(dec(c * c)).cast("double").alias("s2"),
-        F.sum(dec(c * c * c)).cast("double").alias("s3"),
-        F.sum(dec(c * c * c * c)).cast("double").alias("s4"),
+        F.sum(d19(c * c) * d19(c)).cast("double").alias("s3"),
+        F.sum(d19(c * c) * d19(c * c)).cast("double").alias("s4"),
     )
     n = F.col("n_events")
     m1 = F.col("s1") / n
