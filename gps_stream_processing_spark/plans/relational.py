@@ -1475,6 +1475,44 @@ def q_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_union_evolve",
+    # DuckDB's UNION ALL BY NAME is the exact twin of Spark's
+    # unionByName(allowMissingColumns=True): columns matched by name,
+    # absentees null-padded on either side.
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority
+    FROM (
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+    doc="Schema-evolution UNION (SURVEY §2.7 ext, the in-plan twin of "
+    "q_read_merge_schema's scan-time evolution): two batches whose "
+    "schemas drifted — one carries o_totalprice, the other "
+    "o_orderpriority — combined with unionByName(allowMissingColumns="
+    "True), columns matched BY NAME and absentees null-padded. "
+    "Positional UNION would silently misalign or reject; this is how "
+    "a long-lived pipeline appends last year's extract to this "
+    "year's. Pure narrow op: two scans, zero shuffles, both filters "
+    "pushed.",
+)
+def q_union_evolve(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    old_batch = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    new_batch = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    return old_batch.unionByName(new_batch, allowMissingColumns=True).select(
+        "o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"
+    )
+
+
+@register(
     "q_keyset_page",
     oracle="""
     SELECT o_orderkey, o_orderdate, o_totalprice
