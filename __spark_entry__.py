@@ -84,6 +84,7 @@ _COMMITTED_ROUNDS = (
     "CORRECTNESS_r07.json",
     "CORRECTNESS_r08.json",
     "CORRECTNESS_r09.json",
+    "CORRECTNESS_r10.json",
 )
 
 # Keys whose EXECUTION PLAN changed after their last green driver row,
@@ -170,6 +171,17 @@ _CHANGED_SINCE_VERIFIED = (
     ("q_hll_sliding", 10),
     ("q_session_duration", 10),
     ("q_custom_stream_sink", 10),
+    # r11 (ADVICE r10 fixes): q_time_weighted_avg's csum*dt product
+    # now runs decimal(19,0)x(19,0)->(38,0) Spark-side / HUGEINT in
+    # the oracle (BIGINT overflowed on multi-year per-key gaps);
+    # q_skew_kurtosis wraps both standardized-moment denominators in
+    # NULLIF (zero-variance group gave NaN-vs-engine-dependent);
+    # q_kcore's peeling loop now also breaks at the fully-peeled
+    # (empty-edge-set) fixpoint — values invariant, plan changed.
+    # All three re-verified green at sf0.01 AND sf0.1 locally.
+    ("q_time_weighted_avg", 11),
+    ("q_skew_kurtosis", 11),
+    ("q_kcore", 11),
 )
 
 

@@ -462,7 +462,10 @@ def kcore_edges(edges: DataFrame, k: int = 2, rounds: int = 6) -> DataFrame:
         total, kept = deg.agg(
             F.count("*"), F.sum((F.col("d") >= k).cast("long"))
         ).collect()[0]
-        if kept == total:
+        # total == 0 is the fully-peeled fixpoint: SUM over zero rows
+        # is NULL (kept is None), so `kept == total` alone would miss
+        # it and burn the remaining rounds on empty joins (ADVICE r10).
+        if total == 0 or kept == total:
             break
         keep = deg.filter(F.col("d") >= k).select("n")
         e = (

@@ -2731,8 +2731,8 @@ def q_kll_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT event_type, n_events,
            ROUND(m1 / 100.0, 6) AS mean_value,
-           ROUND(m3 / (sqrt(m2) * m2), 6) AS skewness,
-           ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+           ROUND(m3 / NULLIF(sqrt(m2) * m2, 0), 6) AS skewness,
+           ROUND(m4 / NULLIF(m2 * m2, 0) - 3.0, 6) AS excess_kurtosis
     FROM m
     """,
     doc="Population skewness + excess kurtosis per group (SURVEY §2.4 "
@@ -2777,12 +2777,19 @@ def q_skew_kurtosis(spark: SparkSession, sf: str) -> DataFrame:
         + F.lit(6.0) * m1 * m1 * (F.col("s2") / n)
         - F.lit(3.0) * m1 * m1 * m1 * m1
     )
+    # Zero-variance guard (ADVICE r10): a constant-valued group gives
+    # m2 = 0, where 0.0/0.0 is NaN in Spark but engine-dependent in
+    # DuckDB — NULLIF both sides makes the degenerate case NULL/NULL.
     return a.select(
         "event_type",
         "n_events",
         F.round(m1 / F.lit(100.0), 6).alias("mean_value"),
-        F.round(m3 / (F.sqrt(m2) * m2), 6).alias("skewness"),
-        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("excess_kurtosis"),
+        F.round(m3 / F.nullif(F.sqrt(m2) * m2, F.lit(0.0)), 6).alias(
+            "skewness"
+        ),
+        F.round(
+            m4 / F.nullif(m2 * m2, F.lit(0.0)) - F.lit(3.0), 6
+        ).alias("excess_kurtosis"),
     )
 
 
@@ -3282,7 +3289,7 @@ def q_regression(spark: SparkSession, sf: str) -> DataFrame:
       FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
-           ROUND(CAST(SUM(csum * dt) AS DOUBLE)
+           ROUND(CAST(SUM(CAST(csum AS HUGEINT) * dt) AS DOUBLE)
                  / NULLIF(200.0 * CAST(SUM(dt) AS DOUBLE), 0), 6) AS twa,
            ROUND(CAST(SUM(dt) AS DOUBLE) / 86400000000.0, 6) AS span_days
     FROM d WHERE dt IS NOT NULL GROUP BY user_id
@@ -3315,7 +3322,15 @@ def q_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
     ).filter(F.col("dt").isNotNull())
     agg = d.groupBy("user_id").agg(
         F.count("*").alias("n_intervals"),
-        F.sum((F.col("csum") * F.col("dt")).cast("decimal(38,0)"))
+        # decimal(19,0) × decimal(19,0) → exact decimal(38,0) BEFORE the
+        # sum: a BIGINT csum*dt product overflows 2^63 once a key has a
+        # multi-year gap (dt ~7.6e13 µs × csum ~1.1e5) — same latent
+        # class as the q_skew_kurtosis quartic fix. Oracle mirrors with
+        # a HUGEINT product (ADVICE r10).
+        F.sum(
+            F.col("csum").cast("decimal(19,0)")
+            * F.col("dt").cast("decimal(19,0)")
+        )
         .cast("double")
         .alias("sa"),
         F.sum(F.col("dt").cast("decimal(38,0)")).cast("double").alias("sdt"),
