@@ -27,6 +27,7 @@ from gps_stream_processing_spark.operators.dedup import (
     minhash_signatures,
     shingle_table,
     simhash16,
+    substring_dedup_stats,
 )
 from gps_stream_processing_spark.operators.similarity import (
     cosine_pairs,
@@ -142,6 +143,74 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
     return line_dedup_stats(table(spark, sf, "documents"))
+
+
+@register(
+    "q_dedup_substring",
+    # Engine counts xxhash64(window); oracle counts the raw window
+    # text — identical absent 64-bit collisions (the q_dedup_lines
+    # argument). DuckDB list slice t[a:b] is 1-based inclusive,
+    # mirroring Spark slice(t, a, 8); generate_series is inclusive
+    # and empty when stop < start, mirroring the guarded
+    # sequence(0, n-8). All counts integer; the one ratio rounds 6dp.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t,
+             len(string_split(lower(text), ' ')) AS n_words
+      FROM documents
+    ), win AS (
+      SELECT doc_id, i AS pos, array_to_string(t[(i+1):(i+8)], ' ') AS w
+      FROM toks, UNNEST(generate_series(0, n_words - 8)) AS g(i)
+      WHERE n_words >= 8
+    ), cnt AS (
+      SELECT w, COUNT(*) AS c FROM win GROUP BY w
+    ), dup AS (
+      SELECT win.doc_id, win.pos
+      FROM win JOIN cnt ON cnt.w = win.w WHERE cnt.c >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id, p
+      FROM dup, UNNEST(generate_series(pos, pos + 7)) AS s(p)
+    ), isl AS (
+      SELECT doc_id, p,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+      FROM cov
+    ), st AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS n_dup_spans
+      FROM isl GROUP BY doc_id
+    ), dw AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+      FROM dup GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(greatest(n_words - 7, 0) AS BIGINT) AS n_windows,
+           COALESCE(dw.n_dup_windows, 0) AS n_dup_windows,
+           COALESCE(st.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(st.dup_tokens, 0) AS dup_tokens,
+           ROUND(CAST(COALESCE(st.dup_tokens, 0) AS DOUBLE) / n_words, 6)
+             AS dup_token_frac
+    FROM toks
+    LEFT JOIN st ON st.doc_id = toks.doc_id
+    LEFT JOIN dw ON dw.doc_id = toks.doc_id
+    """,
+    doc="Exact SUBSTRING-level dedup (SURVEY §2.9; Lee et al. 2022 "
+    "'Deduplicating Training Data Makes Language Models Better'): "
+    "duplicated 8-word spans at ARBITRARY offsets across and within "
+    "documents — the duplicates the fixed 10-word grid of "
+    "q_dedup_lines structurally misses whenever a copied passage "
+    "starts mid-segment. Stride-1 overlapping windows are hashed "
+    "map-side, corpus-wide window frequency marks duplicates, and "
+    "per doc the duplicated windows merge into maximal covered token "
+    "runs (gaps-and-islands over DISTINCT covered positions, so "
+    "overlapping windows never double-count a token). Reports per "
+    "doc: window/dup-window counts, maximal dup spans, dup tokens, "
+    "dup token fraction. Only (doc_id, pos, hash) rows shuffle; at "
+    "100 TB the published mitigation for the stride-1 row blowup is "
+    "stride-k seeding + local span extension (same plan shape).",
+)
+def q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
+    return substring_dedup_stats(table(spark, sf, "documents"))
 
 
 @register(

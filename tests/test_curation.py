@@ -529,3 +529,55 @@ def test_dedup_lines_drops_boilerplate_units_only(spark):
     assert not out.loc[2, "doc_kept"]
     assert out.loc[3, ["n_segments", "n_kept"]].tolist() == [2, 2]
     assert out.loc[[0, 1, 3], "doc_kept"].all()
+
+
+def test_dedup_substring_finds_arbitrary_offset_spans(spark):
+    """q_dedup_substring semantics on a hand-built corpus: a copied
+    8-word span is detected at ANY offset (here it starts mid-doc at
+    word 3 — a fixed 10-word grid would miss it); overlapping
+    duplicated windows merge into ONE maximal span without double-
+    counting covered tokens; within-doc repetition counts (total
+    occurrences, not distinct docs); a doc with no duplicated window
+    reports zeros."""
+    from gps_stream_processing_spark.operators.dedup import (
+        substring_dedup_stats,
+    )
+
+    span = " ".join(f"s{i}" for i in range(9))  # 9 shared words
+    rows = [
+        # doc 0: 3 lead words, then the 9-word span, then 2 tail words
+        (0, f"u0 u1 u2 {span} v0 v1"),
+        # doc 1: the same 9 words at offset 0, unique tail
+        (1, f"{span} w0 w1 w2"),
+        # doc 2: fully unique
+        (2, " ".join(f"x{i}" for i in range(12))),
+        # doc 3: an 8-word run repeated twice WITHIN the doc
+        (3, " ".join(f"y{i}" for i in range(8)) + " " + " ".join(f"y{i}" for i in range(8))),
+    ]
+    out = (
+        substring_dedup_stats(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 0: 14 words -> 7 windows; the 9 shared words give 2
+    # overlapping duplicated windows (offsets 3,4) merging into ONE
+    # span covering exactly the 9 shared tokens.
+    assert out.loc[0, "n_windows"] == 7
+    assert out.loc[0, "n_dup_windows"] == 2
+    assert out.loc[0, "n_dup_spans"] == 1
+    assert out.loc[0, "dup_tokens"] == 9
+    # doc 1: 12 words -> 5 windows; same 2 dup windows at offsets 0,1.
+    assert out.loc[1, ["n_dup_windows", "n_dup_spans", "dup_tokens"]].tolist() == [2, 1, 9]
+    # doc 2: clean.
+    assert out.loc[2, ["n_dup_windows", "n_dup_spans", "dup_tokens"]].tolist() == [0, 0, 0]
+    assert out.loc[2, "dup_token_frac"] == 0.0
+    # doc 3: 16 words, the y0..y7 window occurs at offsets 0 and 8
+    # (within-doc repetition IS duplication); coverage is all 16
+    # tokens in one contiguous run -> 1 span.
+    assert out.loc[3, "n_dup_windows"] == 2
+    assert out.loc[3, "n_dup_spans"] == 1
+    assert out.loc[3, "dup_tokens"] == 16
+    assert out.loc[3, "dup_token_frac"] == 1.0

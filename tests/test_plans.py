@@ -779,6 +779,28 @@ def test_dedup_lines_shuffles_hashes_not_text(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_dedup_substring_shuffles_hashes_not_text(spark):
+    """q_dedup_substring's 100 TB contract (the q_dedup_lines
+    discipline at stride 1): every window is reduced to its xxhash64
+    inside the pre-shuffle projection, so no Exchange ever carries the
+    text column — only (doc_id, pos, hash) rows move."""
+    plan = plan_of(REGISTRY["q_dedup_substring"].fn(spark, SF))
+    assert "xxhash64" in plan
+    import re
+
+    sections = re.split(r"\n(?=\(\d+\) )", plan)
+    exchange_blocks = [
+        b
+        for b in sections
+        if re.match(r"\(\d+\) (Exchange|BroadcastExchange)\b", b.strip())
+    ]
+    assert exchange_blocks, "expected at least one Exchange in the plan"
+    for b in exchange_blocks:
+        assert "text#" not in b, b.splitlines()[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def _executed_scan_rows(df) -> int:
     """Sum of numOutputRows across the executed plan's FileScan leaves —
     the rows the parquet reader actually DELIVERED after row-group
