@@ -182,6 +182,13 @@ _CHANGED_SINCE_VERIFIED = (
     ("q_time_weighted_avg", 11),
     ("q_skew_kurtosis", 11),
     ("q_kcore", 11),
+    # r11 (Spark-Connect pass): q_countmin_heavy probes the sketch via
+    # the pure-Python CountMinSketchView (bitwise-parity-pinned vs the
+    # JVM probe) instead of py4j readFrom; q_join_skew_aqe's
+    # executedPlan read is gated on is_classic_session. Values
+    # invariant (parity test + green at sf0.01), re-check anyway.
+    ("q_countmin_heavy", 11),
+    ("q_join_skew_aqe", 11),
 )
 
 

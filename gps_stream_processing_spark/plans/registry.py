@@ -157,3 +157,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from gps_stream_processing_spark.sources.tables import load_table
 
     return load_table(spark, sf_dir, name)
+
+
+def is_classic_session(spark: SparkSession) -> bool:
+    """True when ``spark`` is a classic in-JVM session (py4j backend
+    available); False under Spark Connect, whose session/DataFrame
+    classes live in ``pyspark.sql.connect.*`` and expose no
+    ``sparkContext``/``_jdf``/``_jvm``. The two plan-introspection
+    touchpoints (q_join_skew_aqe's executedPlan read, the bloom-join
+    plan pins) and q_countmin_heavy's JVM sketch probe gate on this
+    — each with a documented Connect-clean fallback."""
+    return not type(spark).__module__.startswith("pyspark.sql.connect")

@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from gps_stream_processing_spark.operators.asof import asof_join
-from gps_stream_processing_spark.plans.registry import register, table
+from gps_stream_processing_spark.plans.registry import (
+    is_classic_session,
+    register,
+    table,
+)
 from gps_stream_processing_spark.workdir import land_dir
 
 # ---------------------------------------------------------------- §2.1 scans
@@ -1792,7 +1796,15 @@ def skew_join_aqe_materialized(spark: SparkSession, sf: str):
         for k, v in confs.items():
             spark.conf.set(k, v)
         rows = agg.collect()  # 7 buckets — O(1) driver result
-        plan = agg._jdf.queryExecution().executedPlan().toString()
+        # executedPlan introspection needs the classic py4j backend;
+        # under Spark Connect the snapshot values are identical (AQE
+        # runs server-side) but the plan text is unavailable — the
+        # skew-split assertion in tests/test_plans.py is classic-only.
+        plan = (
+            agg._jdf.queryExecution().executedPlan().toString()
+            if is_classic_session(spark)
+            else None
+        )
     finally:
         for k, v in prev.items():
             if v is None:
@@ -3374,11 +3386,18 @@ def q_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
     "q_join_bloom).",
 )
 def q_countmin_heavy(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.sketch_probe import (
+        CountMinSketchView,
+    )
+
     e = table(spark, sf, "events")
     # distributed build: per-partition CMS, JVM-side merge; the driver
     # collects ONE fixed-size binary (~1 MB at eps=1e-4), never rows.
-    # (PySpark 4 dropped df.stat.countMinSketch — the SQL aggregate +
-    # org.apache.spark.util.sketch.CountMinSketch.readFrom replaces it.)
+    # (PySpark 4 dropped df.stat.countMinSketch.) The probe is the
+    # pure-Python CountMinSketchView — Connect-clean, no py4j: the
+    # earlier jvm...CountMinSketch.readFrom spelling tied this key to
+    # the classic backend (ADVICE r10); tests/test_plans.py pins the
+    # Python probe bitwise-equal to the JVM probe on classic sessions.
     buf = (
         e.agg(
             F.count_min_sketch(
@@ -3388,16 +3407,13 @@ def q_countmin_heavy(spark: SparkSession, sf: str) -> DataFrame:
         .collect()[0]
         .s
     )
-    jvm = spark.sparkContext._jvm
-    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        jvm.java.io.ByteArrayInputStream(bytes(buf))
-    )
-    slack = int(1e-4 * cms.totalCount()) + 1
+    cms = CountMinSketchView(bytes(buf))
+    slack = int(1e-4 * cms.total_count) + 1
     types = sorted(
         r[0] for r in e.select("event_type").distinct().collect()
     )  # bounded: enum-sized domain
     est = spark.createDataFrame(
-        [(t, cms.estimateCount(t)) for t in types],
+        [(t, cms.estimate_count(t)) for t in types],
         "event_type string, __est bigint",
     )
     exact = e.groupBy("event_type").agg(F.count("*").alias("exact_n"))
@@ -4368,6 +4384,101 @@ def q_join_bloom(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("l_quantity").cast("double").alias("sum_qty"),
         )
     )
+
+
+def bloom_native_join_materialized(spark, sf, force_enabled=True):
+    """q_join_bloom's ENGINE-NATIVE twin, materialized eagerly under
+    scoped confs (the skew_join_aqe_materialized pattern — the confs
+    must be live when the plan is OPTIMIZED, so the action runs inside
+    the scope and the snapshot is returned). Spark's InjectRuntimeFilter
+    rule builds bloom_filter_agg over the filtered dim's join key and
+    plants BloomFilterMightContain(xxhash64(l_partkey)) on the fact
+    side of the shuffle join — the automatic form of the hand-rolled
+    bitmap above, with zero driver involvement (the sketch rides a
+    subquery, never the driver). Smoke-scale scoping: the application-
+    side scan threshold (10 GB default — correct in production, where
+    a bloom filter on a small scan is pure overhead) drops to 1 byte
+    so the sf0.01/0.1 lineitem qualifies, and broadcast is disabled so
+    the join is the shuffle join the rule targets. Returns
+    ``(snapshot_df, optimized_plan_text)``; the plan text needs the
+    classic py4j backend and is None under Spark Connect (values are
+    backend-independent)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1B",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    if force_enabled:
+        # ON regardless of session default; the plan-pin test's control
+        # passes force_enabled=False with the rule disabled session-wide.
+        confs["spark.sql.optimizer.runtime.bloomFilter.enabled"] = "true"
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    dim = (
+        table(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    fact = table(spark, sf, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_quantity"
+    )
+    agg = (
+        fact.join(dim, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        rows = agg.collect()  # 3 return flags — O(1) driver result
+        plan = (
+            agg._jdf.queryExecution().optimizedPlan().toString()
+            if is_classic_session(spark)
+            else None
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, schema=agg.schema), plan
+
+
+@register(
+    "q_join_bloom_native",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem l
+    WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_brand = 'Brand#23')
+    GROUP BY 1
+    """,
+    doc="ENGINE-NATIVE runtime bloom-filter join (SURVEY §2.3 ext, the "
+    "automatic twin of q_join_bloom's hand-rolled bitmap): with "
+    "spark.sql.optimizer.runtime.bloomFilter.enabled, Catalyst's "
+    "InjectRuntimeFilter rewrites the selective-dim shuffle join to "
+    "build bloom_filter_agg(xxhash64(p_partkey)) over the filtered "
+    "creation side and plant BloomFilterMightContain on the fact "
+    "scan — pruning ~96% of lineitem before the exchange with no "
+    "driver collect, no manual bitmap, and executor-side sketch "
+    "merge. tests/test_plans.py pins both bloom_filter_agg and "
+    "BloomFilterMightContain in the optimized plan. p_partkey is "
+    "unique, so the inner join is row-identical to the oracle's "
+    "semi-join. At 100 TB the thresholds revert to their production "
+    "defaults (10 GB application-side scan) and the rule fires "
+    "exactly where it pays; false positives are removed by the exact "
+    "join above the injected filter.",
+)
+def q_join_bloom_native(spark: SparkSession, sf: str) -> DataFrame:
+    snapshot, _plan = bloom_native_join_materialized(spark, sf)
+    return snapshot
 
 
 @register(

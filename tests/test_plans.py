@@ -599,6 +599,76 @@ def test_aqe_skew_join_splits_hot_partition(spark):
         spark.conf.set(key, prev)
 
 
+def test_native_bloom_filter_join_injects_runtime_filter(spark):
+    """The materialized q_join_bloom_native plan must show Catalyst's
+    InjectRuntimeFilter at work: bloom_filter_agg built over the
+    filtered dim's join key and BloomFilterMightContain planted on the
+    fact side. Control: with the rule disabled the same join optimizes
+    with neither node — proving the filter came from the rule, not the
+    query text. Values must equal the hand-rolled q_join_bloom's."""
+    from gps_stream_processing_spark.plans.relational import (
+        bloom_native_join_materialized,
+    )
+
+    snap, plan = bloom_native_join_materialized(spark, SF)
+    assert "bloom_filter_agg" in plan, plan
+    assert "might_contain" in plan or "BloomFilterMightContain" in plan, plan
+    native = {
+        r["l_returnflag"]: (r["n"], r["sum_qty"]) for r in snap.collect()
+    }
+    manual = {
+        r["l_returnflag"]: (r["n"], r["sum_qty"])
+        for r in REGISTRY["q_join_bloom"].fn(spark, SF).collect()
+    }
+    assert native == manual
+    key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        _, plan_off = bloom_native_join_materialized(
+            spark, SF, force_enabled=False
+        )
+        assert "bloom_filter_agg" not in plan_off
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_cms_python_probe_matches_jvm_bitwise(spark):
+    """q_countmin_heavy's Connect-clean probe contract: the pure-Python
+    CountMinSketchView must read the count_min_sketch binary and return
+    estimates BITWISE EQUAL to the JVM CountMinSketch.readFrom probe —
+    for every present type and for absent keys (classic session only;
+    the Python side is the one the registered key uses everywhere)."""
+    from gps_stream_processing_spark.operators.sketch_probe import (
+        CountMinSketchView,
+    )
+    from gps_stream_processing_spark.plans.registry import (
+        is_classic_session,
+    )
+
+    assert is_classic_session(spark)
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    buf = bytes(
+        e.agg(
+            F.count_min_sketch(
+                "event_type", F.lit(1e-4), F.lit(0.99), F.lit(42)
+            ).alias("s")
+        )
+        .collect()[0]
+        .s
+    )
+    view = CountMinSketchView(buf)
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(buf)
+    )
+    assert view.total_count == cms.totalCount()
+    types = [r[0] for r in e.select("event_type").distinct().collect()]
+    probes = sorted(types) + ["absent_key", "", "日本語-key", "a" * 100]
+    for t in probes:
+        assert view.estimate_count(t) == cms.estimateCount(t), t
+
+
 def test_rebalance_write_plan_has_rebalance_exchange(spark):
     """q_rebalance_write's write-side plan must carry the
     REBALANCE_PARTITIONS_BY_COL shuffle origin (AQE file-size
