@@ -1926,6 +1926,137 @@ def q_ann_ivfsq(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_sq_ann(table(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
+def _pq_ann_oracle(
+    dim: int = 64,
+    m: int = 16,
+    n_codes: int = 16,
+    k: int = 10,
+    n_cand: int = 50,
+) -> str:
+    """Full DuckDB oracle for PQ ANN: codebook training is
+    deterministic one-round Lloyd per subspace (init = each
+    subspace's slice of the n_codes lowest-vec_id vectors — the
+    _kmeans_oracle init discipline; one assignment + one mean
+    update, emptied codes keeping their init slice via the LEFT
+    JOIN COALESCE), so train, per-subspace encoding (list_position
+    of the list_min over exact L2 folds — first-index tie-break,
+    mirroring array_position/array_min), the query LUT, the ADC
+    sum, and the exact re-rank are all re-derived in SQL. Float
+    discipline: every subspace fold is the proven Spark-aggregate ≡
+    DuckDB-list_sum(list_transform) sequential shape; the m-term
+    ADC sum rides the same equivalence; update AVGs reassociate
+    ~1e-15 but encode decisions sit far from ties on this corpus
+    (the IVF-oracle argument), hash-verified at sf0.001/0.01/0.1."""
+    sub = dim // m
+    rng = f"range(1, {dim + 1})"
+
+    def dot(a: str, b: str) -> str:
+        return f"list_sum(list_transform({rng}, i -> {a}[i] * {b}[i]))"
+
+    def cos(a: str, b: str) -> str:
+        return f"{dot(a, b)} / (SQRT({dot(a, a)}) * SQRT({dot(b, b)}))"
+
+    l2 = (
+        f"list_sum(list_transform(range(1, {sub + 1}), j ->"
+        f" (v[s * {sub} + j] - c[s * {sub} + j])"
+        f" * (v[s * {sub} + j] - c[s * {sub} + j])))"
+    )
+    dists = f"list_transform(cbl, c -> {l2})"
+    qdot_sub = (
+        f"list_sum(list_transform(range(1, {sub + 1}), j ->"
+        f" qv[s * {sub} + j] * c[s * {sub} + j]))"
+    )
+    enc = (
+        f"list_transform(range(0, {m}), s ->"
+        f" list_position({dists}, list_min({dists})))"
+    )
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS code,
+             v AS c
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT {n_codes})
+    ),
+    cb0 AS MATERIALIZED (SELECT list(c ORDER BY code) AS cbl FROM c0),
+    enc0 AS MATERIALIZED (
+      SELECT vec_id, v.v AS v, {enc} AS codes FROM v, cb0
+    ),
+    upd AS (
+      SELECT s.s, e.codes[s.s + 1] AS code, d.j,
+             AVG(e.v[s.s * {sub} + d.j]) AS mv
+      FROM enc0 e
+      CROSS JOIN (SELECT unnest(range(0, {m})) AS s) s
+      CROSS JOIN (SELECT unnest(range(1, {sub + 1})) AS j) d
+      GROUP BY 1, 2, 3
+    ),
+    usub AS (
+      SELECT s, code, list(mv ORDER BY j) AS sv FROM upd GROUP BY s, code
+    ),
+    subs AS (
+      SELECT c0.code, s.s,
+             COALESCE(u.sv,
+                      c0.c[(s.s * {sub} + 1):(s.s * {sub} + {sub})]) AS sv
+      FROM c0 CROSS JOIN (SELECT unnest(range(0, {m})) AS s) s
+      LEFT JOIN usub u ON u.s = s.s AND u.code = c0.code
+    ),
+    cb AS MATERIALIZED (
+      SELECT list(c ORDER BY code) AS cbl FROM (
+        SELECT code, flatten(list(sv ORDER BY s)) AS c
+        FROM subs GROUP BY code
+      )
+    ),
+    q AS MATERIALIZED (SELECT v AS qv FROM v WHERE vec_id = 0),
+    lut AS MATERIALIZED (
+      SELECT list_transform(range(0, {m}), s ->
+               list_transform(cbl, c -> {qdot_sub})) AS lt
+      FROM cb, q
+    ),
+    e1 AS MATERIALIZED (
+      SELECT vec_id, v.v AS v, {enc} AS codes FROM v, cb
+    ),
+    adot AS (
+      SELECT e.vec_id, e.v,
+             ROUND(list_sum(list_transform(range(0, {m}), s ->
+                     lt[s + 1][codes[s + 1]])), 6) AS approx_dot
+      FROM e1 e, lut WHERE e.vec_id <> 0
+    ),
+    cand AS (
+      SELECT vec_id, v, approx_dot FROM adot
+      ORDER BY approx_dot DESC, vec_id LIMIT {n_cand}
+    )
+    SELECT c.vec_id, c.approx_dot,
+           ROUND({cos("c.v", "q.qv")}, 6) AS cos_sim
+    FROM cand c, q
+    ORDER BY cos_sim DESC, c.vec_id LIMIT {k}
+    """
+
+
+@register(
+    "q_ann_pq",
+    oracle=_pq_ann_oracle(),
+    doc="ANN via PRODUCT QUANTIZATION (FAISS PQ, SURVEY §2.9 — "
+    "completes the memory-axis triad beside SQ8 and IVF): 16 "
+    "subspaces × 16-code Lloyd-trained codebooks (8 bytes/vector vs "
+    "256 — 32×), codes assigned by exact per-subspace L2 argmin, "
+    "search via ADC — the query builds one m×|codes| lookup table "
+    "and every stored vector's score is 16 table lookups, never a "
+    "64-dim multiply; exact cosine re-ranks the 50 best. "
+    "Deterministic training (lowest-id init + one mean update, the "
+    "q_kmeans discipline, all subspaces in ONE pass) keeps the full "
+    "train→encode→LUT→ADC→re-rank pipeline SQL-re-derivable; "
+    "recall@10 = 0.9 at sf0.01 and sf0.1, floor pytest-pinned. At "
+    "100 TB the codes column streams at ~1/32 the float32 bandwidth "
+    "and the codebook rides an ~8 KB broadcast.",
+)
+def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.similarity import pq_ann
+
+    return pq_ann(table(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
 @register(
     "q_decontaminate",
     oracle="""

@@ -723,6 +723,25 @@ def test_ann_sq8_recall_floor(spark):
     assert len(got & exact) / 10 >= 0.8
 
 
+def test_ann_pq_recall_floor(spark):
+    """PQ at 16 subspaces × 16 codes (8 bytes/vector) with a
+    50-candidate ADC cut holds recall@10 ≈ 0.9 vs the exact cosine
+    ranking at sf0.01 AND sf0.1 (measured at build time); pinned at
+    >= 0.6 — above the IVF partition floor, below SQ8's near-lossless
+    0.8 (PQ trades more precision for 32× compression vs SQ8's 4×)."""
+    from gps_stream_processing_spark.operators.similarity import (
+        cosine_topk,
+        pq_ann,
+    )
+    from gps_stream_processing_spark.plans.registry import table
+
+    sf = "/root/testdata/sf0.01"
+    emb = table(spark, sf, "embeddings")
+    exact = {r.vec_id for r in cosine_topk(emb, 0, k=10).collect()}
+    got = {r.vec_id for r in pq_ann(emb, 0, k=10).collect()}
+    assert len(got & exact) / 10 >= 0.6
+
+
 def test_ann_ivfsq_recall_floor(spark):
     """The composed IVF×SQ8 index loses recall only at the probe cut
     (SQ8's ADC is near-lossless per the SQ8 floor test), so its floor
