@@ -1,0 +1,124 @@
+"""BPE tokenizer TRAINING (Sennrich et al. 2016) as a Spark plan.
+
+The reference has no tokenizer (its only code file is
+class.nmea.parser.php:1-399; SURVEY §0) — engine surface (`ext`),
+the tokenizer-side companion of q_vocab_coverage/q_token_count: a
+training-data pipeline that reports vocabulary coverage also has to
+BUILD the vocabulary, and byte-pair encoding is the standard way.
+
+Algorithm (the published word-level form): collapse the corpus to a
+word-frequency table once, start from character symbols, then each
+round (1) count adjacent symbol pairs weighted by word frequency,
+(2) pick the most frequent pair — ties broken lexicographically —
+and (3) merge every greedy left-to-right non-overlapping occurrence
+into a new symbol.
+
+Spark-first representation: a word's symbol sequence is ONE
+delimited string ``\\x1f sym1 \\x1f sym2 \\x1f`` — so the merge step
+is a plain ``replace(ws, sep||l||sep||r||sep, sep||l||r||sep)``,
+whose left-to-right non-overlapping scan is EXACTLY the greedy BPE
+merge rule (``aaa`` merges once under pair (a,a)), identical in
+Spark and DuckDB — the whole training loop stays engine-portable
+column algebra with no UDF. Pair counting splits the string back to
+an array inside one projection (explode + hash-agg with map-side
+combine).
+
+Scale design: every round runs over the WORD-FREQUENCY table, not
+the corpus — |vocab| rows regardless of corpus size (the industrial
+posture; the corpus is scanned exactly once to build the table).
+Per round: one explode+agg for pair counts (the driver collects ONE
+row — the winning pair), one narrow replace projection. The loop is
+driver-fed like operators/clustering.py's Lloyd: k bounded
+one-row collects, never data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"  # unit separator; the word filter excludes it from symbols
+
+
+def word_freq_table(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, f, ws): corpus word frequencies with the initial
+    character-level delimited symbol string. Words are normalized to
+    lowercase and filtered to ``^[a-z0-9]+$`` (BPE-demo
+    normalization; also guarantees the separator char cannot occur
+    inside a symbol)."""
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    return words.groupBy("word").agg(F.count("*").alias("f")).select(
+        "word",
+        "f",
+        F.concat(
+            F.regexp_replace(F.col("word"), "(.)", SEP + "$1"), F.lit(SEP)
+        ).alias("ws"),
+    )
+
+
+def _pair_counts(wf: DataFrame) -> DataFrame:
+    syms = F.expr(f"filter(split(ws, '{SEP}'), x -> x <> '')")
+    pairs = F.expr(
+        "CASE WHEN size(__syms) >= 2 THEN transform("
+        "sequence(1, size(__syms) - 1), i -> struct("
+        "element_at(__syms, i) AS l, element_at(__syms, i + 1) AS r))"
+        " ELSE array() END"
+    )
+    return (
+        wf.select("f", syms.alias("__syms"))
+        .select("f", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("f").alias("cnt"))
+    )
+
+
+def bpe_train(
+    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Run ``n_merges`` BPE merge rounds; returns one row per round:
+    (round, merge_left, merge_right, pair_count, n_symbols_after) —
+    the merge table plus the post-merge corpus symbol count (exact
+    integers; the count shrinks by the number of non-overlapping
+    merges applied, which the oracle re-derives independently)."""
+    spark = df.sparkSession
+    wf = word_freq_table(df, text_col).persist()
+    n_sym = F.sum(
+        F.col("f")
+        * F.expr(f"size(filter(split(ws, '{SEP}'), x -> x <> ''))")
+    ).cast("bigint")
+    out = []
+    try:
+        for rnd in range(1, n_merges + 1):
+            best = (
+                _pair_counts(wf)
+                .orderBy(F.desc("cnt"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not best:  # fully merged corpus: no pairs left
+                break
+            l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+            merged = wf.select(
+                "word",
+                "f",
+                F.replace(
+                    F.col("ws"),
+                    F.lit(SEP + l + SEP + r + SEP),
+                    F.lit(SEP + l + r + SEP),
+                ).alias("ws"),
+            ).persist()
+            n_after = int(merged.agg(n_sym.alias("n")).collect()[0]["n"])
+            wf.unpersist()
+            wf = merged
+            out.append((rnd, l, r, cnt, n_after))
+    finally:
+        wf.unpersist()
+    return spark.createDataFrame(
+        out,
+        "round int, merge_left string, merge_right string,"
+        " pair_count bigint, n_symbols_after bigint",
+    )

@@ -2057,6 +2057,85 @@ def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     return pq_ann(table(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """Full DuckDB oracle for BPE training: the merge rounds unrolled
+    as materialized CTEs (the q_kmeans/q_kcore discipline — each
+    round's w{i} has two consumers). The merge step is the SAME
+    string-replace both engines run (left-to-right non-overlapping ≙
+    greedy BPE); pair counts and symbol totals are exact integers;
+    ties order (cnt DESC, l, r) on ASCII symbols — binary collation
+    both engines."""
+    sep = "chr(31)"
+    sql = [f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS f,
+             regexp_replace(word, '(.)', {sep} || '\\1', 'g') || {sep} AS ws
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE regexp_matches(word, '^[a-z0-9]+$')
+      GROUP BY word
+    )"""]
+    for i in range(1, n_merges + 1):
+        sql.append(f""",
+    p{i} AS (
+      SELECT t.syms[g.j] AS l, t.syms[g.j + 1] AS r, SUM(t.f) AS cnt
+      FROM (SELECT f,
+                   list_filter(string_split(ws, {sep}), x -> x <> '') AS syms
+            FROM w{i - 1}) t,
+           UNNEST(generate_series(1, len(t.syms) - 1)) AS g(j)
+      GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT l, r, CAST(cnt AS BIGINT) AS cnt
+      FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT word, f,
+             replace(ws, {sep} || b.l || {sep} || b.r || {sep},
+                     {sep} || b.l || b.r || {sep}) AS ws
+      FROM w{i - 1}, b{i} b
+    ),
+    s{i} AS (
+      SELECT CAST(SUM(f * len(list_filter(string_split(ws, {sep}),
+                                           x -> x <> ''))) AS BIGINT) AS n
+      FROM w{i}
+    )""")
+    parts = [
+        f"""
+    SELECT CAST({i} AS INT) AS round, b{i}.l AS merge_left,
+           b{i}.r AS merge_right, b{i}.cnt AS pair_count,
+           s{i}.n AS n_symbols_after
+    FROM b{i}, s{i}"""
+        for i in range(1, n_merges + 1)
+    ]
+    sql.append(" UNION ALL ".join(parts))
+    return "".join(sql)
+
+
+@register(
+    "q_bpe_train",
+    oracle=_bpe_oracle(),
+    doc="BPE TOKENIZER TRAINING (Sennrich et al. 2016, SURVEY §2.9 — "
+    "the tokenizer-side companion of q_vocab_coverage/q_token_count): "
+    "8 merge rounds over the corpus word-frequency table, each round "
+    "counting adjacent symbol pairs weighted by word frequency, "
+    "picking the max (ties lexicographic), and merging greedily "
+    "left-to-right — emitted as the merge table plus the post-merge "
+    "corpus symbol count. The symbol sequence rides ONE delimited "
+    "string, so the merge is a plain replace() whose non-overlapping "
+    "scan IS the BPE merge rule, identical in both engines — the "
+    "whole iterative loop is exact column algebra (oracle = rounds "
+    "unrolled as materialized CTEs, the q_kmeans discipline). At "
+    "100 TB every round runs over the |vocab|-sized frequency table "
+    "(the corpus is scanned once); the driver receives one winning "
+    "pair per round.",
+)
+def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.bpe import bpe_train
+
+    return bpe_train(table(spark, sf, "documents"), n_merges=8)
+
+
 @register(
     "q_decontaminate",
     oracle="""

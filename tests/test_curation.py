@@ -581,3 +581,37 @@ def test_dedup_substring_finds_arbitrary_offset_spans(spark):
     assert out.loc[3, "n_dup_spans"] == 1
     assert out.loc[3, "dup_tokens"] == 16
     assert out.loc[3, "dup_token_frac"] == 1.0
+
+
+def test_bpe_train_greedy_merge_and_tiebreak(spark):
+    """BPE semantics on a hand-built corpus: pair counts are
+    frequency-weighted POSITIONAL counts; the winner merges greedily
+    left-to-right without overlap ('aaa' under pair (a,a) merges
+    ONCE -> [aa, a]); count ties break to the lexicographically
+    smallest (l, r); merged symbols are real symbols in later rounds."""
+    from gps_stream_processing_spark.operators.bpe import bpe_train
+
+    # 'aaa' x3: pairs (a,a) counted 2 per occurrence = 6
+    # 'bc'  x6: pair (b,c) = 6  -> tie at 6; (a,a) < (b,c) lexicographically
+    rows = [(0, "aaa aaa aaa bc bc bc bc bc bc")]
+    out = (
+        bpe_train(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            n_merges=3,
+        )
+        .toPandas()
+        .set_index("round")
+    )
+    # round 1: tie 6-6 -> (a,a) wins; each 'aaa' merges ONCE (greedy
+    # non-overlap): symbols go from 3*3 + 6*2 = 21 to 3*2 + 6*2 = 18.
+    assert out.loc[1, ["merge_left", "merge_right"]].tolist() == ["a", "a"]
+    assert out.loc[1, "pair_count"] == 6
+    assert out.loc[1, "n_symbols_after"] == 18
+    # round 2: (b,c)=6 beats (aa,a)=3 -> 'bc' becomes one symbol.
+    assert out.loc[2, ["merge_left", "merge_right"]].tolist() == ["b", "c"]
+    assert out.loc[2, "pair_count"] == 6
+    assert out.loc[2, "n_symbols_after"] == 12
+    # round 3: only (aa,a)=3 remains; 'aaa' collapses fully.
+    assert out.loc[3, ["merge_left", "merge_right"]].tolist() == ["aa", "a"]
+    assert out.loc[3, "pair_count"] == 3
+    assert out.loc[3, "n_symbols_after"] == 9
