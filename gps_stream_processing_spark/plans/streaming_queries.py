@@ -1121,6 +1121,109 @@ def q_state_metadata(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_stream_progress",
+    # The listener-reported metrics must reconcile to batch ground
+    # truth: total numInputRows across batches == the table's row
+    # count; the agg state's numRowsTotal == the sink row count ==
+    # the distinct (day, event_type) group count. All exact integers.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_input_rows,
+           CAST(COUNT(DISTINCT (date_trunc('day', ts), event_type))
+                AS BIGINT) AS state_rows_total,
+           CAST(COUNT(DISTINCT (date_trunc('day', ts), event_type))
+                AS BIGINT) AS sink_rows
+    FROM events
+    """,
+    doc="STREAMING OBSERVABILITY via StreamingQueryListener (SURVEY "
+    "§2.8 ext — the streaming twin of q_observe_metrics): a listener "
+    "registered before start() collects every QueryProgressEvent of "
+    "an availableNow windowed aggregation (filtered by query name — "
+    "a shared session may run sibling streams), and the key emits "
+    "the reconciliation the progress stream must satisfy: summed "
+    "numInputRows == source row count, the stateStoreSave operator's "
+    "numRowsTotal == the group count == the sink row count. This is "
+    "the production monitoring surface — lag/throughput/state-size "
+    "dashboards consume exactly these per-batch events; at 100 TB "
+    "the listener payload stays O(batches), never data. Progress "
+    "delivery is asynchronous: the key polls (bounded) until the "
+    "terminated event lands before reading the collected metrics.",
+)
+def q_stream_progress(spark: SparkSession, sf: str) -> DataFrame:
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Collector(StreamingQueryListener):
+        def __init__(self, name: str) -> None:
+            self._name = name
+            self.progresses: list = []
+            self.terminated = False
+
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            if event.progress.name == self._name:
+                self.progresses.append(event.progress)
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            self.terminated = True
+
+    agg = (
+        events_stream(spark, sf)
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"mem_prog_{_uuid.uuid4().hex[:10]}"
+    collector = _Collector(name)
+    spark.streams.addListener(collector)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener events are delivered on a separate dispatcher
+        # thread — poll (bounded) for the terminated event, which is
+        # ordered AFTER every progress event of this query
+        deadline = time.monotonic() + 30
+        while not collector.terminated and time.monotonic() < deadline:
+            time.sleep(0.05)
+        sink_rows = spark.table(name).count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.streams.removeListener(collector)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001 — view absent if start() failed
+            pass
+        from gps_stream_processing_spark.streaming.runner import (
+            _unload_idle_state_stores,
+        )
+
+        _unload_idle_state_stores(spark)
+    total_in = sum(p.numInputRows for p in collector.progresses)
+    state_total = 0
+    for p in collector.progresses:  # last non-empty stateOperators wins
+        if p.stateOperators:
+            state_total = p.stateOperators[0].numRowsTotal
+    return spark.createDataFrame(
+        [(int(total_in), int(state_total), int(sink_rows))],
+        "total_input_rows bigint, state_rows_total bigint,"
+        " sink_rows bigint",
+    )
+
+
 def q_stream_tws_init_state(spark: SparkSession, sf: str) -> DataFrame:
     from gps_stream_processing_spark.streaming.runner import events_stream
     from gps_stream_processing_spark.streaming.stateful import (
