@@ -525,27 +525,68 @@ def pq_ann(
     sub = dim // m
     vec = F.col(vec_col).cast("array<double>")
     base = embeddings.select(id_col, vec.alias("v"))
-    spark = embeddings.sparkSession
-
-    def cb_df(rows: list[list[float]]) -> DataFrame:
-        # broadcast 1-row codebook: n_codes FULL-dim vectors; each
-        # subspace's codebook is the s-th slice (column-referencing so
-        # codegen compiles once — the clustering.py literal lesson)
-        return spark.createDataFrame([(rows,)], "cbl array<array<double>>")
-
-    def l2(s: str, x: str) -> str:
-        return (
-            f"aggregate(zip_with(slice({x}, {s} * {sub} + 1, {sub}),"
-            f" slice(c, {s} * {sub} + 1, {sub}),"
-            " (a, b) -> (a - b) * (a - b)),"
-            " 0.0D, (acc, y) -> acc + y)"
+    cb = _pq_train(base, m, n_codes, sub, id_col)
+    codes_expr = _pq_codes_expr(m, sub)
+    enc = base.crossJoin(F.broadcast(cb)).select(
+        id_col, "v", codes_expr.alias("codes")
+    )
+    qrow = _pq_query_row(base, cb, query_vec_id, m, sub, id_col)
+    cand = (
+        enc.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qrow))
+        .select(id_col, "v", "qv", F.round(_pq_adc(m), 6).alias("approx_dot"))
+        .orderBy(F.desc("approx_dot"), id_col)
+        .limit(n_cand)
+    )
+    return (
+        cand.select(
+            id_col,
+            "approx_dot",
+            F.round(cosine_sim(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
         )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
 
-    dists = f"transform(cbl, c -> {l2('s', 'v')})"
-    codes_expr = F.expr(
+
+def _pq_l2(s: str, x: str, sub: int) -> str:
+    return (
+        f"aggregate(zip_with(slice({x}, {s} * {sub} + 1, {sub}),"
+        f" slice(c, {s} * {sub} + 1, {sub}),"
+        " (a, b) -> (a - b) * (a - b)),"
+        " 0.0D, (acc, y) -> acc + y)"
+    )
+
+
+def _pq_codes_expr(m: int, sub: int) -> Column:
+    """Per-row m-length code array: each subspace's nearest codebook
+    entry by exact-fold L2, first-index tie-break (array_position of
+    the array_min ≙ the oracle's list_position of the list_min).
+    References the broadcast ``cbl`` codebook column (n_codes
+    full-dim rows; subspace s's codebook is the s-th slice) —
+    column-referencing so codegen compiles once (the clustering.py
+    literal lesson)."""
+    dists = f"transform(cbl, c -> {_pq_l2('s', 'v', sub)})"
+    return F.expr(
         f"transform(sequence(0, {m - 1}),"
         f" s -> array_position({dists}, array_min({dists})))"
     )
+
+
+def _pq_train(
+    base: DataFrame, m: int, n_codes: int, sub: int, id_col: str
+) -> DataFrame:
+    """Deterministic one-round Lloyd PQ training, ALL subspaces in one
+    pass: init = the n_codes lowest-id vectors (each subspace takes
+    its slice), one assignment projection, one (subspace, code, dim)
+    mean hash-agg collected driver-side (m*n_codes*sub rows — the
+    _lloyd bounded-collect pattern), emptied codes keeping their init
+    slice. Returns the broadcastable 1-row codebook DataFrame."""
+    spark = base.sparkSession
+
+    def cb_df(rows: list[list[float]]) -> DataFrame:
+        return spark.createDataFrame([(rows,)], "cbl array<array<double>>")
+
     init_rows = base.orderBy(id_col).limit(n_codes).collect()
     if len(init_rows) < n_codes:
         raise ValueError(
@@ -553,10 +594,8 @@ def pq_ann(
         )
     cb0 = [list(r["v"]) for r in init_rows]
     enc0 = base.crossJoin(F.broadcast(cb_df(cb0))).select(
-        id_col, "v", codes_expr.alias("codes")
+        id_col, "v", _pq_codes_expr(m, sub).alias("codes")
     )
-    # one Lloyd update for ALL subspaces in one hash-agg:
-    # (subspace, code, dim-within-subspace) means — m*n_codes*sub rows
     upd = (
         enc0.select("codes", F.posexplode("v").alias("i", "x"))
         .select(
@@ -584,35 +623,98 @@ def pq_ann(
             else:
                 row.extend(got[j] for j in range(sub))
         cb1.append(row)
-    cb = cb_df(cb1)
-    enc = base.crossJoin(F.broadcast(cb)).select(
-        id_col, "v", codes_expr.alias("codes")
-    )
+    return cb_df(cb1)
+
+
+def _pq_query_row(
+    base: DataFrame,
+    cb: DataFrame,
+    query_vec_id: int,
+    m: int,
+    sub: int,
+    id_col: str,
+) -> DataFrame:
+    """1-row (qv, lut): the raw query vector plus the m × n_codes ADC
+    lookup table of subspace dot products against the codebook."""
     qdot = (
         f"aggregate(zip_with(slice(qv, s * {sub} + 1, {sub}),"
         f" slice(c, s * {sub} + 1, {sub}), (a, b) -> a * b),"
         " 0.0D, (acc, y) -> acc + y)"
     )
-    qrow = (
+    return (
         base.filter(F.col(id_col) == query_vec_id)
+        .select(F.col("v").alias("qv"))
         .crossJoin(F.broadcast(cb))
         .select(
-            F.col("v").alias("qv"),
+            "qv",
             F.expr(
                 f"transform(sequence(0, {m - 1}),"
                 f" s -> transform(cbl, c -> {qdot}))"
             ).alias("lut"),
         )
     )
-    adc = F.expr(
+
+
+def _pq_adc(m: int) -> Column:
+    """ADC score: m LUT hits folded in fixed order (Spark aggregate ≡
+    DuckDB list_sum(list_transform) bitwise)."""
+    return F.expr(
         f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, s) -> acc"
         " + element_at(element_at(lut, s + 1),"
         " cast(element_at(codes, s + 1) as int)))"
     )
-    cand = (
-        enc.filter(F.col(id_col) != query_vec_id)
+
+
+def ivf_pq_ann(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_probe: int = 6,
+    m: int = 16,
+    n_codes: int = 16,
+    n_cand: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF × PQ — THE production vector-store composition (FAISS
+    ``IVFx,PQy``, what actually runs at 10⁹ vectors): the IVF coarse
+    quantizer prunes WHICH vectors are scanned (n_probe posting
+    lists), product quantization cuts the BYTES per scanned vector
+    (8-byte codes vs 256-byte float32, 32× — deeper than SQ8's 4×),
+    ADC scores the probed codes via the query's lookup table, and
+    only the ``n_cand`` best pay an exact re-rank.
+
+    Same shared coarse quantizer as :func:`ivf_ann` (per-label
+    centroids, identical assignment tie-break); same deterministic
+    PQ training as :func:`pq_ann` over the WHOLE corpus (the index
+    is built offline over everything, not per probe — the ivf_sq_ann
+    discipline), so the composed pipeline still carries an exact SQL
+    oracle."""
+    sub = dim // m
+    vec = F.col(vec_col).cast("array<double>")
+    base = embeddings.select(id_col, vec.alias("v"))
+    cents = _label_centroids(embeddings, vec, label_col)
+    assigned = _nearest_list_assignment(base, cents, id_col)
+    probe_lists, _qv = _ivf_probe_lists(
+        embeddings, cents, query_vec_id, n_probe, id_col, vec
+    )
+    cb = _pq_train(base, m, n_codes, sub, id_col)
+    qrow = _pq_query_row(base, cb, query_vec_id, m, sub, id_col)
+    probed = (
+        assigned.filter(
+            (F.col("list_id").isin(probe_lists))
+            & (F.col(id_col) != query_vec_id)
+        )
+        .crossJoin(F.broadcast(cb))
+        .select(id_col, "v", _pq_codes_expr(m, sub).alias("codes"))
         .crossJoin(F.broadcast(qrow))
-        .select(id_col, "v", "qv", F.round(adc, 6).alias("approx_dot"))
+    )
+    cand = (
+        probed.select(
+            id_col, "v", "qv", F.round(_pq_adc(m), 6).alias("approx_dot")
+        )
         .orderBy(F.desc("approx_dot"), id_col)
         .limit(n_cand)
     )

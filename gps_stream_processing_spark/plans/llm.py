@@ -2057,6 +2057,155 @@ def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     return pq_ann(table(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
+def _ivfpq_oracle(
+    dim: int = 64,
+    m: int = 16,
+    n_codes: int = 16,
+    k: int = 10,
+    n_probe: int = 6,
+    n_cand: int = 50,
+) -> str:
+    """Full DuckDB oracle for IVF×PQ: the IVF stages splice from
+    _ivf_ann_oracle (deterministic per-label centroids, assignment,
+    n_probe selection) and the PQ stages from _pq_ann_oracle
+    (one-round Lloyd codebooks, encode, LUT, ADC), so the composed
+    production index stays exactly re-derivable. Same float
+    discipline as both parents."""
+    sub = dim // m
+    rng = f"range(1, {dim + 1})"
+
+    def dot(a: str, b: str) -> str:
+        return f"list_sum(list_transform({rng}, i -> {a}[i] * {b}[i]))"
+
+    def cos(a: str, b: str) -> str:
+        return f"{dot(a, b)} / (SQRT({dot(a, a)}) * SQRT({dot(b, b)}))"
+
+    l2 = (
+        f"list_sum(list_transform(range(1, {sub + 1}), j ->"
+        f" (v[s * {sub} + j] - c[s * {sub} + j])"
+        f" * (v[s * {sub} + j] - c[s * {sub} + j])))"
+    )
+    dists = f"list_transform(cbl, c -> {l2})"
+    qdot_sub = (
+        f"list_sum(list_transform(range(1, {sub + 1}), j ->"
+        f" qv[s * {sub} + j] * c[s * {sub} + j]))"
+    )
+    enc = (
+        f"list_transform(range(0, {m}), s ->"
+        f" list_position({dists}, list_min({dists})))"
+    )
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cd AS (
+      SELECT label AS list_id, d.i AS i, AVG(v.v[d.i]) AS m
+      FROM v CROSS JOIN (SELECT unnest({rng}) AS i) d
+      GROUP BY 1, 2
+    ),
+    cents AS MATERIALIZED (
+      SELECT list_id, list(m ORDER BY i) AS cv FROM cd GROUP BY list_id
+    ),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, v, list_id FROM (
+        SELECT v.vec_id, v.v, c.list_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {cos("v.v", "c.cv")} DESC, c.list_id
+               ) AS rn
+        FROM v CROSS JOIN cents c
+      ) t WHERE rn = 1
+    ),
+    q AS MATERIALIZED (SELECT v AS qv FROM v WHERE vec_id = 0),
+    probes AS (
+      SELECT c.list_id
+      FROM cents c, q
+      ORDER BY {cos("c.cv", "q.qv")} DESC, c.list_id DESC
+      LIMIT {n_probe}
+    ),
+    c0 AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS code,
+             v AS c
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT {n_codes})
+    ),
+    cb0 AS MATERIALIZED (SELECT list(c ORDER BY code) AS cbl FROM c0),
+    enc0 AS MATERIALIZED (
+      SELECT vec_id, v.v AS v, {enc} AS codes FROM v, cb0
+    ),
+    upd AS (
+      SELECT s.s, e.codes[s.s + 1] AS code, d.j,
+             AVG(e.v[s.s * {sub} + d.j]) AS mv
+      FROM enc0 e
+      CROSS JOIN (SELECT unnest(range(0, {m})) AS s) s
+      CROSS JOIN (SELECT unnest(range(1, {sub + 1})) AS j) d
+      GROUP BY 1, 2, 3
+    ),
+    usub AS (
+      SELECT s, code, list(mv ORDER BY j) AS sv FROM upd GROUP BY s, code
+    ),
+    subs AS (
+      SELECT c0.code, s.s,
+             COALESCE(u.sv,
+                      c0.c[(s.s * {sub} + 1):(s.s * {sub} + {sub})]) AS sv
+      FROM c0 CROSS JOIN (SELECT unnest(range(0, {m})) AS s) s
+      LEFT JOIN usub u ON u.s = s.s AND u.code = c0.code
+    ),
+    cb AS MATERIALIZED (
+      SELECT list(c ORDER BY code) AS cbl FROM (
+        SELECT code, flatten(list(sv ORDER BY s)) AS c
+        FROM subs GROUP BY code
+      )
+    ),
+    lut AS MATERIALIZED (
+      SELECT list_transform(range(0, {m}), s ->
+               list_transform(cbl, c -> {qdot_sub})) AS lt
+      FROM cb, q
+    ),
+    e1 AS MATERIALIZED (
+      SELECT a.vec_id, a.v, {enc} AS codes
+      FROM (SELECT s.vec_id, s.v AS v FROM assigned s
+            JOIN probes p ON s.list_id = p.list_id
+            WHERE s.vec_id <> 0) a, cb
+    ),
+    adot AS (
+      SELECT e.vec_id, e.v,
+             ROUND(list_sum(list_transform(range(0, {m}), s ->
+                     lt[s + 1][codes[s + 1]])), 6) AS approx_dot
+      FROM e1 e, lut
+    ),
+    cand AS (
+      SELECT vec_id, v, approx_dot FROM adot
+      ORDER BY approx_dot DESC, vec_id LIMIT {n_cand}
+    )
+    SELECT c.vec_id, c.approx_dot,
+           ROUND({cos("c.v", "q.qv")}, 6) AS cos_sim
+    FROM cand c, q
+    ORDER BY cos_sim DESC, c.vec_id LIMIT {k}
+    """
+
+
+@register(
+    "q_ann_ivfpq",
+    oracle=_ivfpq_oracle(),
+    doc="IVF × PQ composed ANN (FAISS `IVFx,PQy` — THE production "
+    "vector-store index at 10⁹ vectors, SURVEY §2.9): the coarse "
+    "quantizer prunes WHICH vectors are scanned (n_probe=6 posting "
+    "lists), product quantization cuts the BYTES per scanned vector "
+    "(8-byte codes, 32× vs float32 — deeper than IVF×SQ8's 4×), ADC "
+    "scores the probed codes via the query's lookup table, exact "
+    "cosine re-ranks the 50 best. Both stages deterministic (label "
+    "centroids; one-round Lloyd codebooks over the whole corpus — "
+    "the index is built offline, not per probe), so the composition "
+    "carries an exact SQL oracle spliced from both parents; recall "
+    "floor pytest-pinned vs exact top-k.",
+)
+def q_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.similarity import ivf_pq_ann
+
+    return ivf_pq_ann(table(spark, sf, "embeddings"), query_vec_id=0, k=10)
+
+
 def _bpe_oracle(n_merges: int = 8) -> str:
     """Full DuckDB oracle for BPE training: the merge rounds unrolled
     as materialized CTEs (the q_kmeans/q_kcore discipline — each

@@ -18,7 +18,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-FACTORS = (1, 2, 4)
+# Override for targeted runs, e.g. the 16x graph/dedup octave check:
+#   SPARK_GRAFT_SCALE_FACTORS=1,4,16 \
+#   SPARK_GRAFT_SCALE_SHAPES=triangle_adj,lsh_neardup,bfs_3r,pagerank_5r
+FACTORS = tuple(
+    int(x)
+    for x in os.environ.get("SPARK_GRAFT_SCALE_FACTORS", "1,2,4").split(",")
+)
+SHAPES_FILTER = {
+    s for s in os.environ.get("SPARK_GRAFT_SCALE_SHAPES", "").split(",") if s
+}
 REPS = 2  # timed repetitions (after one warm run)
 
 
@@ -204,6 +213,8 @@ def main() -> None:
             ),
         }
         for name, mk in shapes.items():
+            if SHAPES_FILTER and name not in SHAPES_FILTER:
+                continue
             sec = timed(mk)
             rec = {"shape": name, "factor": f, "sec": sec}
             results.append(rec)
@@ -214,11 +225,14 @@ def main() -> None:
     # scaling exponent between 1x and 4x: log4(t4/t1)
     import math
 
-    print("--- scaling exponents (1 = linear) ---")
+    lo, hi = min(FACTORS), max(FACTORS)
+    print(f"--- scaling exponents {lo}x->{hi}x (1 = linear) ---")
     for name in {r["shape"] for r in results}:
         t = {r["factor"]: r["sec"] for r in results if r["shape"] == name}
-        exp = math.log(t[4] / t[1], 4) if t[1] > 0 else float("nan")
-        print(json.dumps({"shape": name, "t1": t[1], "t4": t[4],
+        exp = (
+            math.log(t[hi] / t[lo], hi / lo) if t[lo] > 0 else float("nan")
+        )
+        print(json.dumps({"shape": name, f"t{lo}": t[lo], f"t{hi}": t[hi],
                           "exponent": round(exp, 2)}))
 
 

@@ -46,6 +46,9 @@ NESTED_LOOP_ALLOWED = {
     "(n_codes full-dim vectors) for encoding and the query+LUT row "
     "for the ADC scan (the q_ann_sq8 shape); the scan side stays "
     "linear in the corpus",
+    "q_ann_ivfpq": "the q_ann_ivf centroid broadcast plus the "
+    "q_ann_pq codebook/query+LUT 1-row broadcasts — the composed "
+    "index inherits both parents' declared constant-size crossings",
     "q_geofence": "3-row broadcast fence dim; a large fence set would switch "
     "to grid-cell binning (the range_join pattern)",
     "q_tpch_q22": "1-row broadcast global aggregate (the scalar-subquery "

@@ -742,6 +742,24 @@ def test_ann_pq_recall_floor(spark):
     assert len(got & exact) / 10 >= 0.6
 
 
+def test_ann_ivfpq_recall_floor(spark):
+    """The composed IVF×PQ production index loses recall at the probe
+    cut AND the PQ quantization; with the 50-candidate ADC cut it
+    still holds recall@10 >= 0.5 vs the exact ranking (the IVF
+    parent's floor)."""
+    from gps_stream_processing_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_ann,
+    )
+    from gps_stream_processing_spark.plans.registry import table
+
+    sf = "/root/testdata/sf0.01"
+    emb = table(spark, sf, "embeddings")
+    exact = {r.vec_id for r in cosine_topk(emb, 0, k=10).collect()}
+    got = {r.vec_id for r in ivf_pq_ann(emb, 0, k=10).collect()}
+    assert len(got & exact) / 10 >= 0.5
+
+
 def test_ann_ivfsq_recall_floor(spark):
     """The composed IVF×SQ8 index loses recall only at the probe cut
     (SQ8's ADC is near-lossless per the SQ8 floor test), so its floor
