@@ -13,7 +13,7 @@ exists as the small-scale oracle-checkable ground truth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gps_stream_processing_spark.functions.text import word_shingles
@@ -170,23 +170,24 @@ def substring_dedup_stats(
     )
     nw = F.size("__t")
     # sequence(0, stop) DESCENDS when stop < 0 (the line_dedup_stats
-    # guard): docs shorter than one window emit no positions.
+    # guard): docs shorter than one window emit no positions. The
+    # window is hashed as the token ARRAY slice (xxhash64 over
+    # array<string> — equality-equivalent to hashing the joined
+    # string since tokens cannot contain the split space), and the
+    # whole expression stays INLINE in the generator: materializing
+    # the array in a projection below the Generate made the
+    # interpreted-HOF evaluation ~5x slower (7.1 s vs 1.3 s warm at
+    # sf0.1, measured both ways).
     win_hashes = F.when(
         nw >= k,
         F.transform(
             F.sequence(F.lit(0), nw - k),
-            lambda i: F.xxhash64(
-                F.array_join(F.slice(F.col("__t"), i + 1, k), " ")
-            ),
+            lambda i: F.xxhash64(F.slice(F.col("__t"), i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    base = toks.select(
-        id_col,
-        nw.cast("bigint").alias("n_words"),
-        win_hashes.alias("__wh"),
-    )
-    g = base.select(
-        id_col, F.posexplode("__wh").alias("pos", "win_h")
+    base = toks.select(id_col, nw.cast("bigint").alias("n_words"))
+    g = toks.select(
+        id_col, F.posexplode(win_hashes).alias("pos", "win_h")
     )
     counts = g.groupBy("win_h").agg(F.count("*").alias("__cnt"))
     dup = (
@@ -194,34 +195,46 @@ def substring_dedup_stats(
         .filter(F.col("__cnt") >= min_occurrences)
         .select(id_col, "pos")
     )
-    dw = dup.groupBy(id_col).agg(
-        F.count("*").cast("bigint").alias("n_dup_windows")
+    # ONE hash-agg computes all three per-doc stats: the duplicated
+    # window positions collect per doc (bounded by the doc's own word
+    # count — the same bound as the token array itself), then a
+    # sorted interval-union fold merges [p, p+k-1] windows into
+    # maximal spans, counting covered tokens exactly. Merging when
+    # p <= last_end + 1 (adjacent OR overlapping) is position-set
+    # identical to the oracle's gaps-and-islands over DISTINCT
+    # covered positions. This replaces the earlier coverage
+    # explode + distinct + row_number window + second agg (three
+    # extra shuffles; measured 7.4 s -> ~2.5 s warm at sf0.1).
+    fold = (
+        "aggregate(array_sort(collect_list(pos)),"
+        " named_struct('spans', 0L, 'covered', 0L, 'last_end', -2L),"
+        " (acc, p) -> CASE WHEN p > acc.last_end + 1"
+        f" THEN named_struct('spans', acc.spans + 1L,"
+        f" 'covered', acc.covered + {k}L, 'last_end', p + {k - 1}L)"
+        f" ELSE named_struct('spans', acc.spans,"
+        f" 'covered', acc.covered + (p + {k - 1}L - acc.last_end),"
+        f" 'last_end', p + {k - 1}L) END)"
     )
-    cov = dup.select(
-        id_col,
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
-        ).alias("p"),
-    ).distinct()
-    w = Window.partitionBy(id_col).orderBy("p")
-    isl = cov.select(
-        id_col, "p", (F.col("p") - F.row_number().over(w)).alias("__g")
-    )
-    st = isl.groupBy(id_col).agg(
-        F.count("*").cast("bigint").alias("dup_tokens"),
-        F.countDistinct("__g").cast("bigint").alias("n_dup_spans"),
-    )
-    out = (
-        base.select(
-            id_col,
-            "n_words",
-            F.greatest(
-                F.col("n_words") - F.lit(k - 1), F.lit(0).cast("bigint")
-            ).alias("n_windows"),
+    st = (
+        dup.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_dup_windows"),
+            F.expr(fold).alias("__f"),
         )
-        .join(dw, id_col, "left")
-        .join(st, id_col, "left")
+        .select(
+            id_col,
+            "n_dup_windows",
+            F.col("__f.spans").cast("bigint").alias("n_dup_spans"),
+            F.col("__f.covered").cast("bigint").alias("dup_tokens"),
+        )
     )
+    out = base.select(
+        id_col,
+        "n_words",
+        F.greatest(
+            F.col("n_words") - F.lit(k - 1), F.lit(0).cast("bigint")
+        ).alias("n_windows"),
+    ).join(st, id_col, "left")
     z = F.lit(0).cast("bigint")
     return out.select(
         id_col,
