@@ -76,15 +76,13 @@ def _pair_counts(wf: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train(
-    df: DataFrame, n_merges: int = 8, text_col: str = "text"
-) -> DataFrame:
-    """Run ``n_merges`` BPE merge rounds; returns one row per round:
-    (round, merge_left, merge_right, pair_count, n_symbols_after) —
-    the merge table plus the post-merge corpus symbol count (exact
-    integers; the count shrinks by the number of non-overlapping
-    merges applied, which the oracle re-derives independently)."""
-    spark = df.sparkSession
+def _bpe_rounds(
+    df: DataFrame, n_merges: int, text_col: str
+) -> tuple[list[tuple], DataFrame]:
+    """Shared training loop: returns (merge rows, the FINAL merged
+    word table as a plain un-persisted plan snapshot). The final
+    table is rebuilt as a checkpoint-free localCheckpoint so callers
+    can consume it after the loop's caches are released."""
     wf = word_freq_table(df, text_col).persist()
     n_sym = F.sum(
         F.col("f")
@@ -115,10 +113,68 @@ def bpe_train(
             wf.unpersist()
             wf = merged
             out.append((rnd, l, r, cnt, n_after))
+        final = wf.localCheckpoint(eager=True)
     finally:
         wf.unpersist()
-    return spark.createDataFrame(
+    return out, final
+
+
+def bpe_train(
+    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Run ``n_merges`` BPE merge rounds; returns one row per round:
+    (round, merge_left, merge_right, pair_count, n_symbols_after) —
+    the merge table plus the post-merge corpus symbol count (exact
+    integers; the count shrinks by the number of non-overlapping
+    merges applied, which the oracle re-derives independently)."""
+    out, _final = _bpe_rounds(df, n_merges, text_col)
+    return df.sparkSession.createDataFrame(
         out,
         "round int, merge_left string, merge_right string,"
         " pair_count bigint, n_symbols_after bigint",
+    )
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TOKENIZE with the learned merges — the application side of
+    :func:`bpe_train`: train the merge table, then re-tokenize every
+    document through the final vocabulary and report per-doc
+    (n_words, n_bpe_tokens, tokens_per_word). Because BPE merges are
+    word-internal, encoding a document reduces to a join of its words
+    against the |vocab|-sized (word → symbol count) table — the
+    corpus text is scanned once and only (doc_id, word) pairs flow
+    into a broadcastable vocab join; no per-doc merge replay. Words
+    outside the normalized vocabulary ([a-z0-9]+) are excluded on
+    both sides (none exist in this corpus)."""
+    _rows, final = _bpe_rounds(df, n_merges, text_col)
+    vocab = final.select(
+        "word",
+        F.expr(
+            f"size(filter(split(ws, '{SEP}'), x -> x <> ''))"
+        ).cast("bigint").alias("n_syms"),
+    )
+    words = df.select(
+        id_col,
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("tokens_per_word"),
+        )
     )

@@ -250,6 +250,71 @@ def substring_dedup_stats(
     )
 
 
+def substring_dedup_cut(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The ACTION side of :func:`substring_dedup_stats` — Lee et al.
+    actually CUT the duplicated spans from the corpus; this emits the
+    retained text: every token covered by any duplicated
+    ``span_words``-window is removed (all occurrences — the paper's
+    conservative variant), the rest re-joins in order. Returns
+    (id, n_retained_tokens, retained_text).
+
+    Same shuffle discipline as the stats operator: only
+    (doc_id, pos, hash) rows move; the cut itself is a per-doc token
+    filter against the doc's own duplicated-window position list
+    (collected per doc, bounded by the doc's word count) — text is
+    rewritten in the same scan that re-reads it, never shuffled."""
+    k = span_words
+    toks = df.select(
+        id_col, F.split(F.lower(F.col(text_col)), " ").alias("__t")
+    )
+    nw = F.size("__t")
+    win_hashes = F.when(
+        nw >= k,
+        F.transform(
+            F.sequence(F.lit(0), nw - k),
+            lambda i: F.xxhash64(F.slice(F.col("__t"), i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = toks.select(
+        id_col, F.posexplode(win_hashes).alias("pos", "win_h")
+    )
+    counts = g.groupBy("win_h").agg(F.count("*").alias("__cnt"))
+    ps = (
+        g.join(counts, "win_h")
+        .filter(F.col("__cnt") >= min_occurrences)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__ps"))
+    )
+    # token i survives unless some duplicated window [p, p+k-1]
+    # covers it; Spark's filter lambda index is 0-BASED (the oracle's
+    # DuckDB list_filter index is 1-based — it shifts by one)
+    retained = F.expr(
+        "filter(__t, (x, i) -> NOT exists(__ps,"
+        f" p -> i >= p AND i <= p + {k - 1}))"
+    )
+    return (
+        toks.join(ps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                "__ps", F.array().cast("array<int>")
+            ).alias("__ps"),
+            "__t",
+        )
+        .select(
+            id_col,
+            F.size(retained).cast("bigint").alias("n_retained_tokens"),
+            F.array_join(retained, " ").alias("retained_text"),
+        )
+    )
+
+
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16, id_col: str = "doc_id") -> DataFrame:
     """MinHash signature per doc: ``mh_i = min(xxhash64(seed_i, shingle))``.
     One hash-aggregate pass computes all permutations (seeded xxhash64

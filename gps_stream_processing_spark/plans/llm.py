@@ -214,6 +214,58 @@ def q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_substring_cut",
+    # Same window grid + frequency as q_dedup_substring; the cut
+    # filters each doc's tokens against its own duplicated-window
+    # position list. DuckDB's lambda index is 1-BASED (Spark's is
+    # 0-based) — the (i - 1) below is that shift, not an off-by-one.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t,
+             len(string_split(lower(text), ' ')) AS n_words
+      FROM documents
+    ), win AS (
+      SELECT doc_id, i AS pos, array_to_string(t[(i+1):(i+8)], ' ') AS w
+      FROM toks, UNNEST(generate_series(0, n_words - 8)) AS g(i)
+      WHERE n_words >= 8
+    ), cnt AS (
+      SELECT w, COUNT(*) AS c FROM win GROUP BY w
+    ), dup AS (
+      SELECT win.doc_id, win.pos
+      FROM win JOIN cnt ON cnt.w = win.w WHERE cnt.c >= 2
+    ), ps AS (
+      SELECT doc_id, list(pos ORDER BY pos) AS ps FROM dup GROUP BY doc_id
+    ), cutted AS (
+      SELECT toks.doc_id,
+             list_filter(toks.t, (x, i) ->
+               len(list_filter(COALESCE(ps.ps, []),
+                   p -> (i - 1) >= p AND (i - 1) <= p + 7)) = 0) AS r
+      FROM toks LEFT JOIN ps ON ps.doc_id = toks.doc_id
+    )
+    SELECT doc_id,
+           CAST(len(r) AS BIGINT) AS n_retained_tokens,
+           array_to_string(r, ' ') AS retained_text
+    FROM cutted
+    """,
+    doc="Substring-dedup CUT (SURVEY §2.9 — the action side of "
+    "q_dedup_substring, the step Lee et al. 2022 actually apply to "
+    "the training corpus): every token covered by any duplicated "
+    "8-word window is removed (all occurrences — the paper's "
+    "conservative variant) and the survivors re-join in order, "
+    "emitting the retained text per document. Shuffle discipline "
+    "unchanged — only (doc_id, pos, hash) rows move; the cut is a "
+    "per-doc token filter against the doc's own duplicated-window "
+    "position list, applied in the scan that re-reads the text.",
+)
+def q_dedup_substring_cut(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.dedup import (
+        substring_dedup_cut,
+    )
+
+    return substring_dedup_cut(table(spark, sf, "documents"))
+
+
+@register(
     "q_pipeline_pretrain",
     # Every stage is deterministic (segment-hash line dedup, sha2
     # exact dedup with min-id survivorship, an integer quality floor,
@@ -2206,7 +2258,7 @@ def q_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_pq_ann(table(spark, sf, "embeddings"), query_vec_id=0, k=10)
 
 
-def _bpe_oracle(n_merges: int = 8) -> str:
+def _bpe_oracle(n_merges: int = 8, tail: str | None = None) -> str:
     """Full DuckDB oracle for BPE training: the merge rounds unrolled
     as materialized CTEs (the q_kmeans/q_kcore discipline — each
     round's w{i} has two consumers). The merge step is the SAME
@@ -2249,6 +2301,9 @@ def _bpe_oracle(n_merges: int = 8) -> str:
                                            x -> x <> ''))) AS BIGINT) AS n
       FROM w{i}
     )""")
+    if tail is not None:
+        sql.append(tail.format(last=n_merges))
+        return "".join(sql)
     parts = [
         f"""
     SELECT CAST({i} AS INT) AS round, b{i}.l AS merge_left,
@@ -2283,6 +2338,52 @@ def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     from gps_stream_processing_spark.operators.bpe import bpe_train
 
     return bpe_train(table(spark, sf, "documents"), n_merges=8)
+
+
+_BPE_ENCODE_TAIL = """,
+    enc AS (
+      SELECT word,
+             len(list_filter(string_split(ws, chr(31)), x -> x <> ''))
+               AS n_syms
+      FROM w{last}
+    ),
+    dw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+      ) WHERE regexp_matches(word, '^[a-z0-9]+$')
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_syms) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(e.n_syms) AS DOUBLE) / COUNT(*), 6)
+             AS tokens_per_word
+    FROM dw d JOIN enc e ON e.word = d.word
+    GROUP BY d.doc_id
+"""
+
+
+@register(
+    "q_bpe_encode",
+    oracle=_bpe_oracle(tail=_BPE_ENCODE_TAIL),
+    doc="BPE TOKENIZATION with the learned merges (SURVEY §2.9 — the "
+    "application side of q_bpe_train, completing train→encode): the "
+    "8-round merge table is trained, then every document is "
+    "re-tokenized through the final vocabulary, reporting per-doc "
+    "word count, BPE token count, and tokens-per-word (the "
+    "fertility metric tokenizer evaluations report). Because BPE "
+    "merges are word-internal, encoding reduces to joining the "
+    "corpus words against the |vocab|-sized (word → symbol-count) "
+    "table — one corpus scan + a broadcast join; no per-document "
+    "merge replay. At 100 TB this is exactly how production "
+    "tokenizer costing runs: train once on the frequency table, "
+    "price the corpus with a vocab join. Oracle: the same unrolled "
+    "merge CTEs as q_bpe_train with the encode join as the tail.",
+)
+def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.bpe import bpe_encode_stats
+
+    return bpe_encode_stats(table(spark, sf, "documents"), n_merges=8)
 
 
 @register(

@@ -615,3 +615,35 @@ def test_bpe_train_greedy_merge_and_tiebreak(spark):
     assert out.loc[3, ["merge_left", "merge_right"]].tolist() == ["aa", "a"]
     assert out.loc[3, "pair_count"] == 3
     assert out.loc[3, "n_symbols_after"] == 9
+
+
+def test_dedup_substring_cut_removes_covered_tokens(spark):
+    """The cut operator removes exactly the tokens covered by
+    duplicated windows (all occurrences) and re-joins survivors in
+    order; clean docs pass through verbatim."""
+    from gps_stream_processing_spark.operators.dedup import (
+        substring_dedup_cut,
+    )
+
+    span = " ".join(f"s{i}" for i in range(9))
+    rows = [
+        (0, f"u0 u1 u2 {span} v0 v1"),
+        (1, f"{span} w0 w1 w2"),
+        (2, " ".join(f"x{i}" for i in range(12))),
+    ]
+    out = (
+        substring_dedup_cut(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 0: the 9 covered span tokens vanish, lead+tail survive
+    assert out.loc[0, "retained_text"] == "u0 u1 u2 v0 v1"
+    assert out.loc[0, "n_retained_tokens"] == 5
+    # doc 1: span cut at offset 0
+    assert out.loc[1, "retained_text"] == "w0 w1 w2"
+    # doc 2: untouched
+    assert out.loc[2, "retained_text"] == " ".join(f"x{i}" for i in range(12))
+    assert out.loc[2, "n_retained_tokens"] == 12
