@@ -244,7 +244,9 @@ def q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(r) AS BIGINT) AS n_retained_tokens,
-           array_to_string(r, ' ') AS retained_text
+           -- DuckDB array_to_string([]) is NULL; Spark array_join([])
+           -- is '' — a fully-cut doc must read '' on both sides
+           COALESCE(array_to_string(r, ' '), '') AS retained_text
     FROM cutted
     """,
     doc="Substring-dedup CUT (SURVEY §2.9 — the action side of "
