@@ -3284,6 +3284,149 @@ def q_regression(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_chi_square",
+    # Observed counts are exact integers from ONE hash-agg; expected
+    # values and contributions run in double with IDENTICAL
+    # parenthesization both engines (row_tot * col_tot in double so
+    # the arithmetic survives 1e12-row scales where the integer
+    # product would overflow), rounded 6 dp. Spark dayofweek() is
+    # 1-based Sunday=1; DuckDB EXTRACT(dow) is 0-based Sunday=0 —
+    # the engine subtracts 1 to match.
+    oracle="""
+    WITH o AS (
+      SELECT event_type, EXTRACT(dow FROM ts) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS observed
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, CAST(SUM(observed) AS BIGINT) AS row_tot
+      FROM o GROUP BY event_type
+    ), c AS (
+      SELECT dow, CAST(SUM(observed) AS BIGINT) AS col_tot
+      FROM o GROUP BY dow
+    ), n AS (SELECT CAST(SUM(observed) AS BIGINT) AS total FROM o)
+    SELECT o.event_type, CAST(o.dow AS INT) AS dow, o.observed,
+           ROUND(CAST(t.row_tot AS DOUBLE) * c.col_tot / n.total, 6)
+             AS expected,
+           ROUND(POWER(o.observed
+                       - CAST(t.row_tot AS DOUBLE) * c.col_tot / n.total,
+                       2)
+                 / (CAST(t.row_tot AS DOUBLE) * c.col_tot / n.total), 6)
+             AS chi2_contrib
+    FROM o JOIN t USING (event_type) JOIN c USING (dow) CROSS JOIN n
+    """,
+    doc="Chi-square INDEPENDENCE test cells (SURVEY §2.4 ext, the "
+    "categorical companion of q_agg_corr's numeric correlation): the "
+    "event_type × day-of-week contingency table with each cell's "
+    "expected count under independence and its χ² contribution — "
+    "the audit behind 'does behavior depend on weekday' and, on the "
+    "corpus twin, 'is language independent of source' (a standard "
+    "training-data bias check). One hash-agg builds the observed "
+    "table; row/column totals are cell-table-sized re-aggregations "
+    "(35 rows), so the whole test costs ONE scan at any scale. "
+    "Expected values multiply in double — at 1e12 rows the integer "
+    "row_tot×col_tot product would overflow; the engines share "
+    "parenthesization exactly.",
+)
+def q_chi_square(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    o = e.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    ).agg(F.count("*").alias("observed"))
+    t = o.groupBy("event_type").agg(
+        F.sum("observed").cast("bigint").alias("row_tot")
+    )
+    c = o.groupBy("dow").agg(
+        F.sum("observed").cast("bigint").alias("col_tot")
+    )
+    n = o.agg(F.sum("observed").cast("bigint").alias("total"))
+    exp = (
+        F.col("row_tot").cast("double") * F.col("col_tot") / F.col("total")
+    )
+    return (
+        o.join(t, "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            "observed",
+            F.round(exp, 6).alias("expected"),
+            F.round(
+                F.pow(F.col("observed") - exp, F.lit(2)) / exp, 6
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
+@register(
+    "q_mad_outliers",
+    # Median / MAD via exact interpolated percentiles (Spark
+    # percentile == DuckDB quantile_cont, the q_session_duration
+    # discipline); the robust z cutoff compares the 6-dp-ROUNDED
+    # score (the q_outliers band rule) so an engine ulp cannot flip
+    # a boundary point.
+    oracle="""
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), d AS (
+      SELECT e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS dev
+      FROM events e JOIN m USING (event_type)
+    ), s AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM d GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(ANY_VALUE(d.med), 6) AS median_value,
+           ROUND(ANY_VALUE(s.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN ROUND(0.6745 * d.dev / s.mad, 6) > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN s USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="MAD robust outlier audit (SURVEY §2.4 ext, the robust twin "
+    "of q_outliers' mean±2σ bands): per group, the median, the "
+    "median absolute deviation, and the count of points whose "
+    "modified z-score 0.6745·|x−med|/MAD exceeds 3.5 (Iglewicz–"
+    "Hoaglin) — the outlier rule that a single extreme value cannot "
+    "drag, unlike stddev bands. Two percentile aggregations + one "
+    "counting pass; the per-group medians are group-count-sized and "
+    "broadcast back, so at 100 TB the cost is the two scans, not "
+    "the join.",
+)
+def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events").select("event_type", "value")
+    m = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    d = e.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    s = d.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    z = F.round(
+        F.lit(0.6745) * F.col("dev") / F.col("mad"), 6
+    )
+    return (
+        d.join(F.broadcast(s), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("med"), 6).alias("median_value"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(F.when(z > 3.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@register(
     "q_time_weighted_avg",
     # Exact trapezoid areas: cents (bigint) x microsecond gaps
     # (bigint) summed in DECIMAL(38,0)/HUGEINT; the single final

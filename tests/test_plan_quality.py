@@ -49,6 +49,9 @@ NESTED_LOOP_ALLOWED = {
     "q_ann_ivfpq": "the q_ann_ivf centroid broadcast plus the "
     "q_ann_pq codebook/query+LUT 1-row broadcasts — the composed "
     "index inherits both parents' declared constant-size crossings",
+    "q_chi_square": "1-row broadcast grand-total aggregate crossed "
+    "onto the 35-cell contingency table — the q_tfidf shape; every "
+    "input is aggregate-sized",
     "q_geofence": "3-row broadcast fence dim; a large fence set would switch "
     "to grid-cell binning (the range_join pattern)",
     "q_tpch_q22": "1-row broadcast global aggregate (the scalar-subquery "
