@@ -3332,6 +3332,12 @@ def q_chi_square(spark: SparkSession, sf: str) -> DataFrame:
     o = e.groupBy(
         "event_type", (F.dayofweek("ts") - 1).alias("dow")
     ).agg(F.count("*").alias("observed"))
+    # o is the ONLY corpus scan; the row/column/grand totals and the
+    # final join all derive from it, and without materialization each
+    # branch re-scans the fact table (4 scans at 100 TB). One eager
+    # localCheckpoint of the 35-row cell table makes every downstream
+    # input aggregate-sized — the bounded-materialization pattern.
+    o = o.localCheckpoint(eager=True)
     t = o.groupBy("event_type").agg(
         F.sum("observed").cast("bigint").alias("row_tot")
     )
@@ -3398,9 +3404,13 @@ def q_chi_square(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "events").select("event_type", "value")
+    # the two percentile tables are group-count-sized; eagerly
+    # checkpointing them pins the plan to the minimum THREE corpus
+    # scans (median pass, MAD pass, counting pass) — un-materialized,
+    # each reference to m/s re-derives it and the scan count doubles.
     m = e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
-    )
+    ).localCheckpoint(eager=True)
     d = e.join(F.broadcast(m), "event_type").select(
         "event_type",
         "med",
@@ -3408,7 +3418,7 @@ def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     )
     s = d.groupBy("event_type").agg(
         F.expr("percentile(dev, 0.5)").alias("mad")
-    )
+    ).localCheckpoint(eager=True)
     z = F.round(
         F.lit(0.6745) * F.col("dev") / F.col("mad"), 6
     )
