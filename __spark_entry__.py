@@ -85,6 +85,7 @@ _COMMITTED_ROUNDS = (
     "CORRECTNESS_r08.json",
     "CORRECTNESS_r09.json",
     "CORRECTNESS_r10.json",
+    "CORRECTNESS_r11.json",
 )
 
 # Keys whose EXECUTION PLAN changed after their last green driver row,
@@ -189,6 +190,21 @@ _CHANGED_SINCE_VERIFIED = (
     # invariant (parity test + green at sf0.01), re-check anyway.
     ("q_countmin_heavy", 11),
     ("q_join_skew_aqe", 11),
+    # r12 (ADVICE r11 fixes): the BPE symbol string now carries a
+    # DOUBLED separator at every boundary so one replace pass merges
+    # ADJACENT occurrences of the winning pair too ('mama' → [ma, ma];
+    # the shared-delimiter form dropped every other occurrence) —
+    # VALUES CHANGE where the corpus has adjacent pair repeats; oracle
+    # updated identically. q_mad_outliers wraps the MAD denominator in
+    # NULLIF both sides (zero-MAD group flagged every row via
+    # NaN > 3.5). q_ann_pq/q_ann_ivfpq encode via a single-fold argmin
+    # (values invariant — same first-min-index semantics, pinned by
+    # the recall floors + parity at sf0.01).
+    ("q_bpe_train", 12),
+    ("q_bpe_encode", 12),
+    ("q_mad_outliers", 12),
+    ("q_ann_pq", 12),
+    ("q_ann_ivfpq", 12),
 )
 
 

@@ -14,14 +14,23 @@ and (3) merge every greedy left-to-right non-overlapping occurrence
 into a new symbol.
 
 Spark-first representation: a word's symbol sequence is ONE
-delimited string ``\\x1f sym1 \\x1f sym2 \\x1f`` — so the merge step
-is a plain ``replace(ws, sep||l||sep||r||sep, sep||l||r||sep)``,
-whose left-to-right non-overlapping scan is EXACTLY the greedy BPE
-merge rule (``aaa`` merges once under pair (a,a)), identical in
-Spark and DuckDB — the whole training loop stays engine-portable
+delimited string with a DOUBLED separator at every boundary —
+``\\x1f\\x1f sym1 \\x1f\\x1f sym2 \\x1f\\x1f`` — so the merge step is a
+plain ``replace(ws, sep||l||sep||sep||r||sep, sep||l||r||sep)``.
+The pattern consumes only the INNER half of each boundary, so
+adjacent occurrences of the winning pair never fight over a shared
+delimiter and one left-to-right non-overlapping replace pass is
+EXACTLY the greedy BPE merge rule: ``mama`` → [ma, ma], ``aaa`` →
+[aa, a], ``aaaaa`` → [aa, aa, a] (with a single shared delimiter,
+``mama`` came out [ma, m, a] — the adjacent-pair bug; and
+iterating that replace to fixpoint is also wrong, giving
+[aa, a, aa] on ``aaaaa`` where greedy gives [aa, aa, a]). The
+replacement re-emits one delimiter on each side, so every boundary
+keeps exactly two and the invariant is self-maintaining. Identical
+in Spark and DuckDB — the whole training loop stays engine-portable
 column algebra with no UDF. Pair counting splits the string back to
 an array inside one projection (explode + hash-agg with map-side
-combine).
+combine; empty fragments from the doubled separators are filtered).
 
 Scale design: every round runs over the WORD-FREQUENCY table, not
 the corpus — |vocab| rows regardless of corpus size (the industrial
@@ -44,7 +53,8 @@ def word_freq_table(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:
     """(word, f, ws): corpus word frequencies with the initial
-    character-level delimited symbol string. Words are normalized to
+    character-level delimited symbol string (DOUBLED separator at
+    every boundary — see the module doc). Words are normalized to
     lowercase and filtered to ``^[a-z0-9]+$`` (BPE-demo
     normalization; also guarantees the separator char cannot occur
     inside a symbol)."""
@@ -55,7 +65,8 @@ def word_freq_table(
         "word",
         "f",
         F.concat(
-            F.regexp_replace(F.col("word"), "(.)", SEP + "$1"), F.lit(SEP)
+            F.regexp_replace(F.col("word"), "(.)", SEP + SEP + "$1"),
+            F.lit(SEP + SEP),
         ).alias("ws"),
     )
 
@@ -77,12 +88,14 @@ def _pair_counts(wf: DataFrame) -> DataFrame:
 
 
 def _bpe_rounds(
-    df: DataFrame, n_merges: int, text_col: str
-) -> tuple[list[tuple], DataFrame]:
-    """Shared training loop: returns (merge rows, the FINAL merged
-    word table as a plain un-persisted plan snapshot). The final
-    table is rebuilt as a checkpoint-free localCheckpoint so callers
-    can consume it after the loop's caches are released."""
+    df: DataFrame, n_merges: int, text_col: str, want_final: bool = False
+) -> tuple[list[tuple], DataFrame | None]:
+    """Shared training loop: returns (merge rows, final merged word
+    table or None). The final table is materialized as an eager
+    localCheckpoint ONLY when ``want_final`` — so callers that need
+    it (bpe_encode_stats) can consume it after the loop's caches are
+    released, and callers that don't (bpe_train) skip the extra
+    materialization job entirely."""
     wf = word_freq_table(df, text_col).persist()
     n_sym = F.sum(
         F.col("f")
@@ -105,7 +118,7 @@ def _bpe_rounds(
                 "f",
                 F.replace(
                     F.col("ws"),
-                    F.lit(SEP + l + SEP + r + SEP),
+                    F.lit(SEP + l + SEP + SEP + r + SEP),
                     F.lit(SEP + l + r + SEP),
                 ).alias("ws"),
             ).persist()
@@ -113,7 +126,7 @@ def _bpe_rounds(
             wf.unpersist()
             wf = merged
             out.append((rnd, l, r, cnt, n_after))
-        final = wf.localCheckpoint(eager=True)
+        final = wf.localCheckpoint(eager=True) if want_final else None
     finally:
         wf.unpersist()
     return out, final
@@ -151,7 +164,7 @@ def bpe_encode_stats(
     into a broadcastable vocab join; no per-doc merge replay. Words
     outside the normalized vocabulary ([a-z0-9]+) are excluded on
     both sides (none exist in this corpus)."""
-    _rows, final = _bpe_rounds(df, n_merges, text_col)
+    _rows, final = _bpe_rounds(df, n_merges, text_col, want_final=True)
     vocab = final.select(
         "word",
         F.expr(

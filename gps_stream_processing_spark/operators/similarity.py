@@ -558,30 +558,46 @@ def _pq_l2(s: str, x: str, sub: int) -> str:
     )
 
 
-def _pq_codes_expr(m: int, sub: int) -> Column:
+def _pq_codes_expr(m: int, sub: int, x: str = "v") -> Column:
     """Per-row m-length code array: each subspace's nearest codebook
-    entry by exact-fold L2, first-index tie-break (array_position of
-    the array_min ≙ the oracle's list_position of the list_min).
-    References the broadcast ``cbl`` codebook column (n_codes
-    full-dim rows; subspace s's codebook is the s-th slice) —
-    column-referencing so codegen compiles once (the clustering.py
-    literal lesson)."""
-    dists = f"transform(cbl, c -> {_pq_l2('s', 'v', sub)})"
+    entry by exact-fold L2, first-index tie-break (strict-less fold
+    keeps the FIRST minimal index ≙ the oracle's list_position of
+    the list_min). The argmin is ONE aggregate fold over the
+    per-code distance array, so the 16-code L2 transform — the
+    hottest expression in pq_ann/ivf_pq_ann encoding — is evaluated
+    exactly once per (row, subspace); the previous
+    array_position(dists, array_min(dists)) form inlined it twice
+    (Catalyst does not CSE across HOF calls). References the
+    broadcast ``cbl`` codebook column (n_codes full-dim rows;
+    subspace s's codebook is the s-th slice) — column-referencing so
+    codegen compiles once (the clustering.py literal lesson).
+    ``x`` names the vector column to encode (``rv`` for residual
+    encoding in ivf_pq_ann)."""
+    dists = f"transform(cbl, c -> {_pq_l2('s', x, sub)})"
     return F.expr(
-        f"transform(sequence(0, {m - 1}),"
-        f" s -> array_position({dists}, array_min({dists})))"
+        f"transform(sequence(0, {m - 1}), s -> aggregate({dists},"
+        " struct(cast('Infinity' as double) as d, 0 as i, 0 as j),"
+        " (acc, x) -> struct(if(x < acc.d, x, acc.d) as d,"
+        " if(x < acc.d, acc.j + 1, acc.i) as i, acc.j + 1 as j),"
+        " acc -> cast(acc.i as bigint)))"
     )
 
 
 def _pq_train(
-    base: DataFrame, m: int, n_codes: int, sub: int, id_col: str
+    base: DataFrame,
+    m: int,
+    n_codes: int,
+    sub: int,
+    id_col: str,
+    n_rounds: int = 1,
 ) -> DataFrame:
-    """Deterministic one-round Lloyd PQ training, ALL subspaces in one
-    pass: init = the n_codes lowest-id vectors (each subspace takes
-    its slice), one assignment projection, one (subspace, code, dim)
-    mean hash-agg collected driver-side (m*n_codes*sub rows — the
-    _lloyd bounded-collect pattern), emptied codes keeping their init
-    slice. Returns the broadcastable 1-row codebook DataFrame."""
+    """Deterministic Lloyd PQ training, ALL subspaces in one pass per
+    round: init = the n_codes lowest-id vectors (each subspace takes
+    its slice), then ``n_rounds`` × (one assignment projection + one
+    (subspace, code, dim) mean hash-agg collected driver-side —
+    m*n_codes*sub rows, the _lloyd bounded-collect pattern), emptied
+    codes keeping their PREVIOUS-round slice. Returns the
+    broadcastable 1-row codebook DataFrame."""
     spark = base.sparkSession
 
     def cb_df(rows: list[list[float]]) -> DataFrame:
@@ -592,38 +608,40 @@ def _pq_train(
         raise ValueError(
             f"n_codes={n_codes} but only {len(init_rows)} vectors"
         )
-    cb0 = [list(r["v"]) for r in init_rows]
-    enc0 = base.crossJoin(F.broadcast(cb_df(cb0))).select(
-        id_col, "v", _pq_codes_expr(m, sub).alias("codes")
-    )
-    upd = (
-        enc0.select("codes", F.posexplode("v").alias("i", "x"))
-        .select(
-            (F.col("i") / sub).cast("int").alias("s"),
-            F.element_at(
-                "codes", (F.col("i") / sub).cast("int") + 1
-            ).alias("code"),
-            (F.col("i") % sub).alias("j"),
-            "x",
+    cur = [list(r["v"]) for r in init_rows]
+    for _ in range(n_rounds):
+        enc = base.crossJoin(F.broadcast(cb_df(cur))).select(
+            id_col, "v", _pq_codes_expr(m, sub).alias("codes")
         )
-        .groupBy("s", "code", "j")
-        .agg(F.avg("x").alias("mv"))
-        .collect()
-    )
-    means: dict[tuple[int, int], dict[int, float]] = {}
-    for r in upd:
-        means.setdefault((r["s"], r["code"]), {})[r["j"]] = r["mv"]
-    cb1 = []
-    for c in range(n_codes):  # code ids are 1-based (array_position)
-        row: list[float] = []
-        for s in range(m):
-            got = means.get((s, c + 1))
-            if got is None:  # emptied code keeps its init slice
-                row.extend(cb0[c][s * sub : (s + 1) * sub])
-            else:
-                row.extend(got[j] for j in range(sub))
-        cb1.append(row)
-    return cb_df(cb1)
+        upd = (
+            enc.select("codes", F.posexplode("v").alias("i", "x"))
+            .select(
+                (F.col("i") / sub).cast("int").alias("s"),
+                F.element_at(
+                    "codes", (F.col("i") / sub).cast("int") + 1
+                ).alias("code"),
+                (F.col("i") % sub).alias("j"),
+                "x",
+            )
+            .groupBy("s", "code", "j")
+            .agg(F.avg("x").alias("mv"))
+            .collect()
+        )
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for r in upd:
+            means.setdefault((r["s"], r["code"]), {})[r["j"]] = r["mv"]
+        nxt = []
+        for c in range(n_codes):  # code ids are 1-based (array_position)
+            row: list[float] = []
+            for s in range(m):
+                got = means.get((s, c + 1))
+                if got is None:  # emptied code keeps its previous slice
+                    row.extend(cur[c][s * sub : (s + 1) * sub])
+                else:
+                    row.extend(got[j] for j in range(sub))
+            nxt.append(row)
+        cur = nxt
+    return cb_df(cur)
 
 
 def _pq_query_row(
@@ -677,6 +695,7 @@ def ivf_pq_ann(
     vec_col: str = "embedding",
     label_col: str = "label",
     dim: int = 64,
+    pq_rounds: int = 3,
 ) -> DataFrame:
     """IVF × PQ — THE production vector-store composition (FAISS
     ``IVFx,PQy``, what actually runs at 10⁹ vectors): the IVF coarse
@@ -687,11 +706,23 @@ def ivf_pq_ann(
     only the ``n_cand`` best pay an exact re-rank.
 
     Same shared coarse quantizer as :func:`ivf_ann` (per-label
-    centroids, identical assignment tie-break); same deterministic
-    PQ training as :func:`pq_ann` over the WHOLE corpus (the index
-    is built offline over everything, not per probe — the ivf_sq_ann
-    discipline), so the composed pipeline still carries an exact SQL
-    oracle."""
+    centroids, identical assignment tie-break); PQ codebooks are
+    trained on per-list RESIDUALS x − c(x), not raw vectors — the
+    true FAISS IVFADC (Jégou et al. 2011 §III): residual energy is
+    much smaller than vector energy, so the same 8 bytes/vector
+    quantize a tighter distribution and recall-per-byte improves.
+    Scoring decomposes exactly: q·x ≈ q·c_i + q·r̂, where q·c_i is
+    ONE dot per probed list (an n_lists-row broadcast, never a
+    per-vector d-dim multiply) and q·r̂ is the m-lookup ADC sum
+    against the residual-codebook LUT. Training is the same
+    deterministic Lloyd as :func:`pq_ann` over the WHOLE corpus's
+    residuals (the index is built offline, not per probe — the
+    ivf_sq_ann discipline) but runs ``pq_rounds=3`` rounds:
+    residuals are near-isotropic once the label-block structure is
+    subtracted, so one round under-trains (measured recall@10
+    0.7/0.6 at sf0.01/0.1 vs 0.9/0.7 at three rounds — beating raw
+    encoding's 0.9/0.6 at the same bytes). The composed pipeline
+    still carries an exact SQL oracle (Lloyd rounds unrolled)."""
     sub = dim // m
     vec = F.col(vec_col).cast("array<double>")
     base = embeddings.select(id_col, vec.alias("v"))
@@ -700,20 +731,48 @@ def ivf_pq_ann(
     probe_lists, _qv = _ivf_probe_lists(
         embeddings, cents, query_vec_id, n_probe, id_col, vec
     )
-    cb = _pq_train(base, m, n_codes, sub, id_col)
+    # residual table: rv = v − centroid(assigned list); the centroid
+    # side is |labels| rows, broadcast.
+    resid = assigned.join(F.broadcast(cents), "list_id").select(
+        id_col,
+        "list_id",
+        "v",
+        F.zip_with("v", "cv", lambda a, b: a - b).alias("rv"),
+    )
+    cb = _pq_train(
+        resid.select(id_col, F.col("rv").alias("v")),
+        m,
+        n_codes,
+        sub,
+        id_col,
+        n_rounds=pq_rounds,
+    )
     qrow = _pq_query_row(base, cb, query_vec_id, m, sub, id_col)
+    # per-list q·c_i constants (n_lists rows, broadcast back on list_id)
+    qc = cents.crossJoin(F.broadcast(qrow.select("qv"))).select(
+        "list_id", dot(F.col("cv"), F.col("qv")).alias("qc_dot")
+    )
     probed = (
-        assigned.filter(
+        resid.filter(
             (F.col("list_id").isin(probe_lists))
             & (F.col(id_col) != query_vec_id)
         )
         .crossJoin(F.broadcast(cb))
-        .select(id_col, "v", _pq_codes_expr(m, sub).alias("codes"))
+        .select(
+            id_col,
+            "list_id",
+            "v",
+            _pq_codes_expr(m, sub, x="rv").alias("codes"),
+        )
+        .join(F.broadcast(qc), "list_id")
         .crossJoin(F.broadcast(qrow))
     )
     cand = (
         probed.select(
-            id_col, "v", "qv", F.round(_pq_adc(m), 6).alias("approx_dot")
+            id_col,
+            "v",
+            "qv",
+            F.round(F.col("qc_dot") + _pq_adc(m), 6).alias("approx_dot"),
         )
         .orderBy(F.desc("approx_dot"), id_col)
         .limit(n_cand)

@@ -3387,7 +3387,8 @@ def q_chi_square(spark: SparkSession, sf: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(ANY_VALUE(d.med), 6) AS median_value,
            ROUND(ANY_VALUE(s.mad), 6) AS mad,
-           CAST(SUM(CASE WHEN ROUND(0.6745 * d.dev / s.mad, 6) > 3.5
+           CAST(SUM(CASE WHEN ROUND(0.6745 * d.dev / NULLIF(s.mad, 0), 6)
+                              > 3.5
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM d JOIN s USING (event_type)
     GROUP BY d.event_type
@@ -3419,8 +3420,13 @@ def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     s = d.groupBy("event_type").agg(
         F.expr("percentile(dev, 0.5)").alias("mad")
     ).localCheckpoint(eager=True)
+    # NULLIF guard: a constant-valued group has MAD=0, and 0/0 is NaN
+    # which BOTH engines order above all numbers — NaN > 3.5 would
+    # flag every row of a degenerate group as an outlier. NULL z
+    # makes the comparison false, so zero-MAD groups report 0 (the
+    # q_skew_kurtosis zero-variance discipline).
     z = F.round(
-        F.lit(0.6745) * F.col("dev") / F.col("mad"), 6
+        F.lit(0.6745) * F.col("dev") / F.nullif(F.col("mad"), F.lit(0.0)), 6
     )
     return (
         d.join(F.broadcast(s), "event_type")

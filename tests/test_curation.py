@@ -617,6 +617,56 @@ def test_bpe_train_greedy_merge_and_tiebreak(spark):
     assert out.loc[3, "n_symbols_after"] == 9
 
 
+def test_bpe_merge_adjacent_pair_repeats(spark):
+    """Adjacent non-overlapping occurrences of the winning pair ALL
+    merge in one round. A single-delimiter replace drops every other
+    occurrence because consecutive matches share the boundary char
+    ('mama' came out [ma, m, a]); the doubled-separator replace is
+    exact greedy left-to-right."""
+    from gps_stream_processing_spark.operators.bpe import bpe_train
+
+    rows = [(0, "mama mama mama abab abab")]
+    out = (
+        bpe_train(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            n_merges=1,
+        )
+        .toPandas()
+        .set_index("round")
+    )
+    # (m,a) weighted 2*3=6 beats (a,b) 2*2=4, (a,m) 3, (b,a) 2.
+    # 'mama' -> [ma, ma]: symbols go 3*4 + 2*4 = 20 -> 3*2 + 2*4 = 14
+    # (the shared-delimiter bug left [ma, m, a] -> 17).
+    assert out.loc[1, ["merge_left", "merge_right"]].tolist() == ["m", "a"]
+    assert out.loc[1, "pair_count"] == 6
+    assert out.loc[1, "n_symbols_after"] == 14
+
+
+def test_bpe_merge_odd_run_is_exact_greedy(spark):
+    """'aaaaa' under pair (a,a) segments greedily as [aa, aa, a] —
+    NOT [aa, a, aa], which is what iterating the single-delimiter
+    replace to fixpoint produces. Round 2 discriminates: greedy's
+    pairs are {(aa,aa), (aa,a)} so the lexicographic tie-break picks
+    (aa, a); the fixpoint mis-segmentation would offer (a, aa) and
+    pick that instead."""
+    from gps_stream_processing_spark.operators.bpe import bpe_train
+
+    rows = [(0, "aaaaa")]
+    out = (
+        bpe_train(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            n_merges=2,
+        )
+        .toPandas()
+        .set_index("round")
+    )
+    assert out.loc[1, ["merge_left", "merge_right"]].tolist() == ["a", "a"]
+    assert out.loc[1, "pair_count"] == 4
+    assert out.loc[1, "n_symbols_after"] == 3
+    assert out.loc[2, ["merge_left", "merge_right"]].tolist() == ["aa", "a"]
+    assert out.loc[2, "n_symbols_after"] == 2
+
+
 def test_dedup_substring_cut_removes_covered_tokens(spark):
     """The cut operator removes exactly the tokens covered by
     duplicated windows (all occurrences) and re-joins survivors in

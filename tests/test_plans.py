@@ -953,3 +953,49 @@ def test_zorder_layout_actually_skips_row_groups(spark, tmp_path):
     # scan (row groups whose (user_id, value) envelopes miss the box
     # are skipped) -- require at least a 2x reduction
     assert scanned_clu * 2 <= scanned_sca, (scanned_clu, scanned_sca)
+
+
+def test_mad_outliers_zero_mad_group_reports_zero(spark, tmp_path):
+    """A constant-valued group has MAD=0; without the NULLIF guard
+    z = 0.6745*0/0 = NaN, and both engines order NaN above all
+    numbers, so NaN > 3.5 flagged EVERY row of the degenerate group
+    as an outlier. Differential on the degenerate input: Spark and
+    the DuckDB oracle must both report 0."""
+    import datetime
+
+    import duckdb
+
+    from gps_stream_processing_spark.plans import REGISTRY
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(ts, "const", 5.0)] * 8 + [
+        (ts, "var", float(v)) for v in list(range(1, 10)) + [1000]
+    ]
+    spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    out = (
+        REGISTRY["q_mad_outliers"]
+        .fn(spark, str(tmp_path))
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert out.loc["const", "mad"] == 0.0
+    assert out.loc["const", "n_outliers"] == 0
+    # the var group: median 5.5, MAD 2.5; only 1000 crosses z=3.5
+    assert out.loc["var", "n_outliers"] == 1
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    odf = (
+        con.execute(REGISTRY["q_mad_outliers"].oracle)
+        .df()
+        .set_index("event_type")
+    )
+    con.close()
+    assert odf.loc["const", "n_outliers"] == 0
+    assert odf.loc["var", "n_outliers"] == 1

@@ -744,9 +744,13 @@ def test_ann_pq_recall_floor(spark):
 
 def test_ann_ivfpq_recall_floor(spark):
     """The composed IVF×PQ production index loses recall at the probe
-    cut AND the PQ quantization; with the 50-candidate ADC cut it
-    still holds recall@10 >= 0.5 vs the exact ranking (the IVF
-    parent's floor)."""
+    cut AND the PQ quantization. Residual encoding (true IVFADC,
+    3-round Lloyd) measured recall@10 = 0.9 at sf0.01 and 0.7 at
+    sf0.1 — vs the rejected alternatives at the same 8 bytes/vector:
+    raw-vector encoding 0.9/0.6, residual with ONE Lloyd round
+    0.7/0.6 (residuals are near-isotropic once the label-block
+    structure is subtracted, so one round under-trains). Pinned at
+    >= 0.7 here (sf0.01), above the raw-era 0.5 floor."""
     from gps_stream_processing_spark.operators.similarity import (
         cosine_topk,
         ivf_pq_ann,
@@ -757,7 +761,7 @@ def test_ann_ivfpq_recall_floor(spark):
     emb = table(spark, sf, "embeddings")
     exact = {r.vec_id for r in cosine_topk(emb, 0, k=10).collect()}
     got = {r.vec_id for r in ivf_pq_ann(emb, 0, k=10).collect()}
-    assert len(got & exact) / 10 >= 0.5
+    assert len(got & exact) / 10 >= 0.7
 
 
 def test_ann_ivfsq_recall_floor(spark):
