@@ -250,6 +250,118 @@ def substring_dedup_stats(
     )
 
 
+def substring_dedup_strided(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 8,
+    winnow: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """SEEDED substring dedup — the published mitigation for
+    :func:`substring_dedup_stats`'s stride-1 row blowup at corpus
+    scale (its own docstring promise). Two stages:
+
+    1. SEED: per doc, select ~2/(w+1) of the stride-1 windows by
+       WINNOWING (Schleimer et al. 2003, the MOSS fingerprinting
+       scheme): over every run of ``winnow`` consecutive window
+       hashes, keep the minimum (leftmost on ties). Selection is
+       CONTENT-DEFINED, which is what makes seeding sound — a naive
+       fixed-stride grid is not shift-invariant (a copy displaced by
+       a non-multiple of the stride aligns ZERO seed windows on both
+       sides and the duplicate is invisible), while winnowing
+       guarantees any duplicated span of >= winnow + span_words − 1
+       tokens selects the SAME window in every occurrence (the two
+       occurrences share >= winnow consecutive hash values; the min
+       of that shared run wins in both). Only the selected seeds are
+       exploded and shuffled — the corpus-frequency pass runs on
+       ~2/(w+1) of the stride-1 rows.
+    2. EXTEND: docs holding a corpus-duplicated seed (the candidate
+       set — duplicate-bounded, typically a small corpus fraction)
+       re-run the exact stride-1 machinery of
+       :func:`substring_dedup_stats` restricted to that subset,
+       recovering the full maximal spans at arbitrary offsets;
+       non-candidates report zeros without ever exploding.
+
+    Approximation contract: spans >= winnow + span_words − 1 tokens
+    are found EXACTLY as stride-1 would (the winnowing guarantee);
+    shorter duplicated spans are found only if both holders are
+    already candidates. Window hashes here are portable md5 hex
+    (the seed ARGMIN must pick identically in Spark and the DuckDB
+    oracle — lexicographic compare on identical digests; xxhash64
+    has no DuckDB twin).
+
+    Scale design: at 100 TB the stride-1 grid shuffles ~|tokens|
+    rows; this plan shuffles ~2/(w+1) of that for the seed pass plus
+    stride-1 over the duplicate-holding docs only. Same output
+    schema as substring_dedup_stats."""
+    k, w = span_words, winnow
+    toks = df.select(
+        id_col, F.split(F.lower(F.col(text_col)), " ").alias("__t")
+    )
+    nw = F.size("__t")
+    # per-doc stride-1 md5 window digests, materialized ONCE as a
+    # column (inlining the construction into the seed expression
+    # below would re-run the n-digest transform per reference)
+    hs = F.when(
+        nw >= k,
+        F.transform(
+            F.sequence(F.lit(0), nw - k),
+            lambda i: F.md5(F.array_join(F.slice(F.col("__t"), i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # winnow: argmin (leftmost) of every w-run of digests; slice
+    # clamps at the tail, sequence(0, greatest(n-w, 0)) covers docs
+    # with 1..w-1 windows with a single short run
+    pick = (
+        "transform(array_distinct(transform("
+        f"sequence(0, greatest(size(__hs) - {w}, 0)),"
+        f" j -> j + array_position(slice(__hs, j + 1, {w}),"
+        f" array_min(slice(__hs, j + 1, {w}))) - 1)),"
+        " p -> element_at(__hs, cast(p + 1 as int)))"
+    )
+    seeds = F.expr(
+        "CASE WHEN size(__hs) = 0 THEN cast(array() as array<string>)"
+        f" ELSE {pick} END"
+    )
+    g = toks.select(id_col, hs.alias("__hs")).select(
+        id_col, F.explode(seeds).alias("sh")
+    )
+    scnt = g.groupBy("sh").agg(F.count("*").alias("__c"))
+    cand = (
+        g.join(scnt, "sh")
+        .filter(F.col("__c") >= min_occurrences)
+        .select(id_col)
+        .distinct()
+    )
+    stats = substring_dedup_stats(
+        df.join(cand, id_col, "left_semi"),
+        id_col,
+        text_col,
+        span_words,
+        min_occurrences,
+    ).select(
+        id_col, "n_dup_windows", "n_dup_spans", "dup_tokens", "dup_token_frac"
+    )
+    base = toks.select(
+        id_col,
+        nw.cast("bigint").alias("n_words"),
+        F.greatest(
+            (nw - F.lit(k - 1)).cast("bigint"), F.lit(0).cast("bigint")
+        ).alias("n_windows"),
+    )
+    z = F.lit(0).cast("bigint")
+    return base.join(stats, id_col, "left").select(
+        id_col,
+        "n_words",
+        "n_windows",
+        F.coalesce("n_dup_windows", z).alias("n_dup_windows"),
+        F.coalesce("n_dup_spans", z).alias("n_dup_spans"),
+        F.coalesce("dup_tokens", z).alias("dup_tokens"),
+        F.coalesce("dup_token_frac", F.lit(0.0)).alias("dup_token_frac"),
+    )
+
+
 def substring_dedup_cut(
     df: DataFrame,
     id_col: str = "doc_id",

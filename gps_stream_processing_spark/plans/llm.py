@@ -268,6 +268,100 @@ def q_dedup_substring_cut(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_substring_strided",
+    # Seed selection must pick IDENTICALLY in both engines, so the
+    # window digests are portable md5 hex compared lexicographically
+    # (the q_sample_hash discipline); list_position(list_min) ==
+    # array_position(array_min) == leftmost argmin. The extension
+    # stage is the q_dedup_substring oracle restricted to candidate
+    # docs. DuckDB slice/generate_series clamping mirrors Spark's.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t,
+             len(string_split(lower(text), ' ')) AS n_words
+      FROM documents
+    ), hsa AS (
+      SELECT doc_id,
+             CASE WHEN n_words >= 8 THEN
+               list_transform(generate_series(0, n_words - 8),
+                 i -> md5(array_to_string(t[(i+1):(i+8)], ' ')))
+             ELSE [] END AS hs
+      FROM toks
+    ), seed AS (
+      SELECT doc_id, unnest(
+        list_transform(
+          list_distinct(list_transform(
+            generate_series(0, greatest(len(hs) - 8, 0)),
+            j -> j + list_position(hs[(j+1):(j+8)],
+                                   list_min(hs[(j+1):(j+8)])) - 1)),
+          p -> hs[p + 1])
+      ) AS sh
+      FROM hsa WHERE len(hs) >= 1
+    ), scnt AS (
+      SELECT sh, COUNT(*) AS c FROM seed GROUP BY sh
+    ), cand AS (
+      SELECT DISTINCT seed.doc_id
+      FROM seed JOIN scnt USING (sh) WHERE scnt.c >= 2
+    ), win AS (
+      SELECT toks.doc_id, i AS pos,
+             array_to_string(t[(i+1):(i+8)], ' ') AS w
+      FROM toks JOIN cand ON cand.doc_id = toks.doc_id,
+           UNNEST(generate_series(0, n_words - 8)) AS g(i)
+      WHERE n_words >= 8
+    ), cnt AS (
+      SELECT w, COUNT(*) AS c FROM win GROUP BY w
+    ), dup AS (
+      SELECT win.doc_id, win.pos
+      FROM win JOIN cnt ON cnt.w = win.w WHERE cnt.c >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id, p
+      FROM dup, UNNEST(generate_series(pos, pos + 7)) AS s(p)
+    ), isl AS (
+      SELECT doc_id, p,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+      FROM cov
+    ), st AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS n_dup_spans
+      FROM isl GROUP BY doc_id
+    ), dw AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+      FROM dup GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(greatest(n_words - 7, 0) AS BIGINT) AS n_windows,
+           COALESCE(dw.n_dup_windows, 0) AS n_dup_windows,
+           COALESCE(st.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(st.dup_tokens, 0) AS dup_tokens,
+           COALESCE(ROUND(CAST(st.dup_tokens AS DOUBLE) / toks.n_words, 6),
+                    0.0) AS dup_token_frac
+    FROM toks
+    LEFT JOIN st ON st.doc_id = toks.doc_id
+    LEFT JOIN dw ON dw.doc_id = toks.doc_id
+    """,
+    doc="SEEDED substring dedup (SURVEY §2.9 — the 100 TB scale path "
+    "q_dedup_substring's docstring promises): stage 1 selects "
+    "~2/(w+1) of the stride-1 windows per doc by WINNOWING "
+    "(Schleimer et al. 2003 — content-defined seeding; a naive "
+    "fixed-stride grid is NOT shift-invariant, a copy displaced by "
+    "a non-multiple of the stride aligns zero seeds), so only seed "
+    "rows shuffle into the corpus-frequency pass; stage 2 re-runs "
+    "the exact stride-1 span machinery restricted to docs holding a "
+    "duplicated seed (duplicate-bounded). Spans >= w+k−1 = 15 tokens "
+    "are recovered EXACTLY as stride-1 finds them (the winnowing "
+    "guarantee, pytest-pinned on planted duplicates); shorter spans "
+    "best-effort. Same output schema as q_dedup_substring.",
+)
+def q_dedup_substring_strided(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.dedup import (
+        substring_dedup_strided,
+    )
+
+    return substring_dedup_strided(table(spark, sf, "documents"))
+
+
+@register(
     "q_pipeline_pretrain",
     # Every stage is deterministic (segment-hash line dedup, sha2
     # exact dedup with min-id survivorship, an integer quality floor,

@@ -697,3 +697,47 @@ def test_dedup_substring_cut_removes_covered_tokens(spark):
     # doc 2: untouched
     assert out.loc[2, "retained_text"] == " ".join(f"x{i}" for i in range(12))
     assert out.loc[2, "n_retained_tokens"] == 12
+
+
+def test_substring_dedup_strided_recovers_stride1_spans(spark):
+    """The winnowing guarantee: duplicated spans of >= w+k-1 = 15
+    tokens select the same seed in every occurrence even at
+    MISALIGNED offsets (offset deltas coprime to any stride — the
+    case that kills naive fixed-stride seeding), so the strided
+    operator's output equals exact stride-1 on them; clean docs
+    report zeros without entering the extension stage."""
+    from gps_stream_processing_spark.operators.dedup import (
+        substring_dedup_stats,
+        substring_dedup_strided,
+    )
+
+    span = " ".join(f"d{i}" for i in range(20))  # 20 >= 15: guaranteed
+    rows = [
+        # doc 0: span at offset 3; doc 1: same span at offset 5
+        # (delta 2 — misaligned for every stride that divides 8)
+        (0, f"a0 a1 a2 {span} a3 a4"),
+        (1, f"b0 b1 b2 b3 b4 {span} b5"),
+        # doc 2: clean, long enough to produce windows and seeds
+        (2, " ".join(f"c{i}" for i in range(30))),
+        # doc 3: within-doc repeat of a 16-token run at offsets 0, 17
+        (3, " ".join(f"e{i % 16}" for i in range(16)) + " x0 "
+            + " ".join(f"e{i % 16}" for i in range(16))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        substring_dedup_strided(df)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        substring_dedup_stats(df)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), (got, want)
+    assert got.loc[0, "dup_tokens"] == 20
+    assert got.loc[1, "n_dup_spans"] == 1
+    assert got.loc[2, "dup_tokens"] == 0
+    assert got.loc[3, "dup_tokens"] > 0  # within-doc repeat caught
