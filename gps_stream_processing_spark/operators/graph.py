@@ -427,6 +427,77 @@ def bfs_distances(
     return dist
 
 
+def sssp_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths over an undirected
+    weighted edge list — bounded-round Bellman-Ford, the classic the
+    hop-count BFS (:func:`bfs_distances`) cannot answer. Returns
+    (``id``, ``dist``) for every node whose shortest weighted
+    distance from any seed is settled within ``n_rounds`` relaxation
+    rounds (dist 0 = the seeds; ``n_rounds`` bounds path LENGTH in
+    edges, the oracle-replicable contract of the kcore/pagerank
+    fixed-round discipline).
+
+    FRONTIER-based relaxation (delta-stepping's frontier insight
+    applied to plain Bellman-Ford): each round relaxes only the edges
+    leaving nodes whose distance IMPROVED last round — never the full
+    settled set — then min-merges candidates into the distance table
+    and early-exits when no node improves (the fixpoint). Work per
+    round is O(edges touching the frontier); a full-relaxation
+    Bellman-Ford would be O(m × rounds). The frontier is node-sized
+    and rides the same measured broadcast gate as pagerank's ranks;
+    past the gate it shuffles, co-partitioned with the symmetrized
+    edges. All-integer weights and distances — MIN over integer path
+    sums is exact and traversal-order-independent, so the rounds
+    unroll as materialized DuckDB CTEs."""
+    sym = (
+        edges.select(
+            F.col(src_col).alias("s"), F.col(dst_col).alias("d"), F.col(w_col).alias("w")
+        )
+        .union(
+            edges.select(
+                F.col(dst_col).alias("s"), F.col(src_col).alias("d"), F.col(w_col).alias("w")
+            )
+        )
+        .localCheckpoint(eager=True)
+        .hint("shuffle_hash")
+    )
+    nodes = sym.select(F.col("s").alias("id")).distinct()
+    frontier = (
+        seeds.select(F.col(seeds.columns[0]).alias("id"))
+        .distinct()
+        .join(nodes, "id", "left_semi")
+        .select("id", F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    dist = frontier
+    for _ in range(n_rounds):
+        n_frontier = frontier.count()  # feeds the gate AND the early exit
+        if n_frontier == 0:
+            break  # fixpoint: no distance improved last round
+        fr = F.broadcast(frontier) if _fits_broadcast(n_frontier) else frontier
+        cand = (
+            sym.join(fr, sym["s"] == fr["id"])
+            .groupBy(sym["d"].alias("id"))
+            .agg(F.min(fr["dist"] + sym["w"]).alias("nd"))
+        )
+        improved = (
+            cand.join(dist.select("id", F.col("dist").alias("__old")), "id", "left")
+            .filter(F.col("__old").isNull() | (F.col("nd") < F.col("__old")))
+            .select("id", F.col("nd").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.join(improved, "id", "left_anti").union(improved)
+        frontier = improved
+    return dist
+
+
 def kcore_edges(edges: DataFrame, k: int = 2, rounds: int = 6) -> DataFrame:
     """k-core peeling: drop nodes with degree < k, restrict edges to
     surviving endpoints, repeat ``rounds`` times; returns the surviving

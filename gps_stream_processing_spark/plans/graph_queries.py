@@ -96,6 +96,34 @@ def customer_supplier_edges(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def weighted_customer_supplier_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted customer->supplier edges: w = lineitem count between
+    the pair (interaction intensity as an all-integer edge cost —
+    exact on both engines, unlike float affinities)."""
+    o = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+
+
+def landed_weighted_cs_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """:func:`weighted_customer_supplier_edges` materialized once per
+    sf dir — the same landed-graph posture as the unweighted list."""
+    return _landed_edges(
+        spark,
+        sf,
+        "cust_supp_w",
+        ("orders", "lineitem"),
+        lambda: weighted_customer_supplier_edges(spark, sf),
+    )
+
+
 def landed_customer_supplier_edges(spark: SparkSession, sf: str) -> DataFrame:
     """:func:`customer_supplier_edges` materialized once per sf dir and
     re-read from parquet — the production posture for iterative graph
@@ -432,4 +460,82 @@ def q_kcore(spark: SparkSession, sf: str) -> DataFrame:
         .unionAll(e.select(F.col("dst").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("core_degree"))
+    )
+
+
+def _sssp_oracle(n_rounds: int = 4) -> str:
+    """Full DuckDB oracle for the bounded-round Bellman-Ford SSSP:
+    rounds unrolled as chained MATERIALIZED CTEs (the _bfs_oracle
+    pattern — every CTE has 2+ consumers, so inlining would re-expand
+    the derivation join exponentially). All-integer weights and path
+    sums — exact; MIN is traversal-order-independent. f{i} = nodes
+    whose distance improved in round i (the frontier the engine
+    relaxes next round); d{i} = the settled table after round i."""
+    sql = [f"""
+    WITH e AS MATERIALIZED (
+      SELECT o_custkey AS a, l_suppkey + {_SUPP_OFFSET} AS b,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS s, b AS d, w FROM e UNION ALL SELECT b, a, w FROM e
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT s AS id FROM sym),
+    f0 AS MATERIALIZED (
+      SELECT DISTINCT c_custkey AS id, CAST(0 AS BIGINT) AS dist
+      FROM customer
+      WHERE c_nationkey = 0
+        AND EXISTS (SELECT 1 FROM nodes n WHERE n.id = c_custkey)
+    ),
+    d0 AS MATERIALIZED (SELECT id, dist FROM f0)"""]
+    for i in range(1, n_rounds + 1):
+        sql.append(f""",
+    r{i} AS (
+      SELECT sym.d AS id, MIN(f.dist + sym.w) AS nd
+      FROM sym JOIN f{i - 1} f ON sym.s = f.id
+      GROUP BY 1
+    ),
+    f{i} AS MATERIALIZED (
+      SELECT r.id, r.nd AS dist
+      FROM r{i} r LEFT JOIN d{i - 1} d ON d.id = r.id
+      WHERE d.id IS NULL OR r.nd < d.dist
+    ),
+    d{i} AS MATERIALIZED (
+      SELECT d.id, d.dist FROM d{i - 1} d
+      WHERE NOT EXISTS (SELECT 1 FROM f{i} f WHERE f.id = d.id)
+      UNION ALL SELECT id, dist FROM f{i}
+    )""")
+    sql.append(f"""
+    SELECT id, dist FROM d{n_rounds}""")
+    return "".join(sql)
+
+
+@register(
+    "q_sssp",
+    oracle=_sssp_oracle(),
+    doc="Multi-source WEIGHTED shortest paths (SURVEY §2.7b ext — the "
+    "remaining classic beside triangle/PageRank/LPA/BFS/k-core): "
+    "bounded-round Bellman-Ford over the weighted customer<->supplier "
+    "graph (edge cost = lineitem count between the pair, all-integer), "
+    "seeded by nation-0 customers, 4 relaxation rounds. FRONTIER "
+    "relaxation (operators/graph.py sssp_distances): each round "
+    "relaxes only edges leaving nodes whose distance improved last "
+    "round, min-merges into the settled table, early-exits at the "
+    "fixpoint — O(edges touching the frontier) per round, never "
+    "O(m x rounds); the node-sized frontier rides the measured "
+    "broadcast gate, per-round localCheckpoint truncates lineage. "
+    "Exact integer path sums -> full oracle with the rounds unrolled "
+    "as materialized DuckDB CTEs.",
+)
+def q_sssp(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.graph import sssp_distances
+
+    seeds = (
+        table(spark, sf, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.col("c_custkey").alias("id"))
+    )
+    return sssp_distances(
+        landed_weighted_cs_edges(spark, sf), seeds, n_rounds=4
     )

@@ -293,3 +293,36 @@ def test_kcore_hand_graph_and_convergence(spark):
         "6-round budget did not converge at sf0.001 — raise rounds in "
         "q_kcore AND its oracle together"
     )
+
+
+def test_sssp_hand_graph_weighted_paths(spark):
+    """Bellman-Ford on a hand graph where the weighted shortest path
+    differs from the hop-shortest one: seed 1, edge (1,3) costs 10 but
+    the 2-hop detour 1-2-3 costs 3 — dist(3) must be 3, not 10. Also
+    pins the frontier re-relaxation (node 3's dist improves in round 2
+    after being settled at 10 in round 1) and the fixpoint early-exit
+    (extra rounds don't change the result)."""
+    from gps_stream_processing_spark.operators.graph import sssp_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2), (1, 3, 10), (3, 4, 1)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {
+        r.id: r.dist
+        for r in sssp_distances(edges, seeds, n_rounds=4).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 3, 4: 4}
+    # bounded rounds are the contract: 1 round sees the direct edge only
+    one = {
+        r.id: r.dist
+        for r in sssp_distances(edges, seeds, n_rounds=1).collect()
+    }
+    assert one == {1: 0, 2: 1, 3: 10}
+    # past the fixpoint nothing changes (early-exit)
+    more = {
+        r.id: r.dist
+        for r in sssp_distances(edges, seeds, n_rounds=8).collect()
+    }
+    assert more == got
