@@ -616,6 +616,94 @@ def q_read_binary(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def png_fixture_glob() -> str:
+    """Glob of the committed deterministic PNG fixture
+    (tools/make_png_fixture.py — real spec-valid PNGs built from
+    struct+zlib; the data/nmea_fixture committed-bytes precedent, so
+    the oracle reads the identical files)."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data",
+        "png_fixture",
+        "*.png",
+    )
+
+
+@register(
+    "q_image_dims",
+    # Byte-identical parse both engines: PNG is fixed-offset
+    # big-endian — signature bytes 1-8, IHDR width bytes 17-20,
+    # height 21-24, bit depth byte 25, color type byte 26 (1-based).
+    # Spark conv(hex(bytes),16,10) == DuckDB CAST('0x'||hex AS
+    # BIGINT) (the q_sample_weighted equivalence); both engines' hex
+    # is uppercase unchunked.
+    # DuckDB cannot slice BLOBs (ARRAY_SLICE is list/varchar only):
+    # hex the whole content once and slice the hex string — byte
+    # range [a, b] (1-based) is hex chars [2a-1, 2b].
+    oracle=f"""
+    WITH b AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             CAST(size AS BIGINT) AS n_bytes,
+             hex(content) AS hx
+      FROM read_blob('{png_fixture_glob()}')
+    )
+    SELECT file_name, n_bytes,
+           substring(hx, 1, 16) = '89504E470D0A1A0A' AS valid_png,
+           ('0x' || substring(hx, 33, 8))::BIGINT AS width,
+           ('0x' || substring(hx, 41, 8))::BIGINT AS height,
+           CAST(('0x' || substring(hx, 49, 2))::BIGINT AS INT) AS bit_depth,
+           CAST(('0x' || substring(hx, 51, 2))::BIGINT AS INT) AS color_type,
+           ROUND(CAST(('0x' || substring(hx, 33, 8))::BIGINT AS DOUBLE)
+                 / ('0x' || substring(hx, 41, 8))::BIGINT, 6) AS aspect,
+           md5(hx) AS content_md5
+    FROM b
+    """,
+    doc="Deterministic byte-level IMAGE-HEADER decode (SURVEY §2.9 "
+    "multimodal — the real decode the q_multimodal stubs defer): PNG "
+    "IHDR width/height/bit-depth/color-type parsed as pure column "
+    "algebra over binaryFile content (fixed-offset big-endian fields "
+    "— substring + hex + conv, no UDF, no media library), plus the "
+    "signature check and the md5 content pin. This is the metadata "
+    "extraction a 100 TB multimodal pipeline runs before any pixel "
+    "work — resolution filtering, aspect bucketing, corrupt-file "
+    "triage — and it streams at scan speed: headers live in the "
+    "first 26 bytes, the payload is never decompressed, and "
+    "binaryFile partitions per file. Fixture: committed spec-valid "
+    "PNGs (tools/make_png_fixture.py); oracle = DuckDB read_blob "
+    "over the same bytes.",
+)
+def q_image_dims(spark: SparkSession, sf: str) -> DataFrame:
+    def be_int(pos: int, length: int) -> F.Column:
+        return F.conv(
+            F.hex(F.expr(f"substring(content, {pos}, {length})")), 16, 10
+        ).cast("bigint")
+
+    return (
+        spark.read.format("binaryFile")
+        .load(png_fixture_glob())
+        .select(
+            F.regexp_extract("path", "([^/]+)$", 1).alias("file_name"),
+            F.col("length").alias("n_bytes"),
+            (
+                F.hex(F.expr("substring(content, 1, 8)"))
+                == "89504E470D0A1A0A"
+            ).alias("valid_png"),
+            be_int(17, 4).alias("width"),
+            be_int(21, 4).alias("height"),
+            be_int(25, 1).cast("int").alias("bit_depth"),
+            be_int(26, 1).cast("int").alias("color_type"),
+            F.round(
+                be_int(17, 4).cast("double") / be_int(21, 4), 6
+            ).alias("aspect"),
+            F.md5(F.hex("content")).alias("content_md5"),
+        )
+    )
+
+
 # -------------------------------------------- Spark 4 Python DataSource
 
 

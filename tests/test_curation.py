@@ -741,3 +741,24 @@ def test_substring_dedup_strided_recovers_stride1_spans(spark):
     assert got.loc[1, "n_dup_spans"] == 1
     assert got.loc[2, "dup_tokens"] == 0
     assert got.loc[3, "dup_tokens"] > 0  # within-doc repeat caught
+
+
+def test_png_fixture_matches_generator():
+    """The committed PNG fixture == tools/make_png_fixture.py output
+    byte-for-byte (the nmea fixture-pin discipline): a drifted or
+    hand-edited fixture fails here, and q_image_dims' oracle reads
+    these exact bytes."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from make_png_fixture import N_IMAGES, OUT, make_png
+
+    names = sorted(os.listdir(OUT))
+    assert len(names) == N_IMAGES
+    for i in range(N_IMAGES):
+        name, png = make_png(i)
+        with open(os.path.join(OUT, name), "rb") as f:
+            assert f.read() == png, name
