@@ -64,3 +64,16 @@ def trimmed_mean_10(v: pd.Series) -> float:
     k = int(len(s) * 0.1)
     trimmed = s.iloc[k : len(s) - k] if len(s) > 2 * k else s
     return float(trimmed.mean()) if len(trimmed) else float("nan")
+
+
+@F.pandas_udf("string")
+def nfc_normalize_series(s: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (the Arrow-batched normalizer
+    q_dedup_normalized rides — Spark has no NFC built-in): composed/
+    decomposed code-point forms collapse to the canonical composed
+    form, twinning DuckDB's utf8proc nfc_normalize."""
+    import unicodedata
+
+    return s.map(
+        lambda x: None if x is None else unicodedata.normalize("NFC", x)
+    )

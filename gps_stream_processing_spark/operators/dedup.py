@@ -250,6 +250,44 @@ def substring_dedup_stats(
     )
 
 
+def normalized_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode-CANONICALIZED exact dedup — real corpora carry the
+    same text in composed and decomposed code-point forms (é as
+    U+00E9 vs e + U+0301), mixed case, and ragged whitespace, and a
+    byte-exact sha2 key treats every variant as a distinct document.
+    Canonical key = sha2 over NFC(collapse_ws(lower(trim(text)))):
+    lower/trim/whitespace-collapse run JVM-side; the NFC step is an
+    Arrow-batched pandas UDF (``unicodedata.normalize`` — Spark has
+    no NFC built-in; one vectorized crossing per batch, the
+    sanctioned class-2 boundary). Returns per normalized group:
+    (keep_doc_id = min id, n_copies, n_raw_variants = how many
+    distinct raw byte-forms collapsed into the group).
+
+    Scale shape: identical to exact_dedup — the canonical key hashes
+    map-side and only (doc_id, 8-byte-hashable key) rows shuffle;
+    the NFC crossing is one Arrow round-trip in the same scan
+    projection, before any shuffle."""
+    from gps_stream_processing_spark.functions.pandas_udfs import (
+        nfc_normalize_series,
+    )
+
+    norm = nfc_normalize_series(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+    return (
+        df.select(id_col, text_col, F.sha2(norm, 256).alias("__k"))
+        .groupBy("__k")
+        .agg(
+            F.min(id_col).cast("bigint").alias("keep_doc_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.countDistinct(text_col).cast("bigint").alias("n_raw_variants"),
+        )
+        .drop("__k")
+    )
+
+
 def substring_dedup_strided(
     df: DataFrame,
     id_col: str = "doc_id",

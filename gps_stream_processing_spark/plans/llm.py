@@ -99,6 +99,41 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_normalized",
+    # Same canonicalization chain both engines, same order:
+    # NFC(collapse_ws(lower(trim(text)))) — DuckDB nfc_normalize
+    # (utf8proc) twins the Arrow-batched unicodedata.normalize; the
+    # engine groups the sha2 of the canonical form, the oracle the
+    # canonical form itself (the q_dedup_exact collision argument).
+    oracle=r"""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_raw_variants
+    FROM documents
+    GROUP BY nfc_normalize(regexp_replace(lower(trim(text)),
+                                          '\s+', ' ', 'g'))
+    """,
+    doc="Unicode-NORMALIZED exact dedup (SURVEY §2.9 — the "
+    "canonicalization real corpora need BEFORE any hash key: the "
+    "same sentence ships composed (U+00E9) and decomposed "
+    "(e+U+0301), mixed-case, ragged-whitespace, and byte-exact sha2 "
+    "treats each variant as unique): canonical key = sha2 over "
+    "NFC(collapse_ws(lower(trim(text)))), NFC via ONE Arrow-batched "
+    "pandas UDF in the scan projection (Spark has no NFC built-in; "
+    "unicodedata ≙ DuckDB's utf8proc nfc_normalize — composed/"
+    "decomposed equivalence pytest-pinned on hand-built non-ASCII "
+    "rows). Reports per group: survivor id, copy count, and how "
+    "many distinct raw byte-forms collapsed. Scale shape identical "
+    "to q_dedup_exact — the key hashes map-side, only (doc_id, key) "
+    "shuffles.",
+)
+def q_dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.dedup import normalized_dedup
+
+    return normalized_dedup(table(spark, sf, "documents"))
+
+
+@register(
     "q_dedup_lines",
     # Engine groups xxhash64(segment); oracle groups the raw segment
     # text — identical absent 64-bit collisions (the q_dedup_exact

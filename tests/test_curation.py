@@ -762,3 +762,42 @@ def test_png_fixture_matches_generator():
         name, png = make_png(i)
         with open(os.path.join(OUT, name), "rb") as f:
             assert f.read() == png, name
+
+
+def test_normalized_dedup_collapses_unicode_variants(spark):
+    """The canonical key collapses (a) composed vs DECOMPOSED
+    code-point forms (U+00E9 vs e+U+0301 — the NFC step proper),
+    (b) case, and (c) ragged whitespace, while keeping genuinely
+    different text apart; n_raw_variants counts the byte-forms that
+    collapsed. Also pins unicodedata ≙ DuckDB nfc_normalize on the
+    decomposed row (engine-parity for the non-ASCII path the corpus
+    fixture can't exercise)."""
+    import duckdb
+
+    from gps_stream_processing_spark.operators.dedup import normalized_dedup
+
+    rows = [
+        (0, "café du monde"),          # composed e-acute
+        (1, "café du monde"),         # DECOMPOSED e + combining acute
+        (2, "Café  du   monde"),       # case + ragged whitespace
+        (3, "cafe du monde"),               # plain ascii e: DIFFERENT doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        normalized_dedup(df)
+        .toPandas()
+        .sort_values("keep_doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "keep_doc_id"] == 0
+    assert out.loc[0, "n_copies"] == 3
+    assert out.loc[0, "n_raw_variants"] == 3
+    assert out.loc[1, "keep_doc_id"] == 3 and out.loc[1, "n_copies"] == 1
+    # engine parity on the decomposed row: DuckDB's utf8proc must
+    # produce the same canonical form unicodedata did
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT nfc_normalize(?) = ? ", ["café du monde", "café du monde"]
+    ).fetchone()[0]
+    con.close()
+    assert got is True
