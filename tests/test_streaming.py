@@ -818,3 +818,78 @@ def test_stream_upsert_sink_merges_across_batches(spark, tmp_path):
         r.k: r.s for r in spark.read.parquet(serving).collect()
     }
     assert got == {"A": 1, "B": 5, "C": 7}, got
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (absent here)",
+)
+def test_state_store_provider_posture(spark, stream_fixture_dir, nmea_df):
+    """Pins the state-backend posture both ways (SCALE.md knob table):
+
+    (a) transformWithStateInPandas structurally REQUIRES RocksDB in
+        Spark 4.1 — the HDFS-backed provider cannot create multiple
+        column families — which is WHY every q_stream_tws_* key sets
+        the provider explicitly rather than riding the default.
+    (b) The applyInPandasWithState merge is provider-INDEPENDENT:
+        byte-identical output under the default HDFS-backed provider
+        and RocksDB, so flipping the production knob cannot move
+        values (state layout is an implementation detail)."""
+    import pandas as pd
+
+    from gps_stream_processing_spark.operators.gps_fix import parse_sentences
+    from gps_stream_processing_spark.streaming.runner import (
+        events_stream,
+        run_available_now,
+    )
+    from gps_stream_processing_spark.streaming.stateful import (
+        nmea_json_stream,
+        streaming_fix_merge,
+        streaming_type_counts_tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    hdfs = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    )
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+    cols = ["track_id", "utc", "lat", "lon", "num_sat", "hdop", "speed_knots"]
+    try:
+        # (a) TWS under the HDFS provider must fail with the
+        # column-families limitation, not silently degrade
+        spark.conf.set(key, hdfs)
+        with pytest.raises(Exception, match="MULTIPLE_COLUMN_FAMILIES"):
+            run_available_now(
+                streaming_type_counts_tws(
+                    events_stream(spark, "/root/testdata/sf0.001")
+                ),
+                output_mode="update",
+            )
+        # (b) applyInPandasWithState: identical under both providers
+        outs = {}
+        for name, prov in (("hdfs", hdfs), ("rocksdb", rocks)):
+            spark.conf.set(key, prov)
+            parsed = parse_sentences(
+                nmea_json_stream(spark, stream_fixture_dir)
+            )
+            outs[name] = (
+                run_available_now(
+                    streaming_fix_merge(parsed), output_mode="update"
+                )
+                .select(*cols)
+                .toPandas()
+                .sort_values(["track_id", "utc"], ignore_index=True)
+            )
+        pd.testing.assert_frame_equal(
+            outs["hdfs"], outs["rocksdb"], check_dtype=False
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
