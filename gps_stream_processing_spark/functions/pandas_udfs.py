@@ -77,3 +77,22 @@ def nfc_normalize_series(s: pd.Series) -> pd.Series:
     return s.map(
         lambda x: None if x is None else unicodedata.normalize("NFC", x)
     )
+
+
+def make_pq_encoder_udf(cb_rows, m: int, sub: int):
+    """Vectorized PQ code assignment (see operators/similarity.py
+    make_pq_encoder for the design + bitwise-parity argument; defined
+    here because pandas_udf needs non-stringified pd.Series hints)."""
+    C = np.asarray(cb_rows, dtype=np.float64)
+
+    @F.pandas_udf("array<bigint>")
+    def enc(v: pd.Series) -> pd.Series:
+        X = np.asarray(v.tolist(), dtype=np.float64)
+        out = np.empty((X.shape[0], m), dtype=np.int64)
+        for s in range(m):
+            sl = slice(s * sub, (s + 1) * sub)
+            d = X[:, None, sl] - C[None, :, sl]
+            out[:, s] = (d * d).sum(axis=2).argmin(axis=1) + 1  # 1-based
+        return pd.Series(list(out))
+
+    return enc

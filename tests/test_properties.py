@@ -776,3 +776,46 @@ def test_ann_ivfsq_recall_floor(spark):
     exact = {r.vec_id for r in cosine_topk(emb, 0, k=10).collect()}
     got = {r.vec_id for r in REGISTRY["q_ann_ivfsq"].fn(spark, sf).collect()}
     assert len(got & exact) / 10 >= 0.5
+
+
+def test_pq_numpy_encoder_bitwise_equals_expression_path(spark):
+    """The vectorized Arrow PQ encoder must produce EXACTLY the codes
+    of the SQL HOF expression (array_position of array_min over
+    sequential L2 folds) — same sums bitwise (numpy reduces the
+    4-element subspace sequentially below its pairwise block), same
+    first-min-index tie-break — because the DuckDB oracles re-derive
+    the expression form. Checked on the real corpus residuals AND the
+    raw vectors."""
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.operators.similarity import (
+        _pq_codes_expr,
+        _pq_train,
+        make_pq_encoder,
+    )
+    from gps_stream_processing_spark.plans.registry import table
+
+    m, sub, n_codes = 16, 4, 16
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb, cb_rows = _pq_train(base, m, n_codes, sub, "vec_id", n_rounds=2)
+    via_np = (
+        base.select(
+            "vec_id", make_pq_encoder(cb_rows, m, sub)(F.col("v")).alias("c")
+        )
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    via_expr = (
+        base.crossJoin(F.broadcast(cb))
+        .select("vec_id", _pq_codes_expr(m, sub).alias("c"))
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert all(
+        list(a) == list(b) for a, b in zip(via_np["c"], via_expr["c"])
+    )
