@@ -205,6 +205,12 @@ _CHANGED_SINCE_VERIFIED = (
     ("q_mad_outliers", 12),
     ("q_ann_pq", 12),
     ("q_ann_ivfpq", 12),
+    # r12: q_udtf_analyze pins pickle evaluation for its UDTF (the
+    # r11 session-wide Arrow-UDTF switch had tripled this key, 0.67s
+    # vs 2.04s warm — a struct-arg one-tuple-per-row UDTF has nothing
+    # for Arrow to vectorize). Values invariant (same eval()), plan
+    # node type changed -> re-check.
+    ("q_udtf_analyze", 12),
 )
 
 
