@@ -168,10 +168,12 @@ def main() -> None:
         from gps_stream_processing_spark.plans.graph_queries import (
             landed_copurchase_edges,
             landed_customer_supplier_edges,
+            landed_weighted_cs_edges,
         )
 
         landed_customer_supplier_edges(spark, SF_DIR).count()
         landed_copurchase_edges(spark, SF_DIR).count()
+        landed_weighted_cs_edges(spark, SF_DIR).count()
 
     warmups = (
         ("agg", lambda: spark.range(1_000_000).selectExpr("sum(id)").collect()),

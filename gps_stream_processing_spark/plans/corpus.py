@@ -539,3 +539,252 @@ def q_hilbert_layout(spark: SparkSession, sf: str) -> DataFrame:
             F.max("vb").alias("max_vb"),
         )
     )
+
+
+@register(
+    "q_zipf_fit",
+    # Float discipline: the six OLS moment sums each ride ONE
+    # sequential fold over the SAME deterministically-ordered array
+    # (Spark aggregate ≡ DuckDB list_sum(list_transform) — the
+    # proven bitwise shape); ranks enter as ln(i) from the fold
+    # index (DuckDB lambda index is 1-BASED, Spark's 0-based — the
+    # +1 below is that shift); identical final parenthesization;
+    # outputs rounded 6 dp (ln() libm ulps cannot reach 1e-6 on
+    # O(1) quantities over 2000 terms).
+    oracle="""
+    WITH freq AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+    ), top AS (
+      SELECT cnt, word FROM freq ORDER BY cnt DESC, word LIMIT 2000
+    ), arr AS (
+      SELECT list(cnt ORDER BY cnt DESC, word) AS c,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_ranks
+      FROM top
+    ), s AS (
+      SELECT n, n_ranks,
+        list_sum(list_transform(c, (x, i) -> ln(CAST(i AS DOUBLE)))) AS sx,
+        list_sum(list_transform(c, (x, i) -> ln(CAST(x AS DOUBLE)))) AS sy,
+        list_sum(list_transform(c, (x, i) ->
+          ln(CAST(i AS DOUBLE)) * ln(CAST(i AS DOUBLE)))) AS sxx,
+        list_sum(list_transform(c, (x, i) ->
+          ln(CAST(i AS DOUBLE)) * ln(CAST(x AS DOUBLE)))) AS sxy,
+        list_sum(list_transform(c, (x, i) ->
+          ln(CAST(x AS DOUBLE)) * ln(CAST(x AS DOUBLE)))) AS syy
+      FROM arr
+    )
+    SELECT n_ranks,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    doc="Zipf rank-frequency power-law fit (SURVEY §2.9b corpus "
+    "analytics — the standard first diagnostic of any text corpus: "
+    "natural language shows log(freq) ≈ a − s·log(rank) with "
+    "s ≈ 1; a synthetic or templated corpus shows up instantly as a "
+    "flat or kinked curve): corpus word frequencies (one map-side-"
+    "combined hash-agg), the top-2000 (cnt DESC, word) ranks via "
+    "distributed TakeOrdered, then one bounded 2000-struct row whose "
+    "six OLS moment sums each ride a sequential fold — exact-order "
+    "identical in both engines — yielding slope, intercept, and R². "
+    "At 100 TB the corpus scan is the only unbounded stage; the fit "
+    "itself touches a constant 2000 rows.",
+)
+def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    words = (
+        table(spark, sf, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    top = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(2000)
+    )
+    arr = top.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(-cnt AS k, word AS w,"
+            " cnt AS c))), s -> s.c)"
+        ).alias("c"),
+        F.count("*").cast("double").alias("n"),
+        F.count("*").cast("bigint").alias("n_ranks"),
+    )
+    # Spark lambda index is 0-based; ln(i+1) mirrors DuckDB's ln(i)
+    fold = (
+        "aggregate(zip_with(sequence(1, size(c)), c,"
+        " (i, x) -> {term}), 0.0D, (acc, t) -> acc + t)"
+    )
+
+    def msum(term: str) -> F.Column:
+        return F.expr(fold.format(term=term))
+
+    s = arr.select(
+        "n",
+        "n_ranks",
+        msum("ln(cast(i as double))").alias("sx"),
+        msum("ln(cast(x as double))").alias("sy"),
+        msum("ln(cast(i as double)) * ln(cast(i as double))").alias("sxx"),
+        msum("ln(cast(i as double)) * ln(cast(x as double))").alias("sxy"),
+        msum("ln(cast(x as double)) * ln(cast(x as double))").alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "n_ranks",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+        F.round(
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            )
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
+    "q_source_jsd",
+    # Float discipline: both engines fold the SAME (global-count
+    # DESC, word) ordered per-source array sequentially (aggregate ≡
+    # list_sum(list_transform)), with identical term parenthesization
+    # and integer totals (SUM of counts is order-independent); the
+    # two zero cases (word absent from the source / absent from the
+    # complement) contribute exactly 0 by the CASE, so no ln(0) is
+    # ever evaluated; result rounded 6 dp.
+    oracle="""
+    WITH words AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ), w AS (
+      SELECT source, word FROM words WHERE word <> ''
+    ), g AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cg FROM w GROUP BY word
+    ), top AS (
+      SELECT word, cg FROM g ORDER BY cg DESC, word LIMIT 500
+    ), csw AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cs
+      FROM w GROUP BY source, word
+    ), grid AS (
+      SELECT s.source, t.word, t.cg, COALESCE(c.cs, 0) AS cs
+      FROM (SELECT DISTINCT source FROM w) s
+      CROSS JOIN top t
+      LEFT JOIN csw c ON c.source = s.source AND c.word = t.word
+    ), per AS (
+      SELECT source,
+             list(struct_pack(cs := cs, cg := cg)
+                  ORDER BY cg DESC, word) AS arr,
+             CAST(SUM(cs) AS BIGINT) AS ts,
+             CAST(SUM(cg) AS BIGINT) AS tg
+      FROM grid GROUP BY source
+    )
+    SELECT source,
+           ts AS src_tokens,
+           tg - ts AS rest_tokens,
+           CASE WHEN ts = 0 OR tg - ts = 0 THEN NULL ELSE
+           ROUND((0.5 * list_sum(list_transform(arr, x ->
+              CASE WHEN x.cs > 0 THEN
+                (CAST(x.cs AS DOUBLE) / ts) * ln(
+                  (CAST(x.cs AS DOUBLE) / ts) /
+                  (((CAST(x.cs AS DOUBLE) / ts)
+                    + (CAST(x.cg - x.cs AS DOUBLE) / (tg - ts))) / 2))
+              ELSE 0.0 END))
+            + 0.5 * list_sum(list_transform(arr, x ->
+              CASE WHEN x.cg - x.cs > 0 THEN
+                (CAST(x.cg - x.cs AS DOUBLE) / (tg - ts)) * ln(
+                  (CAST(x.cg - x.cs AS DOUBLE) / (tg - ts)) /
+                  (((CAST(x.cs AS DOUBLE) / ts)
+                    + (CAST(x.cg - x.cs AS DOUBLE) / (tg - ts))) / 2))
+              ELSE 0.0 END))) / ln(2.0), 6) END AS jsd_bits
+    FROM per
+    """,
+    doc="Per-source Jensen-Shannon divergence vs the rest of the "
+    "corpus (SURVEY §2.9b — the mixture-QA metric training-data "
+    "blending runs: a source whose unigram distribution diverges "
+    "from the pool is a candidate for re-weighting or quality "
+    "review; JSD is symmetric, bounded [0,1] in bits, and defined "
+    "even where KL blows up on zero counts): distributions over the "
+    "global top-500 words (one corpus hash-agg + TakeOrdered), one "
+    "bounded per-source array ordered identically in both engines, "
+    "two sequential folds with exact 0·ln0 = 0 handling. At 100 TB "
+    "the corpus scans once for counts; every later stage is "
+    "|sources| × 500 rows.",
+)
+def q_source_jsd(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        table(spark, sf, "documents")
+        .select("source", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    top = (
+        w.groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cg"))
+        .orderBy(F.desc("cg"), "word")
+        .limit(500)
+    )
+    csw = w.groupBy("source", "word").agg(
+        F.count("*").cast("bigint").alias("cs")
+    )
+    grid = (
+        w.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(top))
+        .join(csw, ["source", "word"], "left")
+        .select(
+            "source",
+            "word",
+            "cg",
+            F.coalesce("cs", F.lit(0).cast("bigint")).alias("cs"),
+        )
+    )
+    per = grid.groupBy("source").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(-cg AS k, word AS w,"
+            " cs AS cs, cg AS cg))), s -> struct(s.cs AS cs, s.cg AS cg))"
+        ).alias("arr"),
+        F.sum("cs").cast("bigint").alias("ts"),
+        F.sum("cg").cast("bigint").alias("tg"),
+    )
+    term_p = (
+        "CASE WHEN x.cs > 0 THEN"
+        " (CAST(x.cs AS DOUBLE) / ts) * ln("
+        " (CAST(x.cs AS DOUBLE) / ts) /"
+        " (((CAST(x.cs AS DOUBLE) / ts)"
+        " + (CAST(x.cg - x.cs AS DOUBLE) / (tg - ts))) / 2))"
+        " ELSE 0.0D END"
+    )
+    term_q = (
+        "CASE WHEN x.cg - x.cs > 0 THEN"
+        " (CAST(x.cg - x.cs AS DOUBLE) / (tg - ts)) * ln("
+        " (CAST(x.cg - x.cs AS DOUBLE) / (tg - ts)) /"
+        " (((CAST(x.cs AS DOUBLE) / ts)"
+        " + (CAST(x.cg - x.cs AS DOUBLE) / (tg - ts))) / 2))"
+        " ELSE 0.0D END"
+    )
+    fold = "aggregate(arr, 0.0D, (acc, x) -> acc + ({t}))"
+    jsd = F.expr(
+        "CASE WHEN ts = 0 OR tg - ts = 0 THEN NULL ELSE "
+        f"ROUND((0.5D * {fold.format(t=term_p)}"
+        f" + 0.5D * {fold.format(t=term_q)}) / ln(2.0D), 6) END"
+    )
+    return per.select(
+        "source",
+        F.col("ts").alias("src_tokens"),
+        (F.col("tg") - F.col("ts")).alias("rest_tokens"),
+        jsd.alias("jsd_bits"),
+    )

@@ -106,13 +106,26 @@ NESTED_LOOP_ALLOWED = {
     "q_pareto_concentration": "1-row broadcast (n_users, tot) totals "
     "aggregate crossed onto the user-sized cumulative ranking — the "
     "q_vocab_coverage shape",
+    "q_source_jsd": "|sources| x broadcast top-500-words grid cross — "
+    "both sides constant-bounded (the distribution support must be "
+    "densified so absent words contribute exact zeros); the corpus "
+    "itself never crosses a nested loop",
 }
-# Empty since the Arrow UDTF switch (spark.sql.execution.pythonUDTF.
-# arrow.enabled, set by get_spark AND tune_session): q_udtf_gsv now
-# plans as ArrowEvalPythonUDTF, so ZERO row-at-a-time Python nodes
-# remain anywhere in the registry. Kept as a mechanism for future
-# justified escapes.
-ROW_PYTHON_ALLOWED: dict[str, str] = {}
+# The session default is Arrow UDTF evaluation (spark.sql.execution.
+# pythonUDTF.arrow.enabled, set by get_spark AND tune_session) —
+# q_udtf_gsv plans as ArrowEvalPythonUDTF. One MEASURED exception:
+# a UDTF's eval() is per-row Python under EITHER transport (Arrow
+# mode changes serialization, not vectorization), so the policy's
+# real rule is "pick the measured-faster transport", and for
+# q_udtf_analyze's struct-arg one-tuple-per-row shape the pickle path
+# is 3x faster (0.67s vs 2.04s warm at sf0.1, r12 — Arrow pays
+# per-batch struct assembly + pandas conversion with nothing to
+# vectorize). Scalar expressions remain zero-row-Python everywhere.
+ROW_PYTHON_ALLOWED: dict[str, str] = {
+    "q_udtf_analyze": "pickle-evaluated analyze() UDTF — measured 3x "
+    "faster than its Arrow twin for this struct-arg one-tuple-per-row "
+    "shape; eval() is per-row Python under either transport",
+}
 
 
 def _plan_of(df) -> str:
