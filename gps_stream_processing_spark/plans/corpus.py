@@ -788,3 +788,149 @@ def q_source_jsd(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("tg") - F.col("ts")).alias("rest_tokens"),
         jsd.alias("jsd_bits"),
     )
+
+
+@register(
+    "q_heaps_law",
+    # All-integer construction: a word's first occurrence is
+    # min(doc_id); the vocabulary size after the k-th document is the
+    # count of words whose first doc sorts at or before it (cumulative
+    # count over the deterministic (first_doc) order); token counts
+    # accumulate the same way. The OLS fit over (ln tokens, ln vocab)
+    # rides the q_zipf_fit sequential-fold discipline at 20 evenly
+    # spaced checkpoints; outputs rounded 6 dp.
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ), w AS (
+      SELECT doc_id, word FROM words WHERE word <> ''
+    ), per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM (SELECT doc_id, word,
+                   row_number() OVER (PARTITION BY word
+                                      ORDER BY doc_id) AS rn
+            FROM w)
+      GROUP BY doc_id
+    ), cum AS (
+      SELECT doc_id,
+             CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS toks,
+             CAST(SUM(n_new) OVER (ORDER BY doc_id) AS BIGINT) AS vocab,
+             row_number() OVER (ORDER BY doc_id) AS k,
+             COUNT(*) OVER () AS n_docs
+      FROM per_doc
+    ), pts AS (
+      SELECT toks, vocab FROM cum
+      WHERE k % greatest(CAST(n_docs / 20 AS BIGINT), 1) = 0
+      ORDER BY toks LIMIT 20
+    ), arr AS (
+      SELECT list(struct_pack(t := toks, v := vocab) ORDER BY toks) AS a,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM pts
+    ), s AS (
+      SELECT n, n_points,
+        list_sum(list_transform(a, x -> ln(CAST(x.t AS DOUBLE)))) AS sx,
+        list_sum(list_transform(a, x -> ln(CAST(x.v AS DOUBLE)))) AS sy,
+        list_sum(list_transform(a, x ->
+          ln(CAST(x.t AS DOUBLE)) * ln(CAST(x.t AS DOUBLE)))) AS sxx,
+        list_sum(list_transform(a, x ->
+          ln(CAST(x.t AS DOUBLE)) * ln(CAST(x.v AS DOUBLE)))) AS sxy
+      FROM arr
+    )
+    SELECT n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS heaps_beta,
+           ROUND(exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                      * sx) / n), 6) AS heaps_k
+    FROM s
+    """,
+    doc="Heaps'-law vocabulary-growth fit (SURVEY §2.9b — the "
+    "companion diagnostic to q_zipf_fit: natural language grows "
+    "vocabulary as V ≈ K·Nᵝ with β ≈ 0.4-0.6; a templated or "
+    "looping corpus flattens early, a random-noise corpus reads "
+    "β ≈ 1): each word's first occurrence is min(doc_id) — one "
+    "corpus hash-agg, exactly the dedup-survivor shape — cumulative "
+    "(tokens, vocabulary) in doc_id order, 20 evenly spaced "
+    "checkpoints, and the (ln N, ln V) OLS via the q_zipf_fit "
+    "sequential-fold discipline. At 100 TB the scan and one "
+    "word-keyed shuffle are the unbounded stages; the doc-ordered "
+    "cumulative here rides a single-partition window over the "
+    "PER-DOC aggregate (|docs| rows — fine at harness scale; the "
+    "cluster posture is the standard two-pass prefix sum: per-range "
+    "partial totals broadcast back as offsets, same result exactly); "
+    "the fit touches 20 rows.",
+)
+def q_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        table(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    per_doc = (
+        w.select(
+            "doc_id",
+            "word",
+            F.row_number()
+            .over(W.partitionBy("word").orderBy("doc_id"))
+            .alias("rn"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+    ww = W.orderBy("doc_id")
+    cum = per_doc.select(
+        "doc_id",
+        F.sum("n_tok").over(ww).cast("bigint").alias("toks"),
+        F.sum("n_new").over(ww).cast("bigint").alias("vocab"),
+        F.row_number().over(ww).alias("k"),
+        F.count("*").over(W.partitionBy()).alias("n_docs"),
+    )
+    pts = (
+        cum.filter(
+            F.col("k")
+            % F.greatest(
+                (F.col("n_docs") / 20).cast("bigint"), F.lit(1).cast("bigint")
+            )
+            == 0
+        )
+        .orderBy("toks")
+        .limit(20)
+    )
+    arr = pts.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(toks AS t,"
+            " vocab AS v))), s -> struct(s.t AS t, s.v AS v))"
+        ).alias("a"),
+        F.count("*").cast("double").alias("n"),
+        F.count("*").cast("bigint").alias("n_points"),
+    )
+    fold = "aggregate(a, 0.0D, (acc, x) -> acc + ({t}))"
+
+    def msum(term: str) -> F.Column:
+        return F.expr(fold.format(t=term))
+
+    s = arr.select(
+        "n",
+        "n_points",
+        msum("ln(cast(x.t as double))").alias("sx"),
+        msum("ln(cast(x.v as double))").alias("sy"),
+        msum("ln(cast(x.t as double)) * ln(cast(x.t as double))").alias("sxx"),
+        msum("ln(cast(x.t as double)) * ln(cast(x.v as double))").alias("sxy"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "n_points",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(
+            F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6
+        ).alias("heaps_k"),
+    )
