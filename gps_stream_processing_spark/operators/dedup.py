@@ -288,6 +288,53 @@ def normalized_dedup(
     )
 
 
+def winnow_seed_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 8,
+    winnow: int = 8,
+) -> DataFrame:
+    """(id, sh) winnowing-selected seed window digests — the SEED
+    stage of :func:`substring_dedup_strided` (exposed separately so
+    scale_curve.py can time it alone): per doc, the stride-1 md5
+    window digests materialize once as a column, the leftmost-min of
+    every ``winnow``-run is selected (content-defined, ~2/(w+1)
+    density), and only the selected seeds explode."""
+    k, w = span_words, winnow
+    toks = df.select(
+        id_col, F.split(F.lower(F.col(text_col)), " ").alias("__t")
+    )
+    nw = F.size("__t")
+    # per-doc stride-1 md5 window digests, materialized ONCE as a
+    # column (inlining the construction into the seed expression
+    # below would re-run the n-digest transform per reference)
+    hs = F.when(
+        nw >= k,
+        F.transform(
+            F.sequence(F.lit(0), nw - k),
+            lambda i: F.md5(F.array_join(F.slice(F.col("__t"), i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # winnow: argmin (leftmost) of every w-run of digests; slice
+    # clamps at the tail, sequence(0, greatest(n-w, 0)) covers docs
+    # with 1..w-1 windows with a single short run
+    pick = (
+        "transform(array_distinct(transform("
+        f"sequence(0, greatest(size(__hs) - {w}, 0)),"
+        f" j -> j + array_position(slice(__hs, j + 1, {w}),"
+        f" array_min(slice(__hs, j + 1, {w}))) - 1)),"
+        " p -> element_at(__hs, cast(p + 1 as int)))"
+    )
+    seeds = F.expr(
+        "CASE WHEN size(__hs) = 0 THEN cast(array() as array<string>)"
+        f" ELSE {pick} END"
+    )
+    return toks.select(id_col, hs.alias("__hs")).select(
+        id_col, F.explode(seeds).alias("sh")
+    )
+
+
 def substring_dedup_strided(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -333,38 +380,8 @@ def substring_dedup_strided(
     rows; this plan shuffles ~2/(w+1) of that for the seed pass plus
     stride-1 over the duplicate-holding docs only. Same output
     schema as substring_dedup_stats."""
-    k, w = span_words, winnow
-    toks = df.select(
-        id_col, F.split(F.lower(F.col(text_col)), " ").alias("__t")
-    )
-    nw = F.size("__t")
-    # per-doc stride-1 md5 window digests, materialized ONCE as a
-    # column (inlining the construction into the seed expression
-    # below would re-run the n-digest transform per reference)
-    hs = F.when(
-        nw >= k,
-        F.transform(
-            F.sequence(F.lit(0), nw - k),
-            lambda i: F.md5(F.array_join(F.slice(F.col("__t"), i + 1, k), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # winnow: argmin (leftmost) of every w-run of digests; slice
-    # clamps at the tail, sequence(0, greatest(n-w, 0)) covers docs
-    # with 1..w-1 windows with a single short run
-    pick = (
-        "transform(array_distinct(transform("
-        f"sequence(0, greatest(size(__hs) - {w}, 0)),"
-        f" j -> j + array_position(slice(__hs, j + 1, {w}),"
-        f" array_min(slice(__hs, j + 1, {w}))) - 1)),"
-        " p -> element_at(__hs, cast(p + 1 as int)))"
-    )
-    seeds = F.expr(
-        "CASE WHEN size(__hs) = 0 THEN cast(array() as array<string>)"
-        f" ELSE {pick} END"
-    )
-    g = toks.select(id_col, hs.alias("__hs")).select(
-        id_col, F.explode(seeds).alias("sh")
-    )
+    k = span_words
+    g = winnow_seed_table(df, id_col, text_col, span_words, winnow)
     scnt = g.groupBy("sh").agg(F.count("*").alias("__c"))
     cand = (
         g.join(scnt, "sh")
@@ -381,7 +398,8 @@ def substring_dedup_strided(
     ).select(
         id_col, "n_dup_windows", "n_dup_spans", "dup_tokens", "dup_token_frac"
     )
-    base = toks.select(
+    nw = F.size(F.split(F.lower(F.col(text_col)), " "))
+    base = df.select(
         id_col,
         nw.cast("bigint").alias("n_words"),
         F.greatest(

@@ -66,10 +66,12 @@ def main() -> None:
         lsh_candidate_pairs,
         minhash_signatures,
         shingle_table,
+        winnow_seed_table,
     )
     from gps_stream_processing_spark.operators.graph import (
         bfs_distances,
         pagerank,
+        sssp_distances,
         triangle_count,
     )
     from gps_stream_processing_spark.plans.corpus import pmi_bigrams
@@ -184,6 +186,31 @@ def main() -> None:
                 .orderBy("ts", "event_id")
                 .rowsBetween(-19, W.currentRow)
             ),
+            # r12 shapes: weighted Bellman-Ford (frontier relaxation —
+            # expect ~linear per round like bfs_3r, weights riding the
+            # same 8-byte rows) and the winnowing seed pass (per-doc
+            # digest transform + ~2/(w+1)-density explode + frequency
+            # hash-agg — expect ~linear in tokens; the claim is that
+            # seeding does NOT reintroduce the stride-1 explode).
+            "sssp_4r": lambda: (
+                lambda e: sssp_distances(
+                    e,
+                    e.select(F.col("src").alias("id"))
+                    .distinct()
+                    .filter(F.col("id") % 101 == 0),
+                    n_rounds=4,
+                )
+            )(
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy(
+                    F.col("o_custkey").alias("src"),
+                    (F.col("l_suppkey") + 1_000_000_000).alias("dst"),
+                )
+                .agg(F.count("*").cast("bigint").alias("w"))
+            ),
+            "winnow_seed": lambda: winnow_seed_table(docs)
+            .groupBy("sh")
+            .agg(F.count("*").alias("c")),
             "kll_sketch": lambda: li.groupBy("l_returnflag").agg(
                 F.expr("kll_sketch_get_quantile_double("
                        "kll_sketch_agg_double(l_extendedprice), 0.5)").alias("p50")
