@@ -160,10 +160,11 @@ def substring_dedup_stats(
     rows — text never crosses the wire. Stride-1 multiplies the
     shuffled row count by ~word_count per doc (vs /10 for the line
     grid); that is the inherent cost of arbitrary-offset detection,
-    and the published mitigation at 100 TB is stride-k seeding with
-    span extension (hash every k-th offset, then extend hits
-    locally); the plan shape is identical. The coverage explode runs
-    over DUPLICATED windows only (duplicate-volume-bounded)."""
+    and the 100 TB mitigation is :func:`substring_dedup_strided`
+    (winnowing-selected seeds + duplicate-bounded stride-1
+    extension) — this operator is the exact ground truth it is
+    pinned against. The coverage explode runs over DUPLICATED
+    windows only (duplicate-volume-bounded)."""
     k = span_words
     toks = df.select(
         id_col, F.split(F.lower(F.col(text_col)), " ").alias("__t")

@@ -704,6 +704,112 @@ def q_image_dims(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def wav_fixture_glob() -> str:
+    """Glob of the committed deterministic PCM WAV fixture
+    (tools/make_wav_fixture.py — canonical 44-byte headers, fixed
+    offsets; the png_fixture committed-bytes precedent)."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data",
+        "wav_fixture",
+        "*.wav",
+    )
+
+
+def _le_hex(pos: int, nbytes: int) -> str:
+    """DuckDB little-endian integer from the hex string ``hx``: byte
+    p's hex pair sits at chars (2p−1, 2p); LE reverses byte order."""
+    pairs = "||".join(
+        f"substring(hx, {2 * (pos + b) - 1}, 2)"
+        for b in reversed(range(nbytes))
+    )
+    return f"('0x' || {pairs})::BIGINT"
+
+
+@register(
+    "q_audio_meta",
+    # WAV is LITTLE-endian at fixed offsets (canonical 44-byte PCM
+    # header): RIFF@1, riff_size@5, WAVE@9, 'fmt '@13, fmt_size@17,
+    # audio_format@21, channels@23, sample_rate@25, byte_rate@29,
+    # block_align@33, bits@35, 'data'@37, data_bytes@41. LE values
+    # assemble from byte-reversed hex pairs — identical construction
+    # both engines; duration = frames/rate rounded 6 dp with the
+    # same parenthesization.
+    oracle=f"""
+    WITH b AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             CAST(size AS BIGINT) AS n_bytes,
+             hex(content) AS hx
+      FROM read_blob('{wav_fixture_glob()}')
+    )
+    SELECT file_name, n_bytes,
+           substring(hx, 1, 8) = '52494646'
+             AND substring(hx, 17, 8) = '57415645' AS valid_riff,
+           CAST({_le_hex(21, 2)} AS INT) AS audio_format,
+           CAST({_le_hex(23, 2)} AS INT) AS n_channels,
+           {_le_hex(25, 4)} AS sample_rate,
+           CAST({_le_hex(35, 2)} AS INT) AS bits_per_sample,
+           {_le_hex(41, 4)} AS data_bytes,
+           {_le_hex(41, 4)} / ({_le_hex(23, 2)} * ({_le_hex(35, 2)} / 8))
+             AS n_frames,
+           ROUND(CAST({_le_hex(41, 4)} / ({_le_hex(23, 2)}
+                   * ({_le_hex(35, 2)} / 8)) AS DOUBLE)
+                 / {_le_hex(25, 4)}, 6) AS duration_s,
+           md5(hx) AS content_md5
+    FROM b
+    """,
+    doc="Deterministic byte-level AUDIO-header decode (SURVEY §2.9 "
+    "multimodal — the little-endian twin of q_image_dims): PCM WAV "
+    "RIFF/fmt/data fields (format, channels, sample rate, bit "
+    "depth, data size) parsed as pure column algebra over "
+    "binaryFile content — LE integers assembled from byte-reversed "
+    "hex pairs, no UDF, no audio library — plus derived frame count "
+    "and duration, the signature check, and the md5 content pin. "
+    "The sample-rate/duration/channel-layout triage a 100 TB "
+    "audio-corpus pipeline runs before any DSP reads only the "
+    "44-byte header; binaryFile partitions per file. Fixture: "
+    "committed canonical PCM WAVs (tools/make_wav_fixture.py, "
+    "byte-pinned); oracle = DuckDB read_blob over the same bytes.",
+)
+def q_audio_meta(spark: SparkSession, sf: str) -> DataFrame:
+    def le_int(pos: int, nbytes: int) -> F.Column:
+        rev = F.concat(
+            *[
+                F.hex(F.expr(f"substring(content, {pos + b}, 1)"))
+                for b in reversed(range(nbytes))
+            ]
+        )
+        return F.conv(rev, 16, 10).cast("bigint")
+
+    frames = le_int(41, 4) / (le_int(23, 2) * (le_int(35, 2) / F.lit(8)))
+    return (
+        spark.read.format("binaryFile")
+        .load(wav_fixture_glob())
+        .select(
+            F.regexp_extract("path", "([^/]+)$", 1).alias("file_name"),
+            F.col("length").alias("n_bytes"),
+            (
+                (F.hex(F.expr("substring(content, 1, 4)")) == "52494646")
+                & (F.hex(F.expr("substring(content, 9, 4)")) == "57415645")
+            ).alias("valid_riff"),
+            le_int(21, 2).cast("int").alias("audio_format"),
+            le_int(23, 2).cast("int").alias("n_channels"),
+            le_int(25, 4).alias("sample_rate"),
+            le_int(35, 2).cast("int").alias("bits_per_sample"),
+            le_int(41, 4).alias("data_bytes"),
+            frames.alias("n_frames"),
+            F.round(frames.cast("double") / le_int(25, 4), 6).alias(
+                "duration_s"
+            ),
+            F.md5(F.hex("content")).alias("content_md5"),
+        )
+    )
+
+
 # -------------------------------------------- Spark 4 Python DataSource
 
 

@@ -240,9 +240,11 @@ def q_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
     "runs (gaps-and-islands over DISTINCT covered positions, so "
     "overlapping windows never double-count a token). Reports per "
     "doc: window/dup-window counts, maximal dup spans, dup tokens, "
-    "dup token fraction. Only (doc_id, pos, hash) rows shuffle; at "
-    "100 TB the published mitigation for the stride-1 row blowup is "
-    "stride-k seeding + local span extension (same plan shape).",
+    "dup token fraction. Only (doc_id, pos, hash) rows shuffle; the "
+    "100 TB mitigation for the stride-1 row blowup is IMPLEMENTED "
+    "as q_dedup_substring_strided (winnowing seeds + duplicate-"
+    "bounded extension); this key is the exact ground truth it is "
+    "pinned against.",
 )
 def q_dedup_substring(spark: SparkSession, sf: str) -> DataFrame:
     return substring_dedup_stats(table(spark, sf, "documents"))

@@ -801,3 +801,22 @@ def test_normalized_dedup_collapses_unicode_variants(spark):
     ).fetchone()[0]
     con.close()
     assert got is True
+
+
+def test_wav_fixture_matches_generator():
+    """Committed WAV fixture == tools/make_wav_fixture.py output
+    byte-for-byte (the png/nmea fixture-pin discipline)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from make_wav_fixture import N_CLIPS, OUT, make_wav
+
+    names = sorted(os.listdir(OUT))
+    assert len(names) == N_CLIPS
+    for i in range(N_CLIPS):
+        name, wav = make_wav(i)
+        with open(os.path.join(OUT, name), "rb") as f:
+            assert f.read() == wav, name
