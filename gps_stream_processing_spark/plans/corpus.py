@@ -578,11 +578,12 @@ def q_hilbert_layout(spark: SparkSession, sf: str) -> DataFrame:
       FROM arr
     )
     SELECT n_ranks,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS zipf_slope,
            ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-                 / n, 6) AS intercept,
+                 / n, 6) + 0.0 AS intercept,
            ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0
+             AS r2
     FROM s
     """,
     doc="Zipf rank-frequency power-law fit (SURVEY §2.9b corpus "
@@ -640,9 +641,12 @@ def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
     )
     return s.select(
         "n_ranks",
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round(
-            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
+        (
+            F.round(
+                (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+            )
+            + F.lit(0.0)
         ).alias("intercept"),
         F.round(
             (
@@ -654,8 +658,8 @@ def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
                 * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
             ),
             6,
-        ).alias("r2"),
-    )
+        ).alias("__r2_raw"),
+    ).withColumn("r2", F.col("__r2_raw") + F.lit(0.0)).drop("__r2_raw")
 
 
 @register(
@@ -792,6 +796,11 @@ def q_source_jsd(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_heaps_law",
+    # The + 0.0 after every ROUND (both engines) normalizes IEEE
+    # -0.0 to +0.0: a flat corpus rounds the slope to zero and
+    # DuckDB preserved the negative sign where Spark did not —
+    # numerically equal, hash-DIFFERENT (caught by the driver's
+    # value hash, invisible to float equality).
     # All-integer construction: a word's first occurrence is
     # min(doc_id); the vocabulary size after the k-th document is the
     # count of words whose first doc sorts at or before it (cumulative
@@ -840,10 +849,10 @@ def q_source_jsd(spark: SparkSession, sf: str) -> DataFrame:
       FROM arr
     )
     SELECT n_points,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
              AS heaps_beta,
            ROUND(exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
-                      * sx) / n), 6) AS heaps_k
+                      * sx) / n), 6) + 0.0 AS heaps_k
     FROM s
     """,
     doc="Heaps'-law vocabulary-growth fit (SURVEY §2.9b — the "
@@ -929,8 +938,11 @@ def q_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
     )
     return s.select(
         "n_points",
-        F.round(beta, 6).alias("heaps_beta"),
-        F.round(
-            F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6
+        (F.round(beta, 6) + F.lit(0.0)).alias("heaps_beta"),
+        (
+            F.round(
+                F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 6
+            )
+            + F.lit(0.0)
         ).alias("heaps_k"),
     )
