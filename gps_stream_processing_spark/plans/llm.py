@@ -729,6 +729,99 @@ def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_pairs(sh, threshold=0.5, candidates=cands)
 
 
+@register(
+    "q_dedup_incremental_near",
+    # The q_dedup_near oracle discipline (LSH is deterministic and
+    # recall-complete at J >= 0.5 on this corpus; verify removes false
+    # positives) restricted to CROSS-SPLIT pairs, then aggregated per
+    # batch doc; the corpus/batch split is the q_dedup_incremental
+    # doc_id % 10 convention. MAX runs over the 6-dp-rounded jaccard
+    # on both sides.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT b.doc_id AS bdoc, a.doc_id AS cdoc, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT i.bdoc,
+             ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6)
+               AS jac
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.cdoc
+      JOIN sizes sb ON sb.doc_id = i.bdoc
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    ), agg AS (
+      SELECT bdoc, CAST(COUNT(*) AS BIGINT) AS n_corpus_matches,
+             MAX(jac) AS max_jaccard
+      FROM j GROUP BY bdoc
+    )
+    SELECT d.doc_id,
+           COALESCE(agg.n_corpus_matches, 0) AS n_corpus_matches,
+           agg.max_jaccard,
+           agg.bdoc IS NULL AS admitted
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+    LEFT JOIN agg ON agg.bdoc = d.doc_id
+    """,
+    doc="Incremental-batch NEAR-dup gate (SURVEY §2.9 ext — the "
+    "ingest-time sibling of q_dedup_near, completing the incremental "
+    "story q_dedup_incremental starts with exact hashes): the new "
+    "batch's MinHash band table joins the existing corpus's band "
+    "MANIFEST (8-byte band hashes, not documents), candidate pairs "
+    "are exact-Jaccard verified, and each batch doc reports its "
+    "corpus match count, best similarity, and the admit decision. "
+    "At 100 TB the manifest is the persisted LSH index every "
+    "production dedup service maintains — the new batch never "
+    "touches corpus text, only bucket-joined band hashes and the "
+    "verified candidates' shingles. Corpus/batch split is the "
+    "deterministic doc_id % 10 view convention; LSH is seeded and "
+    "recall-complete at J >= 0.5 here, so the oracle re-derives the "
+    "exact cross-split result.",
+)
+def q_dedup_incremental_near(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sh = _shingles(spark, sf)
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    pairs = jaccard_pairs(sh, threshold=0.5, candidates=cands)
+    in_batch_a = F.col("doc_a") % 10 >= 8
+    in_batch_b = F.col("doc_b") % 10 >= 8
+    cross = pairs.filter(in_batch_a != in_batch_b)
+    per = cross.groupBy(
+        F.when(in_batch_a, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_id")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_corpus_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    batch = (
+        table(spark, sf, "documents")
+        .filter(F.col("doc_id") % 10 >= 8)
+        .select("doc_id")
+    )
+    return batch.join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_corpus_matches", F.lit(0).cast("bigint")).alias(
+            "n_corpus_matches"
+        ),
+        "max_jaccard",
+        F.col("n_corpus_matches").isNull().alias("admitted"),
+    )
+
+
 _SIMHASH_VOTES = ",\n         ".join(
     f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
     for i in range(16)
