@@ -3443,6 +3443,368 @@ def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_welch_ttest",
+    # Exact integer moment sums in cents (DECIMAL(38,0)/HUGEINT);
+    # the "rest" side is derived by DECIMAL subtraction from the
+    # grand totals BEFORE the cast to double, so both engines round
+    # the identical exact integer once. Variances/t/df then run in
+    # double with identical parenthesization, NULLIF guards on the
+    # degenerate (zero-SE) case, rounded 6 dp.
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment AS mktsegment,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT) AS c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), per AS (
+      SELECT mktsegment, CAST(COUNT(*) AS BIGINT) AS n1,
+             SUM(c) AS s1, SUM(c * c) AS s2
+      FROM b GROUP BY mktsegment
+    ), tot AS (
+      SELECT CAST(SUM(n1) AS BIGINT) AS nt,
+             SUM(s1) AS t1, SUM(s2) AS t2
+      FROM per
+    ), d AS (
+      SELECT mktsegment, n1, nt - n1 AS n2,
+             CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+             CAST(t1 - s1 AS DOUBLE) AS r1d, CAST(t2 - s2 AS DOUBLE) AS r2d
+      FROM per CROSS JOIN tot
+    ), v AS (
+      SELECT mktsegment, n1, n2,
+             s1d / n1 AS m1, r1d / n2 AS m2,
+             (s2d - s1d * s1d / n1) / (n1 - 1) / n1 AS q1,
+             (r2d - r1d * r1d / n2) / (n2 - 1) / n2 AS q2
+      FROM d
+    )
+    SELECT mktsegment, n1 AS n_seg, n2 AS n_rest,
+           ROUND(m1 / 100.0, 6) AS mean_seg,
+           ROUND(m2 / 100.0, 6) AS mean_rest,
+           ROUND((m1 - m2) / NULLIF(sqrt(q1 + q2), 0), 6) AS t_stat,
+           ROUND((q1 + q2) * (q1 + q2)
+                 / NULLIF(q1 * q1 / (n1 - 1) + q2 * q2 / (n2 - 1), 0), 6)
+             AS welch_df
+    FROM v
+    """,
+    doc="Welch's unequal-variance t-test, each market segment vs the "
+    "rest (SURVEY §2.4 ext — the hypothesis-test companion of "
+    "q_chi_square's categorical independence: 'does this segment "
+    "spend differently?' with a statistic, not an eyeball). One "
+    "orders⋈customer pass builds exact per-segment (n, Σc, Σc²) in "
+    "cents; the complement side comes from DECIMAL subtraction "
+    "against the 5-row grand total — the rest-vs-segment contrast "
+    "costs ZERO extra scans at any scale (the mergeable-moments "
+    "architecture of q_skew_kurtosis). t and the Welch–Satterthwaite "
+    "df run in double with engine-identical parenthesization.",
+)
+def q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    cu = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    b = o.join(cu, o.o_custkey == cu.c_custkey).select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("c"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    c = F.col("c")
+    # the 5-row moment table is the ONLY corpus scan; totals and the
+    # rest-side derive from it (q_chi_square's bounded-materialization
+    # pattern — unpinned, each branch would re-run the join)
+    per = (
+        b.groupBy("mktsegment")
+        .agg(
+            F.count("*").alias("n1"),
+            F.sum(dec(c)).alias("s1"),
+            F.sum(d19(c) * d19(c)).alias("s2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(
+        F.sum("n1").cast("bigint").alias("nt"),
+        F.sum("s1").cast("decimal(38,0)").alias("t1"),
+        F.sum("s2").cast("decimal(38,0)").alias("t2"),
+    )
+    d = per.crossJoin(F.broadcast(tot)).select(
+        "mktsegment",
+        "n1",
+        (F.col("nt") - F.col("n1")).alias("n2"),
+        F.col("s1").cast("double").alias("s1d"),
+        F.col("s2").cast("double").alias("s2d"),
+        (F.col("t1") - F.col("s1")).cast("double").alias("r1d"),
+        (F.col("t2") - F.col("s2")).cast("double").alias("r2d"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    v = d.select(
+        "mktsegment",
+        "n1",
+        "n2",
+        (F.col("s1d") / n1).alias("m1"),
+        (F.col("r1d") / n2).alias("m2"),
+        (
+            (F.col("s2d") - F.col("s1d") * F.col("s1d") / n1)
+            / (n1 - 1)
+            / n1
+        ).alias("q1"),
+        (
+            (F.col("r2d") - F.col("r1d") * F.col("r1d") / n2)
+            / (n2 - 1)
+            / n2
+        ).alias("q2"),
+    )
+    q1, q2 = F.col("q1"), F.col("q2")
+    return v.select(
+        "mktsegment",
+        F.col("n1").alias("n_seg"),
+        F.col("n2").alias("n_rest"),
+        F.round(F.col("m1") / F.lit(100.0), 6).alias("mean_seg"),
+        F.round(F.col("m2") / F.lit(100.0), 6).alias("mean_rest"),
+        F.round(
+            (F.col("m1") - F.col("m2"))
+            / F.nullif(F.sqrt(q1 + q2), F.lit(0.0)),
+            6,
+        ).alias("t_stat"),
+        F.round(
+            (q1 + q2)
+            * (q1 + q2)
+            / F.nullif(
+                q1 * q1 / (n1 - 1) + q2 * q2 / (n2 - 1), F.lit(0.0)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "q_ks_test",
+    # ECDF differences are ratios of exact integer cumulative counts
+    # (bigint / bigint -> double, identical parenthesization both
+    # engines); MAX over exact doubles is order-independent, rounded
+    # 6 dp once at the end. Values are distinct after the per-value
+    # aggregate, so the cumulative window has no tie ambiguity.
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment AS mktsegment,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), vals AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY v
+    ), cum AS (
+      SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum_all,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS nt
+      FROM vals
+    ), segs AS (
+      SELECT mktsegment, CAST(COUNT(*) AS BIGINT) AS n1
+      FROM b GROUP BY mktsegment
+    ), segv AS (
+      SELECT mktsegment, v, CAST(COUNT(*) AS BIGINT) AS cnt_seg
+      FROM b GROUP BY mktsegment, v
+    ), grid AS (
+      SELECT s.mktsegment, s.n1, c.v, c.cum_all, c.nt,
+             CAST(SUM(COALESCE(sv.cnt_seg, 0))
+                  OVER (PARTITION BY s.mktsegment ORDER BY c.v)
+                  AS BIGINT) AS cum_seg
+      FROM segs s CROSS JOIN cum c
+      LEFT JOIN segv sv
+        ON sv.mktsegment = s.mktsegment AND sv.v = c.v
+    )
+    SELECT mktsegment, MIN(n1) AS n_seg, MIN(nt - n1) AS n_rest,
+           ROUND(MAX(ABS(CAST(cum_seg AS DOUBLE) / n1
+                         - CAST(cum_all - cum_seg AS DOUBLE)
+                           / (nt - n1))), 6) AS ks_d
+    FROM grid GROUP BY mktsegment
+    """,
+    doc="Two-sample Kolmogorov–Smirnov statistic, each market segment "
+    "vs the rest over order totals (SURVEY §2.4 ext — the whole-"
+    "distribution drift test behind data-freshness and A/B sanity "
+    "monitoring: D = sup|F₁−F₂| catches shape changes that mean/"
+    "variance tests miss). Relational formulation: per-value counts "
+    "(one hash-agg), a 5×|distinct values| evaluation grid via a "
+    "broadcast of the 5-row segment table, and cumulative-count "
+    "windows partitioned by segment — the sup is evaluated at every "
+    "pooled jump point, which is exactly where it is attained. The "
+    "global cumulative runs one single-partition window over the "
+    "per-VALUE aggregate (distinct cents, not rows — bounded by the "
+    "price domain; the cluster posture is the standard two-pass "
+    "prefix sum, same result exactly).",
+)
+def q_ks_test(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    cu = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    b = o.join(cu, o.o_custkey == cu.c_custkey).select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v"),
+    )
+    # per-(segment, value) counts are the ONLY corpus-sized aggregate;
+    # vals/segs both re-aggregate its output, so one eager checkpoint
+    # pins the plan to a single orders⋈customer pass
+    segv = (
+        b.groupBy("mktsegment", "v")
+        .agg(F.count("*").alias("cnt_seg"))
+        .localCheckpoint(eager=True)
+    )
+    vals = segv.groupBy("v").agg(F.sum("cnt_seg").cast("bigint").alias("cnt"))
+    nt_df = segv.agg(F.sum("cnt_seg").cast("bigint").alias("nt"))
+    cum = vals.select(
+        "v",
+        F.sum("cnt").over(Window.orderBy("v")).cast("bigint").alias("cum_all"),
+    ).crossJoin(F.broadcast(nt_df))
+    segs = segv.groupBy("mktsegment").agg(
+        F.sum("cnt_seg").cast("bigint").alias("n1")
+    )
+    grid = (
+        F.broadcast(segs)
+        .crossJoin(cum)
+        .join(segv, ["mktsegment", "v"], "left")
+        .select(
+            "mktsegment",
+            "n1",
+            "v",
+            "cum_all",
+            "nt",
+            F.sum(F.coalesce("cnt_seg", F.lit(0)))
+            .over(Window.partitionBy("mktsegment").orderBy("v"))
+            .cast("bigint")
+            .alias("cum_seg"),
+        )
+    )
+    return grid.groupBy("mktsegment").agg(
+        F.min("n1").alias("n_seg"),
+        F.min(F.col("nt") - F.col("n1")).alias("n_rest"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_seg").cast("double") / F.col("n1")
+                    - (F.col("cum_all") - F.col("cum_seg")).cast("double")
+                    / (F.col("nt") - F.col("n1"))
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+    )
+
+
+@register(
+    "q_mannwhitney",
+    # The rank sum is ALL-INTEGER: twice the average pooled rank of a
+    # tied value v is 2·C − c + 1 (C = cumulative count ≤ v, c = tie
+    # count) — an integer, so 2·R₁ sums exactly in DECIMAL(38,0)/
+    # HUGEINT; the tie-correction Σ(c³−c) likewise. Only the final
+    # z runs in double, identical parenthesization, rounded 6 dp.
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment AS mktsegment,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), vals AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY v
+    ), cum AS (
+      SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cc
+      FROM vals
+    ), ties AS (
+      SELECT CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE) AS tsum,
+             CAST(SUM(c) AS BIGINT) AS nt
+      FROM vals
+    ), segv AS (
+      SELECT mktsegment, v, CAST(COUNT(*) AS BIGINT) AS cnt_seg
+      FROM b GROUP BY mktsegment, v
+    ), r AS (
+      SELECT sv.mktsegment,
+             CAST(SUM(sv.cnt_seg) AS BIGINT) AS n1,
+             SUM(CAST(sv.cnt_seg AS HUGEINT) * (2 * cum.cc - cum.c + 1))
+               AS r1x2
+      FROM segv sv JOIN cum ON cum.v = sv.v
+      GROUP BY sv.mktsegment
+    )
+    SELECT mktsegment, n1 AS n_seg, nt - n1 AS n_rest,
+           ROUND((CAST(r1x2 AS DOUBLE)
+                  - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2.0, 2) AS u_stat,
+           ROUND(((CAST(r1x2 AS DOUBLE)
+                   - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2.0
+                  - CAST(n1 AS DOUBLE) * (nt - n1) / 2.0)
+                 / NULLIF(sqrt(CAST(n1 AS DOUBLE) * (nt - n1) / 12.0
+                               * ((nt + 1.0)
+                                  - tsum / (CAST(nt AS DOUBLE)
+                                            * (nt - 1.0)))), 0), 6)
+             AS z_score
+    FROM r CROSS JOIN ties
+    """,
+    doc="Mann–Whitney U rank-sum test, each market segment vs the "
+    "rest (SURVEY §2.4 ext — the nonparametric member of the "
+    "hypothesis-test family beside q_welch_ttest/q_ks_test: "
+    "location shift without the normality assumption, robust to the "
+    "heavy tails q_skew_kurtosis measures). Pooled average ranks "
+    "come from the per-value cumulative counts — 2·rank(v) = "
+    "2C−c+1 is an integer, so the rank sum is EXACT in decimal; "
+    "the z-score applies the standard tie-corrected variance "
+    "n₁n₂/12·((N+1)−Σ(c³−c)/(N(N−1))). Same one-scan + per-value "
+    "grid shape as q_ks_test; the rank table is value-domain-sized, "
+    "never row-sized.",
+)
+def q_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    cu = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    b = o.join(cu, o.o_custkey == cu.c_custkey).select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    segv = (
+        b.groupBy("mktsegment", "v")
+        .agg(F.count("*").alias("cnt_seg"))
+        .localCheckpoint(eager=True)
+    )
+    vals = segv.groupBy("v").agg(F.sum("cnt_seg").cast("bigint").alias("c"))
+    cum = vals.select(
+        "v",
+        "c",
+        F.sum("c").over(Window.orderBy("v")).cast("bigint").alias("cc"),
+    )
+    cv = F.col("c")
+    ties = vals.agg(
+        F.sum(d19(cv * cv) * d19(cv) - dec(cv))
+        .cast("double")
+        .alias("tsum"),
+        F.sum("c").cast("bigint").alias("nt"),
+    )
+    r = (
+        segv.join(cum, "v")
+        .groupBy("mktsegment")
+        .agg(
+            F.sum("cnt_seg").cast("bigint").alias("n1"),
+            F.sum(
+                d19(F.col("cnt_seg"))
+                * d19(2 * F.col("cc") - F.col("c") + 1)
+            ).alias("r1x2"),
+        )
+    )
+    n1d = F.col("n1").cast("double")
+    ntd = F.col("nt").cast("double")
+    u1 = (F.col("r1x2").cast("double") - n1d * (F.col("n1") + 1)) / 2.0
+    mu = n1d * (F.col("nt") - F.col("n1")) / 2.0
+    sigma = F.sqrt(
+        n1d
+        * (F.col("nt") - F.col("n1"))
+        / 12.0
+        * (
+            (F.col("nt") + 1.0)
+            - F.col("tsum") / (ntd * (F.col("nt") - 1.0))
+        )
+    )
+    return r.crossJoin(F.broadcast(ties)).select(
+        "mktsegment",
+        F.col("n1").alias("n_seg"),
+        (F.col("nt") - F.col("n1")).alias("n_rest"),
+        F.round(u1, 2).alias("u_stat"),
+        F.round((u1 - mu) / F.nullif(sigma, F.lit(0.0)), 6).alias(
+            "z_score"
+        ),
+    )
+
+
+@register(
     "q_time_weighted_avg",
     # Exact trapezoid areas: cents (bigint) x microsecond gaps
     # (bigint) summed in DECIMAL(38,0)/HUGEINT; the single final
