@@ -946,3 +946,68 @@ def q_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("heaps_k"),
     )
+
+
+@register(
+    "q_ngram_novelty",
+    # All-integer per-doc counts (distinct trigrams, trigrams whose
+    # GLOBAL first occurrence is this doc) + one exact-ratio division
+    # rounded 6 dp. The engine hashes shingles to 8-byte xxhash64
+    # before the shuffle (operators/dedup.py shingle_table) while the
+    # oracle groups the raw strings - identical first-doc sets unless
+    # two distinct trigrams collide in 2^64 (negligible; the same
+    # equivalence every dedup key in the suite relies on).
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 3
+    ), firsts AS (
+      SELECT doc_id, shingle,
+             MIN(doc_id) OVER (PARTITION BY shingle) AS first_doc
+      FROM sh
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty_ratio
+    FROM firsts GROUP BY doc_id
+    """,
+    doc="Per-document n-gram NOVELTY (SURVEY 2.9b ext - the "
+    "memorization/repetition diagnostic beside q_heaps_law's corpus-"
+    "level growth curve: the fraction of a document's distinct "
+    "3-grams whose global FIRST occurrence, in doc_id ingest order, "
+    "is this document; boilerplate, templated, or duplicated docs "
+    "read near 0 and are what a curation pass downweights). Rides "
+    "the shared hashed shingle table (operators/dedup.py - 8-byte "
+    "xxhash64 shingles, distinct applied per-doc BEFORE the explode), "
+    "then ONE shingle-keyed window assigns first_doc with no "
+    "self-join, and one doc-keyed agg emits exact counts. At 100 TB "
+    "both shuffles key on longs, never shingle text.",
+)
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.plans.llm import _shingles
+
+    sh = _shingles(spark, sf)
+    firsts = sh.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(W.partitionBy("shingle"))
+        ).alias("novel"),
+    )
+    return firsts.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_trigrams"),
+        F.sum(F.when(F.col("novel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+        F.round(
+            F.sum(F.when(F.col("novel"), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("novelty_ratio"),
+    )

@@ -3805,6 +3805,96 @@ def q_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_autocorr",
+    # ALL-INTEGER estimator: with S = Σx and N days, the centered
+    # series scaled by N is y_t = N·x_t − S (exact integers), and
+    # acf_k = Σ y_t·y_{t+k} / Σ y_t² — the N² scale factors cancel
+    # exactly, so numerator and denominator sum in DECIMAL(38,0)/
+    # HUGEINT and only the final division runs in double (identical
+    # parenthesization, rounded 6 dp). MIN/MAX/COUNT are exact.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+      FROM daily
+    ), y AS (
+      SELECT row_number() OVER (ORDER BY d) AS rn,
+             CAST(n AS HUGEINT) * x - s AS y, n
+      FROM daily CROSS JOIN tot
+    ), den AS (
+      SELECT CAST(SUM(y * y) AS DOUBLE) AS dd FROM y
+    ), lags AS (
+      SELECT unnest(generate_series(1, 7)) AS lag
+    )
+    SELECT l.lag AS lag, MIN(a.n) AS n_days,
+           ROUND(CAST(SUM(a.y * b.y) AS DOUBLE)
+                 / NULLIF(MIN(dd), 0), 6) AS acf
+    FROM lags l
+    JOIN y a ON TRUE
+    JOIN y b ON b.rn = a.rn + l.lag
+    CROSS JOIN den
+    GROUP BY l.lag
+    """,
+    doc="Autocorrelation function of the daily event-count series at "
+    "lags 1–7 (SURVEY §2.4 ext — the periodicity diagnostic behind "
+    "q_seasonal_profile: a weekly-cycled load shows the lag-7 spike, "
+    "an anomalous burst decorrelates the tail). Standard biased ACF "
+    "estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄)/Σ(x_t−x̄)² computed "
+    "all-integer: scaling the centered series by N makes y_t = "
+    "N·x_t−S exact, and the N² factors cancel in the ratio — no "
+    "order-dependent float accumulation anywhere. ONE corpus scan "
+    "builds the |days|-row daily table; everything after is "
+    "aggregate-sized (the lag self-join is 7×|days| rows).",
+)
+def q_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    daily = (
+        table(spark, sf, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").alias("x"))
+        # the |days|-row daily table is the ONLY corpus-sized
+        # aggregate; totals, the centered series, and the lag join
+        # all re-consume it (the q_chi_square pinning pattern)
+        .localCheckpoint(eager=True)
+    )
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    # y_t = N·x_t − S fits 19 digits comfortably; the y·y products run
+    # d19 × d19 → DECIMAL(38,0), exact (the q_skew_kurtosis discipline)
+    y = daily.crossJoin(F.broadcast(tot)).select(
+        F.row_number().over(Window.orderBy("d")).alias("rn"),
+        d19(F.col("n") * F.col("x") - F.col("s")).alias("y"),
+        "n",
+    )
+    den = y.agg(
+        F.sum(d19(F.col("y")) * d19(F.col("y"))).cast("double").alias("dd")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a, b_ = y.alias("a"), y.alias("b")
+    return (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b_, F.col("b.rn") == F.col("a.rn") + F.col("lag"))
+        .crossJoin(F.broadcast(den))
+        .groupBy("lag")
+        .agg(
+            F.min("a.n").alias("n_days"),
+            F.round(
+                F.sum(d19(F.col("a.y")) * d19(F.col("b.y"))).cast("double")
+                / F.nullif(F.min("dd"), F.lit(0.0)),
+                6,
+            ).alias("acf"),
+        )
+    )
+
+
+@register(
     "q_time_weighted_avg",
     # Exact trapezoid areas: cents (bigint) x microsecond gaps
     # (bigint) summed in DECIMAL(38,0)/HUGEINT; the single final
