@@ -545,3 +545,67 @@ def kcore_edges(edges: DataFrame, k: int = 2, rounds: int = 6) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return e
+
+
+def hits(
+    edges: DataFrame,
+    n_iterations: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999): hub scores for source
+    nodes, authority scores for destination nodes, each half-step
+    L2-normalized as published. Returns (``id``, ``kind``, ``score``)
+    with kind in {'hub', 'authority'} (a node appearing on both sides
+    of the edge list gets a row per role). Deterministic up to
+    floating-point reassociation in the per-node sums and the global
+    L2 norm (~1e-15 per round — same envelope as :func:`pagerank`,
+    invisible at the 6-dp rounding every consumer applies).
+
+    Per half-round: ONE shuffle (score × edge join + per-endpoint
+    sum) and a 1-row norm aggregate broadcast back — the norm never
+    moves data. The raw sum table is eagerly checkpointed per round
+    (two consumers: the norm agg and the next join) so the plan stays
+    one join deep across rounds — the pagerank lineage discipline."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+        # edge side is fact-sized: hash join without SMJ sorts (the
+        # pagerank e_deg measurement applies unchanged)
+        .hint("shuffle_hash")
+    )
+    hubs = e.select(F.col("src").alias("id")).distinct().localCheckpoint(
+        eager=True
+    )
+    # score sides are node-sized; broadcast under the shared gate
+    bcast = _fits_broadcast(hubs.count())
+    h = hubs.select("id", F.lit(1.0).alias("score"))
+    a = None
+    for _ in range(n_iterations):
+        lhs = F.broadcast(h) if bcast else h
+        a_raw = (
+            e.join(lhs, e.src == lhs.id)
+            .groupBy(e.dst.alias("id"))
+            .agg(F.sum("score").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        na = a_raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nm"))
+        a = a_raw.crossJoin(F.broadcast(na)).select(
+            "id", (F.col("s") / F.col("nm")).alias("score")
+        )
+        lhs_a = F.broadcast(a) if bcast else a
+        h_raw = (
+            e.join(lhs_a, e.dst == lhs_a.id)
+            .groupBy(e.src.alias("id"))
+            .agg(F.sum("score").alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        nh = h_raw.agg(F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nm"))
+        h = h_raw.crossJoin(F.broadcast(nh)).select(
+            "id", (F.col("s") / F.col("nm")).alias("score")
+        )
+    return h.select("id", F.lit("hub").alias("kind"), "score").unionByName(
+        a.select("id", F.lit("authority").alias("kind"), "score")
+    )

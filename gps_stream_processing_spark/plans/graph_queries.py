@@ -539,3 +539,68 @@ def q_sssp(spark: SparkSession, sf: str) -> DataFrame:
     return sssp_distances(
         landed_weighted_cs_edges(spark, sf), seeds, n_rounds=4
     )
+
+
+def _hits_oracle(n_iterations: int = 8) -> str:
+    """Full DuckDB oracle for fixed-iteration HITS: rounds unrolled as
+    chained MATERIALIZED CTEs (the _pagerank_oracle pattern — each raw
+    sum table has two consumers, the L2 norm and the next join, so
+    inlining would double the expansion per half-round). Float
+    discipline identical to pagerank: per-endpoint sum + one global
+    L2 norm per half-round, ~1e-15 reassociation, both sides rounded
+    6 dp at the very end only."""
+    sql = [f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + {_SUPP_OFFSET} AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    h0 AS MATERIALIZED (
+      SELECT DISTINCT src AS id, 1.0 AS score FROM e
+    )"""]
+    for i in range(1, n_iterations + 1):
+        sql.append(f""",
+    ar{i} AS MATERIALIZED (
+      SELECT e.dst AS id, SUM(h.score) AS s
+      FROM e JOIN h{i - 1} h ON e.src = h.id
+      GROUP BY e.dst
+    ),
+    an{i} AS MATERIALIZED (SELECT sqrt(SUM(s * s)) AS nm FROM ar{i}),
+    a{i} AS MATERIALIZED (
+      SELECT id, s / nm AS score FROM ar{i} CROSS JOIN an{i}
+    ),
+    hr{i} AS MATERIALIZED (
+      SELECT e.src AS id, SUM(a.score) AS s
+      FROM e JOIN a{i} a ON e.dst = a.id
+      GROUP BY e.src
+    ),
+    hn{i} AS MATERIALIZED (SELECT sqrt(SUM(s * s)) AS nm FROM hr{i}),
+    h{i} AS MATERIALIZED (
+      SELECT id, s / nm AS score FROM hr{i} CROSS JOIN hn{i}
+    )""")
+    sql.append(f"""
+    SELECT id, 'hub' AS kind, ROUND(score, 6) AS score FROM h{n_iterations}
+    UNION ALL
+    SELECT id, 'authority' AS kind, ROUND(score, 6) AS score
+    FROM a{n_iterations}""")
+    return "".join(sql)
+
+
+@register(
+    "q_hits",
+    oracle=_hits_oracle(),
+    doc="HITS hubs & authorities (Kleinberg 1999; 8 iterations, "
+    "L2-normalized half-steps as published) over the bipartite "
+    "customer->supplier purchase graph — the link-analysis companion "
+    "of q_pagerank: hub customers spread purchases across many "
+    "authoritative suppliers, authority suppliers are bought from by "
+    "strong hubs. Per half-round ONE score×edge shuffle plus a 1-row "
+    "L2-norm broadcast (operators/graph.py hits — pagerank's "
+    "checkpoint-per-round lineage discipline and node-sized broadcast "
+    "gate). Full oracle: the same iteration unrolled as materialized "
+    "DuckDB CTEs, both sides rounded 6 dp.",
+)
+def q_hits(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.graph import hits
+
+    scores = hits(landed_customer_supplier_edges(spark, sf), n_iterations=8)
+    return scores.select("id", "kind", F.round("score", 6).alias("score"))
