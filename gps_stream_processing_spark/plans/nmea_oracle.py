@@ -361,3 +361,40 @@ FROM good g1 JOIN good g2
 WHERE {_haversine('g1.lat', 'g1.lon', 'g2.lat', 'g2.lon')} <= 200.0
 GROUP BY 1, 2
 """
+
+# Grid-DBSCAN clusters (q_geo_dbscan): density-connected components of
+# the heatmap cells. Core cells (n_fixes >= 15) adjacent in the
+# 8-neighborhood merge into one cluster; sub-threshold cells are noise
+# (NULL cluster). The cell key cell_lat*100000 + cell_lon is injective
+# (|lon|/0.005 <= 36000 < 100000) and identical integer algebra on both
+# engines; cluster_id = MIN reachable key via the recursive closure —
+# exact, the q_dup_clusters oracle discipline. The leading WITH becomes
+# WITH RECURSIVE (legal for the non-recursive CTEs it also covers).
+ORACLE_GEO_DBSCAN = fixes_cte().replace(
+    "\nWITH ", "\nWITH RECURSIVE ", 1
+) + """
+, cells AS (
+  SELECT CAST(floor(lat / 0.005) AS BIGINT) AS cell_lat,
+         CAST(floor(lon / 0.005) AS BIGINT) AS cell_lon,
+         CAST(COUNT(*) AS BIGINT) AS n_fixes
+  FROM good GROUP BY 1, 2
+), core AS (
+  SELECT cell_lat * 100000 + cell_lon AS k, cell_lat, cell_lon
+  FROM cells WHERE n_fixes >= 15
+), ce AS (
+  SELECT a.k AS s, b.k AS t
+  FROM core a JOIN core b
+    ON abs(a.cell_lat - b.cell_lat) <= 1
+   AND abs(a.cell_lon - b.cell_lon) <= 1
+   AND a.k <> b.k
+), reach(s, t) AS (
+  SELECT k, k FROM core
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN ce e ON r.t = e.s
+), cl AS (
+  SELECT s AS k, MIN(t) AS cluster_id FROM reach GROUP BY s
+)
+SELECT c.cell_lat, c.cell_lon, c.n_fixes, cl.cluster_id
+FROM cells c
+LEFT JOIN cl ON cl.k = c.cell_lat * 100000 + c.cell_lon
+"""

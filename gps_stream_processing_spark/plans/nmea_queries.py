@@ -583,3 +583,74 @@ def q_udtf_table_arg(spark: SparkSession, sf: str) -> DataFrame:
     )
     spark.catalog.dropTempView("_udtf_tab_events")
     return out
+
+
+@register(
+    "q_geo_dbscan",
+    oracle=_orc.ORACLE_GEO_DBSCAN,
+    doc="Grid-DBSCAN spatial clusters (SURVEY §2.6 GPS analytics ext — "
+    "the clustering step above q_grid_density's heatmap: stops, "
+    "depots, and hot zones emerge as density-connected cell groups): "
+    "cells with ≥ 15 good fixes are core; core cells adjacent in the "
+    "8-neighborhood are density-connected; clusters are the connected "
+    "components of that adjacency (operators/connected_components.py, "
+    "min-label propagation), sub-threshold cells report NULL (noise). "
+    "This is the standard grid approximation of DBSCAN (cell size = "
+    "eps) that replaces the quadratic point-pair eps-join with a "
+    "cell hash-agg + a CELL-sized 9-stamp equi-join — at 100 TB the "
+    "fix table is scanned once and everything after is bounded by "
+    "the number of occupied ~500 m cells, and the neighbor join is "
+    "an exact-key join (no θ-join) that AQE can plan like any other. "
+    "Full oracle via the recursive-CTE reachability closure.",
+)
+def q_geo_dbscan(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    cell = 0.005
+    min_pts = 15
+    cells = (
+        good_enough(_merged(spark))
+        .groupBy(
+            F.floor(F.col("lat") / cell).cast("bigint").alias("cell_lat"),
+            F.floor(F.col("lon") / cell).cast("bigint").alias("cell_lon"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_fixes"))
+        # the cell table has three consumers (core filter, the final
+        # left join, and — via core — both CC inputs); eagerly
+        # materializing it pins the fix pipeline to ONE pass
+        .localCheckpoint(eager=True)
+    )
+    key = (F.col("cell_lat") * 100000 + F.col("cell_lon")).alias("k")
+    core = cells.filter(F.col("n_fixes") >= min_pts).select(
+        key, "cell_lat", "cell_lon"
+    )
+    # 8-neighborhood as a 9-stamp equi-join: each core cell emits its
+    # 8 neighbor coordinates (broadcast 8-row offset table), matched
+    # back against core on the EXACT cell key — no θ-join anywhere
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         if (dx, dy) != (0, 0)],
+        "dx int, dy int",
+    )
+    nbr = core.crossJoin(F.broadcast(offs)).select(
+        F.col("k").alias("src"),
+        (
+            (F.col("cell_lat") + F.col("dx")) * 100000
+            + (F.col("cell_lon") + F.col("dy"))
+        ).alias("dst"),
+    )
+    edges = nbr.join(
+        core.select(F.col("k").alias("dst")), "dst"
+    ).select("src", "dst")
+    comp = connected_components(
+        core.select(F.col("k").alias("id")), edges
+    )
+    return cells.join(
+        comp.select(
+            F.col("id").alias("k"), F.col("component").alias("cluster_id")
+        ),
+        cells.cell_lat * 100000 + cells.cell_lon == F.col("k"),
+        "left",
+    ).select("cell_lat", "cell_lon", "n_fixes", "cluster_id")
