@@ -3805,6 +3805,238 @@ def q_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_gini",
+    # ALL-INTEGER Gini: with per-customer cent totals x sorted
+    # ascending and ranked rn (ties broken by custkey — Σrn·x is
+    # invariant to tie order among equal x), G = (2Σrn·x − (n+1)Σx)
+    # / (nΣx). Numerator and denominator are exact DECIMAL/HUGEINT;
+    # ONE final double division, rounded 6 dp.
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey AS custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    ), s AS (
+      SELECT c.c_mktsegment AS mktsegment, x.x, x.custkey,
+             CAST(row_number() OVER (
+               PARTITION BY c.c_mktsegment ORDER BY x.x, x.custkey
+             ) AS BIGINT) AS rn
+      FROM x JOIN customer c ON c.c_custkey = x.custkey
+    ), a AS (
+      SELECT mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             SUM(CAST(rn AS HUGEINT) * x) AS srx
+      FROM s GROUP BY mktsegment
+    )
+    SELECT mktsegment, n AS n_customers,
+           ROUND(CAST(sx AS DOUBLE) / 100.0, 2) AS total_spend,
+           ROUND(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+                 / CAST(n * sx AS DOUBLE), 6) AS gini
+    FROM a
+    """,
+    doc="Gini coefficient of customer spend per market segment "
+    "(SURVEY §2.4 ext — the inequality audit beside "
+    "q_pareto_concentration's 80/20 cut: one number per segment for "
+    "'how concentrated is revenue', and on the corpus twin 'how "
+    "concentrated is token mass per source' — a standard training-"
+    "mixture health metric). The rank-sum identity G = (2Σrn·x − "
+    "(n+1)Σx)/(nΣx) makes it exact integer algebra after ONE "
+    "orders hash-agg; the ranking window runs over the CUSTOMER-"
+    "sized aggregate partitioned 5 ways, never the fact table (the "
+    "q_pareto_concentration posture).",
+)
+def q_gini(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    x = (
+        table(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    cu = table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    s = x.join(cu, "custkey").select(
+        "mktsegment",
+        "x",
+        "custkey",
+        F.row_number()
+        .over(Window.partitionBy("mktsegment").orderBy("x", "custkey"))
+        .cast("bigint")
+        .alias("rn"),
+    )
+    a = s.groupBy("mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(d19(F.col("rn")) * d19(F.col("x"))).alias("srx"),
+    )
+    return a.select(
+        "mktsegment",
+        F.col("n").alias("n_customers"),
+        F.round(F.col("sx").cast("double") / F.lit(100.0), 2).alias(
+            "total_spend"
+        ),
+        F.round(
+            (2 * F.col("srx") - (F.col("n") + 1) * F.col("sx"))
+            .cast("double")
+            / (F.col("n") * F.col("sx")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q_survival_km",
+    # Exact integer day grid (integer µs division), exact integer
+    # n_risk/n_event counts; the KM product runs as
+    # exp(cumulative-sum of ln terms) — cumulative window sums
+    # accumulate IN ORDER on both engines, so the float sequence is
+    # identical (no reassociation), rounded 6 dp. Spark ln(0) is
+    # NULL where DuckDB gives -inf, so the zero factor (d = n at the
+    # last day) is handled by an explicit cummax flag both sides.
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS vt
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS pt
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.vt
+      GROUP BY e.user_id
+    ), mx AS (SELECT MAX(epoch_us(ts)) AS mt FROM events),
+    obs AS (
+      SELECT v.user_id,
+             CAST((COALESCE(p.pt, mx.mt) - v.vt) // 86400000000
+                  AS BIGINT) AS t,
+             CASE WHEN p.pt IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM v LEFT JOIN p ON p.user_id = v.user_id CROSS JOIN mx
+    ), byday AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM obs GROUP BY t
+    ), risk AS (
+      SELECT t, d, o,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM obs)
+               - CAST(SUM(o) OVER (ORDER BY t) AS BIGINT) + o AS n_risk
+      FROM byday
+    ), km AS (
+      SELECT t, d, n_risk,
+             SUM(CASE WHEN n_risk - d > 0
+                      THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                      ELSE 0.0 END) OVER (ORDER BY t) AS lsum,
+             MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t) AS hit_zero
+      FROM risk WHERE d > 0
+    )
+    SELECT t AS t_days, n_risk, d AS n_events,
+           ROUND(CASE WHEN hit_zero = 1 THEN 0.0 ELSE exp(lsum) END, 6)
+             AS survival
+    FROM km
+    """,
+    doc="Kaplan–Meier survival curve for view→purchase conversion "
+    "time (SURVEY §2.7b ext — the censoring-correct version of "
+    "q_funnel_timing's percentiles: users who never purchased are "
+    "RIGHT-CENSORED at the observation end, not dropped, so the "
+    "curve is unbiased while a quantile over converters only is "
+    "not). Standard product-limit estimator on the integer day "
+    "grid: S(t) = Π_{u≤t}(1 − d_u/n_u), computed as exp of an "
+    "in-order cumulative sum of log factors — sequential window "
+    "accumulation is engine-portable where a float product "
+    "aggregate would not be. ONE events scan builds the per-user "
+    "(first view, first subsequent purchase) table; everything "
+    "after is day-grid-sized.",
+)
+def q_survival_km(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("vt"))
+    )
+    ej = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("pu")
+    )
+    p = (
+        ej.join(v, "user_id")
+        .filter(F.col("pu") >= F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("pu").alias("pt"))
+    )
+    mx = e.agg(F.max(F.unix_micros("ts")).alias("mt"))
+    obs = (
+        v.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.expr("(coalesce(pt, mt) - vt) div 86400000000")
+            .cast("bigint")
+            .alias("t"),
+            F.when(F.col("pt").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+        # the per-user observation table feeds the day grid AND the
+        # total-count scalar; one eager checkpoint pins the events
+        # scan count to the minimum
+        .localCheckpoint(eager=True)
+    )
+    byday = obs.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("o"),
+    )
+    ntot = obs.agg(F.count("*").cast("bigint").alias("nt"))
+    w = Window.orderBy("t")
+    risk = byday.crossJoin(F.broadcast(ntot)).select(
+        "t",
+        "d",
+        (
+            F.col("nt")
+            - F.sum("o").over(w).cast("bigint")
+            + F.col("o")
+        ).alias("n_risk"),
+    )
+    km = risk.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_risk",
+        F.sum(
+            F.when(
+                F.col("n_risk") - F.col("d") > 0,
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk")
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w)
+        .alias("lsum"),
+        F.max(
+            F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+        )
+        .over(w)
+        .alias("hit_zero"),
+    )
+    return km.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.round(
+            F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
+                F.exp(F.col("lsum"))
+            ),
+            6,
+        ).alias("survival"),
+    )
+
+
+@register(
     "q_autocorr",
     # ALL-INTEGER estimator: with S = Σx and N days, the centered
     # series scaled by N is y_t = N·x_t − S (exact integers), and
