@@ -4127,6 +4127,112 @@ def q_autocorr(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crosscorr",
+    # Same all-integer discipline as q_autocorr: both daily series
+    # centered and scaled by N (X = N·x − Sx, Y = N·y − Sy, exact
+    # integers; the N² factors cancel in the ratio), cross products
+    # summed in DECIMAL(38,0)/HUGEINT, one final double division
+    # with identical parenthesization, rounded 6 dp.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+      FROM daily
+    ), c AS (
+      SELECT row_number() OVER (ORDER BY d) AS rn,
+             CAST(n AS HUGEINT) * x - sx AS cx,
+             CAST(n AS HUGEINT) * y - sy AS cy, n
+      FROM daily CROSS JOIN tot
+    ), den AS (
+      SELECT sqrt(CAST(SUM(cx * cx) AS DOUBLE)
+                  * CAST(SUM(cy * cy) AS DOUBLE)) AS dd
+      FROM c
+    ), lags AS (
+      SELECT unnest(generate_series(-7, 7)) AS lag
+    )
+    SELECT l.lag AS lag, MIN(a.n) AS n_days,
+           ROUND(CAST(SUM(a.cx * b.cy) AS DOUBLE)
+                 / NULLIF(MIN(dd), 0), 6) AS ccf
+    FROM lags l
+    JOIN c a ON TRUE
+    JOIN c b ON b.rn = a.rn + l.lag
+    CROSS JOIN den
+    GROUP BY l.lag
+    """,
+    doc="Cross-correlation between the daily 'view' and 'purchase' "
+    "series at lags −7..+7 (SURVEY §2.4 ext — the lead/lag companion "
+    "of q_autocorr: a positive-lag peak means views LEAD purchases "
+    "by that many days, the standard marketing-response and "
+    "pipeline-latency diagnostic). Both series come out of the SAME "
+    "single events scan (conditional sums per day), then the "
+    "q_autocorr all-integer estimator on the pair — the 15-lag "
+    "self-join runs over the |days|-row aggregate, never the fact.",
+)
+def q_crosscorr(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    daily = (
+        table(spark, sf, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    c = daily.crossJoin(F.broadcast(tot)).select(
+        F.row_number().over(Window.orderBy("d")).alias("rn"),
+        d19(F.col("n") * F.col("x") - F.col("sx")).alias("cx"),
+        d19(F.col("n") * F.col("y") - F.col("sy")).alias("cy"),
+        "n",
+    )
+    den = c.agg(
+        F.sqrt(
+            F.sum(d19(F.col("cx")) * d19(F.col("cx"))).cast("double")
+            * F.sum(d19(F.col("cy")) * d19(F.col("cy"))).cast("double")
+        ).alias("dd")
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    a, b_ = c.alias("a"), c.alias("b")
+    return (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b_, F.col("b.rn") == F.col("a.rn") + F.col("lag"))
+        .crossJoin(F.broadcast(den))
+        .groupBy("lag")
+        .agg(
+            F.min("a.n").alias("n_days"),
+            F.round(
+                F.sum(d19(F.col("a.cx")) * d19(F.col("b.cy"))).cast(
+                    "double"
+                )
+                / F.nullif(F.min("dd"), F.lit(0.0)),
+                6,
+            ).alias("ccf"),
+        )
+    )
+
+
+@register(
     "q_time_weighted_avg",
     # Exact trapezoid areas: cents (bigint) x microsecond gaps
     # (bigint) summed in DECIMAL(38,0)/HUGEINT; the single final
