@@ -114,6 +114,47 @@ def q_read_csv(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_read_text",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Plain-text source round-trip (SURVEY §2.1 — the last built-in "
+    "reader beside csv/json/orc/xml/binaryFile/parquet: the format raw "
+    "web-scrape and log corpora actually arrive in): documents → "
+    "tab-delimited UTF-8 lines on disk → spark.read.text (one 'value' "
+    "column, line-splittable — at 100 TB each executor scans its own "
+    "byte ranges) → a 3-way split projection → grouped counts. The "
+    "corpus is tab/newline-free so the round-trip is lossless; full "
+    "oracle over the original table.",
+)
+def q_read_text(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    out = land_dir("text", sf)
+    # _SUCCESS is written last: a killed writer leaves no marker and the
+    # next caller rewrites, instead of reading a partial directory
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        table(spark, sf, "documents").select(
+            F.concat_ws("\t", "doc_id", "lang", "text").alias("value")
+        ).coalesce(4).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    parts = F.split(F.col("value"), "\t", 3)
+    return (
+        lines.select(
+            parts.getItem(1).alias("lang"),
+            F.length(parts.getItem(2)).cast("bigint").alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
     "q_read_orc",
     oracle="""
     SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
