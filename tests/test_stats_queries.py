@@ -1,0 +1,296 @@
+"""Property + replica tests for the round-12 statistics family
+(SURVEY §5.2.3): the hypothesis tests (Welch/KS/Mann-Whitney), the
+series diagnostics (ACF/CCF), Gini, Kaplan-Meier, HITS, grid-DBSCAN,
+and n-gram novelty. Each key's oracle parity already runs in
+tests/test_oracle_parity.py; these tests pin the MATH — bounds every
+statistic must satisfy and independent numpy/pandas replicas — so an
+engine+oracle twin bug (same wrong algebra on both sides) still fails
+loudly.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from gps_stream_processing_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name, sf=SF):
+    return REGISTRY[name].fn(spark, sf).toPandas()
+
+
+def _orders_by_segment(sf=SF):
+    con = duckdb.connect()
+    df = con.execute(
+        f"""
+        SELECT c.c_mktsegment AS seg,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM read_parquet('{sf}/orders.parquet') o
+        JOIN read_parquet('{sf}/customer.parquet') c
+          ON o.o_custkey = c.c_custkey
+        """
+    ).df()
+    con.close()
+    return df
+
+
+def test_ks_bounds_and_counts(spark):
+    got = _run(spark, "q_ks_test")
+    base = _orders_by_segment()
+    assert len(got) == base["seg"].nunique()
+    for _, r in got.iterrows():
+        assert 0.0 <= r.ks_d <= 1.0
+        assert r.n_seg + r.n_rest == len(base)
+        assert r.n_seg == int((base["seg"] == r.mktsegment).sum())
+
+
+def test_ks_matches_numpy_replica(spark):
+    """Exact ECDF sup-difference replica (evaluated at every pooled
+    point — where the sup is attained)."""
+    got = _run(spark, "q_ks_test").set_index("mktsegment")
+    base = _orders_by_segment()
+    xs = np.sort(base["cents"].to_numpy())
+    for seg in got.index:
+        a = np.sort(base.loc[base.seg == seg, "cents"].to_numpy())
+        b = np.sort(base.loc[base.seg != seg, "cents"].to_numpy())
+        fa = np.searchsorted(a, xs, side="right") / len(a)
+        fb = np.searchsorted(b, xs, side="right") / len(b)
+        d = np.abs(fa - fb).max()
+        assert abs(got.loc[seg, "ks_d"] - round(d, 6)) <= 1e-6
+
+
+def test_welch_matches_numpy_replica(spark):
+    got = _run(spark, "q_welch_ttest").set_index("mktsegment")
+    base = _orders_by_segment()
+    for seg in got.index:
+        a = base.loc[base.seg == seg, "cents"].to_numpy(dtype=float)
+        b = base.loc[base.seg != seg, "cents"].to_numpy(dtype=float)
+        va, vb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(va + vb)
+        df = (va + vb) ** 2 / (
+            va**2 / (len(a) - 1) + vb**2 / (len(b) - 1)
+        )
+        r = got.loc[seg]
+        # numpy's mean/var accumulate differently — envelope, not hash
+        assert abs(r.t_stat - t) <= 1e-6 * max(1.0, abs(t))
+        assert abs(r.welch_df - df) <= 1e-6 * df
+        # Welch df bracket: min(n1,n2)-1 <= df <= n1+n2-2
+        assert min(len(a), len(b)) - 1 <= r.welch_df <= len(a) + len(b) - 2
+
+
+def test_mannwhitney_matches_scipy_free_replica(spark):
+    """Rank-sum replica via numpy average ranks + the tie-corrected
+    normal approximation."""
+    got = _run(spark, "q_mannwhitney").set_index("mktsegment")
+    base = _orders_by_segment()
+    x = base["cents"].to_numpy()
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x), dtype=float)
+    sx = x[order]
+    i = 0
+    while i < len(sx):
+        j = i
+        while j < len(sx) and sx[j] == sx[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0  # average 1-based rank
+        i = j
+    n = len(x)
+    _, counts = np.unique(x, return_counts=True)
+    tsum = float((counts.astype(np.int64) ** 3 - counts).sum())
+    for seg in got.index:
+        mask = (base["seg"] == seg).to_numpy()
+        n1 = int(mask.sum())
+        u1 = ranks[mask].sum() - n1 * (n1 + 1) / 2.0
+        mu = n1 * (n - n1) / 2.0
+        sigma = np.sqrt(
+            n1 * (n - n1) / 12.0 * ((n + 1.0) - tsum / (n * (n - 1.0)))
+        )
+        r = got.loc[seg]
+        assert abs(r.u_stat - u1) <= 0.01
+        assert abs(r.z_score - (u1 - mu) / sigma) <= 1e-5
+        assert 0.0 <= r.u_stat <= n1 * (n - n1)
+
+
+def _daily_counts(sf=SF):
+    con = duckdb.connect()
+    df = con.execute(
+        f"""
+        SELECT CAST(ts AS DATE) AS d,
+               COUNT(*) AS x,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        FROM read_parquet('{sf}/events.parquet') GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    con.close()
+    return df
+
+
+def test_autocorr_matches_numpy_replica(spark):
+    got = _run(spark, "q_autocorr").set_index("lag").sort_index()
+    x = _daily_counts()["x"].to_numpy(dtype=float)
+    xc = x - x.mean()
+    den = (xc * xc).sum()
+    for lag in range(1, 8):
+        r = (xc[:-lag] * xc[lag:]).sum() / den
+        assert abs(got.loc[lag, "acf"] - r) <= 1e-6
+        assert -1.0 <= got.loc[lag, "acf"] <= 1.0
+    assert (got["n_days"] == len(x)).all()
+
+
+def test_crosscorr_matches_numpy_replica(spark):
+    got = _run(spark, "q_crosscorr").set_index("lag").sort_index()
+    daily = _daily_counts()
+    v = daily["v"].to_numpy(dtype=float)
+    p = daily["p"].to_numpy(dtype=float)
+    vc, pc = v - v.mean(), p - p.mean()
+    den = np.sqrt((vc * vc).sum() * (pc * pc).sum())
+    for lag in range(-7, 8):
+        if lag >= 0:
+            r = (vc[: len(vc) - lag] * pc[lag:]).sum() / den
+        else:
+            r = (vc[-lag:] * pc[: len(pc) + lag]).sum() / den
+        assert abs(got.loc[lag, "ccf"] - r) <= 1e-6
+        assert -1.0 <= got.loc[lag, "ccf"] <= 1.0
+
+
+def test_gini_matches_numpy_replica(spark):
+    got = _run(spark, "q_gini").set_index("mktsegment")
+    con = duckdb.connect()
+    base = con.execute(
+        f"""
+        SELECT c.c_mktsegment AS seg,
+               SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS x
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c
+          ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_custkey
+        """
+    ).df()
+    con.close()
+    for seg in got.index:
+        x = np.sort(base.loc[base.seg == seg, "x"].to_numpy(dtype=float))
+        n = len(x)
+        g = (2 * (np.arange(1, n + 1) * x).sum() - (n + 1) * x.sum()) / (
+            n * x.sum()
+        )
+        assert abs(got.loc[seg, "gini"] - g) <= 1e-6
+        assert 0.0 <= got.loc[seg, "gini"] < 1.0
+
+
+def test_survival_km_monotone_and_replica(spark):
+    got = _run(spark, "q_survival_km").sort_values("t_days")
+    # survival is a non-increasing step function in (0, 1]
+    s = got["survival"].to_numpy()
+    assert (np.diff(s) <= 1e-12).all()
+    assert (s > 0).all() or s[-1] == 0.0
+    assert (s <= 1.0).all()
+    # n_risk strictly decreases down the curve
+    assert (np.diff(got["n_risk"].to_numpy()) < 0).all()
+    # pandas replica of the product-limit estimator
+    con = duckdb.connect()
+    obs = con.execute(
+        f"""
+        WITH v AS (
+          SELECT user_id, MIN(epoch_us(ts)) AS vt
+          FROM read_parquet('{SF}/events.parquet')
+          WHERE event_type = 'view' GROUP BY user_id
+        ), p AS (
+          SELECT e.user_id, MIN(epoch_us(e.ts)) AS pt
+          FROM read_parquet('{SF}/events.parquet') e
+          JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.vt
+          GROUP BY e.user_id
+        ), mx AS (
+          SELECT MAX(epoch_us(ts)) AS mt
+          FROM read_parquet('{SF}/events.parquet')
+        )
+        SELECT (COALESCE(p.pt, mx.mt) - v.vt) // 86400000000 AS t,
+               CASE WHEN p.pt IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM v LEFT JOIN p ON p.user_id = v.user_id CROSS JOIN mx
+        """
+    ).df()
+    con.close()
+    surv = 1.0
+    exp = {}
+    n_at_risk = len(obs)
+    for t in sorted(obs["t"].unique()):
+        d = int(obs.loc[(obs.t == t) & (obs.ev == 1)].shape[0])
+        o = int((obs.t == t).sum())
+        if d > 0:
+            surv *= 1.0 - d / n_at_risk
+            exp[t] = (n_at_risk, d, surv)
+        n_at_risk -= o
+    for _, r in got.iterrows():
+        nr, d, sv = exp[r.t_days]
+        assert r.n_risk == nr and r.n_events == d
+        assert abs(r.survival - sv) <= 1e-6
+
+
+def test_hits_norms_and_positivity(spark):
+    got = _run(spark, "q_hits")
+    hubs = got.loc[got.kind == "hub", "score"].to_numpy()
+    auth = got.loc[got.kind == "authority", "score"].to_numpy()
+    assert (hubs >= 0).all() and (auth >= 0).all()
+    # L2-normalized half-steps: each score vector has unit norm (6-dp
+    # rounded scores drift the sum-of-squares by O(n * 1e-6) at most)
+    assert abs((hubs**2).sum() - 1.0) <= 1e-3
+    assert abs((auth**2).sum() - 1.0) <= 1e-3
+
+
+def test_geo_dbscan_cluster_structure(spark):
+    got = _run(spark, "q_geo_dbscan")
+    core = got[got.n_fixes >= 15]
+    noise = got[got.n_fixes < 15]
+    # every core cell is clustered; every sub-threshold cell is noise
+    assert core["cluster_id"].notna().all()
+    assert noise["cluster_id"].isna().all()
+    # a cluster's id is the min member key
+    key = got.cell_lat * 100000 + got.cell_lon
+    for cid, members in got.assign(k=key).groupby("cluster_id"):
+        assert cid == members.k.min()
+    # density-connectivity: each core cell has an 8-neighbor in its own
+    # cluster (unless it is a singleton cluster)
+    cells = {
+        (r.cell_lat, r.cell_lon): r.cluster_id
+        for _, r in core.iterrows()
+    }
+    from collections import Counter
+
+    sizes = Counter(core.cluster_id)
+    for (la, lo), cid in cells.items():
+        if sizes[cid] == 1:
+            continue
+        assert any(
+            cells.get((la + dx, lo + dy)) == cid
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+        )
+
+
+def test_ngram_novelty_bounds_and_totals(spark):
+    got = _run(spark, "q_ngram_novelty")
+    assert ((got.novelty_ratio >= 0) & (got.novelty_ratio <= 1)).all()
+    assert (got.n_novel <= got.n_trigrams).all()
+    # the earliest document introduces every one of its trigrams
+    first = got.loc[got.doc_id.idxmin()]
+    assert first.n_novel == first.n_trigrams
+    # novel counts tile the global distinct-trigram set exactly
+    con = duckdb.connect()
+    n_distinct = con.execute(
+        f"""
+        WITH tok AS (
+          SELECT doc_id, string_split(lower(text), ' ') AS w
+          FROM read_parquet('{SF}/documents.parquet')
+        )
+        SELECT COUNT(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 3
+        """
+    ).fetchone()[0]
+    con.close()
+    assert int(got.n_novel.sum()) == n_distinct
