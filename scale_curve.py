@@ -70,6 +70,7 @@ def main() -> None:
     )
     from gps_stream_processing_spark.operators.graph import (
         bfs_distances,
+        hits,
         pagerank,
         sssp_distances,
         triangle_count,
@@ -211,6 +212,58 @@ def main() -> None:
             "winnow_seed": lambda: winnow_seed_table(docs)
             .groupBy("sh")
             .agg(F.count("*").alias("c")),
+            # r12 second-sweep shapes: HITS (two score×edge shuffles +
+            # two 1-row norms per round — expect ~linear per round like
+            # pagerank_5r; customers offset per replica so edges grow
+            # with the factor) and the KS per-value grid (per-value
+            # hash-agg + 5×|values| cumulative windows — expect
+            # ~linear in distinct values; the claim is the grid stays
+            # value-domain-sized, never row-sized).
+            "hits_4r": lambda: hits(
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .select(
+                    F.col("o_custkey").alias("src"),
+                    (F.col("l_suppkey") + 1_000_000_000).alias("dst"),
+                )
+                .distinct(),
+                n_iterations=4,
+            ),
+            "ks_grid": lambda: (
+                lambda segv: (
+                    lambda vals, segs: segs.crossJoin(
+                        vals.select(
+                            "v",
+                            F.sum("cnt")
+                            .over(W.orderBy("v"))
+                            .alias("cum_all"),
+                        )
+                    )
+                    .join(segv, ["seg", "v"], "left")
+                    .select(
+                        "seg",
+                        "n1",
+                        F.sum(F.coalesce("cnt_seg", F.lit(0)))
+                        .over(W.partitionBy("seg").orderBy("v"))
+                        .alias("cum_seg"),
+                        "cum_all",
+                    )
+                    .groupBy("seg")
+                    .agg(F.max(F.abs(F.col("cum_seg") / F.col("n1"))).alias("d"))
+                )(
+                    segv.groupBy("v").agg(F.sum("cnt_seg").alias("cnt")),
+                    segv.groupBy("seg").agg(F.sum("cnt_seg").alias("n1")),
+                )
+            )(
+                o.select(
+                    (F.col("o_custkey") % 5).alias("seg"),
+                    F.expr(
+                        "cast(round(o_totalprice * 100) as bigint)"
+                    ).alias("v"),
+                )
+                .groupBy("seg", "v")
+                .agg(F.count("*").alias("cnt_seg"))
+                .localCheckpoint(eager=True)
+            ),
             "kll_sketch": lambda: li.groupBy("l_returnflag").agg(
                 F.expr("kll_sketch_get_quantile_double("
                        "kll_sketch_agg_double(l_extendedprice), 0.5)").alias("p50")
