@@ -3512,8 +3512,8 @@ def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     ), v AS (
       SELECT mktsegment, n1, n2,
              s1d / n1 AS m1, r1d / n2 AS m2,
-             (s2d - s1d * s1d / n1) / (n1 - 1) / n1 AS q1,
-             (r2d - r1d * r1d / n2) / (n2 - 1) / n2 AS q2
+             (s2d - s1d * s1d / n1) / NULLIF(n1 - 1, 0) / n1 AS q1,
+             (r2d - r1d * r1d / n2) / NULLIF(n2 - 1, 0) / n2 AS q2
       FROM d
     )
     SELECT mktsegment, n1 AS n_seg, n2 AS n_rest,
@@ -3579,14 +3579,17 @@ def q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
         "n2",
         (F.col("s1d") / n1).alias("m1"),
         (F.col("r1d") / n2).alias("m2"),
+        # NULLIF on (n-1): a singleton side has no sample variance —
+        # the whole statistic goes NULL instead of the IEEE inf/NaN
+        # cascade engines disagree on (the q_skew_kurtosis discipline)
         (
             (F.col("s2d") - F.col("s1d") * F.col("s1d") / n1)
-            / (n1 - 1)
+            / F.nullif(n1 - 1, F.lit(0))
             / n1
         ).alias("q1"),
         (
             (F.col("r2d") - F.col("r1d") * F.col("r1d") / n2)
-            / (n2 - 1)
+            / F.nullif(n2 - 1, F.lit(0))
             / n2
         ).alias("q2"),
     )
@@ -3873,7 +3876,7 @@ def q_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
     SELECT mktsegment, n AS n_customers,
            ROUND(CAST(sx AS DOUBLE) / 100.0, 2) AS total_spend,
            ROUND(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
-                 / CAST(n * sx AS DOUBLE), 6) AS gini
+                 / NULLIF(CAST(n * sx AS DOUBLE), 0), 6) AS gini
     FROM a
     """,
     doc="Gini coefficient of customer spend per market segment "
@@ -3924,10 +3927,13 @@ def q_gini(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("sx").cast("double") / F.lit(100.0), 2).alias(
             "total_spend"
         ),
+        # NULLIF: an all-zero-spend segment has no defined inequality
         F.round(
             (2 * F.col("srx") - (F.col("n") + 1) * F.col("sx"))
             .cast("double")
-            / (F.col("n") * F.col("sx")).cast("double"),
+            / F.nullif(
+                (F.col("n") * F.col("sx")).cast("double"), F.lit(0.0)
+            ),
             6,
         ).alias("gini"),
     )
