@@ -4174,6 +4174,199 @@ def q_autocorr(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_two_proportion_z",
+    # All-integer converter/total counts; the rest side is integer
+    # subtraction from the grand totals (zero extra scans, the
+    # q_welch_ttest posture); the z-statistic is the only float, with
+    # identical parenthesization and a NULLIF guard, rounded 6 dp.
+    oracle="""
+    WITH conv AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+    ), per AS (
+      SELECT c.c_mktsegment AS mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN v.custkey IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1
+      FROM customer c LEFT JOIN conv v ON v.custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    ), tot AS (
+      SELECT CAST(SUM(n1) AS BIGINT) AS nt, CAST(SUM(c1) AS BIGINT) AS ct
+      FROM per
+    )
+    SELECT mktsegment, n1 AS n_seg, c1 AS conv_seg,
+           nt - n1 AS n_rest, ct - c1 AS conv_rest,
+           ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate_seg,
+           ROUND(CAST(ct - c1 AS DOUBLE) / (nt - n1), 6) AS rate_rest,
+           ROUND((CAST(c1 AS DOUBLE) / n1
+                  - CAST(ct - c1 AS DOUBLE) / (nt - n1))
+                 / NULLIF(sqrt(CAST(ct AS DOUBLE) / nt
+                               * (1.0 - CAST(ct AS DOUBLE) / nt)
+                               * (1.0 / n1 + 1.0 / (nt - n1))), 0), 6)
+             AS z_score
+    FROM per CROSS JOIN tot
+    """,
+    doc="Two-proportion z-test on conversion rate (has ≥1 order), "
+    "each market segment vs the rest (SURVEY §2.4 ext — the "
+    "proportions member of the hypothesis-test family beside "
+    "q_welch_ttest's means and q_mannwhitney's ranks: the statistic "
+    "behind every conversion A/B readout). One DISTINCT pass over "
+    "orders + one LEFT-join pass over customer builds the exact "
+    "5-row (n, converters) table; the complement comes from integer "
+    "subtraction against the grand total, and the pooled-variance z "
+    "runs in double with engine-identical parenthesization.",
+)
+def q_two_proportion_z(spark: SparkSession, sf: str) -> DataFrame:
+    conv = (
+        table(spark, sf, "orders")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+        .withColumn("has", F.lit(1))
+    )
+    per = (
+        table(spark, sf, "customer")
+        .select(F.col("c_custkey").alias("custkey"), "c_mktsegment")
+        .join(conv, "custkey", "left")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n1"),
+            F.sum(F.coalesce("has", F.lit(0))).cast("bigint").alias("c1"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(
+        F.sum("n1").cast("bigint").alias("nt"),
+        F.sum("c1").cast("bigint").alias("ct"),
+    )
+    n1, c1 = F.col("n1"), F.col("c1")
+    nt, ct = F.col("nt"), F.col("ct")
+    pp = ct.cast("double") / nt
+    return per.crossJoin(F.broadcast(tot)).select(
+        "mktsegment",
+        n1.alias("n_seg"),
+        c1.alias("conv_seg"),
+        (nt - n1).alias("n_rest"),
+        (ct - c1).alias("conv_rest"),
+        F.round(c1.cast("double") / n1, 6).alias("rate_seg"),
+        F.round((ct - c1).cast("double") / (nt - n1), 6).alias(
+            "rate_rest"
+        ),
+        F.round(
+            (
+                c1.cast("double") / n1
+                - (ct - c1).cast("double") / (nt - n1)
+            )
+            / F.nullif(
+                F.sqrt(
+                    pp
+                    * (F.lit(1.0) - pp)
+                    * (F.lit(1.0) / n1 + F.lit(1.0) / (nt - n1))
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "q_entropy_rate",
+    # The q_entropy integer-log identity, conditioned: every log2
+    # argument is an exact integer count, so the only float drift is
+    # the ≤|states| term-sum reassociation, absorbed by ROUND 6. The
+    # 'ALL' rate row uses the equivalent one-shot identity
+    # H(Y|X) = (Σ_x n_x·log2 n_x − Σ_xy c_xy·log2 c_xy) / N.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ), per AS (
+      SELECT from_type, CAST(SUM(c) AS BIGINT) AS n_x,
+             CAST(COUNT(*) AS BIGINT) AS n_next,
+             SUM(c * log2(c)) AS s
+      FROM pairs GROUP BY from_type
+    ), tot AS (
+      SELECT CAST(SUM(n_x) AS BIGINT) AS n,
+             SUM(n_x * log2(n_x)) AS sn, SUM(s) AS sc
+      FROM per
+    )
+    SELECT from_type, n_x AS n_transitions, n_next AS n_next_types,
+           ROUND(log2(n_x) - s / n_x, 6) AS cond_entropy_bits
+    FROM per
+    UNION ALL
+    SELECT 'ALL', n, NULL, ROUND((sn - sc) / n, 6) FROM tot
+    """,
+    doc="Conditional entropy of the event-transition process "
+    "(SURVEY §2.7b ext — the predictability number on top of "
+    "q_transition_matrix: H(next|cur) in bits per transition, the "
+    "entropy RATE of the first-order Markov chain; 0 = perfectly "
+    "scripted flows, log2|types| = memoryless — the journey-"
+    "complexity / bot-regularity diagnostic). Per-state rows use "
+    "the q_entropy identity H(·|x) = log2 n_x − Σc·log2 c/n_x and "
+    "the ALL row the equivalent global identity — every log "
+    "argument an exact integer, so the oracle is portable. One "
+    "user-keyed window for lead() (the q_lag_delta shape) + two "
+    "state-pair-sized aggregates.",
+)
+def q_entropy_rate(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf, "events")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    per = (
+        pairs.groupBy("from_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_x"),
+            F.count("*").cast("bigint").alias("n_next"),
+            F.sum(F.col("c") * F.log2("c")).alias("s"),
+        )
+        # three consumers (per-state rows, the tot fold, the union);
+        # the table is |states|-sized
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(
+        F.sum("n_x").cast("bigint").alias("n"),
+        F.sum(F.col("n_x") * F.log2("n_x")).alias("sn"),
+        F.sum("s").alias("sc"),
+    )
+    per_rows = per.select(
+        "from_type",
+        F.col("n_x").alias("n_transitions"),
+        F.col("n_next").alias("n_next_types"),
+        F.round(
+            F.log2("n_x") - F.col("s") / F.col("n_x"), 6
+        ).alias("cond_entropy_bits"),
+    )
+    all_row = tot.select(
+        F.lit("ALL").alias("from_type"),
+        F.col("n").alias("n_transitions"),
+        F.lit(None).cast("bigint").alias("n_next_types"),
+        F.round(
+            (F.col("sn") - F.col("sc")) / F.col("n"), 6
+        ).alias("cond_entropy_bits"),
+    )
+    return per_rows.unionByName(all_row)
+
+
+@register(
     "q_crosscorr",
     # Same all-integer discipline as q_autocorr: both daily series
     # centered and scaled by N (X = N·x − Sx, Y = N·y − Sy, exact
