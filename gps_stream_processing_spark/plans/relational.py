@@ -4182,6 +4182,7 @@ def q_autocorr(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH conv AS (
       SELECT DISTINCT o_custkey AS custkey FROM orders
+      WHERE o_totalprice > 450000
     ), per AS (
       SELECT c.c_mktsegment AS mktsegment,
              CAST(COUNT(*) AS BIGINT) AS n1,
@@ -4205,19 +4206,23 @@ def q_autocorr(spark: SparkSession, sf: str) -> DataFrame:
              AS z_score
     FROM per CROSS JOIN tot
     """,
-    doc="Two-proportion z-test on conversion rate (has ≥1 order), "
-    "each market segment vs the rest (SURVEY §2.4 ext — the "
-    "proportions member of the hypothesis-test family beside "
-    "q_welch_ttest's means and q_mannwhitney's ranks: the statistic "
-    "behind every conversion A/B readout). One DISTINCT pass over "
-    "orders + one LEFT-join pass over customer builds the exact "
-    "5-row (n, converters) table; the complement comes from integer "
+    doc="Two-proportion z-test on conversion rate (has ≥1 premium "
+    "order, totalprice > 450k — every customer has SOME order in this "
+    "schema, so the plain has-order rate is degenerate-1.0 and the "
+    "premium cut is what discriminates), each market segment vs the "
+    "rest (SURVEY §2.4 ext — the proportions member of the "
+    "hypothesis-test family beside q_welch_ttest's means and "
+    "q_mannwhitney's ranks: the statistic behind every conversion "
+    "A/B readout). One filtered-DISTINCT pass over orders + one "
+    "LEFT-join pass over customer builds the exact 5-row "
+    "(n, converters) table; the complement comes from integer "
     "subtraction against the grand total, and the pooled-variance z "
     "runs in double with engine-identical parenthesization.",
 )
 def q_two_proportion_z(spark: SparkSession, sf: str) -> DataFrame:
     conv = (
         table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 450000)
         .select(F.col("o_custkey").alias("custkey"))
         .distinct()
         .withColumn("has", F.lit(1))

@@ -294,3 +294,51 @@ def test_ngram_novelty_bounds_and_totals(spark):
     ).fetchone()[0]
     con.close()
     assert int(got.n_novel.sum()) == n_distinct
+
+
+def test_two_proportion_z_matches_numpy_replica(spark):
+    got = _run(spark, "q_two_proportion_z").set_index("mktsegment")
+    con = duckdb.connect()
+    base = con.execute(
+        f"""
+        SELECT c.c_mktsegment AS seg,
+               COUNT(*) AS n,
+               SUM(CASE WHEN EXISTS (
+                     SELECT 1 FROM read_parquet('{SF}/orders.parquet') o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 450000)
+                   THEN 1 ELSE 0 END) AS conv
+        FROM read_parquet('{SF}/customer.parquet') c
+        GROUP BY c.c_mktsegment
+        """
+    ).df()
+    con.close()
+    nt, ct = int(base.n.sum()), int(base.conv.sum())
+    pp = ct / nt
+    for seg in got.index:
+        n1 = int(base.loc[base.seg == seg, "n"].iloc[0])
+        c1 = int(base.loc[base.seg == seg, "conv"].iloc[0])
+        r = got.loc[seg]
+        assert r.n_seg == n1 and r.conv_seg == c1
+        if pp in (0.0, 1.0):
+            # degenerate pooled rate (sf0.001 converts every customer):
+            # the NULLIF guard yields NULL on both engines
+            assert np.isnan(r.z_score)
+            continue
+        p1, p2 = c1 / n1, (ct - c1) / (nt - n1)
+        z = (p1 - p2) / np.sqrt(pp * (1 - pp) * (1 / n1 + 1 / (nt - n1)))
+        assert abs(r.z_score - z) <= 1e-6
+
+
+def test_entropy_rate_identity_and_bounds(spark):
+    got = _run(spark, "q_entropy_rate").set_index("from_type")
+    per = got.drop(index="ALL")
+    # each conditional entropy is within [0, log2(n_next_types)]
+    for t, r in per.iterrows():
+        assert -1e-9 <= r.cond_entropy_bits <= np.log2(r.n_next_types) + 1e-9
+    # the ALL row is the n_x-weighted mean of the per-state entropies
+    w = (
+        per.n_transitions * per.cond_entropy_bits
+    ).sum() / per.n_transitions.sum()
+    assert abs(got.loc["ALL", "cond_entropy_bits"] - w) <= 2e-6
+    assert got.loc["ALL", "n_transitions"] == per.n_transitions.sum()
