@@ -4274,6 +4274,100 @@ def q_two_proportion_z(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_jackknife_se",
+    # Delete-one-block jackknife over 16 deterministic md5 blocks
+    # (md5 is bit-identical across engines — the q_sample_hash
+    # portability precedent): exact per-block (n, Σcents) in
+    # DECIMAL/HUGEINT, every leave-one-out mean derived by DECIMAL
+    # subtraction from the grand total (the q_welch_ttest
+    # zero-extra-scan posture). Only the 16 pseudo-value deviations
+    # and the final sqrt run in double — identical parenthesization,
+    # the ≤16-term reassociation absorbed by ROUND 6.
+    oracle="""
+    WITH b AS (
+      SELECT substring(md5(o_orderkey::VARCHAR), 1, 1) AS g,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT) AS c
+      FROM orders
+    ), per AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g, SUM(c) AS s_g
+      FROM b GROUP BY g
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS gg,
+             CAST(SUM(n_g) AS BIGINT) AS n, SUM(s_g) AS s
+      FROM per
+    ), loo AS (
+      SELECT gg, n, CAST(s AS DOUBLE) / n AS m,
+             CAST(s - s_g AS DOUBLE) / (n - n_g) AS m_g
+      FROM per CROSS JOIN tot
+    )
+    SELECT MIN(gg) AS n_blocks, MIN(n) AS n_orders,
+           ROUND(MIN(m) / 100.0, 6) AS mean_price,
+           ROUND(sqrt((MIN(gg) - 1.0) / MIN(gg)
+                      * SUM((m_g - m) * (m_g - m))) / 100.0, 6)
+             AS jackknife_se
+    FROM loo
+    """,
+    doc="Delete-one-block jackknife standard error of the mean order "
+    "price (SURVEY §2.4 ext — the distributed answer to 'how sure is "
+    "this mean': an analytic SE needs distribution assumptions, a "
+    "bootstrap needs B resample passes; the block jackknife reads a "
+    "model-free SE off the SAME single scan that computes the mean — "
+    "the massive-data uncertainty pattern behind the bag-of-little-"
+    "bootstraps lineage). 16 deterministic blocks keyed by the first "
+    "md5 hex char of the orderkey (md5 is bit-identical across "
+    "engines, so the oracle reproduces the exact block membership); "
+    "per-block moments are exact integers, every leave-one-out mean "
+    "is DECIMAL subtraction against the grand total — one hash-agg "
+    "plus a 16-row fold at ANY scale.",
+)
+def q_jackknife_se(spark: SparkSession, sf: str) -> DataFrame:
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    b = table(spark, sf, "orders").select(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).alias(
+            "g"
+        ),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("c"),
+    )
+    per = (
+        b.groupBy("g")
+        .agg(
+            F.count("*").alias("n_g"),
+            F.sum(dec(F.col("c"))).alias("s_g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(
+        F.count("*").cast("bigint").alias("gg"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("decimal(38,0)").alias("s"),
+    )
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        "gg",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("m"),
+        (
+            (F.col("s") - F.col("s_g")).cast("double")
+            / (F.col("n") - F.col("n_g"))
+        ).alias("m_g"),
+    )
+    dev = F.col("m_g") - F.col("m")
+    return loo.agg(
+        F.min("gg").alias("n_blocks"),
+        F.min("n").alias("n_orders"),
+        F.round(F.min("m") / F.lit(100.0), 6).alias("mean_price"),
+        F.round(
+            F.sqrt(
+                (F.min("gg") - F.lit(1.0))
+                / F.min("gg")
+                * F.sum(dev * dev)
+            )
+            / F.lit(100.0),
+            6,
+        ).alias("jackknife_se"),
+    )
+
+
+@register(
     "q_entropy_rate",
     # The q_entropy integer-log identity, conditioned: every log2
     # argument is an exact integer count, so the only float drift is

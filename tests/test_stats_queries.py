@@ -342,3 +342,23 @@ def test_entropy_rate_identity_and_bounds(spark):
     ).sum() / per.n_transitions.sum()
     assert abs(got.loc["ALL", "cond_entropy_bits"] - w) <= 2e-6
     assert got.loc["ALL", "n_transitions"] == per.n_transitions.sum()
+
+
+def test_jackknife_se_brackets_analytic(spark):
+    got = _run(spark, "q_jackknife_se").iloc[0]
+    con = duckdb.connect()
+    m, se, n = con.execute(
+        f"""
+        SELECT AVG(o_totalprice),
+               STDDEV_SAMP(o_totalprice) / sqrt(COUNT(*)),
+               COUNT(*)
+        FROM read_parquet('{SF}/orders.parquet')
+        """
+    ).fetchone()
+    con.close()
+    assert got.n_blocks == 16 and got.n_orders == n
+    assert abs(got.mean_price - m) <= 1e-4
+    # a 16-block jackknife SE has ~1/sqrt(2*15) ≈ 18% relative noise;
+    # 50% brackets it with wide margin while still catching a wrong
+    # (G-1)/G factor (off by 4x) or a missing sqrt
+    assert 0.5 * se <= got.jackknife_se <= 1.5 * se
