@@ -52,6 +52,33 @@ NESTED_LOOP_ALLOWED = {
     "q_chi_square": "1-row broadcast grand-total aggregate crossed "
     "onto the 35-cell contingency table — the q_tfidf shape; every "
     "input is aggregate-sized",
+    "q_welch_ttest": "1-row broadcast grand-total moment aggregate "
+    "crossed onto the 5-row per-segment table (the q_chi_square "
+    "shape); the complement side is decimal subtraction, zero extra "
+    "scans",
+    "q_ks_test": "1-row broadcast pooled-count aggregate + the 5-row "
+    "segment table crossed onto the per-VALUE cumulative table — "
+    "every crossing side is aggregate- or value-domain-sized",
+    "q_mannwhitney": "1-row broadcast tie-correction aggregate "
+    "crossed onto the 5-row rank-sum table",
+    "q_two_proportion_z": "1-row broadcast grand-total aggregate "
+    "crossed onto the 5-row converter table (the q_welch_ttest "
+    "shape)",
+    "q_jackknife_se": "1-row broadcast grand-total aggregate crossed "
+    "onto the 16-row block-moment table (the q_welch_ttest shape)",
+    "q_autocorr": "7-row broadcast lag table + 1-row totals/"
+    "denominator aggregates crossed onto the |days|-row daily "
+    "series — every input is aggregate-sized after the one corpus "
+    "scan",
+    "q_crosscorr": "15-row broadcast lag table + 1-row totals/"
+    "denominator aggregates crossed onto the |days|-row daily pair "
+    "series (the q_autocorr shape)",
+    "q_survival_km": "1-row broadcast observation-count and "
+    "max-timestamp aggregates crossed onto user/day-grid-sized "
+    "tables",
+    "q_hits": "1-row broadcast L2-norm aggregate crossed onto the "
+    "node-sized score table, twice per round (the q_pagerank "
+    "dangling-mass shape)",
     "q_geofence": "3-row broadcast fence dim; a large fence set would switch "
     "to grid-cell binning (the range_join pattern)",
     "q_tpch_q22": "1-row broadcast global aggregate (the scalar-subquery "
