@@ -4274,6 +4274,266 @@ def q_two_proportion_z(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_spearman_corr",
+    # Spearman = Pearson over average ranks, and twice the average
+    # pooled rank of a tied value is the INTEGER 2C − c + 1 (the
+    # q_mannwhitney identity) — so all six correlation moment sums
+    # run exact in DECIMAL/HUGEINT and only the final ratio is
+    # double, identical parenthesization, rounded 6 dp.
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ), rx AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(COUNT(*)) OVER (ORDER BY x) AS BIGINT) AS cc
+      FROM u GROUP BY x
+    ), ry AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(COUNT(*)) OVER (ORDER BY y) AS BIGINT) AS cc
+      FROM u GROUP BY y
+    ), r AS (
+      SELECT CAST(2 * rx.cc - rx.c + 1 AS HUGEINT) AS a,
+             CAST(2 * ry.cc - ry.c + 1 AS HUGEINT) AS b
+      FROM u JOIN rx ON rx.x = u.x JOIN ry ON ry.y = u.y
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a) AS DOUBLE) AS sa, CAST(SUM(b) AS DOUBLE) AS sb,
+             CAST(SUM(a * a) AS DOUBLE) AS saa,
+             CAST(SUM(b * b) AS DOUBLE) AS sbb,
+             CAST(SUM(a * b) AS DOUBLE) AS sab
+      FROM r
+    )
+    SELECT n AS n_users,
+           ROUND((n * sab - sa * sb)
+                 / NULLIF(sqrt(n * saa - sa * sa)
+                          * sqrt(n * sbb - sb * sb), 0), 6)
+             AS spearman_rho
+    FROM s
+    """,
+    doc="Spearman rank correlation between per-user activity (event "
+    "count) and monetary value (SURVEY §2.4 ext — the robust twin of "
+    "q_agg_corr's Pearson: monotone association immune to the heavy "
+    "tails q_skew_kurtosis measures, the standard engagement↔value "
+    "health metric). Average ranks come from per-value cumulative "
+    "counts — 2·rank = 2C−c+1 is an integer (the q_mannwhitney "
+    "identity) — so every moment sum is EXACT decimal and ties need "
+    "no special-casing. One events scan → user table; the rank "
+    "tables are value-domain-sized; one final double ratio.",
+)
+def q_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    u = (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("x"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)"))
+            .cast("bigint")
+            .alias("y"),
+        )
+        # the user table feeds both rank derivations and the final
+        # join; eager checkpoint pins the events scan count to ONE
+        .localCheckpoint(eager=True)
+    )
+
+    def ranks(col: str):
+        per = u.groupBy(col).agg(F.count("*").alias("c"))
+        return per.select(
+            col,
+            "c",
+            F.sum("c").over(Window.orderBy(col)).cast("bigint").alias("cc"),
+        )
+
+    r = (
+        u.join(ranks("x"), "x")
+        .withColumnRenamed("c", "cx")
+        .withColumnRenamed("cc", "ccx")
+        .join(ranks("y"), "y")
+        .select(
+            d19(2 * F.col("ccx") - F.col("cx") + 1).alias("a"),
+            d19(2 * F.col("cc") - F.col("c") + 1).alias("b"),
+        )
+    )
+    s = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("a").cast("double").alias("sa"),
+        F.sum("b").cast("double").alias("sb"),
+        F.sum(d19(F.col("a")) * d19(F.col("a"))).cast("double").alias("saa"),
+        F.sum(d19(F.col("b")) * d19(F.col("b"))).cast("double").alias("sbb"),
+        F.sum(d19(F.col("a")) * d19(F.col("b"))).cast("double").alias("sab"),
+    )
+    n = F.col("n")
+    return s.select(
+        n.alias("n_users"),
+        F.round(
+            (n * F.col("sab") - F.col("sa") * F.col("sb"))
+            / F.nullif(
+                F.sqrt(n * F.col("saa") - F.col("sa") * F.col("sa"))
+                * F.sqrt(n * F.col("sbb") - F.col("sb") * F.col("sb")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "q_theil_sen",
+    # Every pairwise slope is the double quotient of two exact
+    # integers (correctly rounded identically on both engines); the
+    # median is the same interpolated percentile both engines
+    # implement (quantile_cont == percentile), rounded 6 dp. Pair
+    # count is exact.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT row_number() OVER (ORDER BY d) AS rn, y FROM daily
+    ), slopes AS (
+      SELECT CAST(b.y - a.y AS DOUBLE) / (b.rn - a.rn) AS sl
+      FROM s a JOIN s b ON b.rn > a.rn
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(sl, 0.5), 6) AS theil_sen_slope
+    FROM slopes
+    """,
+    doc="Theil–Sen robust trend slope of the daily event-count series "
+    "(SURVEY §2.4 ext — the median-of-pairwise-slopes estimator: up "
+    "to 29% arbitrary outliers cannot move it, where q_regression's "
+    "OLS slope follows a single corrupted day; the standard robust "
+    "drift detector for telemetry). The all-pairs join runs over the "
+    "|days|-row DAY GRID (≈N²/2 aggregate-sized rows), never the "
+    "fact — at 100 TB the series length is bounded by the calendar, "
+    "so the quadratic stays trivial while the one corpus scan "
+    "dominates. Exact integer rises/runs; interpolated median "
+    "identical on both engines.",
+)
+def q_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    s = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("rn"), "y"
+    )
+    a, b = s.alias("a"), s.alias("b")
+    slopes = a.join(b, F.col("b.rn") > F.col("a.rn")).select(
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.rn") - F.col("a.rn"))
+        ).alias("sl")
+    )
+    return slopes.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.expr("percentile(sl, 0.5)"), 6).alias(
+            "theil_sen_slope"
+        ),
+    )
+
+
+@register(
+    "q_runs_test",
+    # ALL-INTEGER until the final z: signs of day-over-day changes
+    # (zero changes dropped, the standard treatment), run count via a
+    # lag compare, and the Wald–Wolfowitz moments 2n₁n₂/(n₁+n₂)+1 /
+    # the σ² product formula evaluated with identical double
+    # parenthesization, NULLIF-guarded, rounded 6 dp.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), ch AS (
+      SELECT d, y - lag(y) OVER (ORDER BY d) AS dy FROM daily
+    ), sg AS (
+      SELECT d, CASE WHEN dy > 0 THEN 1 ELSE -1 END AS s
+      FROM ch WHERE dy IS NOT NULL AND dy <> 0
+    ), runs AS (
+      SELECT s, CASE WHEN s = lag(s) OVER (ORDER BY d) THEN 0 ELSE 1 END
+               AS new_run
+      FROM sg
+    ), agg AS (
+      SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(new_run) AS BIGINT) AS r
+      FROM runs
+    )
+    SELECT n1 AS n_up, n2 AS n_down, r AS n_runs,
+           ROUND(2.0 * n1 * n2 / (n1 + n2) + 1.0, 6) AS expected_runs,
+           ROUND((r - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                 / NULLIF(sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                               / (CAST(n1 + n2 AS DOUBLE)
+                                  * (n1 + n2) * (n1 + n2 - 1))), 0), 6)
+             AS z_score
+    FROM agg
+    """,
+    doc="Wald–Wolfowitz runs test on the daily event-count changes "
+    "(SURVEY §2.4 ext — the randomness audit completing the series "
+    "family: too FEW runs of up/down days means trending/sticky "
+    "load, too many means oscillation; either breaks the i.i.d. "
+    "assumption every control-chart threshold silently makes). "
+    "Signs from one lag window over the day grid, run count from a "
+    "second lag compare, then the exact-integer (n₁, n₂, R) triple "
+    "through the closed-form moments. Everything after the one "
+    "corpus scan is day-grid-sized.",
+)
+def q_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        table(spark, sf, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    w = Window.orderBy("d")
+    ch = daily.select("d", (F.col("y") - F.lag("y").over(w)).alias("dy"))
+    sg = ch.filter(F.col("dy").isNotNull() & (F.col("dy") != 0)).select(
+        "d", F.when(F.col("dy") > 0, 1).otherwise(-1).alias("s")
+    )
+    runs = sg.select(
+        "s",
+        F.when(F.col("s") == F.lag("s").over(w), 0)
+        .otherwise(1)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum("new_run").cast("bigint").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    sigma = F.sqrt(
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        n1.alias("n_up"),
+        n2.alias("n_down"),
+        r.alias("n_runs"),
+        F.round(mu, 6).alias("expected_runs"),
+        F.round((r - mu) / F.nullif(sigma, F.lit(0.0)), 6).alias(
+            "z_score"
+        ),
+    )
+
+
+@register(
     "q_jackknife_se",
     # Delete-one-block jackknife over 16 deterministic md5 blocks
     # (md5 is bit-identical across engines — the q_sample_hash

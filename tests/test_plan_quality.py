@@ -79,6 +79,9 @@ NESTED_LOOP_ALLOWED = {
     "q_hits": "1-row broadcast L2-norm aggregate crossed onto the "
     "node-sized score table, twice per round (the q_pagerank "
     "dangling-mass shape)",
+    "q_theil_sen": "all-pairs slope join over the |days|-row DAY "
+    "GRID (rn_b > rn_a is inherently a θ-join) — the calendar "
+    "bounds the quadratic to aggregate-sized rows; never the fact",
     "q_geofence": "3-row broadcast fence dim; a large fence set would switch "
     "to grid-cell binning (the range_join pattern)",
     "q_tpch_q22": "1-row broadcast global aggregate (the scalar-subquery "

@@ -362,3 +362,64 @@ def test_jackknife_se_brackets_analytic(spark):
     # 50% brackets it with wide margin while still catching a wrong
     # (G-1)/G factor (off by 4x) or a missing sqrt
     assert 0.5 * se <= got.jackknife_se <= 1.5 * se
+
+
+def _avg_ranks(x):
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x), dtype=float)
+    sx = x[order]
+    i = 0
+    while i < len(sx):
+        j = i
+        while j < len(sx) and sx[j] == sx[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    return ranks
+
+
+def test_spearman_matches_numpy_replica(spark):
+    got = _run(spark, "q_spearman_corr").iloc[0]
+    con = duckdb.connect()
+    u = con.execute(
+        f"""
+        SELECT COUNT(*) AS x,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS y
+        FROM read_parquet('{SF}/events.parquet') GROUP BY user_id
+        """
+    ).df()
+    con.close()
+    ra = _avg_ranks(u["x"].to_numpy())
+    rb = _avg_ranks(u["y"].to_numpy())
+    rho = np.corrcoef(ra, rb)[0, 1]
+    assert got.n_users == len(u)
+    assert abs(got.spearman_rho - rho) <= 1e-6
+    assert -1.0 <= got.spearman_rho <= 1.0
+
+
+def test_theil_sen_matches_numpy_replica(spark):
+    got = _run(spark, "q_theil_sen").iloc[0]
+    y = _daily_counts()["x"].to_numpy(dtype=float)
+    n = len(y)
+    slopes = [
+        (y[j] - y[i]) / (j - i) for i in range(n) for j in range(i + 1, n)
+    ]
+    assert got.n_pairs == len(slopes)
+    assert abs(got.theil_sen_slope - np.median(slopes)) <= 1e-6
+
+
+def test_runs_test_matches_python_replica(spark):
+    got = _run(spark, "q_runs_test").iloc[0]
+    y = _daily_counts()["x"].to_numpy()
+    signs = [1 if d > 0 else -1 for d in np.diff(y) if d != 0]
+    n1 = signs.count(1)
+    n2 = signs.count(-1)
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    assert got.n_up == n1 and got.n_down == n2 and got.n_runs == runs
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    sigma = np.sqrt(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1.0))
+    )
+    assert abs(got.expected_runs - mu) <= 1e-6
+    assert abs(got.z_score - (runs - mu) / sigma) <= 1e-6
