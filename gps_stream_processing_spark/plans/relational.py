@@ -4274,6 +4274,135 @@ def q_two_proportion_z(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_max_concurrency",
+    # The classic +1/−1 boundary sweep over CLOSED session intervals
+    # (starts sort before ends at the same instant via the k column,
+    # so zero-duration single-event sessions still count). The
+    # running sum's row order inside an equal-(t, k) group is
+    # arbitrary, but all deltas in such a group share one sign, so
+    # MAX(cum) and the earliest peak instant are order-invariant —
+    # the only two values extracted. All-integer throughout.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    ), s AS (
+      SELECT user_id, session_no, MIN(ts) AS st, MAX(ts) AS en
+      FROM sess GROUP BY user_id, session_no
+    ), b AS (
+      SELECT st AS t, 0 AS k, 1 AS d FROM s
+      UNION ALL
+      SELECT en, 1, -1 FROM s
+    ), c AS (
+      SELECT t,
+             CAST(SUM(d) OVER (ORDER BY t, k ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM b
+    ), m AS (SELECT MAX(cum) AS peak FROM c)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_sessions,
+           CAST(m.peak AS BIGINT) AS peak_concurrency,
+           (SELECT MIN(t) FROM c WHERE cum = m.peak) AS peak_ts
+    FROM m
+    """,
+    doc="Peak session concurrency via the +1/−1 interval sweep "
+    "(SURVEY §2.7 ext — the capacity-planning number on top of "
+    "q_sessionize: how many 30-min-gap user sessions were EVER open "
+    "at once, and when the peak first occurred; the max-concurrent-"
+    "intervals classic every load-test and licensing audit needs). "
+    "Session intervals reuse the q_sessionize gaps-and-islands cut; "
+    "the sweep sorts 2·|sessions| boundary rows — aggregate-sized, "
+    "never the fact — and a single running sum finds the peak. "
+    "Starts sort before ends at the same instant (closed intervals), "
+    "so zero-duration sessions count. The sweep's single-partition "
+    "window runs over the session-boundary aggregate (the standard "
+    "two-pass prefix-sum posture at cluster scale).",
+)
+def q_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap compare (the q_sessionize discipline: a
+    # floor-second cast would merge sessions the oracle splits for
+    # any gap in (1800s, 1801s))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            (
+                F.unix_micros("ts")
+                - F.lag(F.unix_micros("ts")).over(w)
+                > 1_800_000_000
+            )
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+        "event_id",
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_s")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("session_no"),
+    )
+    s = (
+        sess.groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+        # the session table feeds the boundary union AND the count;
+        # it is the last fact-sized derivation — checkpoint pins the
+        # events scan count to ONE
+        .localCheckpoint(eager=True)
+    )
+    b = s.select(
+        F.col("st").alias("t"), F.lit(0).alias("k"), F.lit(1).alias("d")
+    ).unionAll(
+        s.select(
+            F.col("en").alias("t"),
+            F.lit(1).alias("k"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    c = b.select(
+        "t",
+        F.sum("d")
+        .over(
+            Window.orderBy("t", "k").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("bigint")
+        .alias("cum"),
+    ).localCheckpoint(eager=True)
+    m = c.agg(F.max("cum").alias("peak"))
+    n = s.agg(F.count("*").cast("bigint").alias("n_sessions"))
+    peak_ts = (
+        c.join(F.broadcast(m), c.cum == F.col("peak"))
+        .agg(F.min("t").alias("peak_ts"))
+    )
+    return (
+        n.crossJoin(F.broadcast(m.select(F.col("peak").alias("peak_concurrency"))))
+        .crossJoin(F.broadcast(peak_ts))
+        .select("n_sessions", "peak_concurrency", "peak_ts")
+    )
+
+
+@register(
     "q_spearman_corr",
     # Spearman = Pearson over average ranks, and twice the average
     # pooled rank of a tied value is the INTEGER 2C − c + 1 (the

@@ -82,6 +82,9 @@ NESTED_LOOP_ALLOWED = {
     "q_theil_sen": "all-pairs slope join over the |days|-row DAY "
     "GRID (rn_b > rn_a is inherently a θ-join) — the calendar "
     "bounds the quadratic to aggregate-sized rows; never the fact",
+    "q_max_concurrency": "1-row broadcast peak/count scalars crossed "
+    "onto each other for the single output row (the q_funnel "
+    "shape); every input is session-boundary-aggregate-sized",
     "q_geofence": "3-row broadcast fence dim; a large fence set would switch "
     "to grid-cell binning (the range_join pattern)",
     "q_tpch_q22": "1-row broadcast global aggregate (the scalar-subquery "

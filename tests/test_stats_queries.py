@@ -423,3 +423,41 @@ def test_runs_test_matches_python_replica(spark):
     )
     assert abs(got.expected_runs - mu) <= 1e-6
     assert abs(got.z_score - (runs - mu) / sigma) <= 1e-6
+
+
+def test_max_concurrency_matches_python_sweep(spark):
+    got = _run(spark, "q_max_concurrency").iloc[0]
+    con = duckdb.connect()
+    sess = con.execute(
+        f"""
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+          FROM read_parquet('{SF}/events.parquet')
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sn
+          FROM flagged
+        )
+        SELECT MIN(ts) AS st, MAX(ts) AS en
+        FROM sess GROUP BY user_id, sn
+        """
+    ).df()
+    con.close()
+    events = sorted(
+        [(t, 0, 1) for t in sess["st"]] + [(t, 1, -1) for t in sess["en"]]
+    )
+    cum = peak = 0
+    peak_ts = None
+    for t, _, d in events:
+        cum += d
+        if cum > peak:
+            peak, peak_ts = cum, t
+    assert got.n_sessions == len(sess)
+    assert got.peak_concurrency == peak
+    assert got.peak_ts == peak_ts
+    # sanity: peak cannot exceed the number of distinct users
+    assert peak <= sess.shape[0]
