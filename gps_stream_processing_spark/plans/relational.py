@@ -4274,6 +4274,97 @@ def q_two_proportion_z(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_weighted_median",
+    # Type-1 (lower) weighted quantiles: the answer is the FIRST
+    # distinct value whose cumulative weight reaches p·W — pure
+    # integer compare (cents weights vs cents thresholds via the
+    # cross-multiplied form cumw·100 >= p%·W), no interpolation, so
+    # the result is an exact member of the data on both engines.
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ), pv AS (
+      SELECT flag, price, CAST(SUM(w) AS BIGINT) AS w
+      FROM v GROUP BY flag, price
+    ), c AS (
+      SELECT flag, price, w,
+             CAST(SUM(w) OVER (PARTITION BY flag ORDER BY price)
+                  AS BIGINT) AS cumw,
+             CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+      FROM pv
+    )
+    SELECT flag AS l_returnflag, MIN(tw) AS total_weight,
+           ROUND(MIN(CASE WHEN cumw * 100 >= tw * 25 THEN price END)
+                 / 100.0, 2) AS wp25,
+           ROUND(MIN(CASE WHEN cumw * 100 >= tw * 50 THEN price END)
+                 / 100.0, 2) AS weighted_median,
+           ROUND(MIN(CASE WHEN cumw * 100 >= tw * 75 THEN price END)
+                 / 100.0, 2) AS wp75
+    FROM c GROUP BY flag
+    """,
+    doc="Weighted quantiles (quantity-weighted price percentiles per "
+    "return flag — SURVEY §2.4 ext: the fair-aggregation primitive "
+    "plain percentile() cannot express, where each row counts with "
+    "its own mass; the 'median price per UNIT sold' a revenue "
+    "analysis actually wants). Type-1 estimator: first value whose "
+    "cumulative weight reaches p·W — the threshold compare is "
+    "cross-multiplied to stay all-integer, so the result is an "
+    "exact data member with no float interpolation to drift. One "
+    "hash-agg to per-(group, value) weights, then cumulative "
+    "windows over the VALUE-DOMAIN-sized table (the q_ks_test "
+    "posture — bounded by the price domain at any row count).",
+)
+def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = table(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias(
+            "price"
+        ),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    pv = v.groupBy("flag", "price").agg(
+        F.sum("w").cast("bigint").alias("w")
+    )
+    c = pv.select(
+        "flag",
+        "price",
+        "w",
+        F.sum("w")
+        .over(Window.partitionBy("flag").orderBy("price"))
+        .cast("bigint")
+        .alias("cumw"),
+        F.sum("w")
+        .over(Window.partitionBy("flag"))
+        .cast("bigint")
+        .alias("tw"),
+    )
+
+    def wq(pct: int, name: str):
+        return F.round(
+            F.min(
+                F.when(
+                    F.col("cumw") * 100 >= F.col("tw") * pct,
+                    F.col("price"),
+                )
+            )
+            / F.lit(100.0),
+            2,
+        ).alias(name)
+
+    return c.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.min("tw").alias("total_weight"),
+        wq(25, "wp25"),
+        wq(50, "weighted_median"),
+        wq(75, "wp75"),
+    )
+
+
+@register(
     "q_max_concurrency",
     # The classic +1/−1 boundary sweep over CLOSED session intervals
     # (starts sort before ends at the same instant via the k column,

@@ -461,3 +461,33 @@ def test_max_concurrency_matches_python_sweep(spark):
     assert got.peak_ts == peak_ts
     # sanity: peak cannot exceed the number of distinct users
     assert peak <= sess.shape[0]
+
+
+def test_weighted_median_matches_numpy_replica(spark):
+    got = _run(spark, "q_weighted_median").set_index("l_returnflag")
+    con = duckdb.connect()
+    base = con.execute(
+        f"""
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM read_parquet('{SF}/lineitem.parquet')
+        """
+    ).df()
+    con.close()
+    for flag in got.index:
+        g = base[base.flag == flag].sort_values("price")
+        prices = g["price"].to_numpy()
+        cw = g["w"].to_numpy().cumsum()
+        tw = int(cw[-1])
+        for pct, col in ((25, "wp25"), (50, "weighted_median"), (75, "wp75")):
+            idx = np.searchsorted(cw * 100, tw * pct, side="left")
+            want = prices[idx] / 100.0
+            assert abs(got.loc[flag, col] - want) <= 1e-9, (flag, col)
+        assert got.loc[flag, "total_weight"] == tw
+        # quantiles are data members and ordered
+        assert (
+            got.loc[flag, "wp25"]
+            <= got.loc[flag, "weighted_median"]
+            <= got.loc[flag, "wp75"]
+        )
