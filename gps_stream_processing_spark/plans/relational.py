@@ -4274,6 +4274,82 @@ def q_two_proportion_z(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_histogram_equidepth",
+    # Equi-DEPTH bucketing is pure integer arithmetic: a value's
+    # bucket is floor(rank_of_first_row · B / N) (integer division,
+    # capped at B−1), where rank comes from the per-value cumulative
+    # count — all rows of a tied value land in ONE bucket (the
+    # standard duplicate treatment; bucket sizes drift with ties,
+    # which is exactly what the height column exposes).
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+      FROM lineitem
+    ), pv AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY p
+    ), c AS (
+      SELECT p, c,
+             CAST(SUM(c) OVER (ORDER BY p) AS BIGINT) AS cum,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM pv) AS n
+      FROM pv
+    )
+    SELECT CAST(least(9, (cum - c) * 10 // n) AS INT) AS bucket,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(MIN(p) / 100.0, 2) AS lo,
+           ROUND(MAX(p) / 100.0, 2) AS hi
+    FROM c GROUP BY 1
+    """,
+    doc="Equi-depth histogram of extended price, 10 buckets (SURVEY "
+    "§2.4 ext — the optimizer-statistics twin of q_histogram's "
+    "equi-width tiles: equal ROW mass per bucket, which is what "
+    "selectivity estimation and p99-aware alerting actually want on "
+    "skewed data where fixed-width buckets go empty). A value's "
+    "bucket is floor(first-row-rank·B/N) off the per-value "
+    "cumulative count — all-integer, tied values stay together, and "
+    "the n_rows column exposes the tie-induced depth drift. One "
+    "hash-agg to per-value counts, then one cumulative window over "
+    "the VALUE-DOMAIN-sized table (the q_ks_test posture).",
+)
+def q_histogram_equidepth(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pv = (
+        table(spark, sf, "lineitem")
+        .select(
+            F.expr("cast(round(l_extendedprice * 100) as bigint)").alias(
+                "p"
+            )
+        )
+        .groupBy("p")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n_df = pv.agg(F.sum("c").cast("bigint").alias("n"))
+    c = pv.select(
+        "p",
+        "c",
+        F.sum("c").over(Window.orderBy("p")).cast("bigint").alias("cum"),
+    ).crossJoin(F.broadcast(n_df))
+    return (
+        c.groupBy(
+            F.least(
+                F.lit(9),
+                F.expr("(cum - c) * 10 div n"),
+            )
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.round(F.min("p") / F.lit(100.0), 2).alias("lo"),
+            F.round(F.max("p") / F.lit(100.0), 2).alias("hi"),
+        )
+    )
+
+
+@register(
     "q_weighted_median",
     # Type-1 (lower) weighted quantiles: the answer is the FIRST
     # distinct value whose cumulative weight reaches p·W — pure

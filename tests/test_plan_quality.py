@@ -85,6 +85,9 @@ NESTED_LOOP_ALLOWED = {
     "q_max_concurrency": "1-row broadcast peak/count scalars crossed "
     "onto each other for the single output row (the q_funnel "
     "shape); every input is session-boundary-aggregate-sized",
+    "q_histogram_equidepth": "1-row broadcast row-count scalar "
+    "crossed onto the value-domain-sized cumulative table (the "
+    "q_ks_test shape)",
     "q_geofence": "3-row broadcast fence dim; a large fence set would switch "
     "to grid-cell binning (the range_join pattern)",
     "q_tpch_q22": "1-row broadcast global aggregate (the scalar-subquery "

@@ -491,3 +491,17 @@ def test_weighted_median_matches_numpy_replica(spark):
             <= got.loc[flag, "weighted_median"]
             <= got.loc[flag, "wp75"]
         )
+
+
+def test_histogram_equidepth_depth_and_partition(spark):
+    got = _run(spark, "q_histogram_equidepth").sort_values("bucket")
+    n = int(got.n_rows.sum())
+    # buckets tile 0..9, are ordered and non-overlapping
+    assert list(got.bucket) == list(range(10))
+    los, his = got.lo.to_numpy(), got.hi.to_numpy()
+    assert (los <= his).all()
+    assert (his[:-1] < los[1:]).all()
+    # equal depth up to tie drift: every bucket within 3x of N/10
+    # (ties keep a value's whole row-mass in one bucket)
+    assert (got.n_rows >= n // 30).all()
+    assert (got.n_rows <= 3 * n // 10).all()
