@@ -4274,6 +4274,171 @@ def q_two_proportion_z(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_ohlc_bars",
+    # OPEN/CLOSE are the values at the (ts, event_id)-min/max rows —
+    # arg_min/arg_max on the composite microsecond key is exact and
+    # deterministic (event_id breaks same-µs ties); HIGH/LOW/n are
+    # plain exact aggregates; cent-exact values throughout.
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             (epoch_us(ts) - epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)))
+               * 10000000 + event_id % 10000000 AS k,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    )
+    SELECT event_type, d AS bar_date,
+           ROUND(arg_min(c, k) / 100.0, 2) AS open,
+           ROUND(MAX(c) / 100.0, 2) AS high,
+           ROUND(MIN(c) / 100.0, 2) AS low,
+           ROUND(arg_max(c, k) / 100.0, 2) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM e GROUP BY event_type, d
+    """,
+    doc="Daily OHLC bars per event type (SURVEY §2.4 ext — the "
+    "candlestick downsampling primitive of every telemetry/metrics/"
+    "finance store: open/high/low/close + volume per (series, bar), "
+    "the lossy-but-shaped compaction dashboards read instead of raw "
+    "points). ONE hash-agg with map-side partials — open/close ride "
+    "min_by/max_by on a composite integer (within-day µs·10⁷ + event_id) "
+    "order key, so same-microsecond ties are deterministic and no "
+    "window pass is needed (the naive row_number-per-bar "
+    "formulation costs a full shuffle+sort; min_by folds it into "
+    "the aggregate). At 100 TB this is scan-bound and the bar key "
+    "is the natural on-disk partition for serving.",
+)
+def q_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    # the order key packs the WITHIN-DAY µs offset (< 8.64e10) with a
+    # 5-digit event_id tail — fits a bigint, where raw µs × 10⁵ would
+    # overflow; open/close group per day so within-day order suffices
+    e = table(spark, sf, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        (
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.col("ts").cast("date").cast("timestamp"))
+            )
+            * 10000000
+            + F.col("event_id") % 10000000
+        ).alias("k"),
+        F.expr("cast(round(value * 100) as bigint)").alias("c"),
+    )
+    return e.groupBy(
+        "event_type", F.col("d").alias("bar_date")
+    ).agg(
+        F.round(F.min_by("c", "k") / F.lit(100.0), 2).alias("open"),
+        F.round(F.max("c") / F.lit(100.0), 2).alias("high"),
+        F.round(F.min("c") / F.lit(100.0), 2).alias("low"),
+        F.round(F.max_by("c", "k") / F.lit(100.0), 2).alias("close"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "q_ratio_delta_method",
+    # Delta-method SE of a ratio-of-sums metric: all five moment
+    # sums (n, Σx, Σy, Σx², Σy², Σxy) are exact integers in
+    # DECIMAL/HUGEINT (cents × counts); the ratio, the three
+    # sample (co)variances, and the final SE run in double with
+    # identical parenthesization, NULLIF-guarded, rounded 6 dp.
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS HUGEINT)
+               AS x,
+             CAST(COUNT(*) AS HUGEINT) AS y
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM u
+    ), m AS (
+      SELECT n, sx / sy AS r, sy / n AS my,
+             (sxx - sx * sx / n) / (n - 1) AS vx,
+             (syy - sy * sy / n) / (n - 1) AS vy,
+             (sxy - sx * sy / n) / (n - 1) AS cxy
+      FROM s
+    )
+    SELECT n AS n_users,
+           ROUND(r / 100.0, 6) AS value_per_event,
+           ROUND(sqrt((vx - 2.0 * r * cxy + r * r * vy)
+                      / NULLIF(n * my * my, 0)) / 100.0, 6)
+             AS delta_se
+    FROM m
+    """,
+    doc="Delta-method standard error of a RATIO metric — total value "
+    "per event, Σx/Σy over per-user (value, count) pairs (SURVEY "
+    "§2.4 ext — THE experimentation-platform statistic: ratio "
+    "metrics like revenue-per-session violate the i.i.d.-rows "
+    "assumption because the denominator is random too, so a naive "
+    "row-level SE is wrong; the delta method var(x̄/ȳ) ≈ (var x − "
+    "2R·cov + R²·var y)/(n·ȳ²) is the published fix every A/B "
+    "platform implements). One events scan to the per-user moment "
+    "table, then five exact integer sums — the mergeable-moments "
+    "architecture, so the same partials roll up to any experiment "
+    "arm. Companion of q_jackknife_se: closed-form vs resampling.",
+)
+def q_ratio_delta_method(spark: SparkSession, sf: str) -> DataFrame:
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    u = (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("cast(round(value * 100) as bigint)"))
+            .cast("bigint")
+            .alias("x"),
+            F.count("*").cast("bigint").alias("y"),
+        )
+    )
+    s = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(d19(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d19(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d19(F.col("x")) * d19(F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d19(F.col("y")) * d19(F.col("y"))).cast("double").alias("syy"),
+        F.sum(d19(F.col("x")) * d19(F.col("y"))).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    m = s.select(
+        "n",
+        (F.col("sx") / F.col("sy")).alias("r"),
+        (F.col("sy") / n).alias("my"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)).alias(
+            "vx"
+        ),
+        ((F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)).alias(
+            "vy"
+        ),
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)).alias(
+            "cxy"
+        ),
+    )
+    r = F.col("r")
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(r / F.lit(100.0), 6).alias("value_per_event"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("vx")
+                    - F.lit(2.0) * r * F.col("cxy")
+                    + r * r * F.col("vy")
+                )
+                / F.nullif(
+                    F.col("n") * F.col("my") * F.col("my"), F.lit(0.0)
+                )
+            )
+            / F.lit(100.0),
+            6,
+        ).alias("delta_se"),
+    )
+
+
+@register(
     "q_histogram_equidepth",
     # Equi-DEPTH bucketing is pure integer arithmetic: a value's
     # bucket is floor(rank_of_first_row · B / N) (integer division,

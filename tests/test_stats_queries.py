@@ -505,3 +505,52 @@ def test_histogram_equidepth_depth_and_partition(spark):
     # (ties keep a value's whole row-mass in one bucket)
     assert (got.n_rows >= n // 30).all()
     assert (got.n_rows <= 3 * n // 10).all()
+
+
+def test_ohlc_bars_matches_pandas_replica(spark):
+    got = _run(spark, "q_ohlc_bars")
+    con = duckdb.connect()
+    base = con.execute(
+        f"""
+        SELECT event_type, CAST(ts AS DATE) AS d, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM read_parquet('{SF}/events.parquet')
+        """
+    ).df()
+    con.close()
+    base["d"] = base["d"].astype(str)
+    for _, r in got.iterrows():
+        g = base[
+            (base.event_type == r.event_type)
+            & (base.d == str(r.bar_date))
+        ].sort_values(["ts", "event_id"])
+        assert r.n_events == len(g)
+        assert abs(r.open - g.iloc[0].c / 100.0) <= 1e-9
+        assert abs(r.close - g.iloc[-1].c / 100.0) <= 1e-9
+        assert abs(r.high - g.c.max() / 100.0) <= 1e-9
+        assert abs(r.low - g.c.min() / 100.0) <= 1e-9
+        assert r.low <= r.open <= r.high and r.low <= r.close <= r.high
+
+
+def test_ratio_delta_method_matches_numpy_replica(spark):
+    got = _run(spark, "q_ratio_delta_method").iloc[0]
+    con = duckdb.connect()
+    u = con.execute(
+        f"""
+        SELECT SUM(CAST(round(value * 100) AS BIGINT)) AS x,
+               COUNT(*) AS y
+        FROM read_parquet('{SF}/events.parquet') GROUP BY user_id
+        """
+    ).df()
+    con.close()
+    x = u["x"].to_numpy(dtype=float)
+    y = u["y"].to_numpy(dtype=float)
+    n = len(u)
+    r = x.sum() / y.sum()
+    vx, vy = x.var(ddof=1), y.var(ddof=1)
+    cxy = np.cov(x, y, ddof=1)[0, 1]
+    se = np.sqrt((vx - 2 * r * cxy + r * r * vy) / (n * y.mean() ** 2))
+    assert got.n_users == n
+    assert abs(got.value_per_event - r / 100.0) <= 1e-6
+    assert abs(got.delta_se - se / 100.0) <= 1e-6 * max(1.0, se / 100.0)
+    assert got.delta_se >= 0
