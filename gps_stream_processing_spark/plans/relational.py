@@ -4274,6 +4274,117 @@ def q_two_proportion_z(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_cuped",
+    # CUPED over per-user (pre-period, measurement-period) value
+    # pairs split at the corpus midpoint timestamp: θ = cov/var and
+    # the variance-reduction ratio 1 − ρ² come from five exact
+    # integer moment sums (cents, DECIMAL/HUGEINT); only the final
+    # ratios run in double, identical parenthesization,
+    # NULLIF-guarded, rounded 6 dp. The midpoint is an exact integer
+    # µs average of two exact integers — identical both engines.
+    oracle="""
+    WITH bounds AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+      FROM events
+    ), u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN epoch_us(ts) < mid
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS HUGEINT) AS x,
+             CAST(SUM(CASE WHEN epoch_us(ts) >= mid
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS HUGEINT) AS y
+      FROM events CROSS JOIN bounds GROUP BY user_id
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM u
+    ), m AS (
+      SELECT n,
+             (sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0) AS theta,
+             (sxy - sx * sy / n) * (sxy - sx * sy / n)
+               / NULLIF((sxx - sx * sx / n) * (syy - sy * sy / n), 0)
+               AS rho2,
+             sy / n AS my
+      FROM s
+    )
+    SELECT n AS n_users,
+           ROUND(my / 100.0, 6) AS mean_metric,
+           ROUND(theta, 6) AS theta,
+           ROUND(1.0 - rho2, 6) AS variance_ratio
+    FROM m
+    """,
+    doc="CUPED variance reduction (Deng et al. 2013 — SURVEY §2.4 "
+    "ext, completing the experimentation toolkit beside "
+    "q_two_proportion_z / q_ratio_delta_method / q_jackknife_se: "
+    "every major A/B platform adjusts the experiment metric by a "
+    "PRE-period covariate, Y′ = Y − θ(X − X̄), cutting metric "
+    "variance by exactly ρ² and therefore experiment runtime by the "
+    "same factor). Per-user pre/measurement value pairs split at "
+    "the corpus midpoint timestamp in ONE conditional-sum scan; "
+    "θ = cov/var and the residual-variance ratio 1−ρ² from five "
+    "exact integer moment sums — the mergeable-moments "
+    "architecture, so arm-level partials combine without re-scan.",
+)
+def q_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    e = table(spark, sf, "events")
+    bounds = e.agg(
+        F.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+        ).alias("mid")
+    )
+    cents = F.expr("cast(round(value * 100) as bigint)")
+    u = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.unix_micros("ts") < F.col("mid"), cents).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.unix_micros("ts") >= F.col("mid"), cents
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    s = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(d19(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d19(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d19(F.col("x")) * d19(F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d19(F.col("y")) * d19(F.col("y"))).cast("double").alias("syy"),
+        F.sum(d19(F.col("x")) * d19(F.col("y"))).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    m = s.select(
+        "n",
+        (cxy / F.nullif(vx, F.lit(0.0))).alias("theta"),
+        (cxy * cxy / F.nullif(vx * vy, F.lit(0.0))).alias("rho2"),
+        (F.col("sy") / n).alias("my"),
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(F.col("my") / F.lit(100.0), 6).alias("mean_metric"),
+        F.round(F.col("theta"), 6).alias("theta"),
+        F.round(F.lit(1.0) - F.col("rho2"), 6).alias("variance_ratio"),
+    )
+
+
+@register(
     "q_ohlc_bars",
     # OPEN/CLOSE are the values at the (ts, event_id)-min/max rows —
     # arg_min/arg_max on the composite microsecond key is exact and

@@ -88,6 +88,9 @@ NESTED_LOOP_ALLOWED = {
     "q_histogram_equidepth": "1-row broadcast row-count scalar "
     "crossed onto the value-domain-sized cumulative table (the "
     "q_ks_test shape)",
+    "q_cuped": "1-row broadcast midpoint-timestamp scalar crossed "
+    "onto the fact scan for the pre/post split (the q_tfidf "
+    "corpus-scalar shape)",
     "q_geofence": "3-row broadcast fence dim; a large fence set would switch "
     "to grid-cell binning (the range_join pattern)",
     "q_tpch_q22": "1-row broadcast global aggregate (the scalar-subquery "

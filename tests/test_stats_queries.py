@@ -554,3 +554,36 @@ def test_ratio_delta_method_matches_numpy_replica(spark):
     assert abs(got.value_per_event - r / 100.0) <= 1e-6
     assert abs(got.delta_se - se / 100.0) <= 1e-6 * max(1.0, se / 100.0)
     assert got.delta_se >= 0
+
+
+def test_cuped_matches_numpy_replica(spark):
+    got = _run(spark, "q_cuped").iloc[0]
+    con = duckdb.connect()
+    u = con.execute(
+        f"""
+        WITH b AS (
+          SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+          FROM read_parquet('{SF}/events.parquet')
+        )
+        SELECT SUM(CASE WHEN epoch_us(ts) < mid
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS x,
+               SUM(CASE WHEN epoch_us(ts) >= mid
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS y
+        FROM read_parquet('{SF}/events.parquet') CROSS JOIN b
+        GROUP BY user_id
+        """
+    ).df()
+    con.close()
+    x = u["x"].to_numpy(dtype=float)
+    y = u["y"].to_numpy(dtype=float)
+    theta = np.cov(x, y, ddof=1)[0, 1] / x.var(ddof=1)
+    rho2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert got.n_users == len(u)
+    assert abs(got.theta - theta) <= 1e-6 * max(1.0, abs(theta))
+    assert abs(got.variance_ratio - (1 - rho2)) <= 1e-6
+    # the adjusted metric can only reduce variance (1 - rho^2 <= 1;
+    # at sf0.001's 15 users the pre/post correlation is weak, so no
+    # magnitude floor is pinned — only the identity itself)
+    assert 0.0 <= got.variance_ratio <= 1.0
