@@ -609,3 +609,52 @@ def hits(
     return h.select("id", F.lit("hub").alias("kind"), "score").unionByName(
         a.select("id", F.lit("authority").alias("kind"), "score")
     )
+
+
+def per_source_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "id",
+) -> DataFrame:
+    """Bounded-round PER-SOURCE BFS over the undirected edge list:
+    returns (``source``, ``id``, ``dist``) for every (seed, node) pair
+    within ``n_rounds`` hops — the input to sampled-pivot centrality
+    estimators (Eppstein–Wang), where the multi-source
+    :func:`bfs_distances` would merge the seeds into one min-distance
+    and lose the per-source terms. The frontier discipline carries over
+    unchanged with a composite (source, id) state: each round joins
+    only the new frontier against the edges and anti-joins the visited
+    set per source — O(edges × seeds-reaching-them) total, the real
+    cost of per-source traversal, paid only within the hop horizon."""
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+        .hint("shuffle_hash")
+    )
+    frontier = seeds.select(
+        F.col(seed_col).alias("source"), F.col(seed_col).alias("id")
+    ).localCheckpoint(eager=True)
+    visited = frontier.select("source", "id", F.lit(0).alias("dist"))
+    for rnd in range(1, n_rounds + 1):
+        fr = (
+            F.broadcast(frontier)
+            if _fits_broadcast(frontier.count())
+            else frontier
+        )
+        nxt = (
+            sym.join(fr, sym.s == fr.id)
+            .select("source", F.col("d").alias("id"))
+            .distinct()
+            .join(visited, ["source", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(
+            nxt.select("source", "id", F.lit(rnd).alias("dist"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -604,3 +604,90 @@ def q_hits(spark: SparkSession, sf: str) -> DataFrame:
 
     scores = hits(landed_customer_supplier_edges(spark, sf), n_iterations=8)
     return scores.select("id", "kind", F.round("score", 6).alias("score"))
+
+
+def _harmonic_oracle(n_rounds: int = 3) -> str:
+    """Full DuckDB oracle for sampled-pivot harmonic centrality: the
+    per-source BFS unrolled as materialized CTEs over (source, id)
+    pairs (the _bfs_oracle pattern with a composite state), then the
+    ALL-INTEGER 6×harmonic fold 6·c₁ + 3·c₂ + 2·c₃ — exact, so the
+    sampled estimator gets a full value-hash check."""
+    sql = [f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS a, l_suppkey + {_SUPP_OFFSET} AS b
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT s AS id FROM sym),
+    f0 AS MATERIALIZED (
+      SELECT DISTINCT c_custkey AS source, c_custkey AS id
+      FROM customer
+      WHERE c_custkey % 397 = 1
+        AND EXISTS (SELECT 1 FROM nodes n WHERE n.id = c_custkey)
+    ),
+    d0 AS MATERIALIZED (SELECT source, id, 0 AS dist FROM f0)"""]
+    for i in range(1, n_rounds + 1):
+        sql.append(f""",
+    f{i} AS MATERIALIZED (
+      SELECT DISTINCT f.source, sym.d AS id
+      FROM sym JOIN f{i - 1} f ON sym.s = f.id
+      WHERE NOT EXISTS (SELECT 1 FROM d{i - 1} v
+                        WHERE v.source = f.source AND v.id = sym.d)
+    ),
+    d{i} AS MATERIALIZED (
+      SELECT source, id, dist FROM d{i - 1}
+      UNION ALL SELECT source, id, {i} AS dist FROM f{i}
+    )""")
+    sql.append(f"""
+    SELECT id,
+           CAST(COUNT(*) AS BIGINT) AS n_seeds_reached,
+           CAST(SUM(CASE dist WHEN 1 THEN 6 WHEN 2 THEN 3
+                              WHEN 3 THEN 2 ELSE 0 END) AS BIGINT)
+             AS harmonic_x6
+    FROM d{n_rounds} WHERE dist > 0 GROUP BY id""")
+    return "".join(sql)
+
+
+@register(
+    "q_harmonic_centrality",
+    oracle=_harmonic_oracle(),
+    doc="Sampled-pivot HARMONIC centrality (SURVEY §2.7b ext — the "
+    "Eppstein–Wang estimator family: closeness/harmonic from a "
+    "sampled seed set instead of all-pairs BFS, the only way "
+    "centrality scales past toy graphs; harmonic Σ 1/d handles "
+    "unreachable nodes natively where closeness diverges): per-"
+    "source BFS from the ~0.25% customer pivot sample within a "
+    "3-hop horizon (operators/graph.py per_source_bfs — the frontier "
+    "discipline with composite (source, id) state), then the "
+    "ALL-INTEGER fold 6·c₁+3·c₂+2·c₃ per node (×6 clears the "
+    "1/1, 1/2, 1/3 denominators — exact on any engine). Full "
+    "oracle with the rounds unrolled as materialized DuckDB CTEs.",
+)
+def q_harmonic_centrality(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.graph import per_source_bfs
+
+    seeds = (
+        table(spark, sf, "customer")
+        .filter(F.col("c_custkey") % 397 == 1)
+        .select(F.col("c_custkey").alias("id"))
+    )
+    vis = per_source_bfs(
+        landed_customer_supplier_edges(spark, sf), seeds, n_rounds=3
+    )
+    return (
+        vis.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_seeds_reached"),
+            F.sum(
+                F.when(F.col("dist") == 1, 6)
+                .when(F.col("dist") == 2, 3)
+                .when(F.col("dist") == 3, 2)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("harmonic_x6"),
+        )
+    )
