@@ -624,7 +624,7 @@ def _harmonic_oracle(n_rounds: int = 3) -> str:
     f0 AS MATERIALIZED (
       SELECT DISTINCT c_custkey AS source, c_custkey AS id
       FROM customer
-      WHERE c_custkey % 397 = 1
+      WHERE c_custkey % 997 = 1
         AND EXISTS (SELECT 1 FROM nodes n WHERE n.id = c_custkey)
     ),
     d0 AS MATERIALIZED (SELECT source, id, 0 AS dist FROM f0)"""]
@@ -658,7 +658,7 @@ def _harmonic_oracle(n_rounds: int = 3) -> str:
     "sampled seed set instead of all-pairs BFS, the only way "
     "centrality scales past toy graphs; harmonic Σ 1/d handles "
     "unreachable nodes natively where closeness diverges): per-"
-    "source BFS from the ~0.25% customer pivot sample within a "
+    "source BFS from the ~0.1% customer pivot sample within a "
     "3-hop horizon (operators/graph.py per_source_bfs — the frontier "
     "discipline with composite (source, id) state), then the "
     "ALL-INTEGER fold 6·c₁+3·c₂+2·c₃ per node (×6 clears the "
@@ -670,7 +670,7 @@ def q_harmonic_centrality(spark: SparkSession, sf: str) -> DataFrame:
 
     seeds = (
         table(spark, sf, "customer")
-        .filter(F.col("c_custkey") % 397 == 1)
+        .filter(F.col("c_custkey") % 997 == 1)
         .select(F.col("c_custkey").alias("id"))
     )
     vis = per_source_bfs(
