@@ -1288,3 +1288,74 @@ q_stream_tws_init_state = register(
     "MapState / event-time timers / initial state "
     "(streaming/stateful.py).",
 )(q_stream_tws_init_state)
+
+
+@register(
+    "q_stream_ohlc",
+    # The q_ohlc_bars semantics executed as a real stream: min_by/
+    # max_by are declarative aggregates, so the streaming engine
+    # maintains open/close incrementally per (window, type) group —
+    # the same collision-free within-day integer order key keeps
+    # same-microsecond ties deterministic across any micro-batching.
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('day', ts) AS window_start,
+             (epoch_us(ts) - epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)))
+               * 10000000 + event_id % 10000000 AS k,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    )
+    SELECT event_type, window_start,
+           ROUND(arg_min(c, k) / 100.0, 2) AS open,
+           ROUND(MAX(c) / 100.0, 2) AS high,
+           ROUND(MIN(c) / 100.0, 2) AS low,
+           ROUND(arg_max(c, k) / 100.0, 2) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM e GROUP BY event_type, window_start
+    """,
+    doc="STREAMING daily OHLC bars (SURVEY §2.8 ext — the live twin "
+    "of q_ohlc_bars, the shape every metrics/ticker pipeline runs: "
+    "candlesticks maintained incrementally as events arrive instead "
+    "of recomputed per batch). min_by/max_by are declarative Spark "
+    "aggregates, so Structured Streaming holds one (open-key, open, "
+    "high, low, close-key, close, n) state row per (window, series) "
+    "— O(bars) state, no raw-event buffering — and the availableNow "
+    "replay is batch-equivalent by construction. Same collision-"
+    "free within-day integer order key as the batch twin, so "
+    "micro-batch boundaries cannot flip a same-µs tie; full oracle "
+    "via the batch arg_min/arg_max equivalent.",
+)
+def q_stream_ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    ev = events_stream(spark, sf)
+    e = ev.select(
+        "event_type",
+        "ts",
+        (
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.col("ts").cast("date").cast("timestamp"))
+            )
+            * 10000000
+            + F.col("event_id") % 10000000
+        ).alias("k"),
+        F.expr("cast(round(value * 100) as bigint)").alias("c"),
+    )
+    agg = e.groupBy(
+        F.window("ts", "1 day").alias("win"), "event_type"
+    ).agg(
+        F.round(F.min_by("c", "k") / F.lit(100.0), 2).alias("open"),
+        F.round(F.max("c") / F.lit(100.0), 2).alias("high"),
+        F.round(F.min("c") / F.lit(100.0), 2).alias("low"),
+        F.round(F.max_by("c", "k") / F.lit(100.0), 2).alias("close"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    out = run_available_now(agg, output_mode="complete")
+    return out.select(
+        "event_type",
+        F.col("win.start").alias("window_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+    )
