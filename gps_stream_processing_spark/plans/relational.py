@@ -4274,6 +4274,171 @@ def q_two_proportion_z(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_key_islands",
+    # The classic gaps-and-islands over the KEY SPACE: island id =
+    # key − dense row_number is constant within each run of
+    # consecutive keys — all-integer, exact. Top-10 by (len DESC,
+    # start) is a unique total order.
+    oracle="""
+    WITH k AS (
+      SELECT DISTINCT o_orderkey AS key FROM orders
+      WHERE o_totalprice > 450000
+    ), g AS (
+      SELECT key, key - row_number() OVER (ORDER BY key) AS grp
+      FROM k
+    ), i AS (
+      SELECT CAST(MIN(key) AS BIGINT) AS island_start,
+             CAST(MAX(key) AS BIGINT) AS island_end,
+             CAST(COUNT(*) AS BIGINT) AS island_len
+      FROM g GROUP BY grp
+    )
+    SELECT island_start, island_end, island_len,
+           CAST((SELECT COUNT(*) FROM i) AS BIGINT) AS n_islands
+    FROM i ORDER BY island_len DESC, island_start LIMIT 10
+    """,
+    doc="Gaps-and-islands over the ORDER-KEY space (SURVEY §2.4 ext "
+    "— the sequence-completeness audit q_missing_buckets runs on "
+    "time, applied to identifiers: runs of consecutive keys expose "
+    "ingest holes, partition loss, and id-allocation patterns; "
+    "the synthetic keyspace is dense, so the islands are cut by "
+    "the premium filter - 'which id ranges survived' is exactly the "
+    "backfill-audit question). The key−row_number trick makes the island id "
+    "constant within each run — one DISTINCT + one ordered window "
+    "over the KEY-domain table + one hash-agg, all-integer. The "
+    "global window rides the two-pass prefix-sum posture at "
+    "cluster scale (ids are dense-rankable per range).",
+)
+def q_key_islands(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+    )
+    g = k.select(
+        "key",
+        (F.col("key") - F.row_number().over(Window.orderBy("key"))).alias(
+            "grp"
+        ),
+    )
+    i = g.groupBy("grp").agg(
+        F.min("key").cast("bigint").alias("island_start"),
+        F.max("key").cast("bigint").alias("island_end"),
+        F.count("*").cast("bigint").alias("island_len"),
+    ).localCheckpoint(eager=True)
+    n = i.agg(F.count("*").cast("bigint").alias("n_islands"))
+    return (
+        i.crossJoin(F.broadcast(n))
+        .orderBy(F.desc("island_len"), "island_start")
+        .limit(10)
+        .select("island_start", "island_end", "island_len", "n_islands")
+    )
+
+
+@register(
+    "q_knee_lorenz",
+    # Knee of the user-activity Lorenz curve by the max-distance-
+    # from-chord rule (the Kneedle idea in its exact discrete form):
+    # with points (i, cum_i) and the chord (0,0)→(n, total), the
+    # unnormalized distance is |n·cum_i − total·i| — ALL-INTEGER
+    # cross products in DECIMAL/HUGEINT, so the argmax is exact;
+    # ties break to the smallest rank. Shares are the only doubles,
+    # rounded 6 dp.
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k
+      FROM events GROUP BY user_id
+    ), r AS (
+      SELECT CAST(row_number() OVER (ORDER BY k DESC, user_id)
+                  AS BIGINT) AS i,
+             CAST(SUM(k) OVER (ORDER BY k DESC, user_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM c
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS tot
+      FROM c
+    ), d AS (
+      SELECT r.i, r.cum,
+             abs(CAST(t.n AS HUGEINT) * r.cum
+                 - CAST(t.tot AS HUGEINT) * r.i) AS dist,
+             t.n, t.tot
+      FROM r CROSS JOIN t
+    ), best AS (
+      SELECT i, cum, n, tot,
+             row_number() OVER (ORDER BY dist DESC, i) AS rnk
+      FROM d
+    )
+    SELECT i AS knee_rank, n AS n_users,
+           ROUND(CAST(i AS DOUBLE) / n, 6) AS user_share,
+           ROUND(CAST(cum AS DOUBLE) / tot, 6) AS mass_share
+    FROM best WHERE rnk = 1
+    """,
+    doc="Knee-point detection on the user-activity Lorenz curve "
+    "(SURVEY §2.4 ext — the cutoff-picking rule behind 'where does "
+    "the heavy-hitter head end': the discrete Kneedle criterion, "
+    "the curve point farthest from the end-to-end chord, is where "
+    "marginal mass per user drops fastest; q_pareto_concentration "
+    "reports fixed 80/20 cuts, this finds the curve's OWN elbow). "
+    "The chord distance |n·cum − total·i| is an exact integer cross "
+    "product, so the argmax needs no geometry in floats; the "
+    "ranking window runs over the user-sized aggregate (the "
+    "q_pareto_concentration posture).",
+)
+def q_knee_lorenz(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    c = (
+        table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy(F.desc("k"), "user_id")
+    r = c.select(
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.sum("k")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    t = c.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("tot"),
+    )
+    d = r.crossJoin(F.broadcast(t)).select(
+        "i",
+        "cum",
+        "n",
+        "tot",
+        F.abs(
+            d19(F.col("n")) * F.col("cum") - d19(F.col("tot")) * F.col("i")
+        ).alias("dist"),
+    )
+    best = d.select(
+        "i",
+        "cum",
+        "n",
+        "tot",
+        F.row_number()
+        .over(Window.orderBy(F.desc("dist"), "i"))
+        .alias("rnk"),
+    ).filter(F.col("rnk") == 1)
+    return best.select(
+        F.col("i").alias("knee_rank"),
+        F.col("n").alias("n_users"),
+        F.round(F.col("i").cast("double") / F.col("n"), 6).alias(
+            "user_share"
+        ),
+        F.round(F.col("cum").cast("double") / F.col("tot"), 6).alias(
+            "mass_share"
+        ),
+    )
+
+
+@register(
     "q_cuped",
     # CUPED over per-user (pre-period, measurement-period) value
     # pairs split at the corpus midpoint timestamp: θ = cov/var and

@@ -587,3 +587,54 @@ def test_cuped_matches_numpy_replica(spark):
     # at sf0.001's 15 users the pre/post correlation is weak, so no
     # magnitude floor is pinned — only the identity itself)
     assert 0.0 <= got.variance_ratio <= 1.0
+
+
+def test_key_islands_matches_python_replica(spark):
+    got = _run(spark, "q_key_islands")
+    con = duckdb.connect()
+    keys = sorted(
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT DISTINCT o_orderkey
+            FROM read_parquet('{SF}/orders.parquet')
+            WHERE o_totalprice > 450000
+            """
+        ).fetchall()
+    )
+    con.close()
+    islands = []
+    start = prev = keys[0]
+    for k in keys[1:]:
+        if k != prev + 1:
+            islands.append((start, prev, prev - start + 1))
+            start = k
+        prev = k
+    islands.append((start, prev, prev - start + 1))
+    top = sorted(islands, key=lambda t: (-t[2], t[0]))[:10]
+    assert (got.n_islands == len(islands)).all()
+    assert [
+        (r.island_start, r.island_end, r.island_len)
+        for _, r in got.iterrows()
+    ] == top
+
+
+def test_knee_lorenz_is_max_chord_distance(spark):
+    got = _run(spark, "q_knee_lorenz").iloc[0]
+    con = duckdb.connect()
+    ks = con.execute(
+        f"""
+        SELECT COUNT(*) AS k FROM read_parquet('{SF}/events.parquet')
+        GROUP BY user_id ORDER BY k DESC, user_id
+        """
+    ).df()["k"].to_numpy()
+    con.close()
+    cum = ks.cumsum()
+    n, tot = len(ks), int(cum[-1])
+    dist = np.abs(n * cum - tot * np.arange(1, n + 1))
+    knee = int(np.argmax(dist)) + 1  # argmax returns FIRST max — the tie rule
+    assert got.knee_rank == knee
+    assert got.n_users == n
+    assert abs(got.mass_share - cum[knee - 1] / tot) <= 1e-6
+    # the knee lies strictly inside the curve on any non-degenerate data
+    assert 0 < got.user_share < 1
