@@ -86,6 +86,7 @@ _COMMITTED_ROUNDS = (
     "CORRECTNESS_r09.json",
     "CORRECTNESS_r10.json",
     "CORRECTNESS_r11.json",
+    "CORRECTNESS_r12.json",
 )
 
 # Keys whose EXECUTION PLAN changed after their last green driver row,
@@ -211,6 +212,17 @@ _CHANGED_SINCE_VERIFIED = (
     # for Arrow to vectorize). Values invariant (same eval()), plan
     # node type changed -> re-check.
     ("q_udtf_analyze", 12),
+    # r13 (ADVICE r12 fixes): q_ohlc_bars/q_stream_ohlc tie key
+    # widened to decimal(38,0) µs·10²⁰ + FULL event_id (the bigint
+    # µs·10⁷ + id%10⁷ form collided for ids ≥ 1e7 apart) — values
+    # invariant on the fixtures (all ids < 1e7, ties resolve
+    # identically), key expression changed → re-check. q_mannwhitney
+    # tie-sum now casts EACH factor before multiplying (d19(c)³ -
+    # dec(c)), matching the oracle's HUGEINT discipline — values
+    # invariant below ~3e9 rows/value, expression changed.
+    ("q_ohlc_bars", 13),
+    ("q_stream_ohlc", 13),
+    ("q_mannwhitney", 13),
 )
 
 

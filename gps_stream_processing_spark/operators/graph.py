@@ -567,9 +567,11 @@ def hits(
     moves data. The raw sum table is eagerly checkpointed per round
     (two consumers: the norm agg and the next join) so the plan stays
     one join deep across rounds — the pagerank lineage discipline."""
+    if n_iterations < 1:
+        raise ValueError("hits() needs n_iterations >= 1")
     e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        edges.filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
         .localCheckpoint(eager=True)
         # edge side is fact-sized: hash join without SMJ sorts (the

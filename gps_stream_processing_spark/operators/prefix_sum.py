@@ -1,0 +1,164 @@
+"""Distributed two-pass prefix sums over a total order.
+
+``Window.orderBy(<key>)`` with no ``partitionBy`` is correct but plans an
+``Exchange SinglePartition`` — every row moves to ONE task and the whole
+cumulative runs on one core (Spark itself warns). Fine for the
+aggregate-sized tables most registry keys feed it; wrong for anything
+data-sized at the 100 TB posture. This operator is the classic
+two-pass scan (Blelloch 1990's prefix-sum decomposition, the same shape
+every MPP engine uses for global cumulative windows):
+
+1. ``repartitionByRange`` on the order key — rows land in
+   range-contiguous partitions, pinned by an eager ``localCheckpoint``
+   (REQUIRED for correctness, not a cache hint: the range partitioner
+   samples, and the two passes below must see the SAME row→partition
+   assignment; an unpinned lineage could re-sample per job).
+2. Pass 1: per-partition totals (one row per partition — a
+   partition-count-sized aggregate, collected to the driver with that
+   size bound) → exclusive prefix over partition ids driver-side.
+3. Pass 2: partition-LOCAL running sums (``Window.partitionBy(pid)`` —
+   a parallel window, no single-partition exchange) plus the
+   broadcast-joined per-partition offset.
+
+Cost: one range exchange + one pid hash exchange + an n_partitions-row
+broadcast, versus the single-partition sort of the naive form — the
+cumulative runs at full cluster parallelism and each task sorts only
+its range slice.
+
+Determinism: ``order_by`` must be a TOTAL order (no ties). With ties,
+both this operator and the naive global window return
+order-dependent running values — same contract as every ``row_number``
+consumer in the registry.
+
+Reference parity: the reference engine (class.nmea.parser.php) keeps
+its whole working set in one PHP array, so every cumulative it could
+compute is a sequential loop over that array — single-machine by
+construction. This file is the cluster re-expression of "running
+total over everything".
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__ps_pid"
+
+
+def _as_cols(order_by: Sequence) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+
+def running_totals(
+    df: DataFrame,
+    order_by: Sequence,
+    *,
+    sums: Mapping[str, str] | None = None,
+    count_col: str | None = None,
+    num_partitions: int | None = None,
+    with_totals: bool = False,
+):
+    """Append global running aggregates over ``order_by`` to ``df``.
+
+    ``sums``: ``{out_col: in_col}`` — inclusive running SUM of
+    ``in_col`` in the total order (null inputs are skipped, per SQL
+    ``SUM`` semantics — a null row advances the count but not the sum).
+    ``count_col``: name for the 1-based running row count
+    (``row_number`` in the total order).
+    ``num_partitions``: range-partition fan-out; defaults to the
+    session's ``spark.sql.shuffle.partitions``.
+    ``with_totals``: also return ``{"n_rows": N, <out_col>: grand
+    total, ...}`` computed exactly from the pass-1 partials — callers
+    that would otherwise cross-join a broadcast totals aggregate get
+    the grand totals for free.
+
+    Returns the augmented DataFrame (all input columns plus the
+    requested running columns), or ``(DataFrame, totals)`` when
+    ``with_totals`` is set.
+    """
+    sums = dict(sums or {})
+    if not sums and not count_col:
+        raise ValueError("running_totals needs sums and/or count_col")
+    order_cols = _as_cols(order_by)
+    n = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    # Pass 0: pin the range layout (see module docstring — correctness,
+    # not caching: both passes must agree on row→partition).
+    base = (
+        df.repartitionByRange(n, *order_cols)
+        .localCheckpoint(eager=True)
+        .withColumn(_PID, F.spark_partition_id())
+    )
+    # Pass 1: partition totals. One row per non-empty partition —
+    # collect is bounded by num_partitions, never by data.
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__cnt")]
+    for out, src in sums.items():
+        aggs.append(F.sum(src).alias(f"__s_{out}"))
+    part_schema = base.groupBy(_PID).agg(*aggs).schema
+    partials = sorted(
+        base.groupBy(_PID).agg(*aggs).collect(),  # <= num_partitions rows
+        key=lambda r: r[_PID],
+    )
+    totals: dict = {"n_rows": 0}
+    for out in sums:
+        totals[out] = None
+    off_rows = []
+    run_cnt = 0
+    run_sum: dict = {out: None for out in sums}
+    for r in partials:
+        row = {_PID: r[_PID], "__off_cnt": run_cnt}
+        run_cnt += r["__cnt"]
+        for out in sums:
+            row[f"__off_{out}"] = run_sum[out]
+            v = r[f"__s_{out}"]
+            if v is not None:
+                run_sum[out] = v if run_sum[out] is None else run_sum[out] + v
+        off_rows.append(row)
+    totals["n_rows"] = run_cnt
+    for out in sums:
+        totals[out] = run_sum[out]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    sum_types = {
+        f.name: f.dataType for f in part_schema.fields if f.name != _PID
+    }
+    off_schema = StructType(
+        [
+            StructField(_PID, LongType(), False),
+            StructField("__off_cnt", LongType(), False),
+        ]
+        + [
+            StructField(f"__off_{out}", sum_types[f"__s_{out}"], True)
+            for out in sums
+        ]
+    )
+    offsets = df.sparkSession.createDataFrame(
+        [tuple(r[f.name] for f in off_schema.fields) for r in off_rows],
+        off_schema,
+    )
+    # Pass 2: partition-local running values + broadcast offset join.
+    # The pid window hash-exchanges on _PID — parallel across the
+    # cluster; each task sorts only its own range slice.
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    out_df = base.join(F.broadcast(offsets), _PID)
+    if count_col:
+        out_df = out_df.withColumn(
+            count_col,
+            F.row_number().over(w).cast("bigint") + F.col("__off_cnt"),
+        )
+    for out, src in sums.items():
+        off = F.col(f"__off_{out}")
+        out_df = out_df.withColumn(
+            out,
+            F.sum(src).over(wf) + F.coalesce(off, F.lit(0)),
+        )
+    out_df = out_df.drop(
+        _PID, "__off_cnt", *[f"__off_{out}" for out in sums]
+    )
+    return (out_df, totals) if with_totals else out_df

@@ -3808,7 +3808,7 @@ def q_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
     )
     cv = F.col("c")
     ties = vals.agg(
-        F.sum(d19(cv * cv) * d19(cv) - dec(cv))
+        F.sum(d19(cv) * d19(cv) * d19(cv) - dec(cv))
         .cast("double")
         .alias("tsum"),
         F.sum("c").cast("bigint").alias("nt"),
@@ -4554,12 +4554,15 @@ def q_cuped(spark: SparkSession, sf: str) -> DataFrame:
     # OPEN/CLOSE are the values at the (ts, event_id)-min/max rows —
     # arg_min/arg_max on the composite microsecond key is exact and
     # deterministic (event_id breaks same-µs ties); HIGH/LOW/n are
-    # plain exact aggregates; cent-exact values throughout.
+    # plain exact aggregates; cent-exact values throughout. The key
+    # is HUGEINT/decimal(38,0): within-day µs (11 digits) × 10²⁰ +
+    # the FULL event_id (any bigint) — collision-free with no
+    # assumption on the id range (ADVICE r12).
     oracle="""
     WITH e AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
              (epoch_us(ts) - epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)))
-               * 10000000 + event_id % 10000000 AS k,
+               * CAST('100000000000000000000' AS HUGEINT) + event_id AS k,
              CAST(round(value * 100) AS BIGINT) AS c
       FROM events
     )
@@ -4576,17 +4579,20 @@ def q_cuped(spark: SparkSession, sf: str) -> DataFrame:
     "finance store: open/high/low/close + volume per (series, bar), "
     "the lossy-but-shaped compaction dashboards read instead of raw "
     "points). ONE hash-agg with map-side partials — open/close ride "
-    "min_by/max_by on a composite integer (within-day µs·10⁷ + event_id) "
-    "order key, so same-microsecond ties are deterministic and no "
+    "min_by/max_by on a composite decimal (within-day µs·10²⁰ + "
+    "event_id) order key, so same-microsecond ties are deterministic "
+    "with no id-range assumption and no "
     "window pass is needed (the naive row_number-per-bar "
     "formulation costs a full shuffle+sort; min_by folds it into "
     "the aggregate). At 100 TB this is scan-bound and the bar key "
     "is the natural on-disk partition for serving.",
 )
 def q_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
-    # the order key packs the WITHIN-DAY µs offset (< 8.64e10) with a
-    # 5-digit event_id tail — fits a bigint, where raw µs × 10⁵ would
-    # overflow; open/close group per day so within-day order suffices
+    # the order key packs the WITHIN-DAY µs offset (< 8.64e10, 11
+    # digits) above the FULL event_id in a decimal(38,0) — 31 digits
+    # worst-case, collision-free for any bigint id (no range
+    # assumption); open/close group per day so within-day order
+    # suffices
     e = table(spark, sf, "events").select(
         "event_type",
         F.col("ts").cast("date").alias("d"),
@@ -4594,9 +4600,9 @@ def q_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
             (
                 F.unix_micros("ts")
                 - F.unix_micros(F.col("ts").cast("date").cast("timestamp"))
-            )
-            * 10000000
-            + F.col("event_id") % 10000000
+            ).cast("decimal(17,0)")
+            * F.lit("100000000000000000000").cast("decimal(21,0)")
+            + F.col("event_id").cast("decimal(20,0)")
         ).alias("k"),
         F.expr("cast(round(value * 100) as bigint)").alias("c"),
     )

@@ -1301,7 +1301,7 @@ q_stream_tws_init_state = register(
     WITH e AS (
       SELECT event_type, date_trunc('day', ts) AS window_start,
              (epoch_us(ts) - epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)))
-               * 10000000 + event_id % 10000000 AS k,
+               * CAST('100000000000000000000' AS HUGEINT) + event_id AS k,
              CAST(round(value * 100) AS BIGINT) AS c
       FROM events
     )
@@ -1334,9 +1334,9 @@ def q_stream_ohlc(spark: SparkSession, sf: str) -> DataFrame:
             (
                 F.unix_micros("ts")
                 - F.unix_micros(F.col("ts").cast("date").cast("timestamp"))
-            )
-            * 10000000
-            + F.col("event_id") % 10000000
+            ).cast("decimal(17,0)")
+            * F.lit("100000000000000000000").cast("decimal(21,0)")
+            + F.col("event_id").cast("decimal(20,0)")
         ).alias("k"),
         F.expr("cast(round(value * 100) as bigint)").alias("c"),
     )
