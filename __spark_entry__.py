@@ -223,6 +223,16 @@ _CHANGED_SINCE_VERIFIED = (
     ("q_ohlc_bars", 13),
     ("q_stream_ohlc", 13),
     ("q_mannwhitney", 13),
+    # r13: the three global-cumulative keys now ride the two-pass
+    # range-partitioned prefix sum (operators/prefix_sum.py — VERDICT
+    # r12 item 2) instead of a single-partition window; q_knee_lorenz
+    # additionally picks its knee via a 1-row min_by argmax. Values
+    # invariant (bit-identical integer cumulative, pinned by
+    # tests/test_prefix_sum.py replicas + sf0.1 hash check), plan
+    # shape changed → re-check.
+    ("q_histogram_equidepth", 13),
+    ("q_key_islands", 13),
+    ("q_knee_lorenz", 13),
 )
 
 

@@ -4303,13 +4303,15 @@ def q_two_proportion_z(spark: SparkSession, sf: str) -> DataFrame:
     "the synthetic keyspace is dense, so the islands are cut by "
     "the premium filter - 'which id ranges survived' is exactly the "
     "backfill-audit question). The key−row_number trick makes the island id "
-    "constant within each run — one DISTINCT + one ordered window "
-    "over the KEY-domain table + one hash-agg, all-integer. The "
-    "global window rides the two-pass prefix-sum posture at "
-    "cluster scale (ids are dense-rankable per range).",
+    "constant within each run — one DISTINCT + the range-partitioned "
+    "TWO-PASS prefix count (operators/prefix_sum.py) for the global "
+    "rank + one hash-agg, all-integer; no single-partition window "
+    "anywhere in the plan.",
 )
 def q_key_islands(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
+    from gps_stream_processing_spark.operators.prefix_sum import (
+        running_totals,
+    )
 
     k = (
         table(spark, sf, "orders")
@@ -4317,11 +4319,11 @@ def q_key_islands(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("key"))
         .distinct()
     )
-    g = k.select(
-        "key",
-        (F.col("key") - F.row_number().over(Window.orderBy("key"))).alias(
-            "grp"
-        ),
+    # global row_number via the two-pass range-partitioned prefix
+    # count — the island id key − rn needs the TOTAL rank, but not a
+    # single-partition window to get it
+    g = running_totals(k, ["key"], count_col="rn").select(
+        "key", (F.col("key") - F.col("rn")).alias("grp")
     )
     i = g.groupBy("grp").agg(
         F.min("key").cast("bigint").alias("island_start"),
@@ -4383,56 +4385,52 @@ def q_key_islands(spark: SparkSession, sf: str) -> DataFrame:
     "reports fixed 80/20 cuts, this finds the curve's OWN elbow). "
     "The chord distance |n·cum − total·i| is an exact integer cross "
     "product, so the argmax needs no geometry in floats; the "
-    "ranking window runs over the user-sized aggregate (the "
-    "q_pareto_concentration posture).",
+    "cumulative rides the range-partitioned TWO-PASS prefix sum "
+    "(operators/prefix_sum.py) and the argmax is a 1-row min_by "
+    "aggregate — no single-partition window in the plan.",
 )
 def q_knee_lorenz(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
+    from gps_stream_processing_spark.operators.prefix_sum import (
+        running_totals,
+    )
 
     d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
     c = (
         table(spark, sf, "events")
         .groupBy("user_id")
         .agg(F.count("*").cast("bigint").alias("k"))
-        .localCheckpoint(eager=True)
     )
-    w = Window.orderBy(F.desc("k"), "user_id")
-    r = c.select(
-        F.row_number().over(w).cast("bigint").alias("i"),
-        F.sum("k")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("bigint")
-        .alias("cum"),
+    # (rank, cumulative mass) via the two-pass range-partitioned
+    # prefix sum — parallel global window; (n, tot) fall out of the
+    # pass-1 partials, replacing the broadcast totals cross-join
+    r, t = running_totals(
+        c,
+        [F.desc("k"), "user_id"],
+        sums={"cum": "k"},
+        count_col="i",
+        with_totals=True,
     )
-    t = c.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("k").cast("bigint").alias("tot"),
-    )
-    d = r.crossJoin(F.broadcast(t)).select(
+    n_lit = F.lit(t["n_rows"]).cast("bigint")
+    tot_lit = F.lit(t["cum"]).cast("bigint")
+    d = r.select(
         "i",
         "cum",
-        "n",
-        "tot",
-        F.abs(
-            d19(F.col("n")) * F.col("cum") - d19(F.col("tot")) * F.col("i")
-        ).alias("dist"),
-    )
-    best = d.select(
-        "i",
-        "cum",
-        "n",
-        "tot",
-        F.row_number()
-        .over(Window.orderBy(F.desc("dist"), "i"))
-        .alias("rnk"),
-    ).filter(F.col("rnk") == 1)
-    return best.select(
-        F.col("i").alias("knee_rank"),
-        F.col("n").alias("n_users"),
-        F.round(F.col("i").cast("double") / F.col("n"), 6).alias(
-            "user_share"
+        F.abs(d19(n_lit) * F.col("cum") - d19(tot_lit) * F.col("i")).alias(
+            "dist"
         ),
-        F.round(F.col("cum").cast("double") / F.col("tot"), 6).alias(
+    )
+    # exact argmax with the (dist DESC, i ASC) tie order as a 1-row
+    # min_by aggregate — no global ranking window needed to pick one row
+    best = d.agg(
+        F.min_by(
+            F.struct("i", "cum"), F.struct((-F.col("dist")).alias("nd"), "i")
+        ).alias("b")
+    ).filter(F.col("b").isNotNull())
+    return best.select(
+        F.col("b.i").alias("knee_rank"),
+        n_lit.alias("n_users"),
+        F.round(F.col("b.i").cast("double") / n_lit, 6).alias("user_share"),
+        F.round(F.col("b.cum").cast("double") / tot_lit, 6).alias(
             "mass_share"
         ),
     )
@@ -4755,11 +4753,16 @@ def q_ratio_delta_method(spark: SparkSession, sf: str) -> DataFrame:
     "bucket is floor(first-row-rank·B/N) off the per-value "
     "cumulative count — all-integer, tied values stay together, and "
     "the n_rows column exposes the tie-induced depth drift. One "
-    "hash-agg to per-value counts, then one cumulative window over "
-    "the VALUE-DOMAIN-sized table (the q_ks_test posture).",
+    "hash-agg to per-value counts, then the range-partitioned "
+    "TWO-PASS prefix sum (operators/prefix_sum.py) for the global "
+    "cumulative — parallel, no single-partition window, and the "
+    "grand total rides the pass-1 partials instead of a separate "
+    "broadcast aggregate.",
 )
 def q_histogram_equidepth(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
+    from gps_stream_processing_spark.operators.prefix_sum import (
+        running_totals,
+    )
 
     pv = (
         table(spark, sf, "lineitem")
@@ -4770,14 +4773,12 @@ def q_histogram_equidepth(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("p")
         .agg(F.count("*").cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
     )
-    n_df = pv.agg(F.sum("c").cast("bigint").alias("n"))
-    c = pv.select(
-        "p",
-        "c",
-        F.sum("c").over(Window.orderBy("p")).cast("bigint").alias("cum"),
-    ).crossJoin(F.broadcast(n_df))
+    # global cumulative over the value domain via the two-pass
+    # range-partitioned prefix sum — no single-partition window; the
+    # grand total N falls out of the pass-1 partials for free
+    cum_df, tot = running_totals(pv, ["p"], sums={"cum": "c"}, with_totals=True)
+    c = cum_df.withColumn("n", F.lit(tot["cum"]).cast("bigint"))
     return (
         c.groupBy(
             F.least(

@@ -85,18 +85,12 @@ NESTED_LOOP_ALLOWED = {
     "q_max_concurrency": "1-row broadcast peak/count scalars crossed "
     "onto each other for the single output row (the q_funnel "
     "shape); every input is session-boundary-aggregate-sized",
-    "q_histogram_equidepth": "1-row broadcast row-count scalar "
-    "crossed onto the value-domain-sized cumulative table (the "
-    "q_ks_test shape)",
     "q_cuped": "1-row broadcast midpoint-timestamp scalar crossed "
     "onto the fact scan for the pre/post split (the q_tfidf "
     "corpus-scalar shape)",
     "q_key_islands": "1-row broadcast island-count scalar crossed "
     "onto the island aggregate for the output annotation (the "
     "q_funnel shape)",
-    "q_knee_lorenz": "1-row broadcast (n, total) aggregate crossed "
-    "onto the user-sized rank table (the q_pareto_concentration "
-    "shape)",
     "q_geofence": "3-row broadcast fence dim; a large fence set would switch "
     "to grid-cell binning (the range_join pattern)",
     "q_tpch_q22": "1-row broadcast global aggregate (the scalar-subquery "

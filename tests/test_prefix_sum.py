@@ -1,0 +1,140 @@
+"""operators/prefix_sum.py — the two-pass distributed scan.
+
+Pins (a) exact equality against the naive single-partition global
+window on every supported shape (sum / count / multi-measure / desc
+order / null values), (b) the with_totals grand totals, and (c) the
+SCALE property the operator exists for: the running-value window in
+its physical plan is partitioned (hash exchange on the internal pid),
+with NO ``Exchange SinglePartition`` anywhere — the naive form's
+move-everything-to-one-task plan is exactly what must not appear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gps_stream_processing_spark.operators.prefix_sum import running_totals
+
+from conftest import SF_SMALL
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF_SMALL}/events.parquet")
+
+
+def _naive(df, order_cols, sums, count_col):
+    w = Window.orderBy(*order_cols)
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    out = df
+    if count_col:
+        out = out.withColumn(
+            count_col, F.row_number().over(w).cast("bigint")
+        )
+    for name, src in sums.items():
+        out = out.withColumn(name, F.sum(src).over(wf))
+    return out
+
+
+def _rows(df, key_cols):
+    return sorted(
+        (tuple(r) for r in df.collect()),  # test-sized: sf0.001 aggregate
+        key=lambda t: t[: len(key_cols)],
+    )
+
+
+def test_sum_matches_global_window(spark):
+    per_user = (
+        _events(spark)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("k"))
+    )
+    got = running_totals(
+        per_user, ["user_id"], sums={"cum": "k"}, num_partitions=8
+    )
+    want = _naive(per_user, [F.col("user_id")], {"cum": "k"}, None)
+    assert _rows(got, ["user_id"]) == _rows(want, ["user_id"])
+
+
+def test_count_and_multisum_desc_order(spark):
+    per_user = (
+        _events(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("v"),
+        )
+    )
+    order = [F.desc("k"), F.col("user_id")]
+    got = running_totals(
+        per_user,
+        order,
+        sums={"cum_k": "k", "cum_v": "v"},
+        count_col="i",
+        num_partitions=8,
+    )
+    want = _naive(per_user, order, {"cum_k": "k", "cum_v": "v"}, "i")
+    key = ["user_id"]
+    g = {r[0]: r[1:] for r in _rows(got.select("user_id", "i", "cum_k", "cum_v"), key)}
+    w = {r[0]: r[1:] for r in _rows(want.select("user_id", "i", "cum_k", "cum_v"), key)}
+    assert g == w
+
+
+def test_null_values_skip_sum_but_advance_count(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5), (4, None), (5, 1)], "id int, v int"
+    )
+    got = running_totals(
+        df, ["id"], sums={"cum": "v"}, count_col="rn", num_partitions=3
+    )
+    rows = {r["id"]: (r["rn"], r["cum"]) for r in got.collect()}
+    assert rows == {1: (1, 10), 2: (2, 10), 3: (3, 15), 4: (4, 15), 5: (5, 16)}
+
+
+def test_with_totals_exact(spark):
+    per_user = (
+        _events(spark)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("k"))
+    )
+    got, totals = running_totals(
+        per_user,
+        ["user_id"],
+        sums={"cum": "k"},
+        count_col="rn",
+        num_partitions=8,
+        with_totals=True,
+    )
+    n, tot = per_user.agg(F.count("*"), F.sum("k")).first()
+    assert totals["n_rows"] == n
+    assert totals["cum"] == tot
+    last = got.orderBy(F.desc("rn")).first()
+    assert last["rn"] == n and last["cum"] == tot
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "id bigint, v bigint")
+    got, totals = running_totals(
+        df, ["id"], sums={"cum": "v"}, count_col="rn", with_totals=True
+    )
+    assert got.count() == 0
+    assert totals == {"n_rows": 0, "cum": None}
+
+
+def test_plan_window_is_partitioned_not_single(spark):
+    per_user = (
+        _events(spark)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("k"))
+    )
+    got = running_totals(
+        per_user, ["user_id"], sums={"cum": "k"}, count_col="rn"
+    )
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" in plan  # the running values do run as a window...
+    # ...but partitioned on the internal pid (parallel), never via the
+    # naive move-everything Exchange — the whole point of the operator
+    assert "Exchange SinglePartition" not in plan
+    assert "__ps_pid" in plan
