@@ -1359,3 +1359,120 @@ def q_stream_ohlc(spark: SparkSession, sf: str) -> DataFrame:
         "close",
         "n_events",
     )
+
+
+@register(
+    "q_stream_late_drop",
+    # Watermark late-data DROP, oracle-gated (VERDICT r12 item 3): a
+    # three-file availableNow replay where the globally EARLIEST event
+    # (min (ts, event_id) — unique, deterministic) arrives in batch 3,
+    # after batch 1 advanced the watermark days past its window. Three
+    # files, not two, because Spark's late-DATA filter applies the
+    # watermark one commit later than state eviction does (measured on
+    # 4.1: a late row in batch N+1 right after the advancing batch N is
+    # admitted and immediately evicted-with-emission; in batch N+2 it
+    # is dropped with numRowsDroppedByWatermark=1) — batch 2 carries
+    # the globally LATEST event, which can never be late. The late
+    # row's window end <= the final watermark, so if the row were NOT
+    # dropped it WOULD appear in the emitted aggregate — the oracle
+    # (batch aggregate minus exactly that row, filtered to
+    # watermark-closed windows) distinguishes drop from hold. Final
+    # watermark is deterministic: floor_ms(max event time) - delay
+    # (the q_stream_session_true discipline).
+    oracle="""
+    WITH e AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      FROM events
+    ), late AS (
+      SELECT event_id FROM e ORDER BY ts, event_id LIMIT 1
+    ), wm AS (
+      SELECT to_timestamp(floor(epoch_ms(max(ts)) / 1000.0 * 1000) / 1000.0)
+             - INTERVAL 10 MINUTE AS w
+      FROM e
+    ), b AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM e WHERE event_id NOT IN (SELECT event_id FROM late)
+      GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events,
+           ROUND(c / 100.0, 2) AS sum_value
+    FROM b, wm WHERE window_start + INTERVAL 1 HOUR <= w
+    """,
+    doc="Watermark LATE-DATA DROP as a verified fact, not a claim "
+    "(SURVEY §2.8): the event stream replays as three ordered files "
+    "(mtime-ordered, maxFilesPerTrigger=1 — Spark's file source "
+    "admits oldest-first), with the corpus's earliest event held "
+    "back to batch 3. Batch 1 advances the watermark ~30 days past "
+    "that event's tumbling window (batch 2 is the corpus's latest "
+    "event — never late — because the late-data filter trails state "
+    "eviction by one commit), so batch 3 drops it at the "
+    "watermark filter before it reaches state. The oracle "
+    "is the batch hourly aggregate MINUS exactly that row, filtered "
+    "to windows closed by the deterministic final watermark — a "
+    "hash mismatch would catch both a phantom drop (different row "
+    "missing) and a failure to drop (late row counted). At 100 TB "
+    "this is the semantics that bounds state: without the drop, "
+    "stragglers re-open arbitrarily old windows forever.",
+)
+def q_stream_late_drop(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import time
+    import uuid
+
+    ev = table(spark, sf, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    late_id, last_id = ev.agg(
+        F.min_by("event_id", F.struct("ts", "event_id")),
+        F.max_by("event_id", F.struct("ts", "event_id")),
+    ).first()  # 1-row aggregate collect
+    base = os.path.join(land_dir("latedrop", sf), uuid.uuid4().hex)
+    inc = os.path.join(base, "incoming")
+    os.makedirs(inc, exist_ok=True)
+
+    def _land(df: DataFrame, name: str, mtime: float) -> None:
+        stage = os.path.join(base, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        dst = os.path.join(inc, f"{name}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    _land(
+        ev.filter(~F.col("event_id").isin(late_id, last_id)),
+        "1_bulk",
+        now - 240,
+    )
+    _land(ev.filter(F.col("event_id") == last_id), "2_latest", now - 120)
+    _land(ev.filter(F.col("event_id") == late_id), "3_late", now)
+    schema = spark.read.parquet(os.path.join(inc, "1_bulk.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inc)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("c"),
+        )
+    )
+    out = run_available_now(agg, output_mode="append", state_partitions=4)
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round(F.col("c") / F.lit(100.0), 2).alias("sum_value"),
+    )

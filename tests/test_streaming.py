@@ -893,3 +893,63 @@ def test_state_store_provider_posture(spark, stream_fixture_dir, nmea_df):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_late_drop_removes_exactly_the_late_row(spark):
+    """q_stream_late_drop: the dropped-row SET is exactly the corpus's
+    earliest event — the streaming result differs from the batch
+    aggregate (same window filter, late row INCLUDED) in exactly that
+    row's (window, type) group, by exactly (1 event, its cents)."""
+    from gps_stream_processing_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        REGISTRY["q_stream_late_drop"]
+        .fn(spark, sf)
+        .toPandas()
+        .set_index(["window_start", "event_type"])
+        .sort_index()
+    )
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    late = ev.orderBy("ts", "event_id").first()
+    wm_ms = ev.agg(
+        (F.floor(F.unix_millis(F.max("ts")) / 1000) * 1000).alias("ms")
+    ).first()["ms"]
+    import pandas as pd
+
+    wm = pd.Timestamp(wm_ms, unit="ms") - pd.Timedelta(minutes=10)
+    full = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.expr("cast(round(value*100) as bigint)")) / 100.0, 2
+            ).alias("sum_value"),
+        )
+        .toPandas()
+    )
+    full = (
+        full[full["window_start"] + pd.Timedelta(hours=1) <= wm]
+        .set_index(["window_start", "event_type"])
+        .sort_index()
+    )
+    late_key = (
+        pd.Timestamp(late["ts"]).floor("h"),
+        late["event_type"],
+    )
+    # every group except the late row's matches the batch aggregate...
+    got_others = got.drop(index=[late_key], errors="ignore")
+    full_others = full.drop(index=[late_key], errors="ignore")
+    pd.testing.assert_frame_equal(got_others, full_others, check_dtype=False)
+    # ...and the late group differs by exactly the one dropped event
+    assert late_key in full.index
+    full_n = full.loc[late_key, "n_events"]
+    got_n = got.loc[late_key, "n_events"] if late_key in got.index else 0
+    assert full_n - got_n == 1
