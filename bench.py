@@ -229,6 +229,19 @@ def main() -> None:
 
     registry = plans.REGISTRY
     names = sorted(registry)
+    # Baseline-row protocol mode (SURVEY §6 / BENCH.json "protocol"):
+    # SPARK_GRAFT_KEYS=q_a,q_b times ONLY those keys, 4 passes each,
+    # reporting the median of the 3 warm passes (cold dropped) — the
+    # exact discipline every committed per-key row was measured under,
+    # now in-tree instead of re-scripted per round. Full-suite gating
+    # (adjudication, baseline compare) is skipped: this mode MAKES
+    # baseline rows, it doesn't judge against them.
+    only_keys = os.environ.get("SPARK_GRAFT_KEYS")
+    if only_keys:
+        names = [k.strip() for k in only_keys.split(",") if k.strip()]
+        unknown = [k for k in names if k not in registry]
+        if unknown:
+            raise SystemExit(f"unknown keys: {unknown}")
     if quick:
         names = [
             "q_agg_basic",
@@ -255,10 +268,21 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name in names:
-        t = _time_one(name)
-        if t is not None:
-            timings[name] = t
+    if only_keys:
+        for name in names:
+            samples = [_time_one(name) for _ in range(4)]
+            warm = [t for t in samples[1:] if t is not None]
+            if warm:
+                timings[name] = round(statistics.median(warm), 3)
+            print(
+                json.dumps({"key": name, "passes": samples}),
+                file=sys.stderr,
+            )
+    else:
+        for name in names:
+            t = _time_one(name)
+            if t is not None:
+                timings[name] = t
 
     # The committed baseline, loaded ONCE and shared by the adjudication
     # gate below and the summary line at the end — two separate loads
@@ -298,13 +322,17 @@ def main() -> None:
     # `failures` — the key already has a valid first-pass timing, and
     # recording it would make the driver read a green round as red.
     retimed: dict[str, float] = {}
-    suspects = [
-        k
-        for k, v in timings.items()
-        if isinstance(base_q.get(k), (int, float))
-        and base_q[k] > 0
-        and v / base_q[k] > 1.5
-    ]
+    suspects = (
+        []  # protocol mode is already warm-median — nothing to adjudicate
+        if only_keys
+        else [
+            k
+            for k, v in timings.items()
+            if isinstance(base_q.get(k), (int, float))
+            and base_q[k] > 0
+            and v / base_q[k] > 1.5
+        ]
+    )
     for name in suspects:
         warm: list[float] = []
         for attempt in range(4):
