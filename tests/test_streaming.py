@@ -953,3 +953,64 @@ def test_late_drop_removes_exactly_the_late_row(spark):
     full_n = full.loc[late_key, "n_events"]
     got_n = got.loc[late_key, "n_events"] if late_key in got.index else 0
     assert full_n - got_n == 1
+
+
+def test_join_then_window_has_two_state_operators(spark, tmp_path):
+    """q_stream_join_then_window really runs TWO chained stateful
+    operators in one query — pinned via the state-metadata source on
+    a checkpointed drive (the q_state_metadata surface): a symmetric
+    hash join feeding a stateStoreSave aggregation."""
+    from gps_stream_processing_spark.streaming.runner import events_stream
+
+    sf = "/root/testdata/sf0.001"
+    views = (
+        events_stream(spark, sf)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        events_stream(spark, sf)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    agg = (
+        views.join(
+            clicks,
+            F.expr(
+                "user_id = click_user_id AND click_ts >= view_ts "
+                "AND click_ts <= view_ts + INTERVAL 12 HOURS"
+            ),
+        )
+        .groupBy(F.window("click_ts", "1 day").alias("win"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    meta = (
+        spark.read.format("state-metadata")
+        .load(ckpt)
+        .select("operatorId", "operatorName")
+        .collect()  # 2 rows — one per stateful operator
+    )
+    ops = {r["operatorId"]: r["operatorName"] for r in meta}
+    assert len(ops) == 2
+    names = set(ops.values())
+    assert any("symmetricHashJoin" in n for n in names), names
+    assert any("stateStoreSave" in n for n in names), names
