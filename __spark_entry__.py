@@ -233,6 +233,12 @@ _CHANGED_SINCE_VERIFIED = (
     ("q_histogram_equidepth", 13),
     ("q_key_islands", 13),
     ("q_knee_lorenz", 13),
+    # r13: q_triangle_count's skew-gate stats (max_deg, m) now persist
+    # beside the landed co-purchase edges (fingerprint-keyed) instead
+    # of re-running the blocking degree job per call — values invariant
+    # (same exact stats pair, hash-checked at sf0.001/sf0.1), call
+    # path changed → re-check.
+    ("q_triangle_count", 13),
 )
 
 

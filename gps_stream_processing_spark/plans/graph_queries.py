@@ -168,7 +168,41 @@ def landed_customer_supplier_edges(spark: SparkSession, sf: str) -> DataFrame:
     "full oracle (the oracle keeps the equivalent wedge-join SQL).",
 )
 def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
-    return triangle_count(landed_copurchase_edges(spark, sf))
+    e = landed_copurchase_edges(spark, sf)
+    return triangle_count(e, stats=_copurchase_degree_stats(spark, sf, e))
+
+
+def _copurchase_degree_stats(spark, sf, edges) -> tuple[int, int]:
+    """The triangle skew-gate statistic (max_deg, m) for the landed
+    co-purchase graph, persisted beside the landed files and keyed by
+    the landing fingerprint — so only the FIRST run after a (re)land
+    pays the blocking degree job (VERDICT r12 item 6; measured ~0.5 s
+    per call at sf0.1). Falls back to computing without persisting if
+    the fingerprint is unreadable (fresh land mid-flight)."""
+    import os
+
+    from gps_stream_processing_spark.operators.graph import degree_stats
+    from gps_stream_processing_spark.workdir import land_dir
+
+    out = os.path.join(land_dir("graph_edges", sf), "copurchase")
+    fp_file = os.path.join(out, "_SOURCE_FINGERPRINT")
+    stats_file = os.path.join(out, "_DEGREE_STATS")
+    try:
+        fp = open(fp_file).read()
+    except OSError:
+        return degree_stats(edges)
+    try:
+        fp_disk, max_deg, m = open(stats_file).read().split("\n")
+        if fp_disk == fp.replace("\n", "\\n"):
+            return int(max_deg), int(m)
+    except (OSError, ValueError):
+        pass
+    st = degree_stats(edges)
+    tmp = stats_file + ".tmp"
+    with open(tmp, "w") as f:  # atomic: no partial stats row
+        f.write(f"{fp.replace(chr(10), chr(92) + 'n')}\n{st[0]}\n{st[1]}")
+    os.replace(tmp, stats_file)
+    return st
 
 
 def _pagerank_oracle(n_iterations: int = 10, damping: float = 0.85) -> str:
