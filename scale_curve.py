@@ -66,12 +66,14 @@ def main() -> None:
         lsh_candidate_pairs,
         minhash_signatures,
         shingle_table,
+        substring_dedup_strided,
         winnow_seed_table,
     )
     from gps_stream_processing_spark.operators.graph import (
         bfs_distances,
         hits,
         pagerank,
+        per_source_bfs,
         sssp_distances,
         triangle_count,
     )
@@ -264,6 +266,33 @@ def main() -> None:
                 .agg(F.count("*").alias("cnt_seg"))
                 .localCheckpoint(eager=True)
             ),
+            # r13 shapes (VERDICT r12 item 5): pivot-sampled harmonic
+            # centrality (multi-source BFS from a fixed ~0.1% customer
+            # pivot slice — per-round work is frontier x edges like
+            # bfs_3r, but per SOURCE, so the claim is ~linear in
+            # edges x pivots with pivots growing with the factor) and
+            # the strided substring dedup (10-word segment explode +
+            # per-segment distinct-doc count + per-doc keep ratio —
+            # expect ~linear in tokens; the claim is the stride keeps
+            # the explode at ~1/10 token density, never stride-1).
+            "harmonic_3r": lambda: (
+                lambda e: per_source_bfs(
+                    e,
+                    e.select(F.col("src").alias("id"))
+                    .distinct()
+                    .filter(F.col("id") % 997 == 1),
+                    n_rounds=3,
+                )
+                .filter(F.col("dist") > 0)
+                .groupBy("id")
+                .agg(F.count("*").alias("n_seeds_reached"))
+            )(
+                li.join(o, li.l_orderkey == o.o_orderkey).select(
+                    F.col("o_custkey").alias("src"),
+                    (F.col("l_suppkey") + 1_000_000_000).alias("dst"),
+                )
+            ),
+            "substr_strided": lambda: substring_dedup_strided(docs),
             "kll_sketch": lambda: li.groupBy("l_returnflag").agg(
                 F.expr("kll_sketch_get_quantile_double("
                        "kll_sketch_agg_double(l_extendedprice), 0.5)").alias("p50")
