@@ -706,3 +706,122 @@ def per_source_bfs(
         ).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "id",
+) -> DataFrame:
+    """Sampled-pivot BETWEENNESS centrality (Brandes 2001 restricted
+    to a pivot sample and a bounded hop horizon — the standard
+    estimator pairing: Brandes–Pich pivots for the O(nm) cost, a
+    k-bounded dependency walk for the diameter term). Returns
+    (``id``, ``betweenness``): the summed Brandes dependency
+    delta_s(v) over the sampled sources, v != s.
+
+    Forward pass: the :func:`per_source_bfs` frontier discipline with
+    an ALL-INTEGER shortest-path count riding along — sigma(v) at
+    depth r is the exact bigint sum of parent sigmas at depth r-1
+    (every shortest path enters through the previous BFS level, so
+    the per-level groupBy-sum IS the path count; no floats).
+    Backward pass: the dependency recurrence delta(v) = sum over
+    successors w of sigma_v/sigma_w * (1 + delta_w), unrolled from
+    the deepest level (delta = 0 there) back to depth 1 — one
+    edge-join + hash-agg per level, each level eagerly checkpointed
+    (the pagerank lineage discipline). The division is the only
+    float; the per-node sums follow the q_pagerank round-6 contract.
+
+    Cost per round: ONE (frontier x edges) shuffle-hash join forward,
+    one back — O(edges x pivots-reaching-them) inside the horizon,
+    never touching the full (source, node) cross space. Node-sized
+    sides broadcast under the shared gate."""
+    if n_rounds < 1:
+        raise ValueError("betweenness_sampled needs n_rounds >= 1")
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+        .hint("shuffle_hash")
+    )
+    f = seeds.select(
+        F.col(seed_col).alias("source"),
+        F.col(seed_col).alias("id"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    ).localCheckpoint(eager=True)
+    visited = f.select("source", "id")
+    levels = [f]  # levels[r] = nodes first reached at depth r, with sigma
+    for _ in range(n_rounds):
+        fr = F.broadcast(f) if _fits_broadcast(f.count()) else f
+        nxt = (
+            sym.join(fr, sym.s == fr.id)
+            .groupBy("source", F.col("d").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["source", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(
+            nxt.select("source", "id")
+        ).localCheckpoint(eager=True)
+        levels.append(nxt)
+        f = nxt
+    # Backward dependency accumulation, deepest level first.
+    delta = None  # depth-n_rounds nodes: delta = 0
+    bc_parts = []
+    for r in range(n_rounds, 0, -1):
+        hi = levels[r]
+        if delta is None:
+            hi = hi.select("source", "id", "sigma", F.lit(0.0).alias("delta"))
+        else:
+            hi = hi.join(delta, ["source", "id"], "left").select(
+                "source",
+                "id",
+                "sigma",
+                F.coalesce("delta", F.lit(0.0)).alias("delta"),
+            )
+        lo = levels[r - 1].select(
+            "source", F.col("id").alias("v"), F.col("sigma").alias("sv")
+        )
+        hi2 = hi.select(
+            F.col("source").alias("hsource"),
+            F.col("id").alias("w"),
+            F.col("sigma").alias("sw"),
+            "delta",
+        )
+        contrib = (
+            sym.join(lo, sym.s == lo.v)
+            .join(
+                hi2,
+                (F.col("source") == F.col("hsource"))
+                & (F.col("d") == F.col("w")),
+            )
+            .select(
+                "source",
+                F.col("v").alias("id"),
+                (
+                    F.col("sv").cast("double")
+                    / F.col("sw")
+                    * (F.lit(1.0) + F.col("delta"))
+                ).alias("t"),
+            )
+            .groupBy("source", "id")
+            .agg(F.sum("t").alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        delta = contrib
+        if r - 1 >= 1:
+            bc_parts.append(contrib)
+    if not bc_parts:  # horizon 1: every dependency is zero
+        return levels[1].groupBy("id").agg(
+            F.round(F.sum(F.lit(0.0)), 6).alias("betweenness")
+        )
+    out = bc_parts[0]
+    for p in bc_parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("id").agg(
+        F.round(F.sum("delta"), 6).alias("betweenness")
+    )

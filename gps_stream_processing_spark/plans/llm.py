@@ -3356,3 +3356,194 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     from gps_stream_processing_spark.operators.dedup import containment_pairs
 
     return containment_pairs(_shingles(spark, sf), threshold=0.9)
+
+
+def _unigram_oracle(n_rounds: int = 2, encode_tail: bool = False) -> str:
+    """Full DuckDB oracle for the unigram-LM tokenizer trainer
+    (operators/unigram.py): seed counts, then each hard-EM round's
+    Viterbi pass UNROLLED — per-position DP levels b{r}_{i} (8 of
+    them, pieces capped at 4 chars) and the 8-step back-pointer walk
+    — as materialized CTEs (the _bpe_oracle/q_kmeans discipline).
+    The DP recurrence, its ln arguments, and the candidate addition
+    order are IDENTICAL to the Spark column algebra, so the float
+    scores and every argmax tie-break agree bit-for-bit; all counts
+    are exact BIGINTs. ``encode_tail`` appends one more Viterbi pass
+    under the final vocabulary plus the per-doc fertility join."""
+    W, P, K = 8, 4, 200
+    sql = [f"""
+    WITH w AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+      ) WHERE regexp_matches(word, '^[a-z0-9]{{1,{W}}}$')
+      GROUP BY word
+    ),
+    subs AS MATERIALIZED (
+      SELECT substr(w.word, i.i, l.l) AS s, CAST(SUM(w.f) AS BIGINT) AS c
+      FROM w,
+           UNNEST(generate_series(1, len(w.word))) AS i(i),
+           UNNEST(generate_series(1, {P})) AS l(l)
+      WHERE i.i + l.l - 1 <= len(w.word)
+      GROUP BY 1
+    ),
+    v0 AS MATERIALIZED (
+      SELECT s, c FROM subs WHERE len(s) = 1
+      UNION ALL
+      SELECT s, c FROM (
+        SELECT s, c FROM subs WHERE len(s) > 1
+        ORDER BY c DESC, s LIMIT {K})
+    )"""]
+    n_passes = n_rounds + (1 if encode_tail else 0)
+    for r in range(n_passes):
+        sql.append(f""",
+    t{r} AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM v{r}),
+    cp{r} AS MATERIALIZED (
+      SELECT w.word, i.i + l.l - 1 AS e, l.l AS l,
+             ln(CAST(v.c AS DOUBLE) / t.tt) AS lnp
+      FROM w,
+           UNNEST(generate_series(1, len(w.word))) AS i(i),
+           UNNEST(generate_series(1, {P})) AS l(l), v{r} v, t{r} t
+      WHERE i.i + l.l - 1 <= len(w.word)
+        AND v.s = substr(w.word, i.i, l.l)
+    ),
+    cv{r} AS MATERIALIZED (
+      SELECT word, e,
+             {", ".join(f"MAX(CASE WHEN l = {x} THEN lnp END) AS l{x}"
+                        for x in range(1, P + 1))}
+      FROM cp{r} GROUP BY word, e
+    )""")
+        for i in range(1, W + 1):
+            joins = [f"LEFT JOIN cv{r} cv ON cv.word = w.word AND cv.e = {i}"]
+            cands = []  # (j, sql_expr) ascending j
+            for j in range(max(0, i - P), i):
+                piece_len = i - j
+                if j == 0:
+                    prev = "0.0"
+                else:
+                    joins.append(
+                        f"LEFT JOIN b{r}_{j} p{j} ON p{j}.word = w.word"
+                    )
+                    prev = f"p{j}.s"
+                cands.append(
+                    (j, f"COALESCE({prev} + cv.l{piece_len}, -1e18)")
+                )
+            best = (
+                cands[0][1]
+                if len(cands) == 1
+                else "GREATEST(" + ", ".join(c for _, c in cands) + ")"
+            )
+            jcase = (
+                "CASE "
+                + " ".join(
+                    f"WHEN {c} = {best} THEN {j}" for j, c in cands
+                )
+                + " END"
+            )
+            sql.append(f""",
+    b{r}_{i} AS MATERIALIZED (
+      SELECT w.word, {best} AS s, {jcase} AS j
+      FROM w {" ".join(joins)}
+    )""")
+        jall = " UNION ALL ".join(
+            f"SELECT word, {i} AS i, j FROM b{r}_{i}"
+            for i in range(1, W + 1)
+        )
+        sql.append(f""",
+    jall{r} AS MATERIALIZED ({jall}),
+    k{r}_0 AS (SELECT word, len(word) AS p FROM w)""")
+        for t in range(1, W + 1):
+            sql.append(f""",
+    k{r}_{t} AS MATERIALIZED (
+      SELECT k.word, j.j AS p, substr(k.word, j.j + 1, k.p - j.j) AS piece
+      FROM k{r}_{t - 1} k JOIN jall{r} j ON j.word = k.word AND j.i = k.p
+      WHERE k.p > 0
+    )""")
+        pieces = " UNION ALL ".join(
+            f"SELECT word, piece FROM k{r}_{t}" for t in range(1, W + 1)
+        )
+        sql.append(f""",
+    pieces{r} AS MATERIALIZED ({pieces})""")
+        if r < n_rounds:  # M-step (the encode pass keeps the vocab fixed)
+            sql.append(f""",
+    nc{r} AS (
+      SELECT p.piece AS s, CAST(SUM(w.f) AS BIGINT) AS c
+      FROM pieces{r} p JOIN w ON w.word = p.word GROUP BY 1
+    ),
+    v{r + 1} AS MATERIALIZED (
+      SELECT v.s,
+             CAST(CASE WHEN len(v.s) = 1
+                  THEN GREATEST(COALESCE(n.c, 0), 1)
+                  ELSE n.c END AS BIGINT) AS c
+      FROM v{r} v LEFT JOIN nc{r} n ON n.s = v.s
+      WHERE len(v.s) = 1 OR COALESCE(n.c, 0) > 0
+    )""")
+    if encode_tail:
+        sql.append(f"""
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(k.k) AS BIGINT) AS n_unigram_tokens,
+           ROUND(CAST(SUM(k.k) AS DOUBLE) / COUNT(*), 6)
+             AS tokens_per_word
+    FROM (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+      ) WHERE regexp_matches(word, '^[a-z0-9]{{1,{W}}}$')
+    ) d
+    JOIN (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS k
+      FROM pieces{n_rounds} GROUP BY word
+    ) k ON k.word = d.word
+    GROUP BY 1
+    """)
+    else:
+        sql.append(f"""
+    SELECT s AS piece, c AS cnt,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v{n_rounds}) AS vocab_size
+    FROM v{n_rounds} ORDER BY c DESC, s LIMIT 30
+    """)
+    return "".join(sql)
+
+
+@register(
+    "q_unigram_train",
+    oracle=_unigram_oracle(2),
+    doc="UNIGRAM-LM (SentencePiece-style) tokenizer TRAINING (Kudo "
+    "2018; SURVEY §2.9 — the probabilistic sibling of q_bpe_train): "
+    "substring seed vocabulary (top-200 multi-char by exact count + "
+    "all single chars), then 2 hard-EM rounds — Viterbi segmentation "
+    "of every distinct word under p(s)=count/total, exact integer "
+    "usage-count M-steps, single-char coverage floor. The Viterbi DP "
+    "is UNROLLED column algebra (words capped 8 chars, pieces 4) "
+    "identical in Spark and the oracle, so argmax tie-breaks agree "
+    "bit-for-bit; ties prefer the longest last piece "
+    "(operators/unigram.py). Emits the top-30 final vocabulary with "
+    "exact counts. At 100 TB every round runs over the |distinct "
+    "words| table — the corpus is scanned once.",
+)
+def q_unigram_train(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.unigram import unigram_train
+
+    return unigram_train(table(spark, sf, "documents"), n_rounds=2)
+
+
+@register(
+    "q_unigram_encode",
+    oracle=_unigram_oracle(2, encode_tail=True),
+    doc="UNIGRAM-LM TOKENIZATION with the trained model (SURVEY §2.9 "
+    "— the application side of q_unigram_train, completing "
+    "train→encode like the BPE pair): one more Viterbi pass under "
+    "the final vocabulary segments every distinct word; per-doc "
+    "word count, unigram token count, and tokens-per-word (the "
+    "fertility metric) come from joining the corpus words against "
+    "the |vocab|-sized (word → piece-count) table — one corpus scan "
+    "+ a broadcast join, no per-document DP. Oracle: the same "
+    "unrolled EM + encode-pass CTEs with the fertility join as the "
+    "tail.",
+)
+def q_unigram_encode(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.unigram import (
+        unigram_encode_stats,
+    )
+
+    return unigram_encode_stats(table(spark, sf, "documents"), n_rounds=2)

@@ -326,3 +326,141 @@ def test_sssp_hand_graph_weighted_paths(spark):
         for r in sssp_distances(edges, seeds, n_rounds=8).collect()
     }
     assert more == got
+
+
+def _collect_graph(spark):
+    from gps_stream_processing_spark.plans.graph_queries import (
+        landed_customer_supplier_edges,
+    )
+
+    edges = landed_customer_supplier_edges(
+        spark, "/root/testdata/sf0.001"
+    ).collect()  # sf0.001 graph: hundreds of edges
+    adj: dict[int, set[int]] = {}
+    for r in edges:
+        adj.setdefault(r["src"], set()).add(r["dst"])
+        adj.setdefault(r["dst"], set()).add(r["src"])
+    return adj
+
+
+def _brandes(adj, sources, horizon=None):
+    """Reference Brandes dependency accumulation (pure Python)."""
+    from collections import deque
+
+    bc = {v: 0.0 for v in adj}
+    for s in sources:
+        if s not in adj:
+            continue
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = []
+        preds: dict[int, list[int]] = {s: []}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            if horizon is not None and dist[v] >= horizon:
+                continue
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0
+                    preds[w] = []
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_matches_exact_bounded_replica(spark):
+    """betweenness_sampled == pure-Python bounded-horizon Brandes with
+    the same pivots, to 1e-6 — the operator's distributed forward
+    sigma counts and backward dependency sums are EXACT, not
+    approximate, for the sampled sources."""
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.operators.graph import (
+        betweenness_sampled,
+    )
+    from gps_stream_processing_spark.plans.graph_queries import (
+        landed_customer_supplier_edges,
+    )
+
+    e = landed_customer_supplier_edges(spark, "/root/testdata/sf0.001")
+    seeds = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .filter(F.col("id") % 7 == 1)
+    )
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_sampled(e, seeds, n_rounds=3).collect()
+    }
+    adj = _collect_graph(spark)
+    srcs = [r["id"] for r in seeds.collect()]
+    want = _brandes(adj, srcs, horizon=3)
+    for v, b in want.items():
+        assert abs(got.get(v, 0.0) - b) < 1e-6, (v, got.get(v), b)
+    extra = set(got) - set(want)
+    assert not extra
+
+
+def test_betweenness_rank_correlates_with_exact(spark):
+    """Rank agreement vs EXACT all-pairs unbounded Brandes: the
+    sampled-pivot 3-hop estimate must order nodes consistently with
+    the true betweenness (Spearman rho pinned well above chance on
+    the sf0.001 graph with a ~14% pivot sample)."""
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.operators.graph import (
+        betweenness_sampled,
+    )
+    from gps_stream_processing_spark.plans.graph_queries import (
+        landed_customer_supplier_edges,
+    )
+
+    e = landed_customer_supplier_edges(spark, "/root/testdata/sf0.001")
+    seeds = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .filter(F.col("id") % 7 == 1)
+    )
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_sampled(e, seeds, n_rounds=3).collect()
+    }
+    adj = _collect_graph(spark)
+    exact = _brandes(adj, sorted(adj))  # all sources, unbounded
+    common = sorted(set(exact) & set(adj))
+    est = [got.get(v, 0.0) for v in common]
+    tru = [exact[v] for v in common]
+
+    def _ranks(xs):
+        order = sorted(range(len(xs)), key=lambda i: xs[i])
+        rk = [0.0] * len(xs)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and xs[order[j + 1]] == xs[order[i]]:
+                j += 1
+            mid = (i + j) / 2.0
+            for k in range(i, j + 1):
+                rk[order[k]] = mid
+            i = j + 1
+        return rk
+
+    ra, rb = _ranks(est), _ranks(tru)
+    n = len(ra)
+    ma, mb = sum(ra) / n, sum(rb) / n
+    cov = sum((a - ma) * (b - mb) for a, b in zip(ra, rb))
+    va = sum((a - ma) ** 2 for a in ra)
+    vb = sum((b - mb) ** 2 for b in rb)
+    rho = cov / (va * vb) ** 0.5
+    assert rho > 0.55, rho
