@@ -7385,3 +7385,322 @@ def q_identifier_clause(spark: SparkSession, sf: str) -> DataFrame:
         """,
         args={"measure": "o_totalprice", "tbl": "orders"},
     )
+
+
+@register(
+    "q_bootstrap_ci",
+    # One-pass POISSON BOOTSTRAP with fully deterministic resampling:
+    # the per-(event, replica) weight is the inverse-CDF of Poisson(1)
+    # applied to an md5-derived uniform (conv(md5-prefix,16,10)/2^32 —
+    # bit-identical both engines), with the CDF thresholds spelled as
+    # identical double literals, so every weight is the SAME integer
+    # in Spark and DuckDB. Replica sums are exact bigints (cents x
+    # weights); the 32 replica means are exact-integer ratios; the CI
+    # picks ranks 2 and 31 of the (mean, replica) total order — no
+    # randomness, no float accumulation, full value oracle.
+    oracle="""
+    WITH r AS (
+      SELECT e.event_id, CAST(round(e.value * 100) AS BIGINT) AS c, t.r,
+             CAST(CONCAT('0x', substring(
+               md5(CONCAT(CAST(e.event_id AS VARCHAR), ':',
+                          CAST(t.r AS VARCHAR))), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM events e, UNNEST(generate_series(1, 32)) AS t(r)
+    ), w AS (
+      SELECT r, c,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428846 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  ELSE 6 END AS wt
+      FROM r
+    ), reps AS (
+      SELECT r, CAST(SUM(wt * c) AS BIGINT) AS s,
+             CAST(SUM(wt) AS BIGINT) AS n
+      FROM w GROUP BY r
+    ), ranked AS (
+      SELECT CAST(s AS DOUBLE) / n AS m,
+             row_number() OVER (ORDER BY CAST(s AS DOUBLE) / n, r) AS rn
+      FROM reps
+    ), base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tot
+      FROM events
+    )
+    SELECT b.n_events,
+           ROUND(CAST(b.tot AS DOUBLE) / b.n_events / 100.0, 6)
+             AS mean_value,
+           ROUND((SELECT m FROM ranked WHERE rn = 2) / 100.0, 6) AS ci_lo,
+           ROUND((SELECT m FROM ranked WHERE rn = 31) / 100.0, 6) AS ci_hi
+    FROM base b
+    """,
+    doc="Poisson-bootstrap confidence interval for the mean event "
+    "value (SURVEY §2.4 ext — the uncertainty primitive every "
+    "metric/experiment pipeline needs at 100 TB, where classic "
+    "resampling is impossible but the ONE-PASS Poisson bootstrap "
+    "(Chamandy et al. 2012) is exactly a weighted aggregate: each "
+    "row joins every replica with an independent Poisson(1) weight, "
+    "computed here DETERMINISTICALLY from an md5-derived uniform "
+    "through the inverse CDF — reproducible across engines, runs, "
+    "and partitionings, unlike rand()-based resampling). Replica "
+    "sums are exact integers; the percentile CI is a rank pick over "
+    "the 32 replica means. The 32x row expansion is map-side only "
+    "(explode + hash-agg with partial aggregation) — no shuffle "
+    "grows with the replica count.",
+)
+def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select(
+        "event_id", F.expr("cast(round(value * 100) as bigint)").alias("c")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("event_id").cast("string"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    # Poisson(1) inverse CDF, thresholds as shared double literals
+    wt = (
+        F.when(F.col("u") < 0.36787944117144233, 0)
+        .when(F.col("u") < 0.7357588823428846, 1)
+        .when(F.col("u") < 0.9196986029286058, 2)
+        .when(F.col("u") < 0.9810118431238462, 3)
+        .when(F.col("u") < 0.9963401531726563, 4)
+        .when(F.col("u") < 0.9994058151824183, 5)
+        .otherwise(6)
+    )
+    reps = (
+        ev.select("event_id", "c", F.explode(F.sequence(F.lit(1), F.lit(32))).alias("r"))
+        .withColumn("u", u)
+        .withColumn("wt", wt)
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("wt") * F.col("c")).cast("bigint").alias("s"),
+            F.sum("wt").cast("bigint").alias("n"),
+        )
+    )
+    ranked = reps.select(
+        (F.col("s").cast("double") / F.col("n")).alias("m"),
+        "r",
+    ).select(
+        "m",
+        F.row_number()
+        .over(W.orderBy("m", "r"))  # 32 rows — replica-sized window
+        .alias("rn"),
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(F.col("m").alias("lo"))
+    hi = ranked.filter(F.col("rn") == 31).select(F.col("m").alias("hi"))
+    base = table(spark, sf, "events").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.expr("cast(round(value * 100) as bigint)"))
+        .cast("bigint")
+        .alias("tot"),
+    )
+    return (
+        base.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_events",
+            F.round(
+                F.col("tot").cast("double") / F.col("n_events") / 100.0, 6
+            ).alias("mean_value"),
+            F.round(F.col("lo") / 100.0, 6).alias("ci_lo"),
+            F.round(F.col("hi") / 100.0, 6).alias("ci_hi"),
+        )
+    )
+
+
+@register(
+    "q_kendall_tau",
+    # Kendall's tau-b between daily event count and daily revenue:
+    # the fact collapses to a |days|-row aggregate (the q_autocorr
+    # posture), every pair of days is classified
+    # concordant/discordant/tied with EXACT integer comparisons
+    # (counts and cents), and tau-b's normalization is the only
+    # double — identical parenthesization, NULLIF-guarded, 6 dp.
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), p AS (
+      SELECT CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+             CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT)
+               AS tx,
+             CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT)
+               AS ty,
+             CAST(COUNT(*) AS BIGINT) AS n0
+      FROM d a JOIN d b ON a.day < b.day
+    )
+    SELECT n0 AS n_pairs, c AS concordant, dd AS discordant,
+           ROUND((c - dd) / NULLIF(sqrt(CAST(n0 - tx AS DOUBLE)
+                                        * CAST(n0 - ty AS DOUBLE)), 0.0),
+                 6) AS tau_b
+    FROM p
+    """,
+    doc="Kendall rank correlation (tau-b) between daily event volume "
+    "and daily revenue (SURVEY §2.4 ext — the third rank-correlation "
+    "primitive beside q_spearman_corr and q_mannwhitney: robust "
+    "monotone-association with explicit tie correction, the "
+    "trend-agreement statistic metric pipelines report when Pearson "
+    "is distorted by outliers). The fact table collapses to a "
+    "|days|-row daily aggregate in one scan; the day-pair "
+    "classification is a day-grid self-join (aggregate-sized, the "
+    "q_autocorr lag posture) with all-integer concordance counts; "
+    "tau-b's sqrt normalization is the only float. At 100 TB the "
+    "day grid stays O(days) regardless of row count.",
+)
+def q_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
+    d = (
+        table(spark, sf, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("x"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)"))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .localCheckpoint(eager=True)  # day-grid, two join consumers
+    )
+    a = d.select(
+        F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = d.select(
+        F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    sgn = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    p = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("bigint").alias("c"),
+            F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("bigint").alias("dd"),
+            F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tx"),
+            F.sum(F.when(F.col("ya") == F.col("yb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ty"),
+            F.count("*").cast("bigint").alias("n0"),
+        )
+    )
+    return p.select(
+        F.col("n0").alias("n_pairs"),
+        F.col("c").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        F.round(
+            (F.col("c") - F.col("dd"))
+            / F.nullif(
+                F.sqrt(
+                    (F.col("n0") - F.col("tx")).cast("double")
+                    * (F.col("n0") - F.col("ty")).cast("double")
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@register(
+    "q_roc_auc",
+    # ROC-AUC with the exact midrank tie treatment: the score
+    # (embedding L2 energy) folds in the SAME sequential element
+    # order both engines (Spark aggregate ≡ DuckDB list_sum — the
+    # kmeans-oracle evidence), per-score counts are exact integers,
+    # and AUC = (2·Rpos − 2·np(np+1)/2) / (2·np·nn) comes from the
+    # all-integer doubled rank-sum Σ cp·(2·cum − c + 1) in
+    # HUGEINT/decimal — only the final ratio is a double, 6 dp.
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos,
+             list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS score
+      FROM embeddings
+    ), pv AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(pos) AS BIGINT) AS cp
+      FROM s GROUP BY score
+    ), cum AS (
+      SELECT score, c, cp,
+             CAST(SUM(c) OVER (ORDER BY score) AS BIGINT) AS cc
+      FROM pv
+    ), agg AS (
+      SELECT CAST(SUM(CAST(cp AS HUGEINT) * (2 * cc - c + 1)) AS HUGEINT)
+               AS r2,
+             CAST(SUM(cp) AS BIGINT) AS np,
+             CAST(SUM(c - cp) AS BIGINT) AS nn
+      FROM cum
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           ROUND((CAST(r2 AS DOUBLE) - CAST(np AS DOUBLE) * (np + 1))
+                 / NULLIF(2.0 * np * nn, 0.0), 6) AS auc
+    FROM agg
+    """,
+    doc="ROC-AUC of a score against a binary label (SURVEY §2.9 ext "
+    "— the model-evaluation primitive every training pipeline runs "
+    "on its quality/classifier scores; here the embedding L2 energy "
+    "scored against the odd/even class of the labeled vectors). "
+    "Exact midrank tie handling via the doubled rank-sum identity "
+    "(the q_mannwhitney machinery re-aimed at ranking evaluation): "
+    "one scan to per-SCORE counts, one cumulative window over the "
+    "score domain, all-integer rank sums in DECIMAL/HUGEINT. AUC "
+    "equals the Mann-Whitney U statistic normalized — computed here "
+    "without sampling, exact at any scale, value-domain-bounded.",
+)
+def q_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    s = table(spark, sf, "embeddings").select(
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("pos"),
+        F.expr(
+            "aggregate(transform(embedding, x -> cast(x as double) "
+            "* cast(x as double)), 0.0D, (acc, y) -> acc + y)"
+        ).alias("score"),
+    )
+    pv = s.groupBy("score").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("pos").cast("bigint").alias("cp"),
+    )
+    cum = pv.select(
+        "c",
+        "cp",
+        F.sum("c").over(Window.orderBy("score")).cast("bigint").alias("cc"),
+    )
+    agg = cum.agg(
+        F.sum(d19(F.col("cp")) * d19(2 * F.col("cc") - F.col("c") + 1))
+        .alias("r2"),
+        F.sum("cp").cast("bigint").alias("np"),
+        F.sum(F.col("c") - F.col("cp")).cast("bigint").alias("nn"),
+    )
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(
+            (
+                F.col("r2").cast("double")
+                - F.col("np").cast("double") * (F.col("np") + 1)
+            )
+            / F.nullif(
+                F.lit(2.0) * F.col("np") * F.col("nn"), F.lit(0.0)
+            ),
+            6,
+        ).alias("auc"),
+    )

@@ -464,3 +464,41 @@ def test_betweenness_rank_correlates_with_exact(spark):
     vb = sum((b - mb) ** 2 for b in rb)
     rho = cov / (va * vb) ** 0.5
     assert rho > 0.55, rho
+
+
+def test_link_common_neighbors_matches_python_replica(spark):
+    """q_link_common_neighbors == a pure-Python wedge count + anti-set
+    over the collected sf0.001 edge list."""
+    from itertools import combinations
+
+    from gps_stream_processing_spark.plans import REGISTRY
+
+    got = [
+        (r["part_a"], r["part_b"], r["common_neighbors"])
+        for r in REGISTRY["q_link_common_neighbors"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    ]
+    from gps_stream_processing_spark.plans.graph_queries import (
+        landed_copurchase_edges,
+    )
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in landed_copurchase_edges(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    cn: dict[tuple[int, int], int] = {}
+    for v, ns in adj.items():
+        for x, z in combinations(sorted(ns), 2):
+            cn[(x, z)] = cn.get((x, z), 0) + 1
+    open_pairs = [
+        (x, z, c) for (x, z), c in cn.items() if (x, z) not in edges
+    ]
+    open_pairs.sort(key=lambda t: (-t[2], t[0], t[1]))
+    assert got == open_pairs[:20]

@@ -82,6 +82,12 @@ NESTED_LOOP_ALLOWED = {
     "q_theil_sen": "all-pairs slope join over the |days|-row DAY "
     "GRID (rn_b > rn_a is inherently a θ-join) — the calendar "
     "bounds the quadratic to aggregate-sized rows; never the fact",
+    "q_kendall_tau": "all-pairs concordance join over the |days|-row "
+    "DAY GRID (da < db is inherently a θ-join) — the q_theil_sen "
+    "shape; the calendar bounds the quadratic, never the fact",
+    "q_bootstrap_ci": "two 1-row broadcast rank-pick scalars (ci_lo/"
+    "ci_hi) crossed onto the 1-row base aggregate (the q_funnel "
+    "shape); every input is aggregate-sized",
     "q_max_concurrency": "1-row broadcast peak/count scalars crossed "
     "onto each other for the single output row (the q_funnel "
     "shape); every input is session-boundary-aggregate-sized",

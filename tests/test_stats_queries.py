@@ -638,3 +638,96 @@ def test_knee_lorenz_is_max_chord_distance(spark):
     assert abs(got.mass_share - cum[knee - 1] / tot) <= 1e-6
     # the knee lies strictly inside the curve on any non-degenerate data
     assert 0 < got.user_share < 1
+
+
+def test_bootstrap_ci_brackets_mean_and_matches_width(spark):
+    """q_bootstrap_ci: the CI brackets the point estimate and its
+    width is within a loose factor of the analytic 2x1.96 sigma/sqrt(n)
+    band (the percentile bootstrap converges to it for a mean)."""
+    import math
+
+    from gps_stream_processing_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    row = REGISTRY["q_bootstrap_ci"].fn(spark, sf).first()
+    assert row["ci_lo"] < row["mean_value"] < row["ci_hi"]
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("value")
+    import pyspark.sql.functions as F
+
+    st = ev.agg(
+        F.stddev_samp("value").alias("s"), F.count("*").alias("n")
+    ).first()
+    se = st["s"] / math.sqrt(st["n"])
+    width = row["ci_hi"] - row["ci_lo"]
+    # rank-2/31 of 32 replicas ~ a 93.75% band ~ 2x1.86 se
+    assert 0.4 * 2 * 1.86 * se < width < 2.5 * 2 * 1.86 * se, (width, se)
+
+
+def test_kendall_tau_matches_python_replica(spark):
+    """q_kendall_tau == the O(n^2) pure-Python tau-b on the collected
+    day table."""
+    from gps_stream_processing_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    row = REGISTRY["q_kendall_tau"].fn(spark, sf).first()
+    import pyspark.sql.functions as F
+
+    days = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.count("*").alias("x"),
+            F.sum(F.expr("cast(round(value*100) as bigint)")).alias("y"),
+        )
+        .collect()  # day-grid sized
+    )
+    pts = [(r["x"], r["y"]) for r in days]
+    c = d = tx = ty = n0 = 0
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            n0 += 1
+            s = (pts[i][0] - pts[j][0]) * (pts[i][1] - pts[j][1])
+            c += s > 0
+            d += s < 0
+            tx += pts[i][0] == pts[j][0]
+            ty += pts[i][1] == pts[j][1]
+    import math
+
+    tau = (c - d) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert row["n_pairs"] == n0
+    assert row["concordant"] == c and row["discordant"] == d
+    assert abs(row["tau_b"] - tau) < 1e-6
+
+
+def test_roc_auc_matches_python_replica(spark):
+    """q_roc_auc == the direct pairwise AUC (ties at half credit) on
+    the collected score/label pairs."""
+    from gps_stream_processing_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    row = REGISTRY["q_roc_auc"].fn(spark, sf).first()
+    import pyspark.sql.functions as F
+
+    rows = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .select(
+            (F.col("label") % 2 == 1).alias("pos"),
+            F.expr(
+                "aggregate(transform(embedding, x -> cast(x as double)"
+                " * cast(x as double)), 0.0D, (acc, y) -> acc + y)"
+            ).alias("s"),
+        )
+        .collect()  # sf0.001 embeddings — test-sized
+    )
+    pos = sorted(r["s"] for r in rows if r["pos"])
+    neg = sorted(r["s"] for r in rows if not r["pos"])
+    import bisect
+
+    wins = 0.0
+    for p in pos:
+        lt = bisect.bisect_left(neg, p)
+        eq = bisect.bisect_right(neg, p) - lt
+        wins += lt + 0.5 * eq
+    auc = wins / (len(pos) * len(neg))
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert abs(row["auc"] - auc) < 1e-6
