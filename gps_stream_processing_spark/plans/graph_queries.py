@@ -834,9 +834,11 @@ def q_betweenness_sampled(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_link_common_neighbors",
-    # Common-neighbor link prediction on the co-purchase graph: the
-    # top-20 NON-adjacent part pairs by shared-neighbor count. Counts
-    # are exact integers; (cnt DESC, x, z) is a unique total order.
+    # Per-entity common-neighbor link prediction: for each of the 20
+    # highest-degree parts (ties by id), the best NON-adjacent partner
+    # by shared-neighbor count (ties by partner id). All counts exact
+    # integers; (degree DESC, id) and (cnt DESC, z) are unique total
+    # orders, so the 20 output rows are fully deterministic.
     oracle="""
     WITH e AS (
       SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS a,
@@ -845,61 +847,78 @@ def q_betweenness_sampled(spark: SparkSession, sf: str) -> DataFrame:
       WHERE a.l_partkey <> b.l_partkey
     ), sym AS (
       SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e
+    ), q AS (
+      SELECT s AS qid, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM sym GROUP BY s ORDER BY COUNT(*) DESC, s LIMIT 20
     ), w AS (
-      SELECT s1.d AS x, s2.d AS z
-      FROM sym s1 JOIN sym s2 ON s1.s = s2.s AND s1.d < s2.d
+      SELECT q.qid, q.degree, s2.d AS z
+      FROM q JOIN sym s1 ON s1.s = q.qid
+             JOIN sym s2 ON s2.s = s1.d
+      WHERE s2.d <> q.qid
     ), cn AS (
-      SELECT x, z, CAST(COUNT(*) AS BIGINT) AS common_neighbors
-      FROM w GROUP BY x, z
+      SELECT qid, degree, z, CAST(COUNT(*) AS BIGINT) AS c
+      FROM w GROUP BY 1, 2, 3
+    ), open_pairs AS (
+      SELECT * FROM cn
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e
+        WHERE e.a = LEAST(cn.qid, cn.z) AND e.b = GREATEST(cn.qid, cn.z))
+    ), best AS (
+      SELECT qid, degree, z, c,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, z) AS rn
+      FROM open_pairs
     )
-    SELECT x AS part_a, z AS part_b, common_neighbors
-    FROM cn
-    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cn.x AND e.b = cn.z)
-    ORDER BY common_neighbors DESC, x, z LIMIT 20
+    SELECT qid AS part, degree, z AS predicted,
+           c AS common_neighbors
+    FROM best WHERE rn = 1 ORDER BY part
     """,
-    doc="Link prediction by common-neighbor count (SURVEY §2.7b ext "
-    "— the classic 'which edges are missing' primitive behind "
-    "recommendation and graph-completion pipelines: two parts never "
-    "co-purchased but sharing many co-purchase partners are the "
-    "likeliest next edge). Spark-first: wedge pairs fall out of the "
-    "SORTED adjacency arrays the triangle operator already builds — "
-    "per-node in-array pair expansion (JVM transform/flatten, no "
-    "self-join shuffle), one hash-agg, one anti-join against the "
-    "edge list, TakeOrdered top-20. The in-array expansion is "
-    "O(Σ deg²) like any wedge enumeration — on skewed graphs the "
-    "q_triangle_count degree-orientation cap applies (hub arrays "
-    "bounded at O(√m)); the co-purchase fixture is near-regular "
-    "(max deg < 2·avg at every SF).",
+    doc="Per-entity common-neighbor LINK PREDICTION (SURVEY §2.7b "
+    "ext — the 'which edge is missing' primitive behind "
+    "recommendation/graph-completion: for each query part, the "
+    "non-co-purchased part sharing the most co-purchase partners is "
+    "the likeliest next edge). Query set = the 20 highest-degree "
+    "parts; per query the two-hop expansion costs O(deg²) — the "
+    "per-entity recommendation shape that scales to 100 TB, unlike "
+    "the all-pairs A² wedge count (measured 148M wedge units on "
+    "this near-regular avg-deg-120 graph at sf0.1 — 80 s of pure "
+    "wedge shuffle; the per-query form is ~300k units, sub-second). "
+    "Two hash-join hops from the query set + one hash-agg + an "
+    "anti-join against the edge list + a per-query min_by argmax.",
 )
 def q_link_common_neighbors(spark: SparkSession, sf: str) -> DataFrame:
     e = landed_copurchase_edges(spark, sf)
-    sym = e.select(F.col("src").alias("v"), F.col("dst").alias("n")).unionByName(
-        e.select(F.col("dst").alias("v"), F.col("src").alias("n"))
+    sym = e.select(F.col("src").alias("s"), F.col("dst").alias("d")).unionByName(
+        e.select(F.col("dst").alias("s"), F.col("src").alias("d"))
+    ).localCheckpoint(eager=True)
+    q = (
+        sym.groupBy(F.col("s").alias("qid"))
+        .agg(F.count("*").cast("bigint").alias("degree"))
+        .orderBy(F.desc("degree"), "qid")
+        .limit(20)
     )
-    adj = sym.groupBy("v").agg(F.sort_array(F.collect_list("n")).alias("ns"))
-    pairs = F.expr(
-        "CASE WHEN size(ns) >= 2 THEN flatten(transform("
-        "sequence(1, size(ns) - 1), i -> transform("
-        "sequence(i + 1, size(ns)), j -> struct("
-        "element_at(ns, i) AS x, element_at(ns, j) AS z))))"
-        " ELSE array() END"
-    )
+    s1 = sym.select(F.col("s").alias("qid"), F.col("d").alias("v"))
+    s2 = sym.select(F.col("s").alias("v"), F.col("d").alias("z"))
     cn = (
-        adj.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.x").alias("x"), F.col("p.z").alias("z"))
-        .agg(F.count("*").cast("bigint").alias("common_neighbors"))
+        F.broadcast(q)
+        .join(s1, "qid")
+        .join(s2, "v")
+        .filter(F.col("z") != F.col("qid"))
+        .groupBy("qid", "degree", "z")
+        .agg(F.count("*").cast("bigint").alias("c"))
     )
     open_pairs = cn.join(
         e,
-        (cn.x == e.src) & (cn.z == e.dst),
+        (F.least("qid", "z") == e.src) & (F.greatest("qid", "z") == e.dst),
         "left_anti",
     )
-    return (
-        open_pairs.orderBy(F.desc("common_neighbors"), "x", "z")
-        .limit(20)
-        .select(
-            F.col("x").alias("part_a"),
-            F.col("z").alias("part_b"),
-            "common_neighbors",
+    best = open_pairs.groupBy("qid", "degree").agg(
+        F.min_by(F.struct("z", "c"), F.struct(-F.col("c"), F.col("z"))).alias(
+            "b"
         )
+    )
+    return best.orderBy("qid").select(
+        F.col("qid").alias("part"),
+        "degree",
+        F.col("b.z").alias("predicted"),
+        F.col("b.c").alias("common_neighbors"),
     )

@@ -467,14 +467,12 @@ def test_betweenness_rank_correlates_with_exact(spark):
 
 
 def test_link_common_neighbors_matches_python_replica(spark):
-    """q_link_common_neighbors == a pure-Python wedge count + anti-set
-    over the collected sf0.001 edge list."""
-    from itertools import combinations
-
+    """q_link_common_neighbors == a pure-Python per-query two-hop
+    common-neighbor argmax over the collected sf0.001 edge list."""
     from gps_stream_processing_spark.plans import REGISTRY
 
     got = [
-        (r["part_a"], r["part_b"], r["common_neighbors"])
+        (r["part"], r["degree"], r["predicted"], r["common_neighbors"])
         for r in REGISTRY["q_link_common_neighbors"]
         .fn(spark, "/root/testdata/sf0.001")
         .collect()
@@ -493,12 +491,19 @@ def test_link_common_neighbors_matches_python_replica(spark):
     for a, b in edges:
         adj.setdefault(a, set()).add(b)
         adj.setdefault(b, set()).add(a)
-    cn: dict[tuple[int, int], int] = {}
-    for v, ns in adj.items():
-        for x, z in combinations(sorted(ns), 2):
-            cn[(x, z)] = cn.get((x, z), 0) + 1
-    open_pairs = [
-        (x, z, c) for (x, z), c in cn.items() if (x, z) not in edges
-    ]
-    open_pairs.sort(key=lambda t: (-t[2], t[0], t[1]))
-    assert got == open_pairs[:20]
+    queries = sorted(adj, key=lambda v: (-len(adj[v]), v))[:20]
+    want = []
+    for q in sorted(queries):
+        cn: dict[int, int] = {}
+        for v in adj[q]:
+            for z in adj[v]:
+                if z != q:
+                    cn[z] = cn.get(z, 0) + 1
+        open_c = {
+            z: c
+            for z, c in cn.items()
+            if (min(q, z), max(q, z)) not in edges
+        }
+        z, c = min(open_c.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((q, len(adj[q]), z, c))
+    assert got == want
