@@ -7704,3 +7704,389 @@ def q_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@register(
+    "q_regression_multi",
+    # Multi-feature OLS by exact normal equations: all nine moment
+    # sums (n, Σx1, Σx2, Σx1², Σx2², Σx1x2, Σy, Σx1y, Σx2y, Σy²) are
+    # exact integers (hour/dow features, cent values, DECIMAL/HUGEINT
+    # products cast-before-multiply); the 3×3 Cramer solve and R² run
+    # in double with identical parenthesization, NULLIF-guarded, 6 dp.
+    oracle="""
+    WITH e AS (
+      SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x1,
+             CAST(EXTRACT(dow FROM ts) AS BIGINT) AS x2,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS HUGEINT) AS s1,
+             CAST(SUM(x2) AS HUGEINT) AS s2,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+             CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+             CAST(SUM(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM e
+    ), d AS (
+      SELECT n,
+             CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS b,
+             CAST(s2 AS DOUBLE) AS c, CAST(s11 AS DOUBLE) AS dd,
+             CAST(s22 AS DOUBLE) AS f, CAST(s12 AS DOUBLE) AS g,
+             CAST(sy AS DOUBLE) AS p, CAST(s1y AS DOUBLE) AS q,
+             CAST(s2y AS DOUBLE) AS r, CAST(syy AS DOUBLE) AS yy
+      FROM m
+    ), s AS (
+      SELECT n, p, q, r, yy, a,
+             a * (dd * f - g * g) - b * (b * f - g * c)
+               + c * (b * g - dd * c) AS det,
+             p * (dd * f - g * g) - b * (q * f - g * r)
+               + c * (q * g - dd * r) AS det0,
+             a * (q * f - g * r) - p * (b * f - g * c)
+               + c * (b * r - q * c) AS det1,
+             a * (dd * r - q * g) - b * (b * r - q * c)
+               + p * (b * g - dd * c) AS det2
+      FROM d
+    )
+    SELECT n AS n_events,
+           ROUND(det0 / NULLIF(det, 0.0) / 100.0, 6) AS beta0,
+           ROUND(det1 / NULLIF(det, 0.0) / 100.0, 6) AS beta_hour,
+           ROUND(det2 / NULLIF(det, 0.0) / 100.0, 6) AS beta_dow,
+           ROUND(1.0 - (yy - (det0 / NULLIF(det, 0.0) * p
+                              + det1 / NULLIF(det, 0.0) * q
+                              + det2 / NULLIF(det, 0.0) * r))
+                       / NULLIF(yy - p * p / a, 0.0), 6) AS r2
+    FROM s
+    """,
+    doc="Multi-feature linear regression by EXACT normal equations "
+    "(SURVEY §2.4 ext — q_regression's multivariate sibling and the "
+    "one-pass OLS posture that scales: value-cents on hour-of-day "
+    "and day-of-week): ONE scan accumulates the ten integer moment "
+    "sums (mergeable partials — map-side combine does the work), "
+    "then the 3×3 system solves in closed form via Cramer's rule "
+    "with identical float parenthesization on both engines; R² from "
+    "the same moments. No iteration, no gradient, no second scan — "
+    "at 100 TB this is a single hash-agg regardless of row count.",
+)
+def q_regression_multi(spark: SparkSession, sf: str) -> DataFrame:
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    e = table(spark, sf, "events").select(
+        F.hour("ts").cast("bigint").alias("x1"),
+        F.dayofweek("ts").cast("bigint").alias("x2w"),
+        F.expr("cast(round(value * 100) as bigint)").alias("y"),
+    ).select(
+        "x1",
+        # Spark dayofweek: 1=Sunday..7; DuckDB dow: 0=Sunday..6
+        (F.col("x2w") - 1).alias("x2"),
+        "y",
+    )
+    m = e.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(d19(F.col("x1")) * F.col("x1")).alias("s11"),
+        F.sum(d19(F.col("x2")) * F.col("x2")).alias("s22"),
+        F.sum(d19(F.col("x1")) * F.col("x2")).alias("s12"),
+        F.sum("y").alias("sy"),
+        F.sum(d19(F.col("x1")) * F.col("y")).alias("s1y"),
+        F.sum(d19(F.col("x2")) * F.col("y")).alias("s2y"),
+        F.sum(d19(F.col("y")) * F.col("y")).alias("syy"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    s = m.select(
+        "n",
+        dbl("n").alias("a"),
+        dbl("s1").alias("b"),
+        dbl("s2").alias("c"),
+        dbl("s11").alias("dd"),
+        dbl("s22").alias("f"),
+        dbl("s12").alias("g"),
+        dbl("sy").alias("p"),
+        dbl("s1y").alias("q"),
+        dbl("s2y").alias("r"),
+        dbl("syy").alias("yy"),
+    ).select(
+        "n",
+        "p",
+        "q",
+        "r",
+        "yy",
+        "a",
+        (
+            F.col("a") * (F.col("dd") * F.col("f") - F.col("g") * F.col("g"))
+            - F.col("b") * (F.col("b") * F.col("f") - F.col("g") * F.col("c"))
+            + F.col("c") * (F.col("b") * F.col("g") - F.col("dd") * F.col("c"))
+        ).alias("det"),
+        (
+            F.col("p") * (F.col("dd") * F.col("f") - F.col("g") * F.col("g"))
+            - F.col("b") * (F.col("q") * F.col("f") - F.col("g") * F.col("r"))
+            + F.col("c") * (F.col("q") * F.col("g") - F.col("dd") * F.col("r"))
+        ).alias("det0"),
+        (
+            F.col("a") * (F.col("q") * F.col("f") - F.col("g") * F.col("r"))
+            - F.col("p") * (F.col("b") * F.col("f") - F.col("g") * F.col("c"))
+            + F.col("c") * (F.col("b") * F.col("r") - F.col("q") * F.col("c"))
+        ).alias("det1"),
+        (
+            F.col("a") * (F.col("dd") * F.col("r") - F.col("q") * F.col("g"))
+            - F.col("b") * (F.col("b") * F.col("r") - F.col("q") * F.col("c"))
+            + F.col("p") * (F.col("b") * F.col("g") - F.col("dd") * F.col("c"))
+        ).alias("det2"),
+    )
+    bdet = F.nullif(F.col("det"), F.lit(0.0))
+    return s.select(
+        F.col("n").alias("n_events"),
+        F.round(F.col("det0") / bdet / 100.0, 6).alias("beta0"),
+        F.round(F.col("det1") / bdet / 100.0, 6).alias("beta_hour"),
+        F.round(F.col("det2") / bdet / 100.0, 6).alias("beta_dow"),
+        F.round(
+            F.lit(1.0)
+            - (
+                F.col("yy")
+                - (
+                    F.col("det0") / bdet * F.col("p")
+                    + F.col("det1") / bdet * F.col("q")
+                    + F.col("det2") / bdet * F.col("r")
+                )
+            )
+            / F.nullif(
+                F.col("yy") - F.col("p") * F.col("p") / F.col("a"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+@register(
+    "q_mutual_information",
+    # MI(event_type; day-of-week) from exact integer cell/marginal
+    # counts; each of the ≤35 cells contributes
+    # (c/N)·ln(c·N/(ct·cd)) with identical parenthesization — the
+    # per-cell doubles are bit-equal and the 35-term sum drifts only
+    # by reassociation (~1e-16, far under the 6-dp contract; the
+    # q_source_jsd float posture).
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS t, CAST(EXTRACT(dow FROM ts) AS BIGINT) AS d
+      FROM events
+    ), cell AS (
+      SELECT t, d, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2
+    ), mt AS (
+      SELECT t, CAST(SUM(c) AS BIGINT) AS ct FROM cell GROUP BY 1
+    ), md AS (
+      SELECT d, CAST(SUM(c) AS BIGINT) AS cd FROM cell GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM cell
+    ), mi AS (
+      SELECT SUM(CAST(c AS DOUBLE) / n
+                 * ln(CAST(c AS DOUBLE) * n
+                      / (CAST(ct AS DOUBLE) * cd))) AS mi_nats
+      FROM cell JOIN mt USING (t) JOIN md USING (d), tot
+    ), ht AS (
+      SELECT -SUM(CAST(ct AS DOUBLE) / n
+                  * ln(CAST(ct AS DOUBLE) / n)) AS h_type
+      FROM mt, tot
+    ), hd AS (
+      SELECT -SUM(CAST(cd AS DOUBLE) / n
+                  * ln(CAST(cd AS DOUBLE) / n)) AS h_dow
+      FROM md, tot
+    )
+    SELECT ROUND(mi_nats, 6) AS mi_nats,
+           ROUND(h_type, 6) AS h_type,
+           ROUND(h_dow, 6) AS h_dow,
+           ROUND(mi_nats / NULLIF(sqrt(h_type * h_dow), 0.0), 6)
+             AS mi_normalized
+    FROM mi, ht, hd
+    """,
+    doc="Mutual information between event type and day-of-week "
+    "(SURVEY §2.4 ext — the feature-relevance/association primitive "
+    "curation pipelines rank categorical features with, and the "
+    "natural sibling of q_chi_square's independence test and "
+    "q_entropy's marginals: MI is the KL divergence of the joint "
+    "from independence, in nats). ONE hash-agg to the ≤|types|×7 "
+    "cell table; marginals and the MI/entropy sums are "
+    "cell-table-sized. Normalized MI (÷√(H·H)) rides along for the "
+    "scale-free comparison. At 100 TB the contingency stays "
+    "categorical-bounded regardless of rows.",
+)
+def q_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events").select(
+        F.col("event_type").alias("t"),
+        (F.dayofweek("ts") - 1).cast("bigint").alias("d"),
+    )
+    cell = e.groupBy("t", "d").agg(
+        F.count("*").cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)  # ≤35 rows, four consumers
+    mt = cell.groupBy("t").agg(F.sum("c").cast("bigint").alias("ct"))
+    md = cell.groupBy("d").agg(F.sum("c").cast("bigint").alias("cd"))
+    tot = cell.agg(F.sum("c").cast("bigint").alias("n"))
+    j = (
+        cell.join(mt, "t")
+        .join(md, "d")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi = j.agg(
+        F.sum(
+            F.col("c").cast("double")
+            / F.col("n")
+            * F.log(
+                F.col("c").cast("double")
+                * F.col("n")
+                / (F.col("ct").cast("double") * F.col("cd"))
+            )
+        ).alias("mi_nats")
+    )
+    ht = mt.crossJoin(F.broadcast(tot)).agg(
+        (
+            -F.sum(
+                F.col("ct").cast("double")
+                / F.col("n")
+                * F.log(F.col("ct").cast("double") / F.col("n"))
+            )
+        ).alias("h_type")
+    )
+    hd = md.crossJoin(F.broadcast(tot)).agg(
+        (
+            -F.sum(
+                F.col("cd").cast("double")
+                / F.col("n")
+                * F.log(F.col("cd").cast("double") / F.col("n"))
+            )
+        ).alias("h_dow")
+    )
+    return (
+        mi.crossJoin(F.broadcast(ht))
+        .crossJoin(F.broadcast(hd))
+        .select(
+            F.round("mi_nats", 6).alias("mi_nats"),
+            F.round("h_type", 6).alias("h_type"),
+            F.round("h_dow", 6).alias("h_dow"),
+            F.round(
+                F.col("mi_nats")
+                / F.nullif(
+                    F.sqrt(F.col("h_type") * F.col("h_dow")), F.lit(0.0)
+                ),
+                6,
+            ).alias("mi_normalized"),
+        )
+    )
+
+
+@register(
+    "q_trimmed_mean",
+    # 5% two-sided trimmed and winsorized means from the per-VALUE
+    # cumulative count table: the bottom-k/top-k masses are exact
+    # integer min/max folds over (cnt, cum), the winsorizing fences
+    # are exact order statistics, and only the final /n ratios are
+    # doubles, 6 dp.
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS p FROM orders
+    ), pv AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY p
+    ), c AS (
+      SELECT p, c,
+             CAST(SUM(c) OVER (ORDER BY p) AS BIGINT) AS cum,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM pv) AS n
+      FROM pv
+    ), k AS (
+      SELECT n, CAST(n * 5 / 100 AS BIGINT) AS k FROM (SELECT DISTINCT n FROM c)
+    ), folds AS (
+      SELECT CAST(SUM(CAST(p AS HUGEINT) * c) AS HUGEINT) AS tot,
+             CAST(SUM(CAST(p AS HUGEINT) *
+               GREATEST(0, LEAST(c, k.k - (cum - c)))) AS HUGEINT) AS bot,
+             CAST(SUM(CAST(p AS HUGEINT) *
+               GREATEST(0, LEAST(c, cum - (k.n - k.k)))) AS HUGEINT) AS top,
+             MIN(CASE WHEN cum >= k.k + 1 THEN p END) AS lo_fence,
+             MIN(CASE WHEN cum >= k.n - k.k THEN p END) AS hi_fence,
+             k.n AS n, k.k AS k
+      FROM c, k GROUP BY k.n, k.k
+    )
+    SELECT n AS n_rows, k AS k_trim,
+           ROUND(CAST(tot - bot - top AS DOUBLE)
+                 / NULLIF(n - 2 * k, 0) / 100.0, 6) AS trimmed_mean,
+           ROUND((CAST(tot - bot - top AS DOUBLE)
+                  + CAST(k AS DOUBLE) * lo_fence
+                  + CAST(k AS DOUBLE) * hi_fence)
+                 / n / 100.0, 6) AS winsorized_mean
+    FROM folds
+    """,
+    doc="Robust means — 5% two-sided TRIMMED and WINSORIZED order "
+    "prices (SURVEY §2.4 ext — the outlier-robust location "
+    "estimators metric pipelines quote next to the raw mean; "
+    "trimming drops the k extreme rows per tail, winsorizing clamps "
+    "them to the fences). Exact at any scale without sorting rows: "
+    "the per-VALUE cumulative table (the q_weighted_median posture) "
+    "gives the tail masses as integer min/max folds and the fences "
+    "as exact order statistics — one hash-agg + one value-domain "
+    "window, all-integer until the final ratios.",
+)
+def q_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    h = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    pv = (
+        table(spark, sf, "orders")
+        .select(
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias("p")
+        )
+        .groupBy("p")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n_df = pv.agg(F.sum("c").cast("bigint").alias("n"))
+    c = pv.select(
+        "p",
+        "c",
+        F.sum("c").over(Window.orderBy("p")).cast("bigint").alias("cum"),
+    ).crossJoin(F.broadcast(n_df))
+    kcol = (F.col("n") * 5 / 100).cast("bigint")
+    folds = c.select(
+        "p", "c", "cum", "n", kcol.alias("k")
+    ).groupBy("n", "k").agg(
+        F.sum(h(F.col("p")) * F.col("c")).alias("tot"),
+        F.sum(
+            h(F.col("p"))
+            * F.greatest(
+                F.lit(0).cast("bigint"),
+                F.least(F.col("c"), F.col("k") - (F.col("cum") - F.col("c"))),
+            )
+        ).alias("bot"),
+        F.sum(
+            h(F.col("p"))
+            * F.greatest(
+                F.lit(0).cast("bigint"),
+                F.least(F.col("c"), F.col("cum") - (F.col("n") - F.col("k"))),
+            )
+        ).alias("top"),
+        F.min(F.when(F.col("cum") >= F.col("k") + 1, F.col("p"))).alias(
+            "lo_fence"
+        ),
+        F.min(
+            F.when(F.col("cum") >= F.col("n") - F.col("k"), F.col("p"))
+        ).alias("hi_fence"),
+    )
+    core = (F.col("tot") - F.col("bot") - F.col("top")).cast("double")
+    return folds.select(
+        F.col("n").alias("n_rows"),
+        F.col("k").alias("k_trim"),
+        F.round(
+            core / F.nullif(F.col("n") - 2 * F.col("k"), F.lit(0)) / 100.0,
+            6,
+        ).alias("trimmed_mean"),
+        F.round(
+            (
+                core
+                + F.col("k").cast("double") * F.col("lo_fence")
+                + F.col("k").cast("double") * F.col("hi_fence")
+            )
+            / F.col("n")
+            / 100.0,
+            6,
+        ).alias("winsorized_mean"),
+    )

@@ -88,6 +88,13 @@ NESTED_LOOP_ALLOWED = {
     "q_bootstrap_ci": "two 1-row broadcast rank-pick scalars (ci_lo/"
     "ci_hi) crossed onto the 1-row base aggregate (the q_funnel "
     "shape); every input is aggregate-sized",
+    "q_mutual_information": "1-row broadcast grand-total crossed onto "
+    "the <=35-cell contingency and its marginals, plus the three "
+    "1-row MI/entropy aggregates crossed onto each other (the "
+    "q_chi_square shape); every input is aggregate-sized",
+    "q_trimmed_mean": "1-row broadcast row-count scalar crossed onto "
+    "the value-domain-sized cumulative table (the q_weighted_median "
+    "shape)",
     "q_max_concurrency": "1-row broadcast peak/count scalars crossed "
     "onto each other for the single output row (the q_funnel "
     "shape); every input is session-boundary-aggregate-sized",

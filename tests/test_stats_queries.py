@@ -731,3 +731,102 @@ def test_roc_auc_matches_python_replica(spark):
     auc = wins / (len(pos) * len(neg))
     assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
     assert abs(row["auc"] - auc) < 1e-6
+
+
+def test_regression_multi_matches_numpy_lstsq(spark):
+    """q_regression_multi == numpy least squares on the raw design
+    matrix (hour, dow) at sf0.001."""
+    import numpy as np
+
+    from gps_stream_processing_spark.plans import REGISTRY
+
+    row = REGISTRY["q_regression_multi"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).first()
+    import pyspark.sql.functions as F
+
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            F.hour("ts").alias("x1"),
+            (F.dayofweek("ts") - 1).alias("x2"),
+            (F.expr("cast(round(value*100) as bigint)") / 100.0).alias("y"),
+        )
+        .collect()  # sf0.001 — test-sized
+    )
+    X = np.array([[1.0, r["x1"], r["x2"]] for r in rows])
+    y = np.array([r["y"] for r in rows])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(row["beta0"] - beta[0]) < 1e-4
+    assert abs(row["beta_hour"] - beta[1]) < 1e-4
+    assert abs(row["beta_dow"] - beta[2]) < 1e-4
+    resid = y - X @ beta
+    r2 = 1 - (resid @ resid) / ((y - y.mean()) @ (y - y.mean()))
+    assert abs(row["r2"] - r2) < 1e-4
+
+
+def test_mutual_information_matches_python_replica(spark):
+    """q_mutual_information == the direct plogp fold over collected
+    counts; MI <= min(H) and normalized MI in [0, 1]."""
+    import math
+    from collections import Counter
+
+    from gps_stream_processing_spark.plans import REGISTRY
+
+    row = REGISTRY["q_mutual_information"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).first()
+    import pyspark.sql.functions as F
+
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_type", (F.dayofweek("ts") - 1).alias("d"))
+        .collect()
+    )
+    cell = Counter((r["event_type"], r["d"]) for r in rows)
+    ct = Counter(r["event_type"] for r in rows)
+    cd = Counter(r["d"] for r in rows)
+    n = len(rows)
+    mi = sum(
+        c / n * math.log(c * n / (ct[t] * cd[d]))
+        for (t, d), c in cell.items()
+    )
+    ht = -sum(c / n * math.log(c / n) for c in ct.values())
+    hd = -sum(c / n * math.log(c / n) for c in cd.values())
+    assert abs(row["mi_nats"] - mi) < 1e-6
+    assert abs(row["h_type"] - ht) < 1e-6
+    assert abs(row["h_dow"] - hd) < 1e-6
+    assert 0.0 <= row["mi_normalized"] <= 1.0
+    assert row["mi_nats"] <= min(ht, hd) + 1e-9
+
+
+def test_trimmed_mean_matches_numpy_replica(spark):
+    """q_trimmed_mean == numpy sort-and-slice trimming/winsorizing."""
+    import numpy as np
+
+    from gps_stream_processing_spark.plans import REGISTRY
+
+    row = REGISTRY["q_trimmed_mean"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).first()
+    p = np.sort(
+        np.array(
+            [
+                r[0]
+                for r in spark.read.parquet(
+                    "/root/testdata/sf0.001/orders.parquet"
+                )
+                .selectExpr("cast(round(o_totalprice*100) as long)")
+                .collect()
+            ]
+        )
+    )
+    n = len(p)
+    k = n * 5 // 100
+    assert row["n_rows"] == n and row["k_trim"] == k
+    trimmed = p[k : n - k].mean() / 100.0
+    w = p.copy()
+    w[:k] = p[k]
+    w[n - k :] = p[n - k - 1]
+    assert abs(row["trimmed_mean"] - trimmed) < 1e-6
+    assert abs(row["winsorized_mean"] - w.mean() / 100.0) < 1e-6
