@@ -1578,3 +1578,101 @@ def q_stream_join_then_window(spark: SparkSession, sf: str) -> DataFrame:
             F.col("sum_lag_sec").cast("double") / F.col("n_pairs"), 6
         ).alias("avg_lag_sec"),
     )
+
+
+@register(
+    "q_state_time_travel",
+    # State TIME TRAVEL: the statestore batch source's batchId option
+    # reads the aggregation state AS OF a historical commit. The
+    # two-batch replay is deterministic (even event_ids in the
+    # mtime-older file, odd in the newer; maxFilesPerTrigger=1), so
+    # state@batch0 is exactly the even-id counts and the latest state
+    # the full counts — both exact integers.
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_at_batch0,
+           CAST(COUNT(*) AS BIGINT) AS n_final
+    FROM events GROUP BY event_type
+    """,
+    doc="STATE TIME TRAVEL (Spark 4 statestore source, batchId "
+    "option — the third leg of the state-introspection surface "
+    "after q_state_reader/q_state_metadata): run a two-batch "
+    "availableNow aggregation to a checkpoint, then read the state "
+    "store AS OF batch 0 and at the latest commit, joining the two "
+    "snapshots per group. This is the production debugging shape — "
+    "'what did the operator state hold N commits ago' — answered "
+    "from checkpoint files alone, no replay. The replay is "
+    "deterministic (even ids land in batch 0 via mtime-ordered "
+    "maxFilesPerTrigger=1 admission), so both snapshots carry a "
+    "full exact oracle.",
+)
+def q_state_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+    import time
+    import uuid
+
+    ev = table(spark, sf, "events").select("event_id", "event_type")
+    base = os.path.join(land_dir("stt", sf), uuid.uuid4().hex)
+    inc, ckpt = os.path.join(base, "incoming"), os.path.join(base, "ckpt")
+    os.makedirs(inc, exist_ok=True)
+
+    def _land(df: DataFrame, name: str, mtime: float) -> None:
+        stage = os.path.join(base, f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(inc, f"{name}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    _land(ev.filter(F.col("event_id") % 2 == 0), "1_even", now - 120)
+    _land(ev.filter(F.col("event_id") % 2 == 1), "2_odd", now)
+    schema = spark.read.parquet(os.path.join(inc, "1_even.parquet")).schema
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inc)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        from gps_stream_processing_spark.streaming.runner import (
+            _unload_idle_state_stores,
+        )
+
+        _unload_idle_state_stores(spark)
+    at0 = (
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("batchId", 0)
+        .load()
+        .select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("bigint").alias("n_at_batch0"),
+        )
+    )
+    latest = (
+        spark.read.format("statestore")
+        .option("path", ckpt)
+        .load()
+        .select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("bigint").alias("n_final"),
+        )
+    )
+    return at0.join(latest, "event_type")
