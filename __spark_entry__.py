@@ -239,6 +239,13 @@ _CHANGED_SINCE_VERIFIED = (
     # (same exact stats pair, hash-checked at sf0.001/sf0.1), call
     # path changed → re-check.
     ("q_triangle_count", 13),
+    # r13 (late): the unigram pair now reads the vocab from a
+    # fingerprint-keyed landing (train once per corpus) instead of
+    # re-training per call — values invariant (deterministic exact
+    # integer table, hash-checked at all three SFs after the change),
+    # call path changed → re-check.
+    ("q_unigram_train", 13),
+    ("q_unigram_encode", 13),
 )
 
 

