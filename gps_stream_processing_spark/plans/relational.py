@@ -8090,3 +8090,142 @@ def q_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("winsorized_mean"),
     )
+
+
+@register(
+    "q_downsample_lttb",
+    # Mean-anchored LTTB: per time bucket keep the point maximizing
+    # the triangle area against the PREVIOUS and NEXT buckets' mean
+    # points. Clearing the mean denominators (×na·nb) makes the area
+    # an exact integer cross product in HUGEINT/decimal — argmax and
+    # its (area DESC, ts ASC) tie-break are exact on both engines;
+    # only the reported value is a rounded double.
+    oracle="""
+    WITH e AS (
+      SELECT epoch_us(ts) AS x, CAST(round(value * 100) AS BIGINT) AS y,
+             event_id
+      FROM events
+    ), bounds AS (
+      SELECT MIN(x) AS lo, MAX(x) AS hi FROM e
+    ), b AS (
+      SELECT e.x, e.y, e.event_id,
+             CAST(LEAST(99, (e.x - bounds.lo) * 100
+                            // (bounds.hi - bounds.lo + 1)) AS BIGINT)
+               AS bk
+      FROM e, bounds
+    ), m AS (
+      SELECT bk, CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY bk
+    ), anchors AS (
+      SELECT bk,
+             lag(sx)  OVER w AS sxa, lag(sy)  OVER w AS sya,
+             lag(n)   OVER w AS na,
+             lead(sx) OVER w AS sxb, lead(sy) OVER w AS syb,
+             lead(n)  OVER w AS nb
+      FROM m WINDOW w AS (ORDER BY bk)
+    ), scored AS (
+      SELECT b.bk, b.x, b.y, b.event_id,
+             abs((CAST(a.sxa AS HUGEINT) * a.nb - CAST(a.sxb AS HUGEINT) * a.na)
+                   * (CAST(b.y AS HUGEINT) * a.na - a.sya) * a.nb
+                 - (CAST(a.sxa AS HUGEINT) * a.nb
+                    - CAST(b.x AS HUGEINT) * a.na * a.nb)
+                   * (CAST(a.syb AS HUGEINT) * a.na - CAST(a.sya AS HUGEINT) * a.nb))
+               AS area
+      FROM b JOIN anchors a ON a.bk = b.bk
+      WHERE a.na IS NOT NULL AND a.nb IS NOT NULL
+    ), best AS (
+      SELECT bk, x, y,
+             row_number() OVER (PARTITION BY bk
+                                ORDER BY area DESC, x, event_id) AS rn
+      FROM scored
+    )
+    SELECT bk AS bucket, make_timestamp(x) AS ts,
+           ROUND(y / 100.0, 2) AS value
+    FROM best WHERE rn = 1 ORDER BY bk
+    """,
+    doc="LTTB time-series downsampling (Steinarsson 2013, the "
+    "mean-anchored parallel variant; SURVEY §2.4 ext — the "
+    "shape-preserving decimation every dashboard/renderer runs "
+    "before plotting millions of points: per bucket keep the point "
+    "forming the largest triangle with the neighbor buckets, so "
+    "peaks and reversals survive where naive averaging flattens "
+    "them). The classic LTTB anchors on the previously SELECTED "
+    "point (inherently sequential); anchoring on neighbor-bucket "
+    "MEANS — the standard parallel relaxation — makes every bucket "
+    "independent: one hash-agg for bucket moments, one lag/lead "
+    "window over the 100-row bucket table, one broadcast join back, "
+    "one min_by argmax. Clearing mean denominators keeps the "
+    "triangle areas exact integers (µs × cents cross products in "
+    "DECIMAL/HUGEINT) — the argmax is engine-exact, no float "
+    "geometry. First/last buckets have no both-side anchors and are "
+    "dropped (the endpoints are kept verbatim by the classic "
+    "algorithm; consumers re-attach them).",
+)
+def q_downsample_lttb(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    h = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    e = table(spark, sf, "events").select(
+        F.unix_micros("ts").alias("x"),
+        F.expr("cast(round(value * 100) as bigint)").alias("y"),
+        "event_id",
+    )
+    bounds = e.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    b = e.crossJoin(F.broadcast(bounds)).select(
+        "x",
+        "y",
+        "event_id",
+        F.least(
+            F.lit(99).cast("bigint"),
+            F.expr("(x - lo) * 100 div (hi - lo + 1)"),
+        ).alias("bk"),
+    ).localCheckpoint(eager=True)  # two consumers: moments + rejoin
+    m = b.groupBy("bk").agg(
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("bk")  # 100-row bucket table
+    a = m.select(
+        "bk",
+        F.lag("sx").over(w).alias("sxa"),
+        F.lag("sy").over(w).alias("sya"),
+        F.lag("n").over(w).alias("na"),
+        F.lead("sx").over(w).alias("sxb"),
+        F.lead("sy").over(w).alias("syb"),
+        F.lead("n").over(w).alias("nb"),
+    ).filter(F.col("na").isNotNull() & F.col("nb").isNotNull())
+    scored = b.join(F.broadcast(a), "bk").select(
+        "bk",
+        "x",
+        "y",
+        "event_id",
+        F.abs(
+            (h(F.col("sxa")) * F.col("nb") - h(F.col("sxb")) * F.col("na"))
+            * (h(F.col("y")) * F.col("na") - F.col("sya"))
+            * F.col("nb")
+            - (
+                h(F.col("sxa")) * F.col("nb")
+                - h(F.col("x")) * F.col("na") * F.col("nb")
+            )
+            * (
+                h(F.col("syb")) * F.col("na")
+                - h(F.col("sya")) * F.col("nb")
+            )
+        ).alias("area"),
+    )
+    best = scored.groupBy("bk").agg(
+        F.min_by(
+            F.struct("x", "y"),
+            F.struct((-F.col("area")).alias("na"), "x", "event_id"),
+        ).alias("p")
+    )
+    return best.orderBy("bk").select(
+        F.col("bk").alias("bucket"),
+        F.timestamp_micros(F.col("p.x")).alias("ts"),
+        F.round(F.col("p.y") / 100.0, 2).alias("value"),
+    )

@@ -830,3 +830,63 @@ def test_trimmed_mean_matches_numpy_replica(spark):
     w[n - k :] = p[n - k - 1]
     assert abs(row["trimmed_mean"] - trimmed) < 1e-6
     assert abs(row["winsorized_mean"] - w.mean() / 100.0) < 1e-6
+
+
+def test_downsample_lttb_matches_python_replica(spark):
+    """q_downsample_lttb == a pure-Python mean-anchored LTTB replica
+    (exact integer areas, same tie order) at sf0.001."""
+    from collections import defaultdict
+
+    from gps_stream_processing_spark.plans import REGISTRY
+
+    got = [
+        (r["bucket"], r["ts"], r["value"])
+        for r in REGISTRY["q_downsample_lttb"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    ]
+    import pyspark.sql.functions as F
+
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("x"),
+            F.expr("cast(round(value*100) as bigint)").alias("y"),
+            "event_id",
+        )
+        .collect()
+    )
+    lo = min(r["x"] for r in rows)
+    hi = max(r["x"] for r in rows)
+    buckets = defaultdict(list)
+    for r in rows:
+        bk = min(99, (r["x"] - lo) * 100 // (hi - lo + 1))
+        buckets[bk].append((r["x"], r["y"], r["event_id"]))
+    mom = {
+        bk: (sum(x for x, _, _ in v), sum(y for _, y, _ in v), len(v))
+        for bk, v in buckets.items()
+    }
+    ordered = sorted(mom)
+    want = []
+    for i, bk in enumerate(ordered):
+        if i == 0 or i == len(ordered) - 1:
+            continue
+        sxa, sya, na = mom[ordered[i - 1]]
+        sxb, syb, nb = mom[ordered[i + 1]]
+        best = None
+        for x, y, eid in buckets[bk]:
+            area = abs(
+                (sxa * nb - sxb * na) * (y * na - sya) * nb
+                - (sxa * nb - x * na * nb) * (syb * na - sya * nb)
+            )
+            k = (-area, x, eid)
+            if best is None or k < best[0]:
+                best = (k, x, y)
+        want.append((bk, best[1], round(best[2] / 100.0, 2)))
+    import calendar
+
+    got_us = [
+        (b, calendar.timegm(t.timetuple()) * 1_000_000 + t.microsecond, v)
+        for b, t, v in got
+    ]
+    assert got_us == want
