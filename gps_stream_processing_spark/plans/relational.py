@@ -8229,3 +8229,117 @@ def q_downsample_lttb(spark: SparkSession, sf: str) -> DataFrame:
         F.timestamp_micros(F.col("p.x")).alias("ts"),
         F.round(F.col("p.y") / 100.0, 2).alias("value"),
     )
+
+
+@register(
+    "q_wasserstein",
+    # 1-D Wasserstein-1 (earth mover's) distance between the BUILDING
+    # segment's order-price distribution and the rest: on the line,
+    # W1 = ∫|F_A − F_B| dv = Σ over consecutive distinct values
+    # (v' − v)·|F_A(v) − F_B(v)|. Cross-multiplying the ECDFs by
+    # n_A·n_B keeps every term an exact integer (cents gaps ×
+    # count cross-differences in DECIMAL/HUGEINT); only the final
+    # normalization divides, 6 dp.
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'a' ELSE 'b' END
+               AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), pv AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM b GROUP BY v
+    ), c AS (
+      SELECT v,
+             CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+             CAST(SUM(cb) OVER w AS BIGINT) AS cumb,
+             lead(v) OVER (ORDER BY v) AS vn
+      FROM pv WINDOW w AS (ORDER BY v)
+    ), t AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM pv
+    ), s AS (
+      SELECT CAST(SUM(CAST(vn - v AS HUGEINT)
+                      * abs(CAST(cuma AS HUGEINT) * t.nb
+                            - CAST(cumb AS HUGEINT) * t.na))
+                  AS HUGEINT) AS w1x, t.na AS na, t.nb AS nb
+      FROM c, t WHERE vn IS NOT NULL GROUP BY t.na, t.nb
+    )
+    SELECT na AS n_building, nb AS n_rest,
+           ROUND(CAST(w1x AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * nb) / 100.0, 6) AS w1_distance
+    FROM s
+    """,
+    doc="Wasserstein-1 (earth mover's) distance between two segments' "
+    "price distributions (SURVEY §2.4 ext — the third "
+    "distribution-distance primitive beside q_ks_test's sup norm and "
+    "q_source_jsd's divergence: W1 is the metric drift monitors and "
+    "distribution-shift tests quote because it weights BY HOW FAR "
+    "mass moved). On the line W1 is the area between ECDFs, so it "
+    "reduces to the per-VALUE cumulative table (the q_ks_test "
+    "posture): one scan to per-value counts, one cumulative+lead "
+    "window over the value domain, and the cross-multiplied form "
+    "keeps every term an exact integer at any scale — no sorting of "
+    "raw rows, no sampling.",
+)
+def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    h = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    o = table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    cu = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    b = o.join(cu, o.o_custkey == cu.c_custkey).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", "a")
+        .otherwise("b")
+        .alias("g"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v"),
+    )
+    pv = (
+        b.groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g") == "a", 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("g") == "b", 1).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+        .localCheckpoint(eager=True)  # value-domain table, two consumers
+    )
+    w = Window.orderBy("v")
+    c = pv.select(
+        "v",
+        F.sum("ca").over(w).cast("bigint").alias("cuma"),
+        F.sum("cb").over(w).cast("bigint").alias("cumb"),
+        F.lead("v").over(w).alias("vn"),
+    )
+    t = pv.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    s = (
+        c.filter(F.col("vn").isNotNull())
+        .crossJoin(F.broadcast(t))
+        .groupBy("na", "nb")
+        .agg(
+            F.sum(
+                h(F.col("vn") - F.col("v"))
+                * F.abs(
+                    h(F.col("cuma")) * F.col("nb")
+                    - h(F.col("cumb")) * F.col("na")
+                )
+            ).alias("w1x")
+        )
+    )
+    return s.select(
+        F.col("na").alias("n_building"),
+        F.col("nb").alias("n_rest"),
+        F.round(
+            F.col("w1x").cast("double")
+            / (F.col("na").cast("double") * F.col("nb"))
+            / 100.0,
+            6,
+        ).alias("w1_distance"),
+    )

@@ -890,3 +890,38 @@ def test_downsample_lttb_matches_python_replica(spark):
         for b, t, v in got
     ]
     assert got_us == want
+
+
+def test_wasserstein_matches_scipy_style_replica(spark):
+    """q_wasserstein == the direct sorted-sample W1 (mean |ECDF area|)
+    computed in pure Python at sf0.001."""
+    from gps_stream_processing_spark.plans import REGISTRY
+
+    row = REGISTRY["q_wasserstein"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).first()
+    import pyspark.sql.functions as F
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cu = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    rows = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .select(
+            (F.col("c_mktsegment") == "BUILDING").alias("a"),
+            F.expr("cast(round(o_totalprice*100) as bigint)").alias("v"),
+        )
+        .collect()
+    )
+    xa = sorted(r["v"] for r in rows if r["a"])
+    xb = sorted(r["v"] for r in rows if not r["a"])
+    # W1 over the merged value grid: sum gap * |Fa - Fb|
+    grid = sorted(set(xa) | set(xb))
+    import bisect
+
+    w1 = 0.0
+    for v, vn in zip(grid, grid[1:]):
+        fa = bisect.bisect_right(xa, v) / len(xa)
+        fb = bisect.bisect_right(xb, v) / len(xb)
+        w1 += (vn - v) * abs(fa - fb)
+    assert row["n_building"] == len(xa) and row["n_rest"] == len(xb)
+    assert abs(row["w1_distance"] - w1 / 100.0) < 1e-6
