@@ -95,6 +95,8 @@ NESTED_LOOP_ALLOWED = {
     "q_trimmed_mean": "1-row broadcast row-count scalar crossed onto "
     "the value-domain-sized cumulative table (the q_weighted_median "
     "shape)",
+    "q_wasserstein": "1-row broadcast (n_a, n_b) totals crossed onto "
+    "the value-domain-sized cumulative table (the q_ks_test shape)",
     "q_max_concurrency": "1-row broadcast peak/count scalars crossed "
     "onto each other for the single output row (the q_funnel "
     "shape); every input is session-boundary-aggregate-sized",
