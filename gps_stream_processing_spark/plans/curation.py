@@ -1184,3 +1184,109 @@ def q_group_split(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.countDistinct(g).alias("n_groups"),
     )
+
+
+COGROUP_ASOF_SCHEMA = (
+    "user_id bigint, n_views bigint, n_matched bigint, "
+    "median_lag_us double"
+)
+
+
+def _cogroup_reaction(views, clicks):
+    """Per-user pandas merge_asof: each view forward-matched to the
+    first click at-or-after it; emits (n_views, n_matched, median
+    lag in exact µs — integer or integer+0.5, so the double needs no
+    rounding). Runs inside the cogroup worker — both sides of ONE
+    user."""
+    import pandas as pd
+
+    uid = (
+        views["user_id"].iloc[0]
+        if len(views)
+        else clicks["user_id"].iloc[0]
+    )
+    if not len(views) or not len(clicks):
+        return pd.DataFrame(
+            [], columns=["user_id", "n_views", "n_matched", "median_lag_us"]
+        )
+    v = views.sort_values("us").reset_index(drop=True)
+    c = clicks.sort_values("us").reset_index(drop=True)
+    m = pd.merge_asof(
+        v[["us"]],
+        c[["us"]].rename(columns={"us": "cus"}),
+        left_on="us",
+        right_on="cus",
+        direction="forward",
+    )
+    lags = (m["cus"] - m["us"]).dropna()
+    if not len(lags):
+        return pd.DataFrame(
+            [], columns=["user_id", "n_views", "n_matched", "median_lag_us"]
+        )
+    return pd.DataFrame(
+        [
+            {
+                "user_id": uid,
+                "n_views": len(v),
+                "n_matched": int(lags.size),
+                "median_lag_us": float(lags.median()),
+            }
+        ]
+    )
+
+
+@register(
+    "q_cogroup_asof",
+    # Exact twin in SQL: per view the matched click is MIN(click us
+    # >= view us) of the same user; lags are exact integer µs and
+    # the median interpolates identically (mean of the two middles
+    # for even counts — pandas and DuckDB agree on integer inputs),
+    # so the µs median is an exactly-representable double (x.0/x.5)
+    # needing NO rounding — a /1e6 seconds form would land on .5
+    # round-half boundaries where Python and DuckDB disagree.
+    oracle="""
+    WITH v AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'view'
+    ), c AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'click'
+    ), matched AS (
+      SELECT v.user_id, v.us,
+             (SELECT MIN(c.us) FROM c
+              WHERE c.user_id = v.user_id AND c.us >= v.us) AS cus
+      FROM v
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(COUNT(cus) AS BIGINT) AS n_matched,
+           CAST(median(cus - us) AS DOUBLE) AS median_lag_us
+    FROM matched
+    GROUP BY user_id
+    HAVING COUNT(cus) > 0
+    """,
+    doc="COGROUPED two-table pandas transform (SURVEY §2.10 — the one "
+    "grouped-UDF surface the registry lacked: "
+    "groupBy.cogroup(...).applyInPandas gives the worker BOTH sides "
+    "of one key as pandas frames): per user, views forward-matched "
+    "to the first at-or-after click via pandas merge_asof — the "
+    "idiomatic per-key paired-stream merge — emitting view count, "
+    "matched count, and the median reaction lag. Arrow-batched, one "
+    "co-partitioning shuffle of each side, per-key state bounded by "
+    "that user's events. Full oracle: the same forward as-of match "
+    "+ integer-µs median in SQL (users with no matched view drop on "
+    "both sides).",
+)
+def q_cogroup_asof(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "us")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "us"
+    )
+    return (
+        views.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(_cogroup_reaction, schema=COGROUP_ASOF_SCHEMA)
+    )
