@@ -8343,3 +8343,95 @@ def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("w1_distance"),
     )
+
+
+@register(
+    "q_seasonal_anomaly",
+    # Seasonality-adjusted anomalies: residual = value − its (dow,
+    # hour) cell mean, computed as CAST(y)−CAST(s)/n with identical
+    # parenthesization (both engines produce the same doubles from
+    # the same exact integer moments), then a global robust gate
+    # |r − median| > 3·1.4826·MAD — median/MAD are the same linear-
+    # interpolated percentile on the same double multiset, so the
+    # flag set is engine-identical; counts are exact integers.
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(EXTRACT(dow FROM ts) AS BIGINT) AS d,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ), cell AS (
+      SELECT d, h, CAST(SUM(y) AS HUGEINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY d, h
+    ), r AS (
+      SELECT e.event_type,
+             CAST(e.y AS DOUBLE) - CAST(cell.s AS DOUBLE) / cell.n AS res
+      FROM e JOIN cell USING (d, h)
+    ), med AS (
+      SELECT quantile_cont(res, 0.5) AS m FROM r
+    ), mad AS (
+      SELECT quantile_cont(abs(res - med.m), 0.5) AS md FROM r, med
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN abs(res - med.m)
+                              > 3.0 * 1.4826 * mad.md
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           ROUND(MAX(abs(res - med.m)
+                     / NULLIF(1.4826 * mad.md, 0.0)), 6) AS max_robust_z
+    FROM r, med, mad
+    GROUP BY event_type
+    """,
+    doc="Seasonality-ADJUSTED anomaly detection (SURVEY §2.4 ext — "
+    "the production alerting shape q_anomaly_rolling's moving "
+    "window cannot express: a value is anomalous relative to its "
+    "calendar cell, not its neighbors in time; weekly+diurnal "
+    "profile removed first, then a global robust MAD gate on the "
+    "residuals so one heavy tail cannot widen its own threshold). "
+    "Two scans of the fact (profile moments, then residuals — the "
+    "profile is a broadcast ≤168-cell table), one percentile pass "
+    "over the residuals; the (dow, hour) profile means come from "
+    "exact integer moments, so residuals are bit-identical across "
+    "engines and the flag SET is exact, not approximate.",
+)
+def q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events").select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("bigint").alias("d"),
+        F.hour("ts").cast("bigint").alias("h"),
+        F.expr("cast(round(value * 100) as bigint)").alias("y"),
+    )
+    cell = e.groupBy("d", "h").agg(
+        F.sum("y").cast("decimal(38,0)").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    r = e.join(F.broadcast(cell), ["d", "h"]).select(
+        "event_type",
+        (
+            F.col("y").cast("double")
+            - F.col("s").cast("double") / F.col("n")
+        ).alias("res"),
+    ).localCheckpoint(eager=True)  # three consumers: med, mad, flags
+    med = r.agg(F.expr("percentile(res, 0.5)").alias("m"))
+    mad = r.crossJoin(F.broadcast(med)).agg(
+        F.expr("percentile(abs(res - m), 0.5)").alias("md")
+    )
+    j = r.crossJoin(F.broadcast(med)).crossJoin(F.broadcast(mad))
+    dev = F.abs(F.col("res") - F.col("m"))
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(dev > F.lit(3.0) * F.lit(1.4826) * F.col("md"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_anomalies"),
+        F.round(
+            F.max(
+                dev / F.nullif(F.lit(1.4826) * F.col("md"), F.lit(0.0))
+            ),
+            6,
+        ).alias("max_robust_z"),
+    )

@@ -97,6 +97,9 @@ NESTED_LOOP_ALLOWED = {
     "shape)",
     "q_wasserstein": "1-row broadcast (n_a, n_b) totals crossed onto "
     "the value-domain-sized cumulative table (the q_ks_test shape)",
+    "q_seasonal_anomaly": "two 1-row broadcast median/MAD scalars "
+    "crossed onto the residual table (the q_mad_outliers global-gate "
+    "shape); the profile join is a <=168-cell broadcast equi-join",
     "q_max_concurrency": "1-row broadcast peak/count scalars crossed "
     "onto each other for the single output row (the q_funnel "
     "shape); every input is session-boundary-aggregate-sized",
