@@ -87,6 +87,7 @@ _COMMITTED_ROUNDS = (
     "CORRECTNESS_r10.json",
     "CORRECTNESS_r11.json",
     "CORRECTNESS_r12.json",
+    "CORRECTNESS_r13.json",
 )
 
 # Keys whose EXECUTION PLAN changed after their last green driver row,
@@ -246,6 +247,21 @@ _CHANGED_SINCE_VERIFIED = (
     # call path changed → re-check.
     ("q_unigram_train", 13),
     ("q_unigram_encode", 13),
+    # r14 (ADVICE r13 fixes): q_kendall_tau classifies pairs via exact
+    # {-1,0,1} sign products instead of the overflow-prone bigint
+    # difference product (values invariant below int64 overflow,
+    # hash-checked at all three SFs); q_state_time_travel's snapshot
+    # join is now latest LEFT at0 with n_at_batch0 coalesced to 0
+    # (values invariant on fixtures where every type has an even id);
+    # q_unigram_encode's word-count lookup broadcast is size-gated
+    # (plan hint only); the three prefix-sum riders inherit the
+    # NULL-prefix offset fix (values invariant — non-null sources).
+    ("q_kendall_tau", 14),
+    ("q_state_time_travel", 14),
+    ("q_unigram_encode", 14),
+    ("q_key_islands", 14),
+    ("q_knee_lorenz", 14),
+    ("q_histogram_equidepth", 14),
 )
 
 

@@ -82,10 +82,19 @@ def running_totals(
     if not sums and not count_col:
         raise ValueError("running_totals needs sums and/or count_col")
     order_cols = _as_cols(order_by)
-    n = int(
-        num_partitions
-        or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    if num_partitions:
+        n = int(num_partitions)
+    else:
+        # spark.sql.shuffle.partitions may be non-numeric on some
+        # runtimes (e.g. "auto" under advanced AQE modes) — fall back
+        # to the cluster's default parallelism rather than raising
+        # (ADVICE r13).
+        try:
+            n = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            n = df.sparkSession.sparkContext.defaultParallelism
     # Pass 0: pin the range layout (see module docstring — correctness,
     # not caching: both passes must agree on row→partition).
     base = (
@@ -154,9 +163,17 @@ def running_totals(
         )
     for out, src in sums.items():
         off = F.col(f"__off_{out}")
+        local = F.sum(src).over(wf)
+        # SQL SUM semantics: the running value is NULL only while NO
+        # non-null input has been seen anywhere in the prefix. A
+        # partition whose local prefix is all-NULL must still carry a
+        # non-null offset from earlier partitions — NULL + offset would
+        # wrongly poison it (ADVICE r13, medium).
         out_df = out_df.withColumn(
             out,
-            F.sum(src).over(wf) + F.coalesce(off, F.lit(0)),
+            F.when(local.isNull() & off.isNull(), F.lit(None)).otherwise(
+                F.coalesce(local, F.lit(0)) + F.coalesce(off, F.lit(0))
+            ),
         )
     out_df = out_df.drop(
         _PID, "__off_cnt", *[f"__off_{out}" for out in sums]

@@ -256,7 +256,9 @@ def unigram_encode_stats(
         _viterbi_pieces(words, vocab)
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("k"))
-        .localCheckpoint(eager=True)  # |vocab|-sized lookup side
+        # |distinct words|-sized lookup side — NOT |vocab|-sized: one
+        # row per filtered word TYPE, ~millions at the 100 TB posture.
+        .localCheckpoint(eager=True)
     )
     dw = (
         df.select(
@@ -265,8 +267,16 @@ def unigram_encode_stats(
         )
         .filter(F.col("word").rlike("^[a-z0-9]{1,%d}$" % MAX_WORD))
     )
+    # Size-gate the broadcast on the word-TYPE count (the graph.py
+    # _fits_broadcast discipline, ADVICE r13): below the threshold the
+    # hint saves a shuffle; above it (Heaps-law growth at corpus
+    # scale) the join must shuffle-hash on `word` instead of blowing
+    # past the driver's broadcast budget.
+    from gps_stream_processing_spark.operators.graph import _fits_broadcast
+
+    lookup = F.broadcast(k) if _fits_broadcast(k.count()) else k
     return (
-        dw.join(F.broadcast(k), "word")
+        dw.join(lookup, "word")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_words"),

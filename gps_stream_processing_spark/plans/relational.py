@@ -7538,9 +7538,17 @@ def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
       FROM events GROUP BY 1
     ), p AS (
-      SELECT CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+      -- sign-compare, never the raw difference product: (x-diff)*(y-diff)
+      -- can overflow BIGINT on large daily cent sums (ADVICE r13)
+      SELECT CAST(SUM(CASE WHEN (CASE WHEN a.x > b.x THEN 1
+                                      WHEN a.x < b.x THEN -1 ELSE 0 END)
+                          * (CASE WHEN a.y > b.y THEN 1
+                                  WHEN a.y < b.y THEN -1 ELSE 0 END) > 0
                            THEN 1 ELSE 0 END) AS BIGINT) AS c,
-             CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+             CAST(SUM(CASE WHEN (CASE WHEN a.x > b.x THEN 1
+                                      WHEN a.x < b.x THEN -1 ELSE 0 END)
+                          * (CASE WHEN a.y > b.y THEN 1
+                                  WHEN a.y < b.y THEN -1 ELSE 0 END) < 0
                            THEN 1 ELSE 0 END) AS BIGINT) AS dd,
              CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT)
                AS tx,
@@ -7585,7 +7593,22 @@ def q_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
     b = d.select(
         F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
     )
-    sgn = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    # Pairwise concordance via exact integer SIGN compares — the raw
+    # (xa-xb)*(ya-yb) bigint product can overflow int64 on large daily
+    # cent sums, where Spark (ANSI off) wraps silently and could flip
+    # the sign while DuckDB raises (ADVICE r13). The {-1,0,1} product
+    # never overflows and is bit-identical in both engines.
+    cx = (
+        F.when(F.col("xa") > F.col("xb"), F.lit(1))
+        .when(F.col("xa") < F.col("xb"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    cy = (
+        F.when(F.col("ya") > F.col("yb"), F.lit(1))
+        .when(F.col("ya") < F.col("yb"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    sgn = cx * cy
     p = (
         a.join(b, F.col("da") < F.col("db"))
         .agg(

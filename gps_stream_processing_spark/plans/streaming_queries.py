@@ -1675,4 +1675,12 @@ def q_state_time_travel(spark: SparkSession, sf: str) -> DataFrame:
             F.col("value.count").cast("bigint").alias("n_final"),
         )
     )
-    return at0.join(latest, "event_type")
+    # LEFT join from the latest snapshot: an event_type whose ids are
+    # all odd has NO state row at batch 0 but must still appear with
+    # n_at_batch0 = 0, matching the oracle (ADVICE r13). Inner would
+    # silently drop the group on such a corpus.
+    return latest.join(at0, "event_type", "left").select(
+        "event_type",
+        F.coalesce(F.col("n_at_batch0"), F.lit(0)).alias("n_at_batch0"),
+        "n_final",
+    )

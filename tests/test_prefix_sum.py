@@ -91,6 +91,39 @@ def test_null_values_skip_sum_but_advance_count(spark):
     assert rows == {1: (1, 10), 2: (2, 10), 3: (3, 15), 4: (4, 15), 5: (5, 16)}
 
 
+def test_null_prefix_partition_carries_offset(spark):
+    # ADVICE r13 (medium): a partition whose LOCAL prefix is all-NULL
+    # must still carry the non-null offset from earlier partitions —
+    # the pre-fix form returned NULL + offset = NULL there, making the
+    # result partition-layout-dependent. With 6 rows into 6 range
+    # partitions the NULL run almost surely leads at least one
+    # partition; the expected values hold under ANY layout now.
+    rows = [(1, 7), (2, None), (3, None), (4, None), (5, None), (6, 2)]
+    df = spark.createDataFrame(rows, "id int, v int")
+    got = running_totals(
+        df, ["id"], sums={"cum": "v"}, count_col="rn", num_partitions=6
+    )
+    m = {r["id"]: (r["rn"], r["cum"]) for r in got.collect()}
+    assert m == {
+        1: (1, 7),
+        2: (2, 7),
+        3: (3, 7),
+        4: (4, 7),
+        5: (5, 7),
+        6: (6, 9),
+    }
+
+
+def test_all_null_prefix_stays_null(spark):
+    # SQL SUM semantics: the running value is NULL only while no
+    # non-null input has been seen anywhere in the global prefix.
+    rows = [(1, None), (2, None), (3, 4), (4, None)]
+    df = spark.createDataFrame(rows, "id int, v int")
+    got = running_totals(df, ["id"], sums={"cum": "v"}, num_partitions=4)
+    m = {r["id"]: r["cum"] for r in got.collect()}
+    assert m == {1: None, 2: None, 3: 4, 4: 4}
+
+
 def test_with_totals_exact(spark):
     per_user = (
         _events(spark)
