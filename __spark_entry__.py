@@ -262,6 +262,14 @@ _CHANGED_SINCE_VERIFIED = (
     ("q_key_islands", 14),
     ("q_knee_lorenz", 14),
     ("q_histogram_equidepth", 14),
+    # r14 (VERDICT r13 item 1): q_max_concurrency's boundary sweep and
+    # q_heaps_law's per-doc cumulative now ride the two-pass
+    # range-partitioned prefix sum (no Exchange SinglePartition —
+    # pinned in tests/test_prefix_sum.py). Values invariant
+    # (bit-identical integer cumulatives; equal-(t,k) ties share one
+    # sign), hash-checked at all three SFs — re-check anyway.
+    ("q_max_concurrency", 14),
+    ("q_heaps_law", 14),
 )
 
 

@@ -865,11 +865,11 @@ def q_source_jsd(spark: SparkSession, sf: str) -> DataFrame:
     "checkpoints, and the (ln N, ln V) OLS via the q_zipf_fit "
     "sequential-fold discipline. At 100 TB the scan and one "
     "word-keyed shuffle are the unbounded stages; the doc-ordered "
-    "cumulative here rides a single-partition window over the "
-    "PER-DOC aggregate (|docs| rows — fine at harness scale; the "
-    "cluster posture is the standard two-pass prefix sum: per-range "
-    "partial totals broadcast back as offsets, same result exactly); "
-    "the fit touches 20 rows.",
+    "cumulative is doc-PROPORTIONAL (billions of rows at corpus "
+    "scale), so it rides the two-pass range-partitioned prefix sum "
+    "(operators/prefix_sum.py — no single-partition exchange; doc_id "
+    "is unique, a total order) with the doc count taken exactly from "
+    "the pass-1 partials; the fit touches 20 rows.",
 )
 def q_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
     w = (
@@ -893,22 +893,26 @@ def q_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
             .alias("n_new"),
         )
     )
-    ww = W.orderBy("doc_id")
-    cum = per_doc.select(
-        "doc_id",
-        F.sum("n_tok").over(ww).cast("bigint").alias("toks"),
-        F.sum("n_new").over(ww).cast("bigint").alias("vocab"),
-        F.row_number().over(ww).alias("k"),
-        F.count("*").over(W.partitionBy()).alias("n_docs"),
+    from gps_stream_processing_spark.operators.prefix_sum import (
+        running_totals,
     )
+
+    # Distributed cumulative over the per-doc table (doc-proportional
+    # at corpus scale — VERDICT r13): two-pass range-partitioned
+    # prefix sum; doc_id is unique so the order is total. The doc
+    # count comes exactly from the pass-1 partials (with_totals) —
+    # the checkpoint-step arithmetic matches the previous in-plan
+    # form (double division truncated toward zero on positives).
+    cum, totals = running_totals(
+        per_doc,
+        ["doc_id"],
+        sums={"toks": "n_tok", "vocab": "n_new"},
+        count_col="k",
+        with_totals=True,
+    )
+    step = max(int(totals["n_rows"] / 20), 1)
     pts = (
-        cum.filter(
-            F.col("k")
-            % F.greatest(
-                (F.col("n_docs") / 20).cast("bigint"), F.lit(1).cast("bigint")
-            )
-            == 0
-        )
+        cum.filter(F.col("k") % F.lit(step) == 0)
         .orderBy("toks")
         .limit(20)
     )

@@ -4937,9 +4937,13 @@ def q_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     "the sweep sorts 2·|sessions| boundary rows — aggregate-sized, "
     "never the fact — and a single running sum finds the peak. "
     "Starts sort before ends at the same instant (closed intervals), "
-    "so zero-duration sessions count. The sweep's single-partition "
-    "window runs over the session-boundary aggregate (the standard "
-    "two-pass prefix-sum posture at cluster scale).",
+    "so zero-duration sessions count. Sessions are user-x-activity "
+    "proportional — NOT aggregate-sized — so the sweep rides the "
+    "two-pass range-partitioned prefix sum (operators/prefix_sum.py): "
+    "no single-partition exchange; each task sorts only its (t, k) "
+    "range slice. Equal (t, k) ties land in one range partition and "
+    "share one delta sign, so MAX(cum) and the earliest peak instant "
+    "stay order-invariant.",
 )
 def q_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
@@ -4993,17 +4997,21 @@ def q_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(-1).alias("d"),
         )
     )
-    c = b.select(
-        "t",
-        F.sum("d")
-        .over(
-            Window.orderBy("t", "k").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        )
-        .cast("bigint")
-        .alias("cum"),
-    ).localCheckpoint(eager=True)
+    from gps_stream_processing_spark.operators.prefix_sum import (
+        running_totals,
+    )
+
+    # Two-pass distributed prefix sum over the boundary order — the
+    # boundary table is 2·|sessions| rows (user×activity-proportional),
+    # so the naive global window's Exchange SinglePartition would put
+    # the whole sweep on one task at warehouse scale (VERDICT r13).
+    # No checkpoint here: running_totals pins its own range layout, so
+    # the two consumers (peak + argmin) recompute only the parallel
+    # pid-window — and the Window stays visible in the final plan for
+    # the no-SinglePartition pin (tests/test_prefix_sum.py).
+    c = running_totals(b, ["t", "k"], sums={"cum": "d"}).select(
+        "t", F.col("cum").cast("bigint").alias("cum")
+    )
     m = c.agg(F.max("cum").alias("peak"))
     n = s.agg(F.count("*").cast("bigint").alias("n_sessions"))
     peak_ts = (

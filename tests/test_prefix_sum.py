@@ -154,6 +154,30 @@ def test_empty_input(spark):
     assert totals == {"n_rows": 0, "cum": None}
 
 
+def test_registry_cumulative_keys_ride_prefix_sum(spark):
+    """VERDICT r13 item 1: the two formerly-weak fact-proportional
+    global cumulatives must plan through the prefix sum — the
+    __ps_pid window present, and NO window sitting on a
+    move-everything SinglePartition exchange (the 1-row scalar
+    aggregates in the same plans legitimately use SinglePartition
+    exchanges; only the Window-over-Sort-over-SinglePartition shape
+    is the scale defect)."""
+    import re
+
+    from gps_stream_processing_spark.plans import REGISTRY
+
+    for key in ("q_max_concurrency", "q_heaps_law"):
+        df = REGISTRY[key].fn(spark, SF_SMALL)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert "__ps_pid" in plan, f"{key}: prefix-sum window missing"
+        assert not re.search(
+            r"Window[^\n]*\n[^\n]*Sort[^\n]*\n[^\n]*Exchange SinglePartition",
+            plan,
+        ), f"{key}: global-cumulative window on a single partition"
+
+
 def test_plan_window_is_partitioned_not_single(spark):
     per_user = (
         _events(spark)
