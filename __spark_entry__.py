@@ -270,6 +270,20 @@ _CHANGED_SINCE_VERIFIED = (
     # sign), hash-checked at all three SFs — re-check anyway.
     ("q_max_concurrency", 14),
     ("q_heaps_law", 14),
+    # r14 (VERDICT r13 item 5): the per-VALUE cumulative stats family
+    # and q_vocab_coverage's type-rank cumulative now ride the
+    # two-pass prefix sum; q_wasserstein's global lead(v) became a
+    # parallel rn+1 equi-join; q_vocab_coverage's corpus totals come
+    # exactly from the pass-1 partials (crossed 1-row aggregate
+    # removed). Values invariant (bit-identical integer cumulatives),
+    # hash-checked at all three SFs — re-check anyway.
+    ("q_ks_test", 14),
+    ("q_mannwhitney", 14),
+    ("q_spearman_corr", 14),
+    ("q_roc_auc", 14),
+    ("q_trimmed_mean", 14),
+    ("q_wasserstein", 14),
+    ("q_vocab_coverage", 14),
 )
 
 

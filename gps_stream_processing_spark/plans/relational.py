@@ -3688,10 +3688,18 @@ def q_ks_test(spark: SparkSession, sf: str) -> DataFrame:
     )
     vals = segv.groupBy("v").agg(F.sum("cnt_seg").cast("bigint").alias("cnt"))
     nt_df = segv.agg(F.sum("cnt_seg").cast("bigint").alias("nt"))
-    cum = vals.select(
-        "v",
-        F.sum("cnt").over(Window.orderBy("v")).cast("bigint").alias("cum_all"),
-    ).crossJoin(F.broadcast(nt_df))
+    from gps_stream_processing_spark.operators.prefix_sum import (
+        running_totals,
+    )
+
+    # value-domain cumulative via the two-pass prefix sum — cents
+    # domains reach ~5e7 distinct at warehouse scale, past the
+    # single-partition comfort zone (VERDICT r13 item 5)
+    cum = (
+        running_totals(vals, ["v"], sums={"cum_all": "cnt"})
+        .select("v", F.col("cum_all").cast("bigint").alias("cum_all"))
+        .crossJoin(F.broadcast(nt_df))
+    )
     segs = segv.groupBy("mktsegment").agg(
         F.sum("cnt_seg").cast("bigint").alias("n1")
     )
@@ -3785,8 +3793,6 @@ def q_ks_test(spark: SparkSession, sf: str) -> DataFrame:
     "never row-sized.",
 )
 def q_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
     o = table(spark, sf, "orders").select("o_custkey", "o_totalprice")
     cu = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
     b = o.join(cu, o.o_custkey == cu.c_custkey).select(
@@ -3801,10 +3807,14 @@ def q_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     vals = segv.groupBy("v").agg(F.sum("cnt_seg").cast("bigint").alias("c"))
-    cum = vals.select(
-        "v",
-        "c",
-        F.sum("c").over(Window.orderBy("v")).cast("bigint").alias("cc"),
+    from gps_stream_processing_spark.operators.prefix_sum import (
+        running_totals,
+    )
+
+    # per-value rank cumulative via the two-pass prefix sum (the
+    # q_ks_test posture — VERDICT r13 item 5)
+    cum = running_totals(vals, ["v"], sums={"cc": "c"}).select(
+        "v", "c", F.col("cc").cast("bigint").alias("cc")
     )
     cv = F.col("c")
     ties = vals.agg(
@@ -5075,8 +5085,6 @@ def q_max_concurrency(spark: SparkSession, sf: str) -> DataFrame:
     "tables are value-domain-sized; one final double ratio.",
 )
 def q_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
     u = (
         table(spark, sf, "events")
@@ -5092,12 +5100,16 @@ def q_spearman_corr(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
+    from gps_stream_processing_spark.operators.prefix_sum import (
+        running_totals,
+    )
+
     def ranks(col: str):
+        # per-value rank cumulative via the two-pass prefix sum (the
+        # q_ks_test posture — VERDICT r13 item 5)
         per = u.groupBy(col).agg(F.count("*").alias("c"))
-        return per.select(
-            col,
-            "c",
-            F.sum("c").over(Window.orderBy(col)).cast("bigint").alias("cc"),
+        return running_totals(per, [col], sums={"cc": "c"}).select(
+            col, "c", F.col("cc").cast("bigint").alias("cc")
         )
 
     r = (
@@ -7696,8 +7708,6 @@ def q_kendall_tau(spark: SparkSession, sf: str) -> DataFrame:
     "without sampling, exact at any scale, value-domain-bounded.",
 )
 def q_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
     s = table(spark, sf, "embeddings").select(
         F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("pos"),
@@ -7710,10 +7720,15 @@ def q_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("bigint").alias("c"),
         F.sum("pos").cast("bigint").alias("cp"),
     )
-    cum = pv.select(
-        "c",
-        "cp",
-        F.sum("c").over(Window.orderBy("score")).cast("bigint").alias("cc"),
+    from gps_stream_processing_spark.operators.prefix_sum import (
+        running_totals,
+    )
+
+    # per-score rank cumulative via the two-pass prefix sum (the
+    # q_ks_test posture — VERDICT r13 item 5); score is distinct by
+    # construction of the groupBy, so the order is total
+    cum = running_totals(pv, ["score"], sums={"cc": "c"}).select(
+        "c", "cp", F.col("cc").cast("bigint").alias("cc")
     )
     agg = cum.agg(
         F.sum(d19(F.col("cp")) * d19(2 * F.col("cc") - F.col("c") + 1))
@@ -8058,8 +8073,6 @@ def q_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
     "window, all-integer until the final ratios.",
 )
 def q_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
     h = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     pv = (
         table(spark, sf, "orders")
@@ -8071,11 +8084,17 @@ def q_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_df = pv.agg(F.sum("c").cast("bigint").alias("n"))
-    c = pv.select(
-        "p",
-        "c",
-        F.sum("c").over(Window.orderBy("p")).cast("bigint").alias("cum"),
-    ).crossJoin(F.broadcast(n_df))
+    from gps_stream_processing_spark.operators.prefix_sum import (
+        running_totals,
+    )
+
+    # per-value cumulative via the two-pass prefix sum (the q_ks_test
+    # posture — VERDICT r13 item 5)
+    c = (
+        running_totals(pv, ["p"], sums={"cum": "c"})
+        .select("p", "c", F.col("cum").cast("bigint").alias("cum"))
+        .crossJoin(F.broadcast(n_df))
+    )
     kcol = (F.col("n") * 5 / 100).cast("bigint")
     folds = c.select(
         "p", "c", "cum", "n", kcol.alias("k")
@@ -8316,8 +8335,6 @@ def q_downsample_lttb(spark: SparkSession, sf: str) -> DataFrame:
     "raw rows, no sampling.",
 )
 def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
     h = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     o = table(spark, sf, "orders").select("o_custkey", "o_totalprice")
     cu = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
@@ -8339,13 +8356,25 @@ def q_wasserstein(spark: SparkSession, sf: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # value-domain table, two consumers
     )
-    w = Window.orderBy("v")
-    c = pv.select(
-        "v",
-        F.sum("ca").over(w).cast("bigint").alias("cuma"),
-        F.sum("cb").over(w).cast("bigint").alias("cumb"),
-        F.lead("v").over(w).alias("vn"),
+    from gps_stream_processing_spark.operators.prefix_sum import (
+        running_totals,
     )
+
+    # per-value CDF cumulatives via the two-pass prefix sum (VERDICT
+    # r13 item 5). The global lead(v) becomes a parallel equi-join on
+    # the running row number: row rn's successor value is the v of
+    # rn+1 (v is distinct, rn is a gap-free total order) — no
+    # single-partition window anywhere.
+    rt = running_totals(
+        pv, ["v"], sums={"cuma": "ca", "cumb": "cb"}, count_col="rn"
+    ).select(
+        "v",
+        "rn",
+        F.col("cuma").cast("bigint").alias("cuma"),
+        F.col("cumb").cast("bigint").alias("cumb"),
+    )
+    nxt = rt.select((F.col("rn") - 1).alias("rn"), F.col("v").alias("vn"))
+    c = rt.join(nxt, "rn", "left").select("v", "cuma", "cumb", "vn")
     t = pv.agg(
         F.sum("ca").cast("bigint").alias("na"),
         F.sum("cb").cast("bigint").alias("nb"),

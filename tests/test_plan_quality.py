@@ -145,9 +145,6 @@ NESTED_LOOP_ALLOWED = {
     "q_mix_temperature": "1-row broadcast (z, n_total) corpus-totals "
     "aggregate for the temperature weights — the q_tfidf shape; the "
     "rates join back to the fact as a k-source broadcast equi join",
-    "q_vocab_coverage": "1-row broadcast (n_total, n_vocab) corpus-"
-    "totals aggregate crossed onto the vocabulary ranking — the "
-    "q_tfidf shape; the window input is types, already agg-sized",
     "q_market_basket": "1-row broadcast n_orders aggregate for the "
     "lift denominator — the q_tfidf shape; the pair join itself is "
     "a basket-keyed equi join",

@@ -166,7 +166,20 @@ def test_registry_cumulative_keys_ride_prefix_sum(spark):
 
     from gps_stream_processing_spark.plans import REGISTRY
 
-    for key in ("q_max_concurrency", "q_heaps_law"):
+    for key in (
+        "q_max_concurrency",
+        "q_heaps_law",
+        # the per-VALUE cumulative stats family (VERDICT r13 item 5):
+        # value-domain-bounded at the fixtures, but cents domains
+        # reach ~5e7 distinct at warehouse scale
+        "q_ks_test",
+        "q_mannwhitney",
+        "q_spearman_corr",
+        "q_roc_auc",
+        "q_trimmed_mean",
+        "q_wasserstein",
+        "q_vocab_coverage",
+    ):
         df = REGISTRY[key].fn(spark, SF_SMALL)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "simple"
