@@ -87,6 +87,28 @@ def test_every_registry_key_documented_in_survey():
     assert not missing, f"registry keys absent from SURVEY.md: {missing}"
 
 
+def test_doc_counts_match_registry():
+    """README/SURVEY state the registry size in prose; drift used to be
+    a hand-sed step in the per-key workflow (VERDICT r13 item 9 made it
+    a gate). tools/check_counts.py owns the phrase inventory."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    import check_counts
+
+    from gps_stream_processing_spark.plans import REGISTRY
+
+    errs = check_counts.check(len(REGISTRY))
+    assert not errs, "; ".join(errs)
+
+
 def test_committed_rounds_allowlist_tracks_disk():
     """_COMMITTED_ROUNDS must cover every on-disk CORRECTNESS record up
     to its own max round — a forgotten allowlist update would silently

@@ -1,0 +1,85 @@
+"""Documentation-count sync gate (VERDICT r13 item 9).
+
+README.md and SURVEY.md each state the registry size in prose; until
+now keeping them in sync with ``queries()`` was a hand-sed step in the
+per-key workflow — drift showed up as a judge finding instead of a
+test failure. This module extracts every stated count and compares it
+to the live registry; ``tests/test_entry.py`` invokes it so a key
+added without the doc bump fails CI.
+
+Checked phrases (one regex per known site, so a NEW count-bearing
+phrase must be added here deliberately — the regexes error if a
+phrase disappears, which also catches accidental deletion):
+
+- README.md: "— N queries", "N-query differential sweep",
+  "All N queries"
+- SURVEY.md: "stands at **N oracle-registered keys**"
+
+Run standalone: ``python tools/check_counts.py`` (exit 1 on drift).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+# (file, human label, regex with ONE capture group = the count)
+_SITES = (
+    ("README.md", "queries() entry count", r"`queries\(\)` entry — (\d+) queries"),
+    ("README.md", "differential sweep", r"full (\d+)-query differential sweep"),
+    ("README.md", "bench coverage", r"All (\d+) queries"),
+    (
+        "SURVEY.md",
+        "registry size",
+        r"stands at \*\*(\d+) oracle-registered keys\*\*",
+    ),
+)
+
+
+def stated_counts() -> list[tuple[str, str, int]]:
+    """Return (file, label, count) for every known doc site; raises if
+    a site's phrase vanished (deleting the sentence must be a
+    deliberate edit here, not silent)."""
+    out = []
+    for fname, label, pat in _SITES:
+        text = (REPO / fname).read_text()
+        m = re.search(pat, text)
+        if not m:
+            raise AssertionError(
+                f"{fname}: count phrase for '{label}' not found "
+                f"(pattern {pat!r}) — if the sentence was reworded, "
+                f"update tools/check_counts.py"
+            )
+        out.append((fname, label, int(m.group(1))))
+    return out
+
+
+def check(n_registry: int) -> list[str]:
+    """Return a list of human-readable drift messages (empty = sync)."""
+    errs = []
+    for fname, label, n in stated_counts():
+        if n != n_registry:
+            errs.append(
+                f"{fname} ({label}) says {n} but the registry has "
+                f"{n_registry} keys"
+            )
+    return errs
+
+
+def main() -> int:
+    sys.path.insert(0, str(REPO))
+    from gps_stream_processing_spark.plans import REGISTRY
+
+    errs = check(len(REGISTRY))
+    for e in errs:
+        print(f"COUNT DRIFT: {e}", file=sys.stderr)
+    if not errs:
+        print(f"counts in sync: {len(REGISTRY)} keys")
+    return 1 if errs else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
