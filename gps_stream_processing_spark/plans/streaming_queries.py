@@ -397,6 +397,30 @@ def q_stream_tws_timers(spark: SparkSession, sf: str) -> DataFrame:
             spark.conf.set(provider_key, prev)
 
 
+def q_stream_tws_timer_list(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.streaming.runner import events_stream
+    from gps_stream_processing_spark.streaming.stateful import (
+        streaming_session_cache_tws,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = events_stream(spark, sf)
+        return run_available_now(
+            streaming_session_cache_tws(ev), output_mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
 def q_stream_tws_map_state(spark: SparkSession, sf: str) -> DataFrame:
     from gps_stream_processing_spark.streaming.runner import events_stream
     from gps_stream_processing_spark.streaming.stateful import (
@@ -522,6 +546,51 @@ else:
         "pattern: state is O(active users) and timers replace the "
         "full-keyspace scan a batch close-out would need.",
     )(q_stream_tws_timers)
+
+    q_stream_tws_timer_list = register(
+        "q_stream_tws_timer_list",
+        # A user's cache closes iff their timer (last event ms +
+        # 30 min) falls behind the final watermark (global max event
+        # ms - 10 min); the kept/evicted split compares ms-floored
+        # event times against the exact integer cutoff expiry -
+        # 60 min. Value sums are exact integer cents (the house
+        # cast(round(value*100)) expression on both sides).
+        oracle="""
+        WITH e AS (
+          SELECT user_id, epoch_ms(ts) AS ms,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), w AS (SELECT epoch_ms(max(ts)) - 600000 AS wm_ms FROM events),
+        u AS (SELECT user_id, MAX(ms) AS umax FROM e GROUP BY 1),
+        fired AS (
+          SELECT u.user_id, u.umax + 1800000 AS expiry FROM u, w
+          WHERE u.umax + 1800000 < w.wm_ms
+        )
+        SELECT f.user_id,
+               CAST(SUM(CASE WHEN e.ms >= f.expiry - 3600000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN e.ms < f.expiry - 3600000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_evicted,
+               CAST(SUM(CASE WHEN e.ms >= f.expiry - 3600000
+                             THEN e.cents ELSE 0 END) AS BIGINT)
+                 AS sum_kept_cents
+        FROM fired f JOIN e ON e.user_id = f.user_id
+        GROUP BY 1
+        """,
+        doc="TIMERS x LISTSTATE composition on "
+        "transformWithStateInPandas (SURVEY §2.8 — the session-cache "
+        "shape: the two state primitives the registry exercised "
+        "separately, now composed in ONE processor): per-user events "
+        "accumulate as typed ListState entries via per-entry "
+        "appendList, each batch re-registers an event-time timer at "
+        "last_event + 30 min, and timer expiry EVICTS entries older "
+        "than expiry - 60 min before emitting the cache summary "
+        "(kept/evicted counts + exact-cents kept sum) — eviction work "
+        "happens only on expiry, never as a per-batch keyspace scan; "
+        "state per key is bounded by the retention window. "
+        "availableNow over the one-file fixture evaluates every timer "
+        "against the single final watermark -> full SQL oracle.",
+    )(q_stream_tws_timer_list)
 
     q_stream_tws_map_state = register(
         "q_stream_tws_map_state",

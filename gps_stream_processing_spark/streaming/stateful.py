@@ -585,3 +585,138 @@ def streaming_seeded_totals_tws(
             initialState=seed.groupBy("user_id"),
         )
     )
+
+
+# --- timers x ListState composition (session cache) -----------------------
+
+SESSION_CACHE_OUTPUT_SCHEMA = (
+    "user_id bigint, n_kept bigint, n_evicted bigint, sum_kept_cents bigint"
+)
+# One ListState ENTRY per cached event (the q_stream_tws_recent_k
+# typed-row discipline); value pre-converted to exact integer cents
+# UPSTREAM with the house cast(round(value*100) as bigint) expression,
+# so the processor never re-rounds floats.
+SESSION_CACHE_ENTRY_SCHEMA = "ts_ms bigint, event_id bigint, cents bigint"
+SESSION_CACHE_META_SCHEMA = "last_ms bigint, timer_ms bigint"
+
+
+def make_session_cache_processor(gap_ms: int, retention_ms: int):
+    """TIMERS x LISTSTATE in one processor — the session-cache shape
+    (VERDICT r13 item 8): each user's recent events accumulate as typed
+    ListState entries via per-entry ``appendList`` (no full-list
+    rewrite on ingest), every batch re-registers one event-time timer
+    at ``last_event + gap_ms``, and when the WATERMARK passes it the
+    timer handler EVICTS entries older than ``expiry - retention_ms``
+    from the list and emits the cache summary — eviction work happens
+    only on expiry, never as a per-batch keyspace scan, and state per
+    key is bounded by the retention window.
+
+    Deterministic under availableNow replay (the q_stream_tws_timers
+    discipline): one data file -> one data batch, so every timer is
+    evaluated against the single final watermark; a user fires iff
+    last_ms + gap < global_max_ms - watermark_delay, and the kept/
+    evicted split compares ms-floored event times against the exact
+    integer cutoff expiry - retention — all reproducible in SQL, and
+    the fixture keeps users minutes from the boundary so < vs <=
+    cannot flip a row."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _SessionCacheProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._entries = handle.getListState(
+                "entries", SESSION_CACHE_ENTRY_SCHEMA
+            )
+            self._meta = handle.getValueState("meta", SESSION_CACHE_META_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            last_ms, timer_ms = (
+                self._meta.get() if self._meta.exists() else (0, 0)
+            )
+            new = []
+            for pdf in rows:
+                for row in pdf.itertuples(index=False):
+                    ms = int(row.ts.value // 1_000_000)  # ns -> ms
+                    new.append((ms, int(row.event_id), int(row.cents)))
+                    last_ms = max(last_ms, ms)
+            if new:
+                self._entries.appendList(new)  # per-entry append
+            new_timer = last_ms + gap_ms
+            if timer_ms and timer_ms != new_timer:
+                self._handle.deleteTimer(timer_ms)
+            if timer_ms != new_timer:
+                self._handle.registerTimer(new_timer)
+            self._meta.update((last_ms, new_timer))
+            return iter([])
+
+        def handleExpiredTimer(
+            self, key, timerValues, expiredTimerInfo
+        ) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            expiry_ms = expiredTimerInfo.getExpiryTimeInMs()
+            entries = (
+                [tuple(t) for t in self._entries.get()]
+                if self._entries.exists()
+                else []
+            )
+            cutoff = expiry_ms - retention_ms
+            kept = sorted(e for e in entries if e[0] >= cutoff)
+            n_evicted = len(entries) - len(kept)
+            if kept:
+                self._entries.put(kept)  # trimmed write: O(retention)
+            else:
+                self._entries.clear()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "n_kept": len(kept),
+                        "n_evicted": n_evicted,
+                        "sum_kept_cents": sum(e[2] for e in kept),
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _SessionCacheProcessor()
+
+
+def streaming_session_cache_tws(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    retention_minutes: int = 60,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session cache on TWS timers + ListState: watermark the event
+    stream, key by user; timer expiry drives both the list eviction
+    and the emission."""
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.streaming.protobuf_compat import (
+        configure_worker_env,
+        ensure_protobuf,
+    )
+
+    ensure_protobuf()
+    configure_worker_env(events.sparkSession)
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            make_session_cache_processor(
+                gap_ms=gap_minutes * 60_000,
+                retention_ms=retention_minutes * 60_000,
+            ),
+            outputStructType=SESSION_CACHE_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )

@@ -69,6 +69,7 @@ def test_tws_key_presence_matches_capability():
     avail = _tws_available()
     assert ("q_stream_tws_fix_merge" in plans.queries()) == avail
     assert ("q_stream_tws_timers" in plans.queries()) == avail
+    assert ("q_stream_tws_timer_list" in plans.queries()) == avail
 
 
 def test_every_registry_key_documented_in_survey():

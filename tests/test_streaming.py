@@ -1014,3 +1014,41 @@ def test_join_then_window_has_two_state_operators(spark, tmp_path):
     names = set(ops.values())
     assert any("symmetricHashJoin" in n for n in names), names
     assert any("stateStoreSave" in n for n in names), names
+
+
+def test_tws_timer_list_fire_set_and_eviction_split(spark):
+    """q_stream_tws_timer_list invariants replicated in batch: the
+    fire set is exactly {user: last_ms + gap < global_max_ms - delay},
+    kept + evicted = the user's total events, the kept sum is the
+    exact-cents batch sum over the retention window, and n_kept >= 1
+    always (retention 60 min > gap 30 min, so the firing user's last
+    event is inside its own window)."""
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.plans import REGISTRY
+    from gps_stream_processing_spark.plans.registry import table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        int(r.user_id): (int(r.n_kept), int(r.n_evicted), int(r.sum_kept_cents))
+        for r in REGISTRY["q_stream_tws_timer_list"].fn(spark, sf).toPandas().itertuples()
+    }
+    e = table(spark, sf, "events").select(
+        "user_id",
+        F.unix_millis("ts").alias("ms"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    ).toPandas()
+    wm = int(e["ms"].max()) - 600_000
+    want = {}
+    for uid, g in e.groupby("user_id"):
+        expiry = int(g["ms"].max()) + 1_800_000
+        if not expiry < wm:
+            continue
+        kept = g[g["ms"] >= expiry - 3_600_000]
+        want[int(uid)] = (
+            len(kept),
+            len(g) - len(kept),
+            int(kept["cents"].sum()),
+        )
+    assert got == want and len(got) > 0
+    assert all(k >= 1 for k, _, _ in got.values())
