@@ -70,3 +70,75 @@ def test_cross_replica_dups_found(spark, big_docs):
     ).count()
     assert got == REPLICAS * (REPLICAS - 1) // 2
     sh.unpersist()
+
+
+def test_fixed_pivot_budget_collapses_centrality_growth(spark):
+    """SCALE.md's harmonic/betweenness production dial, exercised
+    (VERDICT r13 item 7): with a FIXED pivot COUNT (not a fixed rate),
+    a 4x-replicated graph must cost sub-quadratically more wall time
+    (quadratic would be ~16x; the bound here is a generous 8x + fixed
+    slack, since the estimators' per-round overheads dominate at this
+    size) and the replica-0 scores must agree exactly — the extra
+    replicas are disconnected from the pivots, so only the edge-scan
+    term grows. The same ~20 pivots are used at both scales, the
+    Eppstein-Wang accuracy contract."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.operators.graph import (
+        betweenness_sampled,
+        per_source_bfs,
+    )
+    from gps_stream_processing_spark.plans.graph_queries import (
+        landed_customer_supplier_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = landed_customer_supplier_edges(spark, sf).select("src", "dst")
+    off = 100_000_000
+
+    def replicate(k):
+        parts = [
+            base.select(
+                (F.col("src") + i * off).alias("src"),
+                (F.col("dst") + i * off).alias("dst"),
+            )
+            for i in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # pin so graph construction is excluded from the timed section
+        return out.localCheckpoint(eager=True)
+
+    # FIXED budget: the same 20 replica-0 pivots at every scale
+    seeds = (
+        base.select(F.col("src").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
+    g1, g4 = replicate(1), replicate(4)
+
+    def run(graph):
+        t0 = time.time()
+        hm = {
+            (r.source, r.id): r.dist
+            for r in per_source_bfs(graph, seeds, n_rounds=3).collect()
+        }
+        bm = {
+            r.id: r.betweenness
+            for r in betweenness_sampled(graph, seeds, n_rounds=3).collect()
+        }
+        return time.time() - t0, hm, bm
+
+    t1, h1, b1 = run(g1)
+    t4, h4, b4 = run(g4)
+    # rank agreement: identical reachable sets and per-node values
+    assert h4 == h1 and len(h1) > 0
+    assert set(b4) == set(b1) and len(b1) > 0
+    assert all(abs(b4[k] - b1[k]) <= 1e-6 for k in b1)
+    # sub-quadratic wall growth (quadratic at 4x graph would be ~16x)
+    assert t4 <= 8 * t1 + 5.0, f"4x replica wall blew up: {t1:.2f}s -> {t4:.2f}s"
