@@ -284,6 +284,13 @@ _CHANGED_SINCE_VERIFIED = (
     ("q_trimmed_mean", 14),
     ("q_wasserstein", 14),
     ("q_vocab_coverage", 14),
+    # r14: q_downsample_lttb's triangle areas now anchor x at the
+    # window start (xr = x - lo) — translation-invariant, values
+    # bit-identical (the lo*na*nb shift cancels exactly in both
+    # factors; hash-checked at all three SFs), but the absolute-µs
+    # form measured a decimal(38,0) overflow at 16x density
+    # (scale_curve octave) — expression changed → re-check.
+    ("q_downsample_lttb", 14),
 )
 
 

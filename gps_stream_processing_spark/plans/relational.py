@@ -8158,13 +8158,18 @@ def q_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
     ), bounds AS (
       SELECT MIN(x) AS lo, MAX(x) AS hi FROM e
     ), b AS (
-      SELECT e.x, e.y, e.event_id,
+      -- xr anchors x at the window start: triangle areas are
+      -- translation-invariant (sxa*nb - sxb*na and sxa*nb - x*na*nb
+      -- both cancel the lo*na*nb shift exactly), and the relative
+      -- moments keep ~1e4x decimal headroom the absolute-µs form
+      -- exhausts at 16x density (measured overflow, scale_curve r14)
+      SELECT e.x, e.x - bounds.lo AS xr, e.y, e.event_id,
              CAST(LEAST(99, (e.x - bounds.lo) * 100
                             // (bounds.hi - bounds.lo + 1)) AS BIGINT)
                AS bk
       FROM e, bounds
     ), m AS (
-      SELECT bk, CAST(SUM(x) AS HUGEINT) AS sx,
+      SELECT bk, CAST(SUM(xr) AS HUGEINT) AS sx,
              CAST(SUM(y) AS HUGEINT) AS sy,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM b GROUP BY bk
@@ -8180,7 +8185,7 @@ def q_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
              abs((CAST(a.sxa AS HUGEINT) * a.nb - CAST(a.sxb AS HUGEINT) * a.na)
                    * (CAST(b.y AS HUGEINT) * a.na - a.sya) * a.nb
                  - (CAST(a.sxa AS HUGEINT) * a.nb
-                    - CAST(b.x AS HUGEINT) * a.na * a.nb)
+                    - CAST(b.xr AS HUGEINT) * a.na * a.nb)
                    * (CAST(a.syb AS HUGEINT) * a.na - CAST(a.sya AS HUGEINT) * a.nb))
                AS area
       FROM b JOIN anchors a ON a.bk = b.bk
@@ -8225,8 +8230,13 @@ def q_downsample_lttb(spark: SparkSession, sf: str) -> DataFrame:
     bounds = e.agg(
         F.min("x").alias("lo"), F.max("x").alias("hi")
     )
+    # xr anchors x at the window start — areas are translation-
+    # invariant (the lo*na*nb shift cancels in both factors exactly),
+    # and relative-µs moments keep ~1e4x decimal headroom the
+    # absolute form exhausts at 16x density (measured, scale_curve)
     b = e.crossJoin(F.broadcast(bounds)).select(
         "x",
+        F.expr("x - lo").alias("xr"),
         "y",
         "event_id",
         F.least(
@@ -8235,7 +8245,7 @@ def q_downsample_lttb(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("bk"),
     ).localCheckpoint(eager=True)  # two consumers: moments + rejoin
     m = b.groupBy("bk").agg(
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("xr").cast("decimal(38,0)").alias("sx"),
         F.sum("y").cast("decimal(38,0)").alias("sy"),
         F.count("*").cast("bigint").alias("n"),
     )
@@ -8260,7 +8270,7 @@ def q_downsample_lttb(spark: SparkSession, sf: str) -> DataFrame:
             * F.col("nb")
             - (
                 h(F.col("sxa")) * F.col("nb")
-                - h(F.col("x")) * F.col("na") * F.col("nb")
+                - h(F.col("xr")) * F.col("na") * F.col("nb")
             )
             * (
                 h(F.col("syb")) * F.col("na")

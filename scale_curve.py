@@ -57,6 +57,76 @@ def timed(make_df):
     return round(best, 3)
 
 
+def _lttb_100b(ev):
+    """Mean-anchored LTTB core (the q_downsample_lttb shape): one scan
+    into 100 fixed time buckets, bucket-moment agg, 100-row neighbor
+    window broadcast back, per-bucket exact-integer argmax — expect
+    ~linear in rows (the bucket table is constant-size)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    h = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    e = ev.select(
+        F.unix_micros("ts").alias("x"),
+        F.expr("cast(round(value * 100) as bigint)").alias("y"),
+        "event_id",
+    )
+    bounds = e.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    # xr = window-relative µs (translation-invariant areas, ~1e4x more
+    # decimal headroom — the absolute form measured an overflow at 16x)
+    b = (
+        e.crossJoin(F.broadcast(bounds))
+        .select(
+            "x",
+            F.expr("x - lo").alias("xr"),
+            "y",
+            "event_id",
+            F.least(
+                F.lit(99).cast("bigint"),
+                F.expr("(x - lo) * 100 div (hi - lo + 1)"),
+            ).alias("bk"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = b.groupBy("bk").agg(
+        F.sum("xr").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    w = W.orderBy("bk")  # 100-row bucket table
+    a = m.select(
+        "bk",
+        F.lag("sx").over(w).alias("sxa"),
+        F.lag("sy").over(w).alias("sya"),
+        F.lag("n").over(w).alias("na"),
+        F.lead("sx").over(w).alias("sxb"),
+        F.lead("sy").over(w).alias("syb"),
+        F.lead("n").over(w).alias("nb"),
+    ).filter(F.col("na").isNotNull() & F.col("nb").isNotNull())
+    scored = b.join(F.broadcast(a), "bk").select(
+        "bk",
+        "x",
+        "y",
+        "event_id",
+        F.abs(
+            (h(F.col("sxa")) * F.col("nb") - h(F.col("sxb")) * F.col("na"))
+            * (h(F.col("y")) * F.col("na") - F.col("sya"))
+            * F.col("nb")
+            - (
+                h(F.col("sxa")) * F.col("nb")
+                - h(F.col("xr")) * F.col("na") * F.col("nb")
+            )
+            * (h(F.col("syb")) * F.col("na") - h(F.col("sya")) * F.col("nb"))
+        ).alias("area"),
+    )
+    return scored.groupBy("bk").agg(
+        F.min_by(
+            F.struct("x", "y"),
+            F.struct((-F.col("area")).alias("na"), "x", "event_id"),
+        ).alias("p")
+    )
+
+
 def main() -> None:
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
@@ -70,6 +140,7 @@ def main() -> None:
         winnow_seed_table,
     )
     from gps_stream_processing_spark.operators.graph import (
+        betweenness_sampled,
         bfs_distances,
         hits,
         pagerank,
@@ -77,6 +148,7 @@ def main() -> None:
         sssp_distances,
         triangle_count,
     )
+    from gps_stream_processing_spark.operators.unigram import train_vocab
     from gps_stream_processing_spark.plans.corpus import pmi_bigrams
     from gps_stream_processing_spark.session import get_spark
     from gps_stream_processing_spark.sources.tables import load_table
@@ -293,6 +365,67 @@ def main() -> None:
                 )
             ),
             "substr_strided": lambda: substring_dedup_strided(docs),
+            # r14 shapes (VERDICT r13 item 6): sampled betweenness
+            # (forward BFS with bigint sigma + per-level backward
+            # dependency unroll — fixed-RATE pivots like harmonic_3r,
+            # so expect the same deliberately super-linear pivots-x-
+            # edges product; the production dial is the fixed pivot
+            # BUDGET pinned in tests/test_scale_smoke.py), the unigram
+            # hard-EM train (word-TYPE-domain EM passes — replication
+            # grows counts, not types, so expect scan-bound ~linear),
+            # mean-anchored LTTB (constant 100-bucket table — expect
+            # ~linear in rows), and the seeded substring dedup at
+            # 100% duplicate rate (every doc has an exact twin inside
+            # each replica, so the extend stage degrades to stride-1
+            # over EVERYTHING — the claim is it stays ~linear in
+            # tokens because duplicate handling is per-span hash
+            # counting, never a pairwise join).
+            "betweenness_3r": lambda: (
+                lambda e: betweenness_sampled(
+                    e,
+                    e.select(F.col("src").alias("id"))
+                    .distinct()
+                    .filter(F.col("id") % 997 == 1),
+                    n_rounds=3,
+                )
+            )(
+                li.join(o, li.l_orderkey == o.o_orderkey).select(
+                    F.col("o_custkey").alias("src"),
+                    (F.col("l_suppkey") + 1_000_000_000).alias("dst"),
+                )
+            ),
+            # The fixed-BUDGET twin (the production dial): pivots come
+            # from the BASE replica only (constant count at every
+            # factor), so per-round work is budget x edges — expect
+            # ~linear in edges. The fixed-RATE form above measured an
+            # OOM at 16x (16x pivots x 16x connected graph -> ~256x
+            # (source, id) state), the strongest argument for the dial.
+            "betweenness_3r_budget": lambda: (
+                lambda e: betweenness_sampled(
+                    e,
+                    e.select(F.col("src").alias("id"))
+                    .distinct()
+                    .filter(
+                        (F.col("id") % 997 == 1)
+                        & (F.col("id") < 10_000_000)
+                    ),
+                    n_rounds=3,
+                )
+            )(
+                li.join(o, li.l_orderkey == o.o_orderkey).select(
+                    F.col("o_custkey").alias("src"),
+                    (F.col("l_suppkey") + 1_000_000_000).alias("dst"),
+                )
+            ),
+            "unigram_em2": lambda: train_vocab(docs, n_rounds=2),
+            "lttb_100b": lambda: _lttb_100b(ev),
+            "substr_strided_hidup": lambda: substring_dedup_strided(
+                docs.unionByName(
+                    docs.withColumn(
+                        "doc_id", F.col("doc_id") + F.lit(500_000)
+                    )
+                )
+            ),
             "kll_sketch": lambda: li.groupBy("l_returnflag").agg(
                 F.expr("kll_sketch_get_quantile_double("
                        "kll_sketch_agg_double(l_extendedprice), 0.5)").alias("p50")
