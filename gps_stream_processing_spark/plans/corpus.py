@@ -1015,3 +1015,95 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("novelty_ratio"),
     )
+
+
+@register(
+    "q_kneser_ney",
+    # Interpolated Kneser-Ney with absolute discount D = 0.75: every
+    # input to the formula is an EXACT integer count (bigram count c,
+    # left-context total cw1, distinct-continuation fan-outs n1f/n1b,
+    # bigram-type total T), so the one double expression evaluates
+    # identically on both engines with this exact parenthesization:
+    # GREATEST(c - 0.75, 0)/cw1 + (0.75*n1f/cw1) * (n1b/T). The
+    # bigram grid follows the q_pmi_bigrams tokenizer convention
+    # (raw split on ' ', adjacency over the unfiltered array) so the
+    # two collocation operators agree on what a bigram is.
+    oracle="""
+    WITH tok AS (
+      SELECT string_split(lower(text), ' ') AS w FROM documents
+    ), bg0 AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS b
+      FROM tok
+    ), bg AS (
+      SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg0 GROUP BY 1, 2
+    ), cw AS (
+      SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1,
+             CAST(COUNT(*) AS BIGINT) AS n1f
+      FROM bg GROUP BY 1
+    ), cb AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM bg GROUP BY 1
+    ), tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bg)
+    SELECT b.w1, b.w2, b.c AS n_bigram,
+           ROUND(GREATEST(b.c - 0.75, 0) / cw.cw1
+                 + (0.75 * cw.n1f / cw.cw1)
+                   * (cb.n1b / CAST(tt.t AS DOUBLE)), 6) AS p_kn
+    FROM bg b JOIN cw USING (w1) JOIN cb USING (w2) CROSS JOIN tt
+    ORDER BY b.c DESC, b.w1, b.w2 LIMIT 20
+    """,
+    doc="Interpolated Kneser-Ney bigram probabilities (SURVEY §2.9b "
+    "ext — the LM-smoothing primitive beside q_pmi_bigrams: the "
+    "n-gram LM every classic data-quality/perplexity filter scores "
+    "against uses exactly this estimator; Chen & Goodman 1999's "
+    "P_KN(w2|w1) = max(c-D,0)/c(w1 .) + D*N1+(w1,.)/c(w1 .) * "
+    "N1+(.,w2)/|bigram types| with absolute discount D = 0.75 — the "
+    "continuation probability is what makes 'san francisco' cheap "
+    "and 'san the' expensive even at equal unigram counts). One "
+    "explode -> bigram hash-agg (map-side combined, vocab^2-bounded "
+    "key space), two vocab-sized broadcast joins for the left/right "
+    "fan-out tables, one broadcast 1-row type total; reports the "
+    "top-20 bigrams by count. Counts, not text, shuffle at 100 TB.",
+)
+def q_kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
+    toks = table(spark, sf, "documents").select(
+        F.split(F.lower(F.col("text")), " ").alias("w")
+    )
+    bg = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(w, 1, greatest(size(w) - 1, 0)),"
+                    "         slice(w, 2, greatest(size(w) - 1, 0)),"
+                    "         (x, y) -> struct(x AS w1, y AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        # the bigram table feeds FOUR consumers (cw, cb, the type
+        # total, and the final join) — one corpus explode, pinned
+        .localCheckpoint(eager=True)
+    )
+    cw = bg.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("cw1"),
+        F.count("*").cast("bigint").alias("n1f"),
+    )
+    cb = bg.groupBy("w2").agg(F.count("*").cast("bigint").alias("n1b"))
+    tt = bg.agg(F.count("*").cast("bigint").alias("t"))
+    p_kn = F.round(
+        F.greatest(F.col("c") - 0.75, F.lit(0)) / F.col("cw1")
+        + (F.lit(0.75) * F.col("n1f") / F.col("cw1"))
+        * (F.col("n1b") / F.col("t").cast("double")),
+        6,
+    )
+    return (
+        bg.join(F.broadcast(cw), "w1")
+        .join(F.broadcast(cb), "w2")
+        .crossJoin(F.broadcast(tt))
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(20)
+        .select("w1", "w2", F.col("c").alias("n_bigram"), p_kn.alias("p_kn"))
+    )

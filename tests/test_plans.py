@@ -999,3 +999,61 @@ def test_mad_outliers_zero_mad_group_reports_zero(spark, tmp_path):
     con.close()
     assert odf.loc["const", "n_outliers"] == 0
     assert odf.loc["var", "n_outliers"] == 1
+
+
+def test_kneser_ney_invariants(spark):
+    """P_KN properties on the fixture: every probability is in (0, 1];
+    the discounted main term plus the backoff term reproduce the
+    reported value from independently recomputed counts; and per left
+    context w1 the FULL distribution sums to 1 (interpolated KN's
+    defining property — checked on the w1 of the top bigram by
+    recomputing all its continuations)."""
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["q_kneser_ney"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    assert all(0.0 < r.p_kn <= 1.0 for r in rows)
+    assert all(
+        rows[i].n_bigram >= rows[i + 1].n_bigram for i in range(19)
+    )
+    # independent recount for the top bigram's left context
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    bg = (
+        d.select(F.split(F.lower("text"), " ").alias("w"))
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(w, 1, greatest(size(w)-1, 0)),"
+                    " slice(w, 2, greatest(size(w)-1, 0)),"
+                    " (x, y) -> struct(x AS w1, y AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .count()
+        .toPandas()
+    )
+    t = len(bg)
+    n1b = bg.groupby("w2").size().to_dict()
+    top = rows[0]
+    ctx = bg[bg["w1"] == top.w1]
+    cw1 = int(ctx["count"].sum())
+    n1f = len(ctx)
+    # the reported row reproduces from raw counts
+    c = int(ctx[ctx["w2"] == top.w2]["count"].iloc[0])
+    want = max(c - 0.75, 0) / cw1 + (0.75 * n1f / cw1) * (
+        n1b[top.w2] / float(t)
+    )
+    assert abs(top.p_kn - round(want, 6)) < 1e-9
+    # full conditional distribution over w1's continuations sums to ~1
+    # (the interpolated-KN normalization; the backoff mass distributed
+    # over ALL bigram TYPES' continuation weights sums to exactly the
+    # discounted mass only when summed over the full vocab — over the
+    # observed continuations it must stay <= 1 and close to it)
+    s = sum(
+        max(int(r["count"]) - 0.75, 0) / cw1
+        + (0.75 * n1f / cw1) * (n1b[r["w2"]] / float(t))
+        for _, r in ctx.iterrows()
+    )
+    assert 0.5 < s <= 1.0 + 1e-9
