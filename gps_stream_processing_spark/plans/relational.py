@@ -8505,3 +8505,125 @@ def q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("max_robust_z"),
     )
+
+
+@register(
+    "q_sax",
+    # SAX (Lin et al. 2003): z-normalize the daily cent-sum series,
+    # PAA into 16 equal-count segments, map each segment mean to a
+    # 4-letter alphabet at the standard-normal quartile breakpoints
+    # (-0.6745, 0, 0.6745). EVERY input to the two double expressions
+    # is an exact integer (per-day cent sums, segment sums/counts,
+    # HUGEINT/decimal global moments), the z expression shares its
+    # parenthesization across engines, and the symbol CASE compares
+    # the UNROUNDED z — identical doubles land on identical sides of
+    # the literal breakpoints. Segment id is exact integer floor
+    # division (i*16 // n). Degenerate flat series: NULLIF std -> z
+    # NULL -> both engines' CASE falls through to 'd'.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT y, row_number() OVER (ORDER BY d) - 1 AS i,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM daily
+    ), seg AS (
+      SELECT CAST(i * 16 // n AS BIGINT) AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(y) AS HUGEINT) AS sg
+      FROM idx GROUP BY 1
+    ), z AS (
+      SELECT s.segment, s.n_days,
+             ((CAST(s.sg AS DOUBLE) / s.n_days)
+              - (CAST(m.sy AS DOUBLE) / m.n))
+             / NULLIF(sqrt((m.n * CAST(m.syy AS DOUBLE)
+                            - CAST(m.sy AS DOUBLE) * CAST(m.sy AS DOUBLE))
+                           / (CAST(m.n AS DOUBLE) * m.n)), 0.0) AS zv
+      FROM seg s CROSS JOIN mom m
+    )
+    SELECT segment, n_days, ROUND(zv, 6) AS paa_z,
+           CASE WHEN zv < -0.6745 THEN 'a'
+                WHEN zv < 0.0 THEN 'b'
+                WHEN zv < 0.6745 THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM z ORDER BY segment
+    """,
+    doc="SAX symbolic aggregate approximation of the daily event-"
+    "revenue series (Lin et al. 2003; SURVEY §2.4 ext — the "
+    "symbolization primitive beside q_downsample_lttb: PAA-compress "
+    "the z-normalized series into 16 segments and emit one of 4 "
+    "alphabet letters per segment at the standard-normal quartile "
+    "breakpoints — the representation behind time-series motif "
+    "discovery, anomaly grammars, and indexable subsequence search). "
+    "One scan collapses the fact table to the calendar-bounded daily "
+    "grid; moments, segmentation (exact integer i*16 div n over the "
+    "day rank), and the per-segment z are all aggregate-sized — at "
+    "100 TB the scan dominates and everything downstream is "
+    "O(days).",
+)
+def q_sax(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    daily = (
+        table(spark, sf, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.expr("cast(round(value * 100) as bigint)"))
+            .cast("bigint")
+            .alias("y")
+        )
+        # the day grid feeds the moments aggregate AND the segment
+        # agg — one fact scan, pinned (calendar-bounded table)
+        .localCheckpoint(eager=True)
+    )
+    idx = daily.select(
+        "y",
+        (F.row_number().over(Window.orderBy("d")) - 1).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    mom = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(d19(F.col("y")) * d19(F.col("y"))).alias("syy"),
+    )
+    seg = idx.groupBy(
+        F.expr("cast(i * 16 div n as bigint)").alias("segment")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("y").cast("decimal(38,0)").alias("sg"),
+    )
+    zv = (
+        F.col("sg").cast("double") / F.col("n_days")
+        - (F.col("sy").cast("double") / F.col("n"))
+    ) / F.nullif(
+        F.sqrt(
+            (
+                F.col("n") * F.col("syy").cast("double")
+                - F.col("sy").cast("double") * F.col("sy").cast("double")
+            )
+            / (F.col("n").cast("double") * F.col("n"))
+        ),
+        F.lit(0.0),
+    )
+    return (
+        seg.crossJoin(F.broadcast(mom))
+        .select(
+            "segment",
+            "n_days",
+            F.round(zv, 6).alias("paa_z"),
+            F.when(zv < -0.6745, "a")
+            .when(zv < 0.0, "b")
+            .when(zv < 0.6745, "c")
+            .otherwise("d")
+            .alias("symbol"),
+        )
+        .orderBy("segment")
+    )

