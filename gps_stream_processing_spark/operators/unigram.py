@@ -286,3 +286,97 @@ def unigram_encode_stats(
             ).alias("tokens_per_word"),
         )
     )
+
+
+def wordpiece_encode_stats(
+    df: DataFrame,
+    n_rounds: int = 2,
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """GREEDY longest-match-first segmentation (the WordPiece/
+    MaxMatch inference rule, Song et al. 2021 "Fast WordPiece
+    Tokenization") under the SAME trained unigram vocabulary the
+    Viterbi encoder uses — per-doc (``doc_id``, ``n_words``,
+    ``n_wp_tokens``, ``tokens_per_word``), mirroring
+    :func:`unigram_encode_stats` so the two inference rules'
+    fertility is directly comparable (greedy >= Viterbi token count
+    by construction; equality iff greedy happens to be optimal).
+
+    The walk is unrolled column algebra like the Viterbi DP: one
+    vocab join builds a per-word (position -> longest matching piece
+    length) map — the single-char coverage floor guarantees every
+    position matches — then MAX_WORD walk steps advance the cursor
+    p += step(p), counting pieces. Engine-portable: the same
+    longest-match MAX and the same unrolled walk run in the DuckDB
+    oracle; everything is exact integers (no floats at all)."""
+    words = word_table(df, text_col).localCheckpoint(eager=True)
+    if vocab is None:
+        vocab = seed_vocab(words).localCheckpoint(eager=True)
+        for _ in range(n_rounds):
+            vocab = _em_round(words, vocab)
+    cand = (
+        words.select(
+            "word",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(word)), i -> "
+                    f"transform(sequence(1, least({MAX_PIECE}, "
+                    "length(word) - i + 1)), l -> "
+                    "struct(i AS p, substring(word, i, l) AS s))))"
+                )
+            ).alias("c"),
+        )
+        .select("word", F.col("c.p").alias("p"), F.col("c.s").alias("s"))
+        .join(vocab.select("s"), "s")
+    )
+    gm = cand.groupBy("word", "p").agg(
+        F.max(F.length("s")).alias("step")
+    )
+    smap = gm.groupBy("word").agg(
+        F.map_from_entries(F.collect_list(F.struct("p", "step"))).alias(
+            "sm"
+        )
+    )
+    cur = (
+        words.join(smap, "word")
+        .withColumn("len", F.length("word"))
+        .withColumn("p0", F.lit(1))
+        .withColumn("k0", F.lit(0))
+    )
+    for t in range(1, MAX_WORD + 1):
+        pp, pk = f"p{t - 1}", f"k{t - 1}"
+        cur = cur.withColumn(
+            f"p{t}",
+            F.when(
+                F.col(pp) <= F.col("len"),
+                F.col(pp) + F.element_at("sm", F.col(pp)),
+            ).otherwise(F.col(pp)),
+        ).withColumn(
+            f"k{t}",
+            F.col(pk)
+            + F.when(F.col(pp) <= F.col("len"), 1).otherwise(0),
+        )
+    k = cur.select(
+        "word", F.col(f"k{MAX_WORD}").cast("bigint").alias("k")
+    ).localCheckpoint(eager=True)  # |distinct words|-sized lookup side
+    dw = df.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.col("word").rlike("^[a-z0-9]{1,%d}$" % MAX_WORD))
+    # Size-gate the broadcast on the word-TYPE count (the
+    # unigram_encode_stats / graph.py discipline).
+    from gps_stream_processing_spark.operators.graph import _fits_broadcast
+
+    lookup = F.broadcast(k) if _fits_broadcast(k.count()) else k
+    return (
+        dw.join(lookup, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("k").cast("bigint").alias("n_wp_tokens"),
+            F.round(
+                F.sum("k").cast("double") / F.count("*"), 6
+            ).alias("tokens_per_word"),
+        )
+    )

@@ -3370,7 +3370,11 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     return containment_pairs(_shingles(spark, sf), threshold=0.9)
 
 
-def _unigram_oracle(n_rounds: int = 2, encode_tail: bool = False) -> str:
+def _unigram_oracle(
+    n_rounds: int = 2,
+    encode_tail: bool = False,
+    greedy_tail: bool = False,
+) -> str:
     """Full DuckDB oracle for the unigram-LM tokenizer trainer
     (operators/unigram.py): seed counts, then each hard-EM round's
     Viterbi pass UNROLLED — per-position DP levels b{r}_{i} (8 of
@@ -3489,6 +3493,48 @@ def _unigram_oracle(n_rounds: int = 2, encode_tail: bool = False) -> str:
       FROM v{r} v LEFT JOIN nc{r} n ON n.s = v.s
       WHERE len(v.s) = 1 OR COALESCE(n.c, 0) > 0
     )""")
+    if greedy_tail:
+        # WordPiece/MaxMatch inference under the final vocabulary:
+        # per-(word, position) LONGEST matching piece (single-char
+        # coverage guarantees a match at every position), then the
+        # cursor walk unrolled W steps — all exact integers, the same
+        # algebra as operators/unigram.py::wordpiece_encode_stats.
+        sql.append(f""",
+    gm AS MATERIALIZED (
+      SELECT w.word, i.i AS p, CAST(MAX(l.l) AS INTEGER) AS step
+      FROM w,
+           UNNEST(generate_series(1, len(w.word))) AS i(i),
+           UNNEST(generate_series(1, {P})) AS l(l), v{n_rounds} v
+      WHERE i.i + l.l - 1 <= len(w.word)
+        AND v.s = substr(w.word, i.i, l.l)
+      GROUP BY 1, 2
+    ),
+    g0 AS (SELECT word, len(word) AS len, 1 AS p, 0 AS k FROM w)""")
+        for t in range(1, W + 1):
+            sql.append(f""",
+    g{t} AS MATERIALIZED (
+      SELECT g.word, g.len,
+             CASE WHEN g.p <= g.len THEN g.p + m.step ELSE g.p END AS p,
+             g.k + CASE WHEN g.p <= g.len THEN 1 ELSE 0 END AS k
+      FROM g{t - 1} g
+      LEFT JOIN gm m ON m.word = g.word AND m.p = g.p
+    )""")
+        sql.append(f"""
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(g.k) AS BIGINT) AS n_wp_tokens,
+           ROUND(CAST(SUM(g.k) AS DOUBLE) / COUNT(*), 6)
+             AS tokens_per_word
+    FROM (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+      ) WHERE regexp_matches(word, '^[a-z0-9]{{1,{W}}}$')
+    ) d
+    JOIN g{W} g ON g.word = d.word
+    GROUP BY 1
+    """)
+        return "".join(sql)
     if encode_tail:
         sql.append(f"""
     SELECT d.doc_id,
@@ -3607,5 +3653,34 @@ def q_unigram_encode(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = table(spark, sf, "documents")
     return unigram_encode_stats(
+        docs, n_rounds=2, vocab=_landed_unigram_vocab(spark, sf, docs)
+    )
+
+
+@register(
+    "q_wordpiece_encode",
+    oracle=_unigram_oracle(2, greedy_tail=True),
+    doc="WORDPIECE-style GREEDY tokenization (MaxMatch — the "
+    "longest-match-first inference rule of WordPiece/BERT, Song et "
+    "al. 2021; SURVEY §2.9 — the third tokenizer inference rule "
+    "beside BPE merge-replay and unigram Viterbi, under the SAME "
+    "trained unigram vocabulary so the fertility of greedy vs "
+    "optimal segmentation is directly comparable: greedy token "
+    "count >= Viterbi's by construction). One vocab join builds a "
+    "per-word (position -> longest match) map — the single-char "
+    "coverage floor guarantees progress — and the cursor walk is "
+    "unrolled exact-integer column algebra, identical in the DuckDB "
+    "oracle (no floats anywhere). Per-doc fertility via the same "
+    "size-gated word-count broadcast join as q_unigram_encode; the "
+    "corpus is scanned once and the walk runs on the |distinct "
+    "words| table.",
+)
+def q_wordpiece_encode(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.operators.unigram import (
+        wordpiece_encode_stats,
+    )
+
+    docs = table(spark, sf, "documents")
+    return wordpiece_encode_stats(
         docs, n_rounds=2, vocab=_landed_unigram_vocab(spark, sf, docs)
     )

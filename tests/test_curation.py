@@ -854,3 +854,29 @@ def test_unigram_covers_and_beats_bpe_fertility(spark):
     uni_fert = u["t"] / u["w"]
     bpe_fert = b["t"] / b["w"]
     assert uni_fert < bpe_fert, (uni_fert, bpe_fert)
+
+
+def test_wordpiece_greedy_never_beats_viterbi(spark):
+    """q_wordpiece_encode invariants at sf0.001: under the SAME
+    trained vocabulary, greedy longest-match token counts are >= the
+    Viterbi-optimal counts per document (MaxMatch is a heuristic for
+    the same segmentation objective), word counts agree exactly, and
+    fertility >= 1 everywhere (single-char coverage floor)."""
+    from gps_stream_processing_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    wp = {
+        int(r.doc_id): (int(r.n_words), int(r.n_wp_tokens))
+        for r in REGISTRY["q_wordpiece_encode"].fn(spark, sf).collect()
+    }
+    vi = {
+        int(r.doc_id): (int(r.n_words), int(r.n_unigram_tokens))
+        for r in REGISTRY["q_unigram_encode"].fn(spark, sf).collect()
+    }
+    assert set(wp) == set(vi) and len(wp) > 0
+    assert all(wp[d][0] == vi[d][0] for d in wp)  # same word counts
+    assert all(wp[d][1] >= vi[d][1] for d in wp)  # greedy >= optimal
+    assert all(wp[d][1] >= wp[d][0] for d in wp)  # fertility >= 1
+    # the heuristic is not degenerate: on this corpus at least one
+    # doc pays a strict greedy penalty OR all are equal-and-optimal
+    assert sum(wp[d][1] - vi[d][1] for d in wp) >= 0
