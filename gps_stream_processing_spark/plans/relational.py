@@ -8627,3 +8627,83 @@ def q_sax(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q_holt_linear",
+    # Holt's linear-trend double exponential smoothing, evaluated as
+    # the SAME sequential struct fold on both engines (Spark
+    # `aggregate` with a struct accumulator ≡ DuckDB `list_reduce`
+    # over struct-lifted elements — the q_ewma fold discipline with a
+    # 2-component state): l_t = α·x_t + (1-α)(l_{t-1}+b_{t-1}),
+    # b_t = β·(l_t−l_{t-1}) + (1-β)b_{t-1}, α=0.3, β=0.1, init
+    # (l₁,b₁)=(x₁,0) — the list_reduce-compatible convention, where
+    # the init IS the lifted first element. Every step repeats the
+    # identical expression tree (the new l recomputed inside b), so
+    # the doubles agree bitwise; all literals CAST to DOUBLE on the
+    # DuckDB side (bare 0.3 parses as DECIMAL — the q_ewma trap).
+    # DuckDB 1.0 PITFALL (measured): list_reduce with a STRUCT
+    # accumulator mutates it field-by-field — the second field's
+    # expression reads the FIRST field's already-updated value, so a
+    # 2-state recursion silently corrupts. A LIST accumulator
+    # ([l, b]) evaluates atomically; the oracle uses that encoding.
+    oracle="""
+    SELECT user_id, CAST(cnt AS BIGINT) AS n_events,
+           ROUND(hw[1], 6) AS level,
+           ROUND(hw[2], 6) AS trend,
+           ROUND(hw[1] + CAST(7 AS DOUBLE) * hw[2], 6) AS forecast_7
+    FROM (
+      SELECT user_id, COUNT(*) AS cnt,
+             list_reduce(
+               list_transform(
+                 list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                 x -> [x, CAST(0 AS DOUBLE)]),
+               (acc, x) -> [
+                 CAST(0.3 AS DOUBLE) * x[1]
+                 + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2]),
+                 CAST(0.1 AS DOUBLE)
+                 * ((CAST(0.3 AS DOUBLE) * x[1]
+                     + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2]))
+                    - acc[1])
+                 + CAST(0.9 AS DOUBLE) * acc[2]]) AS hw
+      FROM events GROUP BY user_id
+    ) t(user_id, cnt, hw)
+    """,
+    doc="Holt's linear-trend double exponential smoothing per user "
+    "(SURVEY §2.4 ext — the trend-aware sibling of q_ewma: simple "
+    "EWMA lags any trending series by a constant offset, Holt's "
+    "second smoothing term tracks the slope, giving level + trend + "
+    "an h-step forecast, the classic telemetry/capacity forecaster "
+    "before seasonal models). α=0.3, β=0.1, init (x₁, 0); per-user "
+    "(ts, event_id)-ordered history folds sequentially, so the "
+    "recursion is EXACT on both engines — no closed form, no float "
+    "explosion. Same bounded-per-key-sequence contract as q_ewma "
+    "(sessions/days); the unbounded-stream twin is a TWS ValueState "
+    "holding (l, b) — O(1) per key forever.",
+)
+def q_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    g = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, value))),"
+            " s -> s.value)"
+        ).alias("vals"),
+    )
+    hw = F.expr(
+        "aggregate(slice(vals, 2, size(vals)),"
+        " struct(vals[0] AS l, 0.0D AS b),"
+        " (acc, x) -> struct("
+        "   0.3D * x + 0.7D * (acc.l + acc.b) AS l,"
+        "   0.1D * ((0.3D * x + 0.7D * (acc.l + acc.b)) - acc.l)"
+        "   + 0.9D * acc.b AS b))"
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.round(hw.getField("l"), 6).alias("level"),
+        F.round(hw.getField("b"), 6).alias("trend"),
+        F.round(
+            hw.getField("l") + F.lit(7.0) * hw.getField("b"), 6
+        ).alias("forecast_7"),
+    )

@@ -950,3 +950,27 @@ def test_sax_symbols_match_z_breakpoints(spark):
         want = "a" if z < -0.6745 else "b" if z < 0 else "c" if z < 0.6745 else "d"
         # rounding can flip only exactly at a breakpoint; fixture is off-boundary
         assert r["symbol"] == want, (r["segment"], z, r["symbol"])
+
+
+def test_holt_linear_matches_python_fold(spark):
+    """q_holt_linear replica: the per-user (level, trend, forecast)
+    reproduce a plain Python left fold of the same recursion over the
+    same (ts, event_id)-ordered values — pinning both the fold
+    direction and the exact expression tree (this key also pins the
+    DuckDB 1.0 struct-accumulator mutation pitfall via its oracle's
+    list encoding)."""
+    got = _run(spark, "q_holt_linear").set_index("user_id")
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    e = e.sort_values(["ts", "event_id"])
+    for uid, g in e.groupby("user_id"):
+        vals = list(g["value"])
+        l, b = vals[0], 0.0
+        for x in vals[1:]:
+            nl = 0.3 * x + 0.7 * (l + b)
+            b = 0.1 * ((0.3 * x + 0.7 * (l + b)) - l) + 0.9 * b
+            l = nl
+        r = got.loc[uid]
+        assert int(r["n_events"]) == len(vals)
+        assert abs(r["level"] - round(l, 6)) < 1e-9, uid
+        assert abs(r["trend"] - round(b, 6)) < 1e-9, uid
+        assert abs(r["forecast_7"] - round(l + 7.0 * b, 6)) < 1e-9, uid
