@@ -88,13 +88,18 @@ def running_totals(
         # spark.sql.shuffle.partitions may be non-numeric on some
         # runtimes (e.g. "auto" under advanced AQE modes) — fall back
         # to the cluster's default parallelism rather than raising
-        # (ADVICE r13).
+        # (ADVICE r13). Those runtimes are typically Spark Connect,
+        # where sparkSession.sparkContext itself raises — so the
+        # fallback's fallback is a fixed sane width (r14 review).
         try:
             n = int(
                 df.sparkSession.conf.get("spark.sql.shuffle.partitions")
             )
         except (TypeError, ValueError):
-            n = df.sparkSession.sparkContext.defaultParallelism
+            try:
+                n = df.sparkSession.sparkContext.defaultParallelism
+            except Exception:  # Spark Connect: no SparkContext
+                n = 200
     # Pass 0: pin the range layout (see module docstring — correctness,
     # not caching: both passes must agree on row→partition). LAZY
     # checkpoint: pass 1's collect below is the first action, so the

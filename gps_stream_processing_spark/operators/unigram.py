@@ -60,23 +60,56 @@ def word_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _all_pieces_expr(with_pos: bool = False) -> str:
+    """SQL generator for every candidate piece of ``word`` (length
+    1-MAX_PIECE at every start offset) — THE tokenizer convention all
+    three consumers share (seed counting, Viterbi candidates, greedy
+    longest-match); ``with_pos`` lifts each piece into a (p, s) struct
+    for position-aware consumers."""
+    inner = (
+        "struct(i AS p, substring(word, i, l) AS s)"
+        if with_pos
+        else "substring(word, i, l)"
+    )
+    return (
+        "flatten(transform(sequence(1, length(word)), i -> "
+        f"transform(sequence(1, least({MAX_PIECE}, "
+        f"length(word) - i + 1)), l -> {inner})))"
+    )
+
+
+def _doc_fertility(df: DataFrame, text_col: str, k: DataFrame, out_col: str):
+    """Per-doc fertility tail shared by the Viterbi and greedy
+    encoders: corpus words joined against the |distinct words|-sized
+    (word, k) piece-count table — broadcast only under the shared
+    size gate (Heaps-law type growth at corpus scale)."""
+    from gps_stream_processing_spark.operators.graph import _fits_broadcast
+
+    dw = df.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.col("word").rlike("^[a-z0-9]{1,%d}$" % MAX_WORD))
+    lookup = F.broadcast(k) if _fits_broadcast(k.count()) else k
+    return (
+        dw.join(lookup, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("k").cast("bigint").alias(out_col),
+            F.round(
+                F.sum("k").cast("double") / F.count("*"), 6
+            ).alias("tokens_per_word"),
+        )
+    )
+
+
 def seed_vocab(words: DataFrame) -> DataFrame:
     """(s, c): the seed unigram vocabulary — all substrings of length
     1-MAX_PIECE with exact frequency-weighted occurrence counts; top
     SEED_TOP_K multi-char pieces by (c DESC, s ASC) plus every single
     character."""
     subs = (
-        words.select(
-            "f",
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(1, length(word)), i -> "
-                    f"transform(sequence(1, least({MAX_PIECE}, "
-                    "length(word) - i + 1)), l -> "
-                    "substring(word, i, l))))"
-                )
-            ).alias("s"),
-        )
+        words.select("f", F.explode(F.expr(_all_pieces_expr())).alias("s"))
         .groupBy("s")
         .agg(F.sum("f").cast("bigint").alias("c"))
         .localCheckpoint(eager=True)
@@ -98,13 +131,8 @@ def _viterbi_pieces(words: DataFrame, vocab: DataFrame) -> DataFrame:
     (piece -> ln p) map built by ONE join against the vocab."""
     total = vocab.agg(F.sum("c")).first()[0]  # 1-row total collect
     lnp = F.log(F.col("c").cast("double") / F.lit(int(total)))
-    pieces_of_word = F.expr(
-        "flatten(transform(sequence(1, length(word)), i -> "
-        f"transform(sequence(1, least({MAX_PIECE}, "
-        "length(word) - i + 1)), l -> substring(word, i, l))))"
-    )
     cand = (
-        words.select("word", F.explode(pieces_of_word).alias("s"))
+        words.select("word", F.explode(F.expr(_all_pieces_expr())).alias("s"))
         .distinct()
         .join(vocab.select("s", lnp.alias("lnp")), "s")
     )
@@ -260,32 +288,7 @@ def unigram_encode_stats(
         # row per filtered word TYPE, ~millions at the 100 TB posture.
         .localCheckpoint(eager=True)
     )
-    dw = (
-        df.select(
-            "doc_id",
-            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
-        )
-        .filter(F.col("word").rlike("^[a-z0-9]{1,%d}$" % MAX_WORD))
-    )
-    # Size-gate the broadcast on the word-TYPE count (the graph.py
-    # _fits_broadcast discipline, ADVICE r13): below the threshold the
-    # hint saves a shuffle; above it (Heaps-law growth at corpus
-    # scale) the join must shuffle-hash on `word` instead of blowing
-    # past the driver's broadcast budget.
-    from gps_stream_processing_spark.operators.graph import _fits_broadcast
-
-    lookup = F.broadcast(k) if _fits_broadcast(k.count()) else k
-    return (
-        dw.join(lookup, "word")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_words"),
-            F.sum("k").cast("bigint").alias("n_unigram_tokens"),
-            F.round(
-                F.sum("k").cast("double") / F.count("*"), 6
-            ).alias("tokens_per_word"),
-        )
-    )
+    return _doc_fertility(df, text_col, k, "n_unigram_tokens")
 
 
 def wordpiece_encode_stats(
@@ -318,14 +321,7 @@ def wordpiece_encode_stats(
     cand = (
         words.select(
             "word",
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(1, length(word)), i -> "
-                    f"transform(sequence(1, least({MAX_PIECE}, "
-                    "length(word) - i + 1)), l -> "
-                    "struct(i AS p, substring(word, i, l) AS s))))"
-                )
-            ).alias("c"),
+            F.explode(F.expr(_all_pieces_expr(with_pos=True))).alias("c"),
         )
         .select("word", F.col("c.p").alias("p"), F.col("c.s").alias("s"))
         .join(vocab.select("s"), "s")
@@ -360,23 +356,4 @@ def wordpiece_encode_stats(
     k = cur.select(
         "word", F.col(f"k{MAX_WORD}").cast("bigint").alias("k")
     ).localCheckpoint(eager=True)  # |distinct words|-sized lookup side
-    dw = df.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word"),
-    ).filter(F.col("word").rlike("^[a-z0-9]{1,%d}$" % MAX_WORD))
-    # Size-gate the broadcast on the word-TYPE count (the
-    # unigram_encode_stats / graph.py discipline).
-    from gps_stream_processing_spark.operators.graph import _fits_broadcast
-
-    lookup = F.broadcast(k) if _fits_broadcast(k.count()) else k
-    return (
-        dw.join(lookup, "word")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_words"),
-            F.sum("k").cast("bigint").alias("n_wp_tokens"),
-            F.round(
-                F.sum("k").cast("double") / F.count("*"), 6
-            ).alias("tokens_per_word"),
-        )
-    )
+    return _doc_fertility(df, text_col, k, "n_wp_tokens")

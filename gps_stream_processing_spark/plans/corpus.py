@@ -1099,9 +1099,19 @@ def q_kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
         * (F.col("n1b") / F.col("t").cast("double")),
         6,
     )
+    # cw/cb are word-TYPE-sized (Heaps-law growth at corpus scale) —
+    # size-gate the broadcast hint like the unigram/wordpiece lookups
+    # (r14 review); past the gate the joins shuffle-hash on the word.
+    from gps_stream_processing_spark.operators.graph import _fits_broadcast
+
+    n_types = bg.agg(
+        F.countDistinct("w1").alias("a"), F.countDistinct("w2").alias("b")
+    ).first()
+    cw_side = F.broadcast(cw) if _fits_broadcast(n_types["a"]) else cw
+    cb_side = F.broadcast(cb) if _fits_broadcast(n_types["b"]) else cb
     return (
-        bg.join(F.broadcast(cw), "w1")
-        .join(F.broadcast(cb), "w2")
+        bg.join(cw_side, "w1")
+        .join(cb_side, "w2")
         .crossJoin(F.broadcast(tt))
         .orderBy(F.desc("c"), "w1", "w2")
         .limit(20)

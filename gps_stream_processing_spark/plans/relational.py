@@ -8219,14 +8219,30 @@ def q_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
     "algorithm; consumers re-attach them).",
 )
 def q_downsample_lttb(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    h = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     e = table(spark, sf, "events").select(
         F.unix_micros("ts").alias("x"),
         F.expr("cast(round(value * 100) as bigint)").alias("y"),
         "event_id",
     )
+    best = lttb_best_points(e)
+    return best.orderBy("bk").select(
+        F.col("bk").alias("bucket"),
+        F.timestamp_micros(F.col("p.x")).alias("ts"),
+        F.round(F.col("p.y") / 100.0, 2).alias("value"),
+    )
+
+
+def lttb_best_points(e: DataFrame) -> DataFrame:
+    """Mean-anchored LTTB core over an (``x`` µs, ``y`` cents,
+    ``event_id``) frame: 100 fixed time buckets, per-bucket exact
+    integer argmax of the triangle area vs the neighbor buckets' mean
+    anchors; returns (``bk``, ``p`` struct(x, y)). ONE definition —
+    the registry plan and scale_curve.py's harness shape both call
+    this, so a numeric fix cannot desynchronize them (r14 review:
+    the xr overflow fix had to be applied to two copies)."""
+    from pyspark.sql import Window
+
+    h = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     bounds = e.agg(
         F.min("x").alias("lo"), F.max("x").alias("hi")
     )
@@ -8278,16 +8294,11 @@ def q_downsample_lttb(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("area"),
     )
-    best = scored.groupBy("bk").agg(
+    return scored.groupBy("bk").agg(
         F.min_by(
             F.struct("x", "y"),
             F.struct((-F.col("area")).alias("na"), "x", "event_id"),
         ).alias("p")
-    )
-    return best.orderBy("bk").select(
-        F.col("bk").alias("bucket"),
-        F.timestamp_micros(F.col("p.x")).alias("ts"),
-        F.round(F.col("p.y") / 100.0, 2).alias("value"),
     )
 
 

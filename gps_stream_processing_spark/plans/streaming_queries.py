@@ -327,6 +327,22 @@ def q_stream_stream_full_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# The keys whose REGISTRATION is gated on the protobuf probe below —
+# the single source of truth for "how many keys does this environment
+# lack": tools/check_counts.py subtracts these from the documented
+# full-registry count when the probe fails, and
+# tests/test_entry.py::test_tws_key_presence_matches_capability
+# asserts presence tracks the probe for every listed key.
+TWS_GATED_KEYS = (
+    "q_stream_tws_fix_merge",
+    "q_stream_tws_init_state",
+    "q_stream_tws_map_state",
+    "q_stream_tws_recent_k",
+    "q_stream_tws_timer_list",
+    "q_stream_tws_timers",
+)
+
+
 def _tws_available() -> bool:
     """``transformWithStateInPandas`` boots Python workers that speak
     protobuf to the JVM state server; without ``google.protobuf`` they
@@ -1329,34 +1345,39 @@ def q_stream_tws_init_state(spark: SparkSession, sf: str) -> DataFrame:
             spark.conf.set(provider_key, prev)
 
 
-q_stream_tws_init_state = register(
-    "q_stream_tws_init_state",
-    oracle="""
-    WITH agg AS (
-      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-             SUM(value) AS sv
-      FROM events GROUP BY 1
-    ), live AS (
-      SELECT DISTINCT user_id FROM events
-      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
-    )
-    SELECT a.user_id, a.n_events, ROUND(a.sv, 6) AS sum_value
-    FROM agg a JOIN live USING (user_id)
-    """,
-    doc="TWS INITIAL STATE (SURVEY §2.8): the batch→stream handoff — a "
-    "historical backfill aggregate (events before Jan 15) is handed to "
-    "transformWithStateInPandas as initialState (routed per-key to "
-    "handleInitialState before the first batch), and the live stream "
-    "(events from Jan 15 on) increments the seeded per-user totals. "
-    "The emitted totals therefore cover the FULL history without the "
-    "stream ever re-reading it — at 100 TB the seed is one batch "
-    "aggregation job, and the streaming job's state starts warm. "
-    "Oracle: full-table per-user totals restricted to users with at "
-    "least one live event (seed-only users never emit in update "
-    "mode). Completes the TWS surface: ValueState / ListState+TTL / "
-    "MapState / event-time timers / initial state "
-    "(streaming/stateful.py).",
-)(q_stream_tws_init_state)
+if _tws_available():
+    # Gated like the other five TWS keys (the registration was
+    # unconditional before r14 — the key would have entered the
+    # registry in a protobuf-less environment and crashed at run
+    # time instead of being announced-absent).
+    q_stream_tws_init_state = register(
+        "q_stream_tws_init_state",
+        oracle="""
+        WITH agg AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 SUM(value) AS sv
+          FROM events GROUP BY 1
+        ), live AS (
+          SELECT DISTINCT user_id FROM events
+          WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        )
+        SELECT a.user_id, a.n_events, ROUND(a.sv, 6) AS sum_value
+        FROM agg a JOIN live USING (user_id)
+        """,
+        doc="TWS INITIAL STATE (SURVEY §2.8): the batch→stream handoff — a "
+        "historical backfill aggregate (events before Jan 15) is handed to "
+        "transformWithStateInPandas as initialState (routed per-key to "
+        "handleInitialState before the first batch), and the live stream "
+        "(events from Jan 15 on) increments the seeded per-user totals. "
+        "The emitted totals therefore cover the FULL history without the "
+        "stream ever re-reading it — at 100 TB the seed is one batch "
+        "aggregation job, and the streaming job's state starts warm. "
+        "Oracle: full-table per-user totals restricted to users with at "
+        "least one live event (seed-only users never emit in update "
+        "mode). Completes the TWS surface: ValueState / ListState+TTL / "
+        "MapState / event-time timers / initial state "
+        "(streaming/stateful.py).",
+    )(q_stream_tws_init_state)
 
 
 @register(

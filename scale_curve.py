@@ -58,73 +58,21 @@ def timed(make_df):
 
 
 def _lttb_100b(ev):
-    """Mean-anchored LTTB core (the q_downsample_lttb shape): one scan
-    into 100 fixed time buckets, bucket-moment agg, 100-row neighbor
-    window broadcast back, per-bucket exact-integer argmax — expect
-    ~linear in rows (the bucket table is constant-size)."""
-    from pyspark.sql import Window as W
+    """Mean-anchored LTTB shape — calls the registry plan's OWN core
+    (plans/relational.py::lttb_best_points), so the measurement and
+    the shipped plan cannot desynchronize (r14 review)."""
     from pyspark.sql import functions as F
 
-    h = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    from gps_stream_processing_spark.plans.relational import (
+        lttb_best_points,
+    )
+
     e = ev.select(
         F.unix_micros("ts").alias("x"),
         F.expr("cast(round(value * 100) as bigint)").alias("y"),
         "event_id",
     )
-    bounds = e.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
-    # xr = window-relative µs (translation-invariant areas, ~1e4x more
-    # decimal headroom — the absolute form measured an overflow at 16x)
-    b = (
-        e.crossJoin(F.broadcast(bounds))
-        .select(
-            "x",
-            F.expr("x - lo").alias("xr"),
-            "y",
-            "event_id",
-            F.least(
-                F.lit(99).cast("bigint"),
-                F.expr("(x - lo) * 100 div (hi - lo + 1)"),
-            ).alias("bk"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    m = b.groupBy("bk").agg(
-        F.sum("xr").cast("decimal(38,0)").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.count("*").cast("bigint").alias("n"),
-    )
-    w = W.orderBy("bk")  # 100-row bucket table
-    a = m.select(
-        "bk",
-        F.lag("sx").over(w).alias("sxa"),
-        F.lag("sy").over(w).alias("sya"),
-        F.lag("n").over(w).alias("na"),
-        F.lead("sx").over(w).alias("sxb"),
-        F.lead("sy").over(w).alias("syb"),
-        F.lead("n").over(w).alias("nb"),
-    ).filter(F.col("na").isNotNull() & F.col("nb").isNotNull())
-    scored = b.join(F.broadcast(a), "bk").select(
-        "bk",
-        "x",
-        "y",
-        "event_id",
-        F.abs(
-            (h(F.col("sxa")) * F.col("nb") - h(F.col("sxb")) * F.col("na"))
-            * (h(F.col("y")) * F.col("na") - F.col("sya"))
-            * F.col("nb")
-            - (
-                h(F.col("sxa")) * F.col("nb")
-                - h(F.col("xr")) * F.col("na") * F.col("nb")
-            )
-            * (h(F.col("syb")) * F.col("na") - h(F.col("sya")) * F.col("nb"))
-        ).alias("area"),
-    )
-    return scored.groupBy("bk").agg(
-        F.min_by(
-            F.struct("x", "y"),
-            F.struct((-F.col("area")).alias("na"), "x", "event_id"),
-        ).alias("p")
-    )
+    return lttb_best_points(e)
 
 
 def main() -> None:

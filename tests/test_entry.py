@@ -64,12 +64,20 @@ def test_tws_key_presence_matches_capability():
     by an import-time warning plus the README note — never a silent
     key-set drift."""
     from gps_stream_processing_spark import plans
-    from gps_stream_processing_spark.plans.streaming_queries import _tws_available
+    from gps_stream_processing_spark.plans.streaming_queries import (
+        TWS_GATED_KEYS,
+        _tws_available,
+    )
 
     avail = _tws_available()
-    assert ("q_stream_tws_fix_merge" in plans.queries()) == avail
-    assert ("q_stream_tws_timers" in plans.queries()) == avail
-    assert ("q_stream_tws_timer_list" in plans.queries()) == avail
+    qs = plans.queries()
+    for key in TWS_GATED_KEYS:
+        assert (key in qs) == avail, key
+    # the constant is the single source of truth: no OTHER tws key may
+    # exist outside it (a new gated key must be listed)
+    assert {k for k in qs if k.startswith("q_stream_tws_")} <= set(
+        TWS_GATED_KEYS
+    )
 
 
 def test_every_registry_key_documented_in_survey():
@@ -105,8 +113,13 @@ def test_doc_counts_match_registry():
     import check_counts
 
     from gps_stream_processing_spark.plans import REGISTRY
+    from gps_stream_processing_spark.plans.streaming_queries import (
+        TWS_GATED_KEYS,
+        _tws_available,
+    )
 
-    errs = check_counts.check(len(REGISTRY))
+    gated = 0 if _tws_available() else len(TWS_GATED_KEYS)
+    errs = check_counts.check(len(REGISTRY), gated)
     assert not errs, "; ".join(errs)
 
 

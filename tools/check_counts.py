@@ -57,14 +57,25 @@ def stated_counts() -> list[tuple[str, str, int]]:
     return out
 
 
-def check(n_registry: int) -> list[str]:
-    """Return a list of human-readable drift messages (empty = sync)."""
+def check(n_registry: int, n_gated_absent: int = 0) -> list[str]:
+    """Return a list of human-readable drift messages (empty = sync).
+
+    ``n_gated_absent``: keys whose registration is capability-gated
+    and absent in THIS environment (the protobuf-gated TWS keys) —
+    the docs state the full-capability count, so the expected
+    registry size here is ``stated - n_gated_absent``.
+    """
     errs = []
     for fname, label, n in stated_counts():
-        if n != n_registry:
+        if n - n_gated_absent != n_registry:
             errs.append(
                 f"{fname} ({label}) says {n} but the registry has "
                 f"{n_registry} keys"
+                + (
+                    f" ({n_gated_absent} capability-gated keys absent)"
+                    if n_gated_absent
+                    else ""
+                )
             )
     return errs
 
@@ -72,8 +83,13 @@ def check(n_registry: int) -> list[str]:
 def main() -> int:
     sys.path.insert(0, str(REPO))
     from gps_stream_processing_spark.plans import REGISTRY
+    from gps_stream_processing_spark.plans.streaming_queries import (
+        TWS_GATED_KEYS,
+        _tws_available,
+    )
 
-    errs = check(len(REGISTRY))
+    gated_absent = 0 if _tws_available() else len(TWS_GATED_KEYS)
+    errs = check(len(REGISTRY), gated_absent)
     for e in errs:
         print(f"COUNT DRIFT: {e}", file=sys.stderr)
     if not errs:
