@@ -59,6 +59,7 @@ def running_totals(
     count_col: str | None = None,
     num_partitions: int | None = None,
     with_totals: bool = False,
+    partition_by: Sequence[str] | None = None,
 ):
     """Append global running aggregates over ``order_by`` to ``df``.
 
@@ -72,7 +73,17 @@ def running_totals(
     ``with_totals``: also return ``{"n_rows": N, <out_col>: grand
     total, ...}`` computed exactly from the pass-1 partials — callers
     that would otherwise cross-join a broadcast totals aggregate get
-    the grand totals for free.
+    the grand totals for free (grand = across ALL partition groups
+    when ``partition_by`` is set).
+    ``partition_by``: column NAMES the running values reset on —
+    ``SUM(...) OVER (PARTITION BY keys ORDER BY order)`` semantics
+    with the same two-pass layout: the range partitioner keys on
+    (partition cols, order cols) so each group's rows stay range-
+    contiguous, offsets accumulate per (group, pid) and reset at
+    group boundaries. This is the scale posture for LOW-cardinality
+    partition keys over data-sized groups (a plain partitioned
+    window gives only |keys| tasks); high-cardinality keys should
+    use a plain ``Window.partitionBy`` — that parallelizes fine.
 
     Returns the augmented DataFrame (all input columns plus the
     requested running columns), or ``(DataFrame, totals)`` when
@@ -81,6 +92,7 @@ def running_totals(
     sums = dict(sums or {})
     if not sums and not count_col:
         raise ValueError("running_totals needs sums and/or count_col")
+    part_names = list(partition_by or [])
     order_cols = _as_cols(order_by)
     if num_partitions:
         n = int(num_partitions)
@@ -109,35 +121,56 @@ def running_totals(
     # pinning guarantee (blocks are fixed at first materialization,
     # before any pass-2 job runs).
     base = (
-        df.repartitionByRange(n, *order_cols)
+        df.repartitionByRange(n, *[F.col(c) for c in part_names], *order_cols)
         .localCheckpoint(eager=False)
         .withColumn(_PID, F.spark_partition_id())
     )
-    # Pass 1: partition totals. One row per non-empty partition —
-    # collect is bounded by num_partitions, never by data.
+    # Pass 1: per-(group, range-partition) totals. Row count bounded
+    # by num_partitions + the number of group/bucket boundaries —
+    # never by data (partition_by is the LOW-cardinality contract).
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__cnt")]
     for out, src in sums.items():
         aggs.append(F.sum(src).alias(f"__s_{out}"))
-    part_schema = base.groupBy(_PID).agg(*aggs).schema
-    partials = sorted(
-        base.groupBy(_PID).agg(*aggs).collect(),  # <= num_partitions rows
-        key=lambda r: r[_PID],
-    )
+    gb = [*part_names, _PID]
+    part_schema = base.groupBy(*gb).agg(*aggs).schema
+
+    def _key(r):
+        # group tuple first (None sorts before values, matching the
+        # range partitioner's NULLS FIRST), then pid within the group
+        return (
+            tuple((r[c] is not None, r[c]) for c in part_names),
+            r[_PID],
+        )
+
+    partials = sorted(base.groupBy(*gb).agg(*aggs).collect(), key=_key)
     totals: dict = {"n_rows": 0}
     for out in sums:
         totals[out] = None
     off_rows = []
-    run_cnt = 0
+    run_cnt = 0  # grand totals, across every group (with_totals)
     run_sum: dict = {out: None for out in sums}
+    g_cnt = 0  # group-local running offsets — RESET at group change
+    g_sum: dict = {out: None for out in sums}
+    prev_group: object = object()  # != any real group, incl. ()
     for r in partials:
-        row = {_PID: r[_PID], "__off_cnt": run_cnt}
+        group = tuple(r[c] for c in part_names)
+        if group != prev_group:
+            g_cnt = 0
+            g_sum = {out: None for out in sums}
+            prev_group = group
+        row = {c: r[c] for c in part_names}
+        row[_PID] = r[_PID]
+        row["__off_cnt"] = g_cnt
+        for out in sums:
+            row[f"__off_{out}"] = g_sum[out]
+        off_rows.append(row)
+        g_cnt += r["__cnt"]
         run_cnt += r["__cnt"]
         for out in sums:
-            row[f"__off_{out}"] = run_sum[out]
             v = r[f"__s_{out}"]
             if v is not None:
+                g_sum[out] = v if g_sum[out] is None else g_sum[out] + v
                 run_sum[out] = v if run_sum[out] is None else run_sum[out] + v
-        off_rows.append(row)
     totals["n_rows"] = run_cnt
     for out in sums:
         totals[out] = run_sum[out]
@@ -145,10 +178,12 @@ def running_totals(
     from pyspark.sql.types import LongType, StructField, StructType
 
     sum_types = {
-        f.name: f.dataType for f in part_schema.fields if f.name != _PID
+        f.name: f.dataType for f in part_schema.fields if f.name not in gb
     }
+    part_types = {f.name: f for f in part_schema.fields if f.name in part_names}
     off_schema = StructType(
-        [
+        [part_types[c] for c in part_names]
+        + [
             StructField(_PID, LongType(), False),
             StructField("__off_cnt", LongType(), False),
         ]
@@ -162,11 +197,11 @@ def running_totals(
         off_schema,
     )
     # Pass 2: partition-local running values + broadcast offset join.
-    # The pid window hash-exchanges on _PID — parallel across the
-    # cluster; each task sorts only its own range slice.
-    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    # The pid window hash-exchanges on (group, _PID) — parallel across
+    # the cluster; each task sorts only its own range slice.
+    w = Window.partitionBy(*part_names, _PID).orderBy(*order_cols)
     wf = w.rowsBetween(Window.unboundedPreceding, 0)
-    out_df = base.join(F.broadcast(offsets), _PID)
+    out_df = base.join(F.broadcast(offsets), [*part_names, _PID])
     if count_col:
         out_df = out_df.withColumn(
             count_col,

@@ -3670,8 +3670,6 @@ def q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
     "prefix sum, same result exactly).",
 )
 def q_ks_test(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
-
     o = table(spark, sf, "orders").select("o_custkey", "o_totalprice")
     cu = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
     b = o.join(cu, o.o_custkey == cu.c_custkey).select(
@@ -3703,21 +3701,26 @@ def q_ks_test(spark: SparkSession, sf: str) -> DataFrame:
     segs = segv.groupBy("mktsegment").agg(
         F.sum("cnt_seg").cast("bigint").alias("n1")
     )
-    grid = (
+    # per-SEGMENT value cumulative via the PARTITIONED two-pass prefix
+    # sum (r14): a plain Window.partitionBy(mktsegment) gives only 5
+    # tasks over value-domain-sized groups — the partitioned operator
+    # range-slices each segment's values across the cluster and
+    # resets offsets at segment boundaries.
+    pre = (
         F.broadcast(segs)
         .crossJoin(cum)
         .join(segv, ["mktsegment", "v"], "left")
-        .select(
-            "mktsegment",
-            "n1",
-            "v",
-            "cum_all",
-            "nt",
-            F.sum(F.coalesce("cnt_seg", F.lit(0)))
-            .over(Window.partitionBy("mktsegment").orderBy("v"))
-            .cast("bigint")
-            .alias("cum_seg"),
-        )
+        .withColumn("__cs", F.coalesce("cnt_seg", F.lit(0)))
+    )
+    grid = running_totals(
+        pre, ["v"], sums={"cum_seg": "__cs"}, partition_by=["mktsegment"]
+    ).select(
+        "mktsegment",
+        "n1",
+        "v",
+        "cum_all",
+        "nt",
+        F.col("cum_seg").cast("bigint").alias("cum_seg"),
     )
     return grid.groupBy("mktsegment").agg(
         F.min("n1").alias("n_seg"),

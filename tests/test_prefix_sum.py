@@ -124,6 +124,44 @@ def test_all_null_prefix_stays_null(spark):
     assert m == {1: None, 2: None, 3: 4, 4: 4}
 
 
+def test_partitioned_running_totals_match_partitioned_window(spark):
+    """partition_by semantics: running values RESET per group and
+    match SUM(...) OVER (PARTITION BY g ORDER BY id) / row_number
+    exactly, including NULL handling within a group, with groups
+    deliberately spanning multiple range partitions (12 rows into 8
+    partitions) and one single-row group."""
+    rows = [
+        ("a", 1, 10), ("a", 2, None), ("a", 3, 5), ("a", 4, 1),
+        ("b", 1, None), ("b", 2, 7), ("b", 3, None), ("b", 4, 2),
+        ("c", 1, 3), ("c", 2, 4), ("c", 3, 6),
+        ("d", 1, 9),
+    ]
+    df = spark.createDataFrame(rows, "g string, id int, v int")
+    got, totals = running_totals(
+        df,
+        ["id"],
+        sums={"cum": "v"},
+        count_col="rn",
+        num_partitions=8,
+        partition_by=["g"],
+        with_totals=True,
+    )
+    w = Window.partitionBy("g").orderBy("id")
+    want = df.select(
+        "g",
+        "id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    gm = {(r["g"], r["id"]): (r["rn"], r["cum"]) for r in got.collect()}
+    wm = {(r["g"], r["id"]): (r["rn"], r["cum"]) for r in want.collect()}
+    assert gm == wm
+    # grand totals span every group
+    assert totals == {"n_rows": 12, "cum": 47}
+
+
 def test_with_totals_exact(spark):
     per_user = (
         _events(spark)
