@@ -88,6 +88,7 @@ _COMMITTED_ROUNDS = (
     "CORRECTNESS_r11.json",
     "CORRECTNESS_r12.json",
     "CORRECTNESS_r13.json",
+    "CORRECTNESS_r14.json",
 )
 
 # Keys whose EXECUTION PLAN changed after their last green driver row,

@@ -66,6 +66,13 @@ def running_totals(
     ``sums``: ``{out_col: in_col}`` — inclusive running SUM of
     ``in_col`` in the total order (null inputs are skipped, per SQL
     ``SUM`` semantics — a null row advances the count but not the sum).
+    Exact-type contract: sum sources must be integer or DECIMAL.
+    Pass 1 re-associates the addition (per-partition partial sums are
+    folded driver-side and re-added as offsets), which is bit-identical
+    to a sequential scan only for exact types; a float/double source
+    would differ in the last ulp versus a true global running window.
+    Every registry caller is integer/decimal; new callers with float
+    sources must cast to DECIMAL first (ADVICE r14, low).
     ``count_col``: name for the 1-based running row count
     (``row_number`` in the total order).
     ``num_partitions``: range-partition fan-out; defaults to the
@@ -201,7 +208,24 @@ def running_totals(
     # the cluster; each task sorts only its own range slice.
     w = Window.partitionBy(*part_names, _PID).orderBy(*order_cols)
     wf = w.rowsBetween(Window.unboundedPreceding, 0)
-    out_df = base.join(F.broadcast(offsets), [*part_names, _PID])
+    # NULL-group rows are in-contract (the driver-side _key sort above
+    # orders them NULLS FIRST to match the range partitioner), so the
+    # offset join must be null-safe on the partition columns — a plain
+    # equi-join never matches NULL keys and would silently DROP every
+    # NULL-group row (ADVICE r14, medium). _PID itself is never null.
+    off_renamed = offsets
+    for c in part_names:
+        off_renamed = off_renamed.withColumnRenamed(c, f"__off_p_{c}")
+    join_cond = base[_PID] == off_renamed[_PID]
+    for c in part_names:
+        join_cond = join_cond & base[c].eqNullSafe(
+            off_renamed[f"__off_p_{c}"]
+        )
+    out_df = (
+        base.join(F.broadcast(off_renamed), join_cond)
+        .drop(off_renamed[_PID])
+        .drop(*[f"__off_p_{c}" for c in part_names])
+    )
     if count_col:
         out_df = out_df.withColumn(
             count_col,

@@ -831,7 +831,7 @@ def q_source_jsd(spark: SparkSession, sf: str) -> DataFrame:
       FROM per_doc
     ), pts AS (
       SELECT toks, vocab FROM cum
-      WHERE k % greatest(CAST(n_docs / 20 AS BIGINT), 1) = 0
+      WHERE k % greatest(CAST(n_docs // 20 AS BIGINT), 1) = 0
       ORDER BY toks LIMIT 20
     ), arr AS (
       SELECT list(struct_pack(t := toks, v := vocab) ORDER BY toks) AS a,
@@ -900,9 +900,11 @@ def q_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
     # Distributed cumulative over the per-doc table (doc-proportional
     # at corpus scale — VERDICT r13): two-pass range-partitioned
     # prefix sum; doc_id is unique so the order is total. The doc
-    # count comes exactly from the pass-1 partials (with_totals) —
-    # the checkpoint-step arithmetic matches the previous in-plan
-    # form (double division truncated toward zero on positives).
+    # count comes exactly from the pass-1 partials (with_totals).
+    # Checkpoint step is integer FLOOR division on both engines
+    # (Python // here, DuckDB // in the oracle) — exact at any corpus
+    # size, where float division + truncation loses exactness past
+    # 2^53 docs (ADVICE r14, low).
     cum, totals = running_totals(
         per_doc,
         ["doc_id"],
@@ -910,7 +912,7 @@ def q_heaps_law(spark: SparkSession, sf: str) -> DataFrame:
         count_col="k",
         with_totals=True,
     )
-    step = max(int(totals["n_rows"] / 20), 1)
+    step = max(totals["n_rows"] // 20, 1)
     pts = (
         cum.filter(F.col("k") % F.lit(step) == 0)
         .orderBy("toks")

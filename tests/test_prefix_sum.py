@@ -162,6 +162,45 @@ def test_partitioned_running_totals_match_partitioned_window(spark):
     assert totals == {"n_rows": 12, "cum": 47}
 
 
+def test_partitioned_running_totals_null_group_rows_survive(spark):
+    """NULL partition-key groups are in-contract (the driver-side
+    offset sort orders them NULLS FIRST, matching the range
+    partitioner) — so the pass-2 offset join must be NULL-SAFE on the
+    partition columns. A plain equi-join never matches NULL keys and
+    silently dropped every NULL-group row (ADVICE r14, medium).
+    Pins: NULL-group rows survive, and their running values match
+    SUM OVER (PARTITION BY g ...) which groups NULLs together."""
+    rows = [
+        (None, 1, 10), (None, 2, 5), (None, 3, None), (None, 4, 2),
+        ("a", 1, 7), ("a", 2, 1),
+        ("b", 1, 4),
+    ]
+    df = spark.createDataFrame(rows, "g string, id int, v int")
+    got, totals = running_totals(
+        df,
+        ["id"],
+        sums={"cum": "v"},
+        count_col="rn",
+        num_partitions=6,
+        partition_by=["g"],
+        with_totals=True,
+    )
+    assert got.count() == 7  # nothing vanished
+    w = Window.partitionBy("g").orderBy("id")
+    want = df.select(
+        "g",
+        "id",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    gm = {(r["g"], r["id"]): (r["rn"], r["cum"]) for r in got.collect()}
+    wm = {(r["g"], r["id"]): (r["rn"], r["cum"]) for r in want.collect()}
+    assert gm == wm
+    assert totals == {"n_rows": 7, "cum": 29}
+
+
 def test_with_totals_exact(spark):
     per_user = (
         _events(spark)

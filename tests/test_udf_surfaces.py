@@ -95,21 +95,29 @@ def test_arrow_registry_key_matches_pandas_all_users(spark):
 def test_arrow_beats_pandas_wall_time_all_users(spark):
     """The reason the key exists: per-group pandas construction costs
     ~0.5 ms and the Arrow path skips it. Warm both paths once, then
-    assert the Arrow pass is not slower (measured ~3-7x faster; the
-    <= 1.0x gate only fails on a true inversion, not on noise)."""
+    assert the best-of-3 Arrow pass is not meaningfully slower
+    (measured ~3-7x faster; the <= 1.5x gate only fails on a true
+    inversion, not on noise — best-of-N makes a lone GC pause or CI
+    load spike on either side unable to flake it, the scale_curve
+    timed() discipline; ADVICE r14)."""
     views, clicks = _sides(spark, SF_ORACLE, sliced=False)
     # warm: scans cached, python workers spawned on both transports
     _pandas_path(views, clicks).toPandas()
     _arrow_path(views, clicks).toPandas()
-    t0 = time.time()
-    n_p = len(_pandas_path(views, clicks).toPandas())
-    t_pandas = time.time() - t0
-    t0 = time.time()
-    n_a = len(_arrow_path(views, clicks).toPandas())
-    t_arrow = time.time() - t0
+
+    def best_of(fn, n=3):
+        best, rows = float("inf"), 0
+        for _ in range(n):
+            t0 = time.time()
+            rows = len(fn(views, clicks).toPandas())
+            best = min(best, time.time() - t0)
+        return best, rows
+
+    t_pandas, n_p = best_of(_pandas_path)
+    t_arrow, n_a = best_of(_arrow_path)
     assert n_p == n_a > 0
-    # 1.5x slack: the measured gap is 3-7x, so a GC pause in the lone
-    # Arrow run cannot flake this, while a true inversion still fails
+    # 1.5x slack over best-of-3: the measured gap is 3-7x the other
+    # way, so only a true inversion can cross it
     assert t_arrow <= 1.5 * t_pandas, (
         f"Arrow cogroup slower than pandas: {t_arrow:.3f}s vs "
         f"{t_pandas:.3f}s over {n_a} groups"
@@ -124,5 +132,10 @@ def test_count_prunes_cogroup_input_columns(spark):
     columns alive; this documents WHY count() is not used."""
     views, clicks = _sides(spark, SF_SMALL, sliced=True)
     df = _pandas_path(views, clicks)
-    with pytest.raises(Exception, match="us"):
+    # Pin the PRUNED-COLUMN failure specifically: the worker raises
+    # KeyError: 'us' (the value column count() pruned away), which the
+    # PythonException message carries verbatim. A bare match="us" would
+    # match almost any error ("because", "must", ...) — vacuous
+    # (ADVICE r14, low).
+    with pytest.raises(Exception, match=r"KeyError: 'us'"):
         df.count()
