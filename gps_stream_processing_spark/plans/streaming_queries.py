@@ -334,6 +334,7 @@ def q_stream_stream_full_join(spark: SparkSession, sf: str) -> DataFrame:
 # tests/test_entry.py::test_tws_key_presence_matches_capability
 # asserts presence tracks the probe for every listed key.
 TWS_GATED_KEYS = (
+    "q_stream_tws_ewma",
     "q_stream_tws_fix_merge",
     "q_stream_tws_init_state",
     "q_stream_tws_map_state",
@@ -382,6 +383,34 @@ def q_stream_tws_fix_merge(spark: SparkSession, sf: str) -> DataFrame:
     try:
         parsed = parse_sentences(nmea_json_stream(spark, d))
         return run_available_now(streaming_fix_merge_tws(parsed), output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+def q_stream_tws_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.streaming.runner import events_stream
+    from gps_stream_processing_spark.streaming.stateful import (
+        streaming_ewma_tws,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = events_stream(spark, sf)
+        out = run_available_now(streaming_ewma_tws(ev), output_mode="update")
+        # presentation rounding happens HERE (Spark-side, the same
+        # F.round as the batch q_ewma) — the processor state and its
+        # emissions stay raw doubles so the recursion never re-rounds
+        return out.select(
+            "user_id", "n_events", F.round("ewma", 6).alias("ewma")
+        )
     finally:
         if prev is None:
             spark.conf.unset(provider_key)
@@ -547,6 +576,35 @@ if not _tws_available():
         stacklevel=1,
     )
 else:
+    q_stream_tws_ewma = register(
+        "q_stream_tws_ewma",
+        # Same recursion, same fold order, same literals as the batch
+        # q_ewma oracle: y_t = acc*0.8 + x*0.2 over each user's
+        # (ts, event_id)-ordered values, first value as init. The
+        # availableNow one-file replay folds every user's history in
+        # one batch, so the streaming emission IS the batch fold —
+        # bit-identical doubles, rounded 6 dp Spark-side like q_ewma.
+        oracle="""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(list_reduce(list(CAST(value AS DOUBLE)
+                     ORDER BY ts, event_id),
+                     (acc, x) -> acc * CAST(0.8 AS DOUBLE)
+                                 + x * CAST(0.2 AS DOUBLE)), 6) AS ewma
+        FROM events GROUP BY user_id
+        """,
+        doc="O(1)-per-key STREAMING EWMA on transformWithStateInPandas "
+        "ValueState (SURVEY §2.8 — the unbounded-key twin that "
+        "q_ewma/q_holt_linear's docstrings name as their 100 TB scale "
+        "path, shipped: VERDICT r14 item 1): per-user state is just "
+        "(n, y_(t-1)) — 16 bytes per key forever, versus the batch "
+        "fold's full-history aggregation buffer — each batch folds its "
+        "(ts, event_id)-sorted rows into the carried value with the "
+        "exact IEEE sequence of the batch fold, so the availableNow "
+        "replay is bit-identical to q_ewma per user. At scale: state "
+        "O(#keys), work O(batch), no collect_list anywhere; a hot key "
+        "with 10^8 events costs the same state as a cold one.",
+    )(q_stream_tws_ewma)
+
     q_stream_tws_timers = register(
         "q_stream_tws_timers",
         oracle=ORACLE_STREAM_TWS_TIMERS,

@@ -720,3 +720,99 @@ def streaming_session_cache_tws(
             timeMode="EventTime",
         )
     )
+
+
+# --- O(1)-per-key streaming smoother (TWS ValueState) --------------------
+
+EWMA_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, ewma double"
+# The entire per-key state: the running event count and y_(t-1). This is
+# the whole point of the operator — where the batch q_ewma collects each
+# key's FULL history into one aggregation buffer (its documented
+# bounded-sequence contract), this twin holds two scalars per key
+# forever, so a hot key with 10^8 events costs the same 16 bytes of
+# state as a cold one.
+EWMA_STATE_SCHEMA = "n bigint, y double"
+
+
+def make_ewma_processor(alpha: float = 0.2):
+    """Per-key EWMA y_t = (1-α)·y_(t-1) + α·x_t on a typed ValueState —
+    the unbounded-key twin that the batch ``q_ewma`` /
+    ``q_holt_linear`` docstrings name as their 100 TB scale path
+    (plans/relational.py): O(1) state per key, O(batch) work per batch,
+    no history materialization anywhere.
+
+    Exactness: the recursion is evaluated as the SAME IEEE-double
+    sequence as the batch fold (``acc * 0.8D + x * 0.2D``) and the
+    DuckDB oracle's ``list_reduce`` — Python floats are IEEE doubles
+    and ``1.0 - 0.2 == 0.8`` bitwise, so a single-pass availableNow
+    replay is bit-identical to the batch result. Ordering contract:
+    rows fold in (unix-µs ts, event_id) order WITHIN each micro-batch;
+    cross-batch order is arrival order (in production, the per-key
+    Kafka offset order) — the one-file availableNow fixture delivers
+    one batch, making replay ≡ batch. Null values are out of contract
+    (same as the batch fold, which a null would poison identically).
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    keep = 1.0 - alpha
+
+    class _EwmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ewma", EWMA_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            if self._state.exists():
+                n0, y = self._state.get()
+                n, seeded = int(n0), True
+                y = float(y)
+            else:
+                n, y, seeded = 0, 0.0, False
+            pdf = pd.concat(list(rows), ignore_index=True).sort_values(
+                ["us", "event_id"], kind="stable"
+            )
+            for x in pdf["value"]:
+                x = float(x)
+                if seeded:
+                    y = y * keep + x * alpha
+                else:  # first-ever value is the init, like the batch fold
+                    y, seeded = x, True
+                n += 1
+            self._state.update((n, y))
+            yield pd.DataFrame(
+                [{"user_id": user_id, "n_events": n, "ewma": y}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _EwmaProcessor()
+
+
+def streaming_ewma_tws(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Per-user streaming EWMA on ``transformWithStateInPandas``
+    (ValueState; RocksDB provider required by the API). Emits the
+    running (n_events, ewma) per key per batch in update mode; the raw
+    double is returned — callers round for presentation so the
+    recursion itself never re-rounds."""
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.streaming.protobuf_compat import (
+        configure_worker_env,
+        ensure_protobuf,
+    )
+
+    ensure_protobuf()
+    configure_worker_env(events.sparkSession)
+    slim = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "value",
+    )
+    return slim.groupBy("user_id").transformWithStateInPandas(
+        make_ewma_processor(alpha),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -1052,3 +1052,48 @@ def test_tws_timer_list_fire_set_and_eviction_split(spark):
         )
     assert got == want and len(got) > 0
     assert all(k >= 1 for k, _, _ in got.values())
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (absent here)",
+)
+def test_tws_ewma_equals_batch_fold(spark):
+    """The O(1)-state streaming smoother must be BIT-identical to the
+    batch q_ewma per user (same IEEE fold, availableNow one-batch
+    replay) — the equivalence that lets the batch key's docstring point
+    unbounded keys here (VERDICT r14 item 1)."""
+    sf = "/root/testdata/sf0.001"
+    from gps_stream_processing_spark.plans.registry import REGISTRY
+
+    got = {
+        int(r["user_id"]): (int(r["n_events"]), float(r["ewma"]))
+        for r in REGISTRY["q_stream_tws_ewma"].fn(spark, sf).toPandas().to_dict("records")
+    }
+    want = {
+        int(r["user_id"]): (int(r["n_events"]), float(r["ewma"]))
+        for r in REGISTRY["q_ewma"].fn(spark, sf).toPandas().to_dict("records")
+    }
+    assert got == want and len(got) > 0  # == on floats: bitwise claim
+
+
+def test_smoother_bounded_history_tripwire(spark):
+    """q_ewma/q_holt_linear enforce their bounded-per-key-sequence
+    contract: a key past SMOOTHER_MAX_EVENTS_PER_KEY fails LOUDLY via
+    assert_true instead of silently building a multi-GB aggregation
+    buffer (VERDICT r14 item 3). Exercised by temporarily lowering the
+    cap — the guard reads the module constant at plan-build time."""
+    import gps_stream_processing_spark.plans.relational as rel
+    from gps_stream_processing_spark.plans.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    prev = rel.SMOOTHER_MAX_EVENTS_PER_KEY
+    rel.SMOOTHER_MAX_EVENTS_PER_KEY = 3  # every fixture user exceeds this
+    try:
+        for key in ("q_ewma", "q_holt_linear"):
+            with pytest.raises(Exception, match="bounded-per-key-sequence"):
+                REGISTRY[key].fn(spark, sf).collect()
+    finally:
+        rel.SMOOTHER_MAX_EVENTS_PER_KEY = prev
+    # and back in contract: both run clean at the real cap
+    assert REGISTRY["q_ewma"].fn(spark, sf).count() > 0
