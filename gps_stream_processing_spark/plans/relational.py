@@ -8758,3 +8758,161 @@ def q_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
             hw.getField("l") + F.lit(7.0) * hw.getField("b"), 6
         ).alias("forecast_7"),
     )
+
+
+@register(
+    "q_holt_winters",
+    # Holt-Winters ADDITIVE triple smoothing (level + trend + period-7
+    # seasonal), the seasonal member completing the q_ewma →
+    # q_holt_linear family (VERDICT r14 item 4). Same engine-portable
+    # fold discipline: BOTH engines evaluate the identical recursion
+    # over the identical (day-ordered) series with a flat LIST state
+    # [l, b, s1..s7] — Spark `aggregate` with an explicit seed, DuckDB
+    # `list_reduce` with the seed as the lifted first element (the
+    # STRUCT accumulator is unusable in DuckDB 1.0: field-by-field
+    # mutation corrupts any multi-state recursion — q_holt_linear
+    # evidence). Every step repeats the full l' expression tree inside
+    # b' and s' so the doubles agree bitwise; all literals are exact
+    # doubles on both sides (0.3/0.7, 0.1/0.9, 0.2/0.8 — written
+    # literally, never derived by subtraction). Seed: l0 = mean of the
+    # first 7 observations (left-fold sum, the kmeans-pinned
+    # list_sum ≡ aggregate equivalence, / 7.0), b0 = 0,
+    # s_i = x_i - l0. Indexing is 1-based on both sides (element_at /
+    # []); + 0.0 normalizes IEEE -0.0 after ROUND (q_heaps_law trap).
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), series AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             list(cents ORDER BY day) AS vals
+      FROM daily GROUP BY event_type
+    ), seeded AS (
+      SELECT event_type, n_days, vals,
+             list_sum(vals[1:7]) / CAST(7 AS DOUBLE) AS l0
+      FROM series
+    ), folded AS (
+      SELECT event_type, n_days,
+        list_reduce(
+          list_concat(
+            [list_concat([l0, CAST(0 AS DOUBLE)],
+                         list_transform(vals[1:7], x -> x - l0))],
+            list_transform(vals[8:], x -> [x,
+              CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+              CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+              CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+          (acc, e) -> list_concat(list_concat(
+            [CAST(0.3 AS DOUBLE) * (e[1] - acc[3])
+               + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2]),
+             CAST(0.1 AS DOUBLE)
+               * ((CAST(0.3 AS DOUBLE) * (e[1] - acc[3])
+                   + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+               + CAST(0.9 AS DOUBLE) * acc[2]],
+            acc[4:9]),
+            [CAST(0.2 AS DOUBLE)
+               * (e[1] - (CAST(0.3 AS DOUBLE) * (e[1] - acc[3])
+                          + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2])))
+               + CAST(0.8 AS DOUBLE) * acc[3]])) AS hw
+      FROM seeded
+    )
+    SELECT event_type, n_days,
+           ROUND(hw[1], 6) + 0.0 AS level,
+           ROUND(hw[2], 6) + 0.0 AS trend,
+           ROUND(hw[1] + CAST(1 AS DOUBLE) * hw[2] + hw[3], 6) + 0.0
+             AS forecast_1,
+           ROUND(hw[1] + CAST(7 AS DOUBLE) * hw[2] + hw[9], 6) + 0.0
+             AS forecast_7
+    FROM folded
+    """,
+    doc="Holt-Winters additive SEASONAL smoothing (SURVEY §2.4 ext — "
+    "the seasonal member completing the smoothing family q_ewma → "
+    "q_holt_linear → here, the capacity-forecasting shape that "
+    "handles weekly periodicity): per-event-type daily exact-cents "
+    "totals form the series (day grid — CALENDAR-bounded, so the "
+    "per-type collect-fold is the documented acceptable posture, "
+    "never fact-proportional); seed (l0 = first-week mean, b0 = 0, "
+    "s_i = x_i - l0), then l_t = alpha(x_t - s_(t-7)) + "
+    "(1-alpha)(l_(t-1)+b_(t-1)), b_t = beta(l_t-l_(t-1)) + "
+    "(1-beta)b_(t-1), s_t = gamma(x_t-l_t) + (1-gamma)s_(t-7) with "
+    "alpha=0.3 beta=0.1 gamma=0.2, folded sequentially as a flat "
+    "9-list state so the recursion is EXACT on both engines; outputs "
+    "final level/trend plus 1- and 7-step seasonal forecasts. At "
+    "100 TB the only unbounded stage is the scan + one "
+    "(type, day) hash-agg; everything after runs on the day grid.",
+)
+def q_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)"))
+        .cast("double")
+        .alias("cents")
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cents))),"
+            " s -> s.cents)"
+        ).alias("vals"),
+    )
+    g = g.withColumn(
+        "l0",
+        F.expr(
+            "aggregate(slice(vals, 1, 7), 0.0D, (a, x) -> a + x)"
+            " / cast(7 as double)"
+        ),
+    ).withColumn(
+        "seed",
+        F.expr(
+            "concat(array(l0, 0.0D),"
+            " transform(slice(vals, 1, 7), x -> x - l0))"
+        ),
+    )
+    hw = F.expr(
+        "aggregate(slice(vals, 8, greatest(size(vals) - 7, 0)), seed,"
+        " (acc, x) -> concat("
+        "  array("
+        "   0.3D * (x - element_at(acc, 3))"
+        "   + 0.7D * (element_at(acc, 1) + element_at(acc, 2)),"
+        "   0.1D * ((0.3D * (x - element_at(acc, 3))"
+        "            + 0.7D * (element_at(acc, 1) + element_at(acc, 2)))"
+        "           - element_at(acc, 1))"
+        "   + 0.9D * element_at(acc, 2)),"
+        "  slice(acc, 4, 6),"
+        "  array("
+        "   0.2D * (x - (0.3D * (x - element_at(acc, 3))"
+        "                + 0.7D * (element_at(acc, 1)"
+        "                          + element_at(acc, 2))))"
+        "   + 0.8D * element_at(acc, 3))))"
+    )
+    g = g.withColumn("hw", hw)
+    z = F.lit(0.0)
+    return g.select(
+        "event_type",
+        "n_days",
+        (F.round(F.expr("element_at(hw, 1)"), 6) + z).alias("level"),
+        (F.round(F.expr("element_at(hw, 2)"), 6) + z).alias("trend"),
+        (
+            F.round(
+                F.expr(
+                    "element_at(hw, 1) + cast(1 as double)"
+                    " * element_at(hw, 2) + element_at(hw, 3)"
+                ),
+                6,
+            )
+            + z
+        ).alias("forecast_1"),
+        (
+            F.round(
+                F.expr(
+                    "element_at(hw, 1) + cast(7 as double)"
+                    " * element_at(hw, 2) + element_at(hw, 9)"
+                ),
+                6,
+            )
+            + z
+        ).alias("forecast_7"),
+    )

@@ -974,3 +974,37 @@ def test_holt_linear_matches_python_fold(spark):
         assert abs(r["level"] - round(l, 6)) < 1e-9, uid
         assert abs(r["trend"] - round(b, 6)) < 1e-9, uid
         assert abs(r["forecast_7"] - round(l + 7.0 * b, 6)) < 1e-9, uid
+
+
+def test_holt_winters_matches_python_fold(spark):
+    """q_holt_winters replica: the per-type (level, trend, 1/7-step
+    forecasts) reproduce a plain Python left fold of the additive
+    triple recursion — seed (first-week mean, b0=0, s_i = x_i - l0),
+    flat [l, b, s1..s7] rotation, alpha=0.3 beta=0.1 gamma=0.2 —
+    over the same day-ordered exact-cents series."""
+    import pandas as pd
+
+    got = _run(spark, "q_holt_winters").set_index("event_type")
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    e["day"] = e["ts"].dt.floor("D")
+    e["cents"] = (e["value"] * 100).round().astype("int64")
+    daily = (
+        e.groupby(["event_type", "day"])["cents"].sum().reset_index()
+    )
+    for et, g in daily.groupby("event_type"):
+        vals = [float(v) for v in g.sort_values("day")["cents"]]
+        l0 = sum(vals[:7]) / 7.0
+        l, b = l0, 0.0
+        s = [x - l0 for x in vals[:7]]
+        for x in vals[7:]:
+            nl = 0.3 * (x - s[0]) + 0.7 * (l + b)
+            nb = 0.1 * ((0.3 * (x - s[0]) + 0.7 * (l + b)) - l) + 0.9 * b
+            ns = 0.2 * (x - (0.3 * (x - s[0]) + 0.7 * (l + b))) + 0.8 * s[0]
+            s = s[1:] + [ns]
+            l, b = nl, nb
+        r = got.loc[et]
+        assert int(r["n_days"]) == len(vals)
+        assert abs(r["level"] - round(l, 6)) < 1e-9, et
+        assert abs(r["trend"] - round(b, 6)) < 1e-9, et
+        assert abs(r["forecast_1"] - round(l + 1.0 * b + s[0], 6)) < 1e-9, et
+        assert abs(r["forecast_7"] - round(l + 7.0 * b + s[6], 6)) < 1e-9, et
