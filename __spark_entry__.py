@@ -292,6 +292,24 @@ _CHANGED_SINCE_VERIFIED = (
     # form measured a decimal(38,0) overflow at 16x density
     # (scale_curve octave) — expression changed → re-check.
     ("q_downsample_lttb", 14),
+    # r15 (ADVICE r14 medium): the partitioned prefix sum's pass-2
+    # offset join is now NULL-SAFE on the partition columns (a plain
+    # equi-join dropped NULL-group rows) — q_ks_test is the only
+    # partition_by rider; values invariant (mktsegment is non-null),
+    # hash-checked at sf0.01 — re-check anyway. q_heaps_law's
+    # checkpoint step is integer floor division both engines.
+    ("q_ks_test", 15),
+    ("q_heaps_law", 15),
+    # r15 (VERDICT r14 items 3+5): q_ewma/q_holt_linear carry the
+    # assert_true bounded-history tripwire (values invariant — the
+    # guard column filters nothing in contract); q_cap_per_group is
+    # now the extreme-group TWO-PASS form (hash-prefix pre-filter +
+    # shortfall rescue below the rank window) — values invariant by
+    # the structural top-k containment argument, hash-checked at all
+    # three SFs, plan shape changed → re-check.
+    ("q_ewma", 15),
+    ("q_holt_linear", 15),
+    ("q_cap_per_group", 15),
 )
 
 

@@ -880,3 +880,44 @@ def test_wordpiece_greedy_never_beats_viterbi(spark):
     # the heuristic is not degenerate: on this corpus at least one
     # doc pays a strict greedy penalty OR all are equal-and-optimal
     assert sum(wp[d][1] - vi[d][1] for d in wp) >= 0
+
+
+def test_cap_per_group_prefilter_below_window(spark):
+    """q_cap_per_group's extreme-group form (VERDICT r14 item 5): the
+    hash-prefix pre-filter must sit BELOW the rank window in the plan
+    — the window's input is ~C*k rows per group, never the raw fact —
+    and the kept set must equal the brute-force single-window form
+    exactly (the structural top-k containment + rescue argument)."""
+    df = REGISTRY["q_cap_per_group"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the conv(substr(md5)) uniform filter feeds the window
+    w_pos = plan.index("Window")
+    assert "conv(" in plan and "Filter" in plan
+    assert plan.index("conv(", w_pos) > w_pos, (
+        "pre-filter uniform not below the Window in the physical plan"
+    )
+    # brute force: one window over the whole fact
+    from pyspark.sql import Window as W
+
+    d = table(spark, SF, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("cap"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
+    )
+    want = {
+        (r["source"], r["n_docs"], r["n_chars"])
+        for r in d.withColumn("rk", rk)
+        .filter(F.col("rk") <= 50)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .collect()
+    }
+    got = {
+        (r["source"], r["n_docs"], r["n_chars"]) for r in df.collect()
+    }
+    assert got == want and len(got) > 0
