@@ -36,6 +36,9 @@ NESTED_LOOP_ALLOWED = {
     "q_ann_sq8": "two 1-row broadcasts: the per-dim min/max stats "
     "arrays and the quantized query vector (the q_sim_search shape); "
     "the scan side stays linear in the corpus",
+    "q_ann_binary": "two 1-row broadcasts: the per-dim midrange "
+    "array and the centered query vector (the q_ann_sq8 shape); the "
+    "scan side is linear in the corpus at 16 bytes/vector of code",
     "q_ann_lsh": "constant 64-row broadcast hyperplane table",
     "q_ann_ivf": "constant-size broadcast centroid table (nearest-centroid "
     "assignment is O(k) per row, k fixed)",

@@ -819,3 +819,20 @@ def test_pq_numpy_encoder_bitwise_equals_expression_path(spark):
     assert all(
         list(a) == list(b) for a, b in zip(via_np["c"], via_expr["c"])
     )
+
+
+def test_ann_binary_recall_floor(spark):
+    """1-bit sign codes + asymmetric ADC (50-candidate cut) measured
+    recall@10 = 0.7 at sf0.01 / 0.8 at sf0.1 at build time — in family
+    with the LSH/IVF partition floors and below SQ8's near-lossless
+    0.8 (1 bit/dim is the memory axis's binary endpoint: 16
+    bytes/vector). Symmetric Hamming measured 0.4/0.0 — the reason
+    the plan keeps the query full-precision. Pinned at >= 0.6."""
+    from gps_stream_processing_spark.operators.similarity import cosine_topk
+    from gps_stream_processing_spark.plans.registry import REGISTRY, table
+
+    sf = "/root/testdata/sf0.01"
+    emb = table(spark, sf, "embeddings")
+    exact = {r.vec_id for r in cosine_topk(emb, 0, k=10).collect()}
+    got = {r.vec_id for r in REGISTRY["q_ann_binary"].fn(spark, sf).collect()}
+    assert len(got & exact) / 10 >= 0.6
