@@ -1069,7 +1069,14 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     "top-20 bigrams by count. Counts, not text, shuffle at 100 TB.",
 )
 def q_kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
-    toks = table(spark, sf, "documents").select(
+    return kneser_ney_stats(table(spark, sf, "documents"))
+
+
+def kneser_ney_stats(docs: DataFrame) -> DataFrame:
+    """The q_kneser_ney core over any (text) DataFrame — extracted so
+    scale_curve.py times the plan's OWN code (the _lttb_100b
+    discipline: measurement and shipped plan cannot desynchronize)."""
+    toks = docs.select(
         F.split(F.lower(F.col("text")), " ").alias("w")
     )
     bg = (

@@ -8617,11 +8617,18 @@ def q_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     "O(days).",
 )
 def q_sax(spark: SparkSession, sf: str) -> DataFrame:
+    return sax_symbols(table(spark, sf, "events"))
+
+
+def sax_symbols(events: DataFrame) -> DataFrame:
+    """The q_sax core over any (ts, value) DataFrame — extracted so
+    scale_curve.py times the plan's OWN code (the _lttb_100b
+    discipline)."""
     from pyspark.sql import Window
 
     d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
     daily = (
-        table(spark, sf, "events")
+        events
         .groupBy(F.col("ts").cast("date").alias("d"))
         .agg(
             F.sum(F.expr("cast(round(value * 100) as bigint)"))

@@ -28,7 +28,9 @@ FACTORS = tuple(
 SHAPES_FILTER = {
     s for s in os.environ.get("SPARK_GRAFT_SCALE_SHAPES", "").split(",") if s
 }
-REPS = 2  # timed repetitions (after one warm run)
+REPS = int(
+    os.environ.get("SPARK_GRAFT_SCALE_REPS", "2")
+)  # timed repetitions (after one warm run)
 
 
 def replicate(df, key_cols, factor, offset=10_000_000):
@@ -97,7 +99,15 @@ def main() -> None:
         triangle_count,
     )
     from gps_stream_processing_spark.operators.unigram import train_vocab
-    from gps_stream_processing_spark.plans.corpus import pmi_bigrams
+    from gps_stream_processing_spark.plans.corpus import (
+        kneser_ney_stats,
+        pmi_bigrams,
+    )
+    from gps_stream_processing_spark.plans.curation import (
+        COGROUP_ASOF_SCHEMA,
+        _cogroup_reaction_arrow,
+    )
+    from gps_stream_processing_spark.plans.relational import sax_symbols
     from gps_stream_processing_spark.session import get_spark
     from gps_stream_processing_spark.sources.tables import load_table
 
@@ -122,6 +132,16 @@ def main() -> None:
         .localCheckpoint(eager=True)
     )
 
+    # Fixed tokenizer vocabulary for the encode-scaling shape: trained
+    # ONCE on the base corpus (train-once-encode-many is the posture
+    # the octave measures — replication grows the text to encode, not
+    # the model), pinned so every factor reuses the same artifact.
+    from gps_stream_processing_spark.operators.unigram import (
+        wordpiece_encode_stats,
+    )
+
+    wp_vocab0 = train_vocab(docs0, n_rounds=2).localCheckpoint(eager=True)
+
     results = []
     for f in FACTORS:
         li = replicate(li0, ["l_orderkey"], f).cache()
@@ -131,6 +151,39 @@ def main() -> None:
         emb = replicate(emb0, ["vec_id"], f).cache()
         for d in (li, o, ev, docs, emb):
             d.count()  # materialize the cache so IO is out of the timing
+
+        # TWS session-cache fixture: the replicated events LAND once
+        # per factor (the write is setup, not the shape under test);
+        # the timed shape is the full availableNow replay through the
+        # timers x ListState processor on the RocksDB state store.
+        tws_dir = None
+        if not SHAPES_FILTER or "tws_session_cache" in SHAPES_FILTER:
+            import tempfile
+
+            tws_dir = tempfile.mkdtemp(prefix=f"scale_tws_{f}_")
+            ev.select("user_id", "ts", "event_id", "value").coalesce(
+                8
+            ).write.mode("overwrite").parquet(tws_dir)
+
+        def _tws_replay(d=None):
+            d = d or tws_dir
+            from gps_stream_processing_spark.streaming.runner import (
+                run_available_now,
+            )
+            from gps_stream_processing_spark.streaming.stateful import (
+                streaming_session_cache_tws,
+            )
+
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            schema = spark.read.parquet(d).schema
+            s = spark.readStream.schema(schema).parquet(d)
+            return run_available_now(
+                streaming_session_cache_tws(s), output_mode="update"
+            )
 
         shapes = {
             "hash_agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -378,6 +431,41 @@ def main() -> None:
                 F.expr("kll_sketch_get_quantile_double("
                        "kll_sketch_agg_double(l_extendedprice), 0.5)").alias("p50")
             ),
+            # r15 shapes (VERDICT r14 item 7): the four r14 registry
+            # additions + the TWS composition, each timed through the
+            # plan's OWN core. cogroup_asof_arrow: per-user group
+            # count grows with the factor, group SIZE is constant —
+            # expect ~linear in users (the Arrow transport's win is
+            # per-group constant cost). kneser_ney: bigram TYPE-domain
+            # aggregates — replication grows counts, not types, so
+            # expect scan-bound like unigram_em2. sax: calendar-
+            # bounded day grid — expect flat like lttb_100b.
+            # wordpiece_encode: FIXED vocab (trained once on the base
+            # corpus), encode work ~linear in words. tws_session_cache:
+            # availableNow replay through timers x ListState on
+            # RocksDB — state O(users), list entries O(events in the
+            # retention window); expect ~linear in events with the
+            # state-server round-trip as the constant.
+            "cogroup_asof_arrow": lambda: (
+                lambda views, clicks: views.groupBy("user_id")
+                .cogroup(clicks.groupBy("user_id"))
+                .applyInArrow(
+                    _cogroup_reaction_arrow, schema=COGROUP_ASOF_SCHEMA
+                )
+            )(
+                ev.filter(F.col("event_type") == "view").select(
+                    "user_id", F.unix_micros("ts").alias("us")
+                ),
+                ev.filter(F.col("event_type") == "click").select(
+                    "user_id", F.unix_micros("ts").alias("us")
+                ),
+            ),
+            "kneser_ney": lambda: kneser_ney_stats(docs),
+            "sax_daily": lambda: sax_symbols(ev),
+            "wordpiece_encode": lambda: wordpiece_encode_stats(
+                docs, vocab=wp_vocab0
+            ),
+            "tws_session_cache": lambda: _tws_replay(),
             "sq8_adc": lambda: (
                 lambda stats: emb.crossJoin(F.broadcast(stats))
                 .select(
@@ -420,7 +508,9 @@ def main() -> None:
     for name in {r["shape"] for r in results}:
         t = {r["factor"]: r["sec"] for r in results if r["shape"] == name}
         exp = (
-            math.log(t[hi] / t[lo], hi / lo) if t[lo] > 0 else float("nan")
+            math.log(t[hi] / t[lo], hi / lo)
+            if t[lo] > 0 and hi > lo  # single-factor smoke: no slope
+            else float("nan")
         )
         print(json.dumps({"shape": name, f"t{lo}": t[lo], f"t{hi}": t[hi],
                           "exponent": round(exp, 2)}))
