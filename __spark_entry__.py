@@ -310,6 +310,14 @@ _CHANGED_SINCE_VERIFIED = (
     ("q_ewma", 15),
     ("q_holt_linear", 15),
     ("q_cap_per_group", 15),
+    # r15 (VERDICT r14 item 6): the substring-dedup frequency stage is
+    # now count(*) OVER (PARTITION BY hash) instead of groupBy +
+    # join-back (row-identical — the window count equals the agg
+    # count; hash-checked at sf0.01 AND sf0.1), and the strided
+    # candidate set carries a lazy doc-id-sized pin. Plan shape
+    # changed (the 634 s -> 15 s adversarial-octave fix) → re-check.
+    ("q_dedup_substring", 15),
+    ("q_dedup_substring_strided", 15),
 )
 
 

@@ -13,7 +13,7 @@ exists as the small-scale oracle-checkable ground truth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gps_stream_processing_spark.functions.text import word_shingles
@@ -190,9 +190,20 @@ def substring_dedup_stats(
     g = toks.select(
         id_col, F.posexplode(win_hashes).alias("pos", "win_h")
     )
-    counts = g.groupBy("win_h").agg(F.count("*").alias("__cnt"))
+    # Corpus frequency as count(*) OVER (PARTITION BY win_h) instead
+    # of groupBy + join-back: the two forms are row-identical, but the
+    # agg+join shape materializes the stride-1 GRID TWICE (the agg
+    # input and the join probe are separate subtrees — Spark plans no
+    # ReusedExchange across them, so every upstream explode/scan/
+    # semi-join re-runs) and invites AQE to broadcast a corpus-sized
+    # counts table at high dup rates. The window form computes the
+    # grid ONCE and moves it through ONE exchange. Measured on the
+    # adversarial ~100% dup-rate octave (VERDICT r14 item 6): the
+    # strided composition dropped 634 s -> ~60 s at 16x and its
+    # 1x->16x exponent from 1.40 to ~sub-linear (SCALE.md r15 row).
+    w_cnt = Window.partitionBy("win_h")
     dup = (
-        g.join(counts, "win_h")
+        g.withColumn("__cnt", F.count("*").over(w_cnt))
         .filter(F.col("__cnt") >= min_occurrences)
         .select(id_col, "pos")
     )
@@ -383,12 +394,21 @@ def substring_dedup_strided(
     schema as substring_dedup_stats."""
     k = span_words
     g = winnow_seed_table(df, id_col, text_col, span_words, winnow)
-    scnt = g.groupBy("sh").agg(F.count("*").alias("__c"))
+    # Seed frequency via count(*) OVER (PARTITION BY sh) — the same
+    # one-exchange form as the stats stage (the groupBy + join-back
+    # twin computed the winnow fold TWICE: no exchange reuse across
+    # the agg and probe subtrees). cand is then PINNED: the extend
+    # stage's semi join consumes it from inside a tree whose grid
+    # feeds two downstream operators, and an unpinned cand would
+    # replay the whole seed pipeline per consumer. doc-id-sized
+    # (duplicate-bounded; at a worst-case 100% dup rate it is one
+    # 8-byte id per doc), lazy — the first extend job materializes it.
     cand = (
-        g.join(scnt, "sh")
+        g.withColumn("__c", F.count("*").over(Window.partitionBy("sh")))
         .filter(F.col("__c") >= min_occurrences)
         .select(id_col)
         .distinct()
+        .localCheckpoint(eager=False)
     )
     stats = substring_dedup_stats(
         df.join(cand, id_col, "left_semi"),
