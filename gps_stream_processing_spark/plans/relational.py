@@ -8735,9 +8735,9 @@ def sax_symbols(events: DataFrame) -> DataFrame:
     "explosion. Same bounded-per-key-sequence contract as q_ewma "
     "(sessions/days), same assert_true tripwire at "
     "SMOOTHER_MAX_EVENTS_PER_KEY; the unbounded-stream twin is "
-    "SHIPPED as q_stream_tws_ewma (ValueState (n, y) — the (l, b) "
-    "Holt state is the same 2-scalar shape on the same processor "
-    "pattern), O(1) per key forever.",
+    "SHIPPED as q_stream_tws_holt (streaming/stateful.py "
+    "make_holt_processor — ValueState (n, l, b), bit-identical fold, "
+    "O(1) per key forever).",
 )
 def q_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "events")

@@ -335,6 +335,7 @@ def q_stream_stream_full_join(spark: SparkSession, sf: str) -> DataFrame:
 # asserts presence tracks the probe for every listed key.
 TWS_GATED_KEYS = (
     "q_stream_tws_ewma",
+    "q_stream_tws_holt",
     "q_stream_tws_fix_merge",
     "q_stream_tws_init_state",
     "q_stream_tws_map_state",
@@ -410,6 +411,40 @@ def q_stream_tws_ewma(spark: SparkSession, sf: str) -> DataFrame:
         # emissions stay raw doubles so the recursion never re-rounds
         return out.select(
             "user_id", "n_events", F.round("ewma", 6).alias("ewma")
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+def q_stream_tws_holt(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.streaming.runner import events_stream
+    from gps_stream_processing_spark.streaming.stateful import (
+        streaming_holt_tws,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = events_stream(spark, sf)
+        out = run_available_now(streaming_holt_tws(ev), output_mode="update")
+        # rounding + the h-step forecast derive HERE (Spark-side, the
+        # same expressions as the batch q_holt_linear) — the processor
+        # state stays raw doubles
+        return out.select(
+            "user_id",
+            "n_events",
+            F.round("level", 6).alias("level"),
+            F.round("trend", 6).alias("trend"),
+            F.round(
+                F.col("level") + F.lit(7.0) * F.col("trend"), 6
+            ).alias("forecast_7"),
         )
     finally:
         if prev is None:
@@ -604,6 +639,47 @@ else:
         "O(#keys), work O(batch), no collect_list anywhere; a hot key "
         "with 10^8 events costs the same state as a cold one.",
     )(q_stream_tws_ewma)
+
+    q_stream_tws_holt = register(
+        "q_stream_tws_holt",
+        # The q_holt_linear oracle verbatim: same recursion, same fold
+        # order, same literals, same LIST-accumulator encoding (the
+        # DuckDB struct-mutation pitfall), init (x1, 0). availableNow
+        # folds every user in one batch -> streaming == batch fold.
+        oracle="""
+        SELECT user_id, CAST(cnt AS BIGINT) AS n_events,
+               ROUND(hw[1], 6) AS level,
+               ROUND(hw[2], 6) AS trend,
+               ROUND(hw[1] + CAST(7 AS DOUBLE) * hw[2], 6) AS forecast_7
+        FROM (
+          SELECT user_id, COUNT(*) AS cnt,
+                 list_reduce(
+                   list_transform(
+                     list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                     x -> [x, CAST(0 AS DOUBLE)]),
+                   (acc, x) -> [
+                     CAST(0.3 AS DOUBLE) * x[1]
+                     + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2]),
+                     CAST(0.1 AS DOUBLE)
+                     * ((CAST(0.3 AS DOUBLE) * x[1]
+                         + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2]))
+                        - acc[1])
+                     + CAST(0.9 AS DOUBLE) * acc[2]]) AS hw
+          FROM events GROUP BY user_id
+        ) t(user_id, cnt, hw)
+        """,
+        doc="O(1)-state STREAMING Holt linear-trend smoothing on "
+        "transformWithStateInPandas ValueState (SURVEY §2.8 — the "
+        "(l, b) sibling of q_stream_tws_ewma, so BOTH batch "
+        "collect-then-fold smoothers now have their shipped "
+        "unbounded-key twin): per-user state is (n, level, trend) — "
+        "24 bytes per key forever — each batch folds its "
+        "(ts, event_id)-sorted values with the exact IEEE expression "
+        "tree of the batch fold (new level recomputed inside the "
+        "trend update), so the availableNow replay is bit-identical "
+        "to q_holt_linear per user, h-step forecast derived at "
+        "emission. At scale: state O(#keys), work O(batch).",
+    )(q_stream_tws_holt)
 
     q_stream_tws_timers = register(
         "q_stream_tws_timers",

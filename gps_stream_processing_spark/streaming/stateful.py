@@ -816,3 +816,98 @@ def streaming_ewma_tws(events: DataFrame, alpha: float = 0.2) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+HOLT_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, level double, trend double"
+)
+HOLT_STATE_SCHEMA = "n bigint, l double, b double"
+
+
+def make_holt_processor(alpha: float = 0.3, beta: float = 0.1):
+    """Per-key Holt linear-trend smoothing on a typed ValueState — the
+    (l, b) sibling of :func:`make_ewma_processor`, completing the
+    streaming twin for BOTH batch collect-then-fold smoothers
+    (``q_ewma`` / ``q_holt_linear``): state is (n, level, trend) —
+    24 bytes per key forever. Each batch folds its (unix-µs ts,
+    event_id)-sorted values with the EXACT expression tree of the
+    batch fold (the new level recomputed inside the trend update, the
+    literals 0.3/0.7/0.1/0.9 written directly — never derived by
+    subtraction), so the availableNow one-batch replay is
+    bit-identical to ``q_holt_linear`` per user. Init (x₁, 0), the
+    list_reduce-compatible convention the batch fold uses."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    a, ka = alpha, 1.0 - alpha
+    bt, kb = beta, 1.0 - beta
+
+    class _HoltProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("holt", HOLT_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            if self._state.exists():
+                n0, l, b = self._state.get()
+                n, seeded = int(n0), True
+                l, b = float(l), float(b)
+            else:
+                n, l, b, seeded = 0, 0.0, 0.0, False
+            pdf = pd.concat(list(rows), ignore_index=True).sort_values(
+                ["us", "event_id"], kind="stable"
+            )
+            for x in pdf["value"]:
+                x = float(x)
+                if seeded:
+                    nl = a * x + ka * (l + b)
+                    b = bt * ((a * x + ka * (l + b)) - l) + kb * b
+                    l = nl
+                else:
+                    l, b, seeded = x, 0.0, True
+                n += 1
+            self._state.update((n, l, b))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "n_events": n,
+                        "level": l,
+                        "trend": b,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _HoltProcessor()
+
+
+def streaming_holt_tws(
+    events: DataFrame, alpha: float = 0.3, beta: float = 0.1
+) -> DataFrame:
+    """Per-user streaming Holt linear smoothing on
+    ``transformWithStateInPandas`` (ValueState; RocksDB provider).
+    Emits raw (level, trend) doubles — callers round/derive forecasts
+    so the recursion never re-rounds."""
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.streaming.protobuf_compat import (
+        configure_worker_env,
+        ensure_protobuf,
+    )
+
+    ensure_protobuf()
+    configure_worker_env(events.sparkSession)
+    slim = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "value",
+    )
+    return slim.groupBy("user_id").transformWithStateInPandas(
+        make_holt_processor(alpha, beta),
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -1097,3 +1097,31 @@ def test_smoother_bounded_history_tripwire(spark):
         rel.SMOOTHER_MAX_EVENTS_PER_KEY = prev
     # and back in contract: both run clean at the real cap
     assert REGISTRY["q_ewma"].fn(spark, sf).count() > 0
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (absent here)",
+)
+def test_tws_holt_equals_batch_fold(spark):
+    """The (l, b) streaming smoother must be BIT-identical to the
+    batch q_holt_linear per user — the sibling equivalence to
+    test_tws_ewma_equals_batch_fold, closing the streaming-twin story
+    for both collect-then-fold smoothers."""
+    sf = "/root/testdata/sf0.001"
+    from gps_stream_processing_spark.plans.registry import REGISTRY
+
+    def as_map(df):
+        return {
+            int(r["user_id"]): (
+                int(r["n_events"]),
+                float(r["level"]),
+                float(r["trend"]),
+                float(r["forecast_7"]),
+            )
+            for r in df.toPandas().to_dict("records")
+        }
+
+    got = as_map(REGISTRY["q_stream_tws_holt"].fn(spark, sf))
+    want = as_map(REGISTRY["q_holt_linear"].fn(spark, sf))
+    assert got == want and len(got) > 0  # == on floats: bitwise claim
