@@ -3862,6 +3862,241 @@ def q_mannwhitney(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_anova",
+    # One-way ANOVA across market segments on exact cents: per-group
+    # (n, Σc, Σc²) are exact DECIMAL/HUGEINT moments; Σᵢ Sᵢ²/nᵢ folds
+    # over the groups in mktsegment order (sorted fold — the q_zipf
+    # discipline; a bare SUM over doubles would be order-dependent),
+    # and SSB/SSW/F/η² run in double with identical parenthesization.
+    # + 0.0 after ROUND normalizes IEEE -0.0 (q_heaps_law trap).
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment AS mktsegment,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT) AS c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), per AS (
+      SELECT mktsegment, CAST(COUNT(*) AS BIGINT) AS n1,
+             SUM(c) AS s1, SUM(c * c) AS s2
+      FROM b GROUP BY mktsegment
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n1) AS BIGINT) AS nt,
+             CAST(SUM(s1) AS DOUBLE) AS std, CAST(SUM(s2) AS DOUBLE) AS s2td
+      FROM per
+    ), fold AS (
+      SELECT list_sum(list_transform(
+               list(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1
+                    ORDER BY mktsegment),
+               x -> x)) AS sb
+      FROM per
+    )
+    SELECT k, nt,
+           ROUND((sb - std * std / nt) / (CAST(k AS DOUBLE) - 1.0)
+                 / NULLIF((s2td - sb) / (CAST(nt AS DOUBLE) - k), 0.0),
+                 6) + 0.0 AS f_stat,
+           ROUND((sb - std * std / nt)
+                 / NULLIF(s2td - std * std / nt, 0.0), 6) + 0.0 AS eta_sq
+    FROM tot, fold
+    """,
+    doc="One-way ANOVA F-test across market segments (SURVEY §2.4 "
+    "ext — the k-GROUP generalization of q_welch_ttest's pairwise "
+    "contrast: 'do the segments differ AT ALL?' before k pairwise "
+    "tests inflate the false-positive rate; η² is the "
+    "variance-explained effect size that tells you whether a "
+    "significant F matters). One orders⋈customer pass builds the "
+    "k-row exact moment table (n, Σcents, Σcents² per group — the "
+    "mergeable-moments architecture); between/within sums of squares "
+    "derive from it with a SORTED per-group fold so the double "
+    "addition order is engine-identical. At 100 TB the scan is the "
+    "only unbounded stage; everything downstream touches k rows.",
+)
+def q_anova(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    cu = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    b = o.join(cu, o.o_custkey == cu.c_custkey).select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("c"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    c = F.col("c")
+    per = (
+        b.groupBy("mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n1"),
+            F.sum(dec(c)).alias("s1"),
+            F.sum(d19(c) * d19(c)).alias("s2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n1").cast("bigint").alias("nt"),
+        F.sum("s1").cast("double").alias("std"),
+        F.sum("s2").cast("double").alias("s2td"),
+    )
+    fold = per.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct("
+            "mktsegment AS m,"
+            " cast(s1 as double) * cast(s1 as double) / n1 AS t))),"
+            " s -> s.t), 0.0D, (a, x) -> a + x)"
+        ).alias("sb")
+    )
+    kd = F.col("k").cast("double")
+    ntd = F.col("nt").cast("double")
+    ssb = F.col("sb") - F.col("std") * F.col("std") / F.col("nt")
+    ssw = F.col("s2td") - F.col("sb")
+    sst = F.col("s2td") - F.col("std") * F.col("std") / F.col("nt")
+    z = F.lit(0.0)
+    return tot.crossJoin(F.broadcast(fold)).select(
+        "k",
+        "nt",
+        (
+            F.round(
+                ssb / (kd - F.lit(1.0))
+                / F.nullif(ssw / (ntd - F.col("k")), F.lit(0.0)),
+                6,
+            )
+            + z
+        ).alias("f_stat"),
+        (F.round(ssb / F.nullif(sst, F.lit(0.0)), 6) + z).alias("eta_sq"),
+    )
+
+
+@register(
+    "q_kruskal_wallis",
+    # Rank-based k-group test on the ALL-INTEGER tied-rank machinery
+    # of q_mannwhitney: twice a tied value's average pooled rank is
+    # 2C − c + 1 (integer), so each group's doubled rank sum 2Rᵢ is
+    # exact DECIMAL/HUGEINT; Σᵢ Rᵢ²/nᵢ = Σᵢ (2Rᵢ)²/(4nᵢ) folds over
+    # groups in mktsegment order (sorted fold), the tie correction
+    # Σ(c³−c) is exact, and only H runs in double — identical
+    # parenthesization, rounded 6 dp.
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment AS mktsegment,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), segv AS (
+      SELECT mktsegment, v, CAST(COUNT(*) AS BIGINT) AS cnt_seg
+      FROM b GROUP BY mktsegment, v
+    ), vals AS (
+      SELECT v, CAST(SUM(cnt_seg) AS BIGINT) AS c FROM segv GROUP BY v
+    ), cum AS (
+      SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cc
+      FROM vals
+    ), ties AS (
+      SELECT CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE) AS tsum,
+             CAST(SUM(c) AS BIGINT) AS nt
+      FROM vals
+    ), r AS (
+      SELECT mktsegment, CAST(SUM(cnt_seg) AS BIGINT) AS n1,
+             SUM(CAST(cnt_seg AS HUGEINT) * (2 * cc - c + 1)) AS r1x2
+      FROM segv JOIN cum USING (v) GROUP BY mktsegment
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             list_sum(list_transform(
+               list(CAST(r1x2 * r1x2 AS DOUBLE)
+                    / (CAST(4 AS DOUBLE) * n1) ORDER BY mktsegment),
+               x -> x)) AS sterm
+      FROM r
+    )
+    SELECT k, nt,
+           ROUND(CAST(12 AS DOUBLE)
+                 / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) + 1.0))
+                 * sterm - 3.0 * (CAST(nt AS DOUBLE) + 1.0), 6) + 0.0
+             AS h_stat,
+           ROUND((CAST(12 AS DOUBLE)
+                  / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) + 1.0))
+                  * sterm - 3.0 * (CAST(nt AS DOUBLE) + 1.0))
+                 / NULLIF(1.0 - tsum
+                          / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)
+                             * CAST(nt AS DOUBLE) - CAST(nt AS DOUBLE)),
+                          0.0), 6) + 0.0 AS h_corrected
+    FROM s, ties
+    """,
+    doc="Kruskal-Wallis H-test across market segments (SURVEY §2.4 "
+    "ext — the k-GROUP sibling of q_mannwhitney and the rank-based "
+    "twin of q_anova: distribution-free 'do the segments differ?' "
+    "that survives the heavy-tailed spend distributions where the "
+    "F-test's normality assumption breaks). Reuses the all-integer "
+    "tied-rank machinery: per-(segment, value) counts, the pooled "
+    "value-domain cumulative via the two-pass prefix sum (cents "
+    "domains reach ~5e7 distinct at warehouse scale), doubled rank "
+    "sums 2Rᵢ exact in DECIMAL, tie correction Σ(c³−c) exact; H and "
+    "its tie-corrected form run in double with an engine-identical "
+    "sorted fold over the k groups.",
+)
+def q_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    cu = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    b = o.join(cu, o.o_custkey == cu.c_custkey).select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    segv = (
+        b.groupBy("mktsegment", "v")
+        .agg(F.count("*").alias("cnt_seg"))
+        .localCheckpoint(eager=True)
+    )
+    vals = segv.groupBy("v").agg(F.sum("cnt_seg").cast("bigint").alias("c"))
+    from gps_stream_processing_spark.operators.prefix_sum import (
+        running_totals,
+    )
+
+    cum = running_totals(vals, ["v"], sums={"cc": "c"}).select(
+        "v", "c", F.col("cc").cast("bigint").alias("cc")
+    )
+    cv = F.col("c")
+    ties = vals.agg(
+        F.sum(d19(cv) * d19(cv) * d19(cv) - dec(cv))
+        .cast("double")
+        .alias("tsum"),
+        F.sum("c").cast("bigint").alias("nt"),
+    )
+    r = (
+        segv.join(cum, "v")
+        .groupBy("mktsegment")
+        .agg(
+            F.sum("cnt_seg").cast("bigint").alias("n1"),
+            F.sum(
+                d19(F.col("cnt_seg"))
+                * d19(2 * F.col("cc") - F.col("c") + 1)
+            ).alias("r1x2"),
+        )
+    )
+    s = r.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct("
+            "mktsegment AS m,"
+            " cast(cast(r1x2 as decimal(19,0)) * cast(r1x2 as"
+            " decimal(19,0)) as double)"
+            " / (cast(4 as double) * n1) AS t))),"
+            " s -> s.t), 0.0D, (a, x) -> a + x)"
+        ).alias("sterm"),
+    )
+    ntd = F.col("nt").cast("double")
+    h = (
+        F.lit(12.0).cast("double") / (ntd * (ntd + F.lit(1.0)))
+        * F.col("sterm")
+        - F.lit(3.0) * (ntd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("tsum") / (ntd * ntd * ntd - ntd)
+    z = F.lit(0.0)
+    return s.crossJoin(F.broadcast(ties)).select(
+        "k",
+        "nt",
+        (F.round(h, 6) + z).alias("h_stat"),
+        (F.round(h / F.nullif(corr, F.lit(0.0)), 6) + z).alias(
+            "h_corrected"
+        ),
+    )
+
+
+@register(
     "q_gini",
     # ALL-INTEGER Gini: with per-customer cent totals x sorted
     # ascending and ranked rn (ties broken by custkey — Σrn·x is

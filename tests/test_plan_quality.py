@@ -36,6 +36,12 @@ NESTED_LOOP_ALLOWED = {
     "q_ann_sq8": "two 1-row broadcasts: the per-dim min/max stats "
     "arrays and the quantized query vector (the q_sim_search shape); "
     "the scan side stays linear in the corpus",
+    "q_anova": "1-row x 1-row crossing: the k-row moment table's "
+    "grand-total aggregate meets its sorted-fold aggregate (the "
+    "q_welch_ttest bounded-materialization shape)",
+    "q_kruskal_wallis": "1-row x 1-row crossing: the k-group "
+    "rank-sum fold meets the 1-row tie-correction aggregate (the "
+    "q_mannwhitney shape)",
     "q_ann_binary": "two 1-row broadcasts: the per-dim midrange "
     "array and the centered query vector (the q_ann_sq8 shape); the "
     "scan side is linear in the corpus at 16 bytes/vector of code",

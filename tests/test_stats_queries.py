@@ -1008,3 +1008,62 @@ def test_holt_winters_matches_python_fold(spark):
         assert abs(r["trend"] - round(b, 6)) < 1e-9, et
         assert abs(r["forecast_1"] - round(l + 1.0 * b + s[0], 6)) < 1e-9, et
         assert abs(r["forecast_7"] - round(l + 7.0 * b + s[6], 6)) < 1e-9, et
+
+
+def test_anova_matches_python_moments(spark):
+    """q_anova replica: F and eta² reproduce a plain Python/numpy
+    computation over the raw cents (groups vs grand moments)."""
+    got = _run(spark, "q_anova").iloc[0]
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    b = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    b["cents"] = (b["o_totalprice"] * 100).round().astype("int64")
+    groups = [g["cents"].to_numpy(dtype=float) for _, g in b.groupby("c_mktsegment")]
+    k, nt = len(groups), len(b)
+    grand = b["cents"].to_numpy(dtype=float)
+    gm = grand.mean()
+    ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (nt - k))
+    eta = ssb / (ssb + ssw)
+    assert int(got["k"]) == k and int(got["nt"]) == nt
+    # one-pass sum-of-squares cancels ~10 digits at these magnitudes;
+    # the oracle pins bitwise equality, this pins statistical truth
+    assert abs(got["f_stat"] - f) / f < 1e-4
+    assert abs(got["eta_sq"] - eta) / max(eta, 1e-12) < 1e-4
+
+
+def test_kruskal_wallis_matches_python_ranks(spark):
+    """q_kruskal_wallis replica: H (tie-corrected) reproduces a plain
+    Python average-rank computation over the raw cents."""
+    import numpy as np
+
+    got = _run(spark, "q_kruskal_wallis").iloc[0]
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    b = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    b["cents"] = (b["o_totalprice"] * 100).round().astype("int64")
+    v = b["cents"].to_numpy()
+    order = np.argsort(v, kind="stable")
+    ranks = np.empty(len(v), dtype=float)
+    sv = v[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0  # average of ranks i+1..j
+        i = j
+    b["rank"] = ranks
+    nt = len(b)
+    sterm = sum(
+        g["rank"].sum() ** 2 / len(g) for _, g in b.groupby("c_mktsegment")
+    )
+    h = 12.0 / (nt * (nt + 1)) * sterm - 3 * (nt + 1)
+    _, counts = np.unique(v, return_counts=True)
+    corr = 1.0 - (counts.astype(float) ** 3 - counts).sum() / (
+        float(nt) ** 3 - nt
+    )
+    assert int(got["nt"]) == nt
+    assert abs(got["h_stat"] - h) < 1e-5 * max(abs(h), 1.0)
+    assert abs(got["h_corrected"] - h / corr) < 1e-5 * max(abs(h / corr), 1.0)
