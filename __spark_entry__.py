@@ -302,11 +302,12 @@ _CHANGED_SINCE_VERIFIED = (
     ("q_heaps_law", 15),
     # r15 (VERDICT r14 items 3+5): q_ewma/q_holt_linear carry the
     # assert_true bounded-history tripwire (values invariant — the
-    # guard column filters nothing in contract); q_cap_per_group is
-    # now the extreme-group TWO-PASS form (hash-prefix pre-filter +
-    # shortfall rescue below the rank window) — values invariant by
-    # the structural top-k containment argument, hash-checked at all
-    # three SFs, plan shape changed → re-check.
+    # guard column filters nothing in contract). q_cap_per_group
+    # round-tripped: the two-pass pre-filter form was built, measured
+    # SLOWER than Spark 4's native Partial WindowGroupLimit plan, and
+    # reverted — final plan equals the long-verified one-window form
+    # (now WindowGroupLimit-pinned in tests); re-check anyway since
+    # the key churned this round.
     ("q_ewma", 15),
     ("q_holt_linear", 15),
     ("q_cap_per_group", 15),

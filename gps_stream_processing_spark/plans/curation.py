@@ -412,77 +412,45 @@ def q_shard_assignment(spark: SparkSession, sf: str) -> DataFrame:
     "guard every crawl-derived training set applies (a single SEO farm "
     "can be 10% of raw CommonCrawl). Hash order makes the kept set a "
     "uniform random-looking sample that is REPRODUCIBLE across reruns "
-    "and engines (rand() would be neither). EXTREME-GROUP form "
-    "(VERDICT r14 item 5, the SCALE.md-named cure, now shipped): a "
-    "two-pass hash-prefix pre-filter bounds the rank window's input "
-    "to ~C*k rows per group — per-group counts (hash-agg) set an "
-    "integer threshold t_g = ceil(2^32 * C*k / n_g) on the first-8-hex "
-    "md5 uniform; only rows with u < t_g reach the window, so a "
-    "100M-row group sorts ~200 rows instead of 100M. EXACT by "
-    "construction: if >= k rows have prefix < t_g, the true top-k by "
-    "full-md5 order all have prefix < t_g (any row with prefix >= t_g "
-    "is out-ranked by every one of them — lexicographic prefix "
-    "argument); the improbable shortfall (Binomial(n, C*k/n) < k, "
-    "~e^-70 at C=4) is caught by a survivor count and those groups "
-    "fall back to the full-group window, so output is IDENTICAL to "
-    "the one-window form and the oracle is unchanged. Contrast "
-    "q_mix_temperature: temperature reweights proportionally, the cap "
-    "is a hard ceiling — real pipelines run both.",
+    "and engines (rand() would be neither). EXTREME-GROUP posture "
+    "(VERDICT r14 item 5, closed r15): the rank<=k filter makes "
+    "Catalyst insert a PARTIAL WindowGroupLimit BELOW the exchange "
+    "(InferWindowGroupLimit, Spark >= 3.5) — each map task keeps only "
+    "its per-group top-50 by the order key, so at most 50 x "
+    "n_map_partitions rows per group ever shuffle and the per-group "
+    "sort task is bounded regardless of group size. Measured on a "
+    "20M-row SINGLE-group probe: 3.5 s fully parallel — FASTER than a "
+    "hand-built two-pass hash-prefix pre-filter (6.6 s), which r15 "
+    "built, measured, and reverted in favor of the native plan; the "
+    "reliance is pinned by a plan test "
+    "(tests/test_curation.py::test_cap_per_group_native_group_limit). "
+    "Contrast q_mix_temperature: temperature reweights "
+    "proportionally, the cap is a hard ceiling — real pipelines run "
+    "both.",
 )
 def q_cap_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    return cap_per_group_stats(table(spark, sf, "documents"))
+
+
+def cap_per_group_stats(docs: DataFrame) -> DataFrame:
+    """The q_cap_per_group core over any (source, doc_id, n_chars)
+    DataFrame — extracted so scale_curve.py times the plan's OWN code
+    (the _lttb_100b discipline). ONE window over the group key: the
+    rank<=50 filter triggers Catalyst's InferWindowGroupLimit, which
+    plans a Partial WindowGroupLimit below the Exchange — the
+    map-side per-group top-k that makes this the extreme-group-safe
+    plan natively (see the q_cap_per_group doc)."""
     from pyspark.sql import Window as W
 
-    K, C = 50, 4
-    d = (
-        table(spark, sf, "documents")
-        .select("source", "doc_id", "n_chars")
-        .withColumn(
-            "__h",
-            F.md5(F.concat(F.lit("cap"), F.col("doc_id").cast("string"))),
-        )
-        .withColumn(
-            "__u", F.conv(F.substring("__h", 1, 8), 16, 10).cast("bigint")
-        )
-    )
-    # Pass 1: per-group sizes -> integer ceil thresholds. Group-key
-    # cardinality is the broadcast contract (domains/sources — small);
-    # n_g <= C*k yields t >= 2^32, i.e. small groups keep every row.
-    counts = (
-        d.groupBy("source")
-        .agg(F.count("*").alias("__n"))
-        .withColumn(
-            "__t",
-            F.expr(
-                f"(cast(4294967296 as bigint) * {C * K} + __n - 1)"
-                " div __n"
-            ),
-        )
-        .select("source", "__t")
-    )
-    pre = d.join(F.broadcast(counts), "source").filter(
-        F.col("__u") < F.col("__t")
-    )
-    # Rescue gate: a group whose pre-filter survivors fell under k
-    # cannot prove it retained the true top-k — replay it in full.
-    # Expected empty (P ~ e^-70 at C=4); correctness, not a hot path.
-    short = (
-        pre.groupBy("source")
-        .agg(F.count("*").alias("__s"))
-        .filter(F.col("__s") < K)
-        .select("source")
-    )
-    cols = ["source", "doc_id", "n_chars", "__h"]
-    ok = pre.join(F.broadcast(short), "source", "left_anti").select(*cols)
-    rescued = d.join(F.broadcast(short), "source", "left_semi").select(
-        *cols
-    )
-    base = ok.unionByName(rescued)
     rk = F.row_number().over(
-        W.partitionBy("source").orderBy("__h", "doc_id")
+        W.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("cap"), F.col("doc_id").cast("string"))),
+            "doc_id",
+        )
     )
     return (
-        base.withColumn("rk", rk)
-        .filter(F.col("rk") <= K)
+        docs.withColumn("rk", rk)
+        .filter(F.col("rk") <= 50)
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),

@@ -1329,6 +1329,13 @@ def q_ann_binary(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
+    return binary_ann_topk(emb)
+
+
+def binary_ann_topk(emb: DataFrame) -> DataFrame:
+    """The q_ann_binary core over any (vec_id, v: array<double>)
+    DataFrame — extracted so scale_curve.py times the plan's OWN code
+    (the _lttb_100b discipline)."""
     dims = (
         emb.select(F.posexplode("v").alias("pos", "x"))
         .groupBy("pos")

@@ -9085,7 +9085,13 @@ def q_holt_linear(spark: SparkSession, sf: str) -> DataFrame:
     "(type, day) hash-agg; everything after runs on the day grid.",
 )
 def q_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
-    e = table(spark, sf, "events")
+    return holt_winters_daily(table(spark, sf, "events"))
+
+
+def holt_winters_daily(e: DataFrame) -> DataFrame:
+    """The q_holt_winters core over any (event_type, ts, value)
+    DataFrame — extracted so scale_curve.py times the plan's OWN code
+    (the _lttb_100b discipline)."""
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(

@@ -107,7 +107,14 @@ def main() -> None:
         COGROUP_ASOF_SCHEMA,
         _cogroup_reaction_arrow,
     )
-    from gps_stream_processing_spark.plans.relational import sax_symbols
+    from gps_stream_processing_spark.plans.curation import (
+        cap_per_group_stats,
+    )
+    from gps_stream_processing_spark.plans.llm import binary_ann_topk
+    from gps_stream_processing_spark.plans.relational import (
+        holt_winters_daily,
+        sax_symbols,
+    )
     from gps_stream_processing_spark.session import get_spark
     from gps_stream_processing_spark.sources.tables import load_table
 
@@ -116,6 +123,9 @@ def main() -> None:
     o0 = load_table(spark, SF_DIR, "orders")
     ev0 = load_table(spark, SF_DIR, "events")
     docs0 = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs_sourced0 = load_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
     emb0 = load_table(spark, SF_DIR, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
     )
@@ -148,8 +158,10 @@ def main() -> None:
         o = replicate(o0, ["o_orderkey", "o_custkey"], f).cache()
         ev = replicate(ev0, ["event_id", "user_id"], f).cache()
         docs = replicate(docs0, ["doc_id"], f).cache()
+        # source is NOT offset: replication grows each source group f x
+        docs_sourced = replicate(docs_sourced0, ["doc_id"], f).cache()
         emb = replicate(emb0, ["vec_id"], f).cache()
-        for d in (li, o, ev, docs, emb):
+        for d in (li, o, ev, docs, docs_sourced, emb):
             d.count()  # materialize the cache so IO is out of the timing
 
         # TWS session-cache fixture: the replicated events LAND once
@@ -466,6 +478,18 @@ def main() -> None:
                 docs, vocab=wp_vocab0
             ),
             "tws_session_cache": lambda: _tws_replay(),
+            # r15 shapes: the per-group cap under replication that
+            # grows GROUP SIZES (sources constant — the extreme-group
+            # regime): Spark's native Partial WindowGroupLimit keeps
+            # each map task's per-group top-50, so only the scan term
+            # grows (the r15 probe showed this native plan beating a
+            # hand-built two-pass pre-filter even at 20M rows in ONE
+            # group); the binary-quantization ANN (code pass linear
+            # in vectors, probe constant); and the Holt-Winters
+            # day-grid fold (calendar-bounded — expect flat).
+            "cap_group_limit": lambda: cap_per_group_stats(docs_sourced),
+            "ann_binary": lambda: binary_ann_topk(emb),
+            "holt_winters": lambda: holt_winters_daily(ev),
             "sq8_adc": lambda: (
                 lambda stats: emb.crossJoin(F.broadcast(stats))
                 .select(
@@ -497,7 +521,7 @@ def main() -> None:
             rec = {"shape": name, "factor": f, "sec": sec}
             results.append(rec)
             print(json.dumps(rec), flush=True)
-        for d in (li, o, ev, docs, emb):
+        for d in (li, o, ev, docs, docs_sourced, emb):
             d.unpersist()
 
     # scaling exponent between 1x and 4x: log4(t4/t1)
