@@ -319,6 +319,13 @@ _CHANGED_SINCE_VERIFIED = (
     # changed (the 634 s -> 15 s adversarial-octave fix) → re-check.
     ("q_dedup_substring", 15),
     ("q_dedup_substring_strided", 15),
+    # r15 self-review: q_dedup_substring_cut inherits the window-count
+    # frequency form (row-identical; hash-checked at sf0.01/sf0.1);
+    # q_holt_winters (new this round) reads its forecast indices via
+    # try_element_at so a <7-day type yields NULL like DuckDB instead
+    # of an ANSI crash. Plan shapes changed → re-check.
+    ("q_dedup_substring_cut", 15),
+    ("q_holt_winters", 15),
 )
 
 

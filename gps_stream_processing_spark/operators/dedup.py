@@ -473,9 +473,13 @@ def substring_dedup_cut(
     g = toks.select(
         id_col, F.posexplode(win_hashes).alias("pos", "win_h")
     )
-    counts = g.groupBy("win_h").agg(F.count("*").alias("__cnt"))
+    # window-count frequency (the substring_dedup_stats r15 form): the
+    # groupBy + join-back twin computed the stride-1 grid TWICE — no
+    # exchange reuse across the agg and probe subtrees
     ps = (
-        g.join(counts, "win_h")
+        g.withColumn(
+            "__cnt", F.count("*").over(Window.partitionBy("win_h"))
+        )
         .filter(F.col("__cnt") >= min_occurrences)
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("pos")).alias("__ps"))

@@ -9137,17 +9137,21 @@ def holt_winters_daily(e: DataFrame) -> DataFrame:
         "   + 0.8D * element_at(acc, 3))))"
     )
     g = g.withColumn("hw", hw)
+    # try_element_at, not element_at: a type with < 7 observed days
+    # yields an hw state shorter than 9 — DuckDB's hw[9] reads NULL
+    # there, and ANSI element_at would CRASH instead of matching it
+    # (r15 self-review; degenerate-sparse-type parity guard).
     z = F.lit(0.0)
     return g.select(
         "event_type",
         "n_days",
-        (F.round(F.expr("element_at(hw, 1)"), 6) + z).alias("level"),
-        (F.round(F.expr("element_at(hw, 2)"), 6) + z).alias("trend"),
+        (F.round(F.expr("try_element_at(hw, 1)"), 6) + z).alias("level"),
+        (F.round(F.expr("try_element_at(hw, 2)"), 6) + z).alias("trend"),
         (
             F.round(
                 F.expr(
-                    "element_at(hw, 1) + cast(1 as double)"
-                    " * element_at(hw, 2) + element_at(hw, 3)"
+                    "try_element_at(hw, 1) + cast(1 as double)"
+                    " * try_element_at(hw, 2) + try_element_at(hw, 3)"
                 ),
                 6,
             )
@@ -9156,8 +9160,8 @@ def holt_winters_daily(e: DataFrame) -> DataFrame:
         (
             F.round(
                 F.expr(
-                    "element_at(hw, 1) + cast(7 as double)"
-                    " * element_at(hw, 2) + element_at(hw, 9)"
+                    "try_element_at(hw, 1) + cast(7 as double)"
+                    " * try_element_at(hw, 2) + try_element_at(hw, 9)"
                 ),
                 6,
             )

@@ -1067,3 +1067,31 @@ def test_kruskal_wallis_matches_python_ranks(spark):
     assert int(got["nt"]) == nt
     assert abs(got["h_stat"] - h) < 1e-5 * max(abs(h), 1.0)
     assert abs(got["h_corrected"] - h / corr) < 1e-5 * max(abs(h / corr), 1.0)
+
+
+def test_holt_winters_sparse_type_yields_null_forecasts(spark):
+    """A type with fewer than 7 observed days has an hw state shorter
+    than 9 — the forecasts must read NULL (try_element_at), matching
+    DuckDB's out-of-bounds list read, instead of crashing under ANSI
+    element_at (r15 self-review pin)."""
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.plans.relational import (
+        holt_winters_daily,
+    )
+
+    e = spark.createDataFrame(
+        [
+            ("rare", "2024-01-01 10:00:00", 1.0),
+            ("rare", "2024-01-02 10:00:00", 2.0),
+            ("rare", "2024-01-02 11:00:00", 3.0),
+        ],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = holt_winters_daily(e).collect()[0]
+    assert row["event_type"] == "rare" and row["n_days"] == 2
+    # hw = the partial seed [l0, 0, x1-l0, x2-l0]: index 3 exists, so
+    # forecast_1 = l0 + 0 + (x1-l0) = x1 = 100 cents on BOTH engines;
+    # index 9 is out of bounds -> NULL (would CRASH with element_at)
+    assert row["forecast_1"] == 100.0
+    assert row["forecast_7"] is None
