@@ -3406,6 +3406,114 @@ def q_chi_square(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_cramers_v",
+    # The χ² statistic aggregated from the same contingency cells as
+    # q_chi_square, folded over cells in (event_type, dow) order (the
+    # sorted-fold discipline — a bare SUM of 35 doubles would be
+    # order-dependent), then Cramér's V = sqrt(χ² / (n·(min(r,c)−1)))
+    # — identical parenthesization both engines, rounded 6 dp.
+    oracle="""
+    WITH o AS (
+      SELECT event_type, EXTRACT(dow FROM ts) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS observed
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, CAST(SUM(observed) AS BIGINT) AS row_tot
+      FROM o GROUP BY event_type
+    ), c AS (
+      SELECT dow, CAST(SUM(observed) AS BIGINT) AS col_tot
+      FROM o GROUP BY dow
+    ), n AS (
+      SELECT CAST(SUM(observed) AS BIGINT) AS total,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT dow) AS BIGINT) AS cc
+      FROM o
+    ), cells AS (
+      SELECT o.event_type, o.dow,
+             POWER(o.observed
+                   - CAST(t.row_tot AS DOUBLE) * c.col_tot / n.total, 2)
+             / (CAST(t.row_tot AS DOUBLE) * c.col_tot / n.total) AS term
+      FROM o JOIN t USING (event_type) JOIN c USING (dow) CROSS JOIN n
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+             list_sum(list_transform(
+               list(term ORDER BY event_type, dow), x -> x)) AS chi2
+      FROM cells
+    )
+    SELECT n.total AS n_rows, s.n_cells, n.r, n.cc AS c,
+           ROUND(s.chi2, 6) AS chi2,
+           ROUND(sqrt(s.chi2 / (CAST(n.total AS DOUBLE)
+                 * (LEAST(n.r, n.cc) - 1))), 6) AS cramers_v
+    FROM s, n
+    """,
+    doc="Cramér's V effect size for the event_type × day-of-week "
+    "contingency (SURVEY §2.4 ext — the missing half of "
+    "q_chi_square: at 100 TB EVERYTHING is 'statistically "
+    "significant', so the per-cell χ² audit needs the [0,1] "
+    "association strength that says whether the dependence MATTERS). "
+    "Same one-scan cell table; the χ² total folds over the 35 cells "
+    "in deterministic (type, dow) order so the double addition is "
+    "engine-identical, then V = sqrt(χ²/(n·(min(r,c)−1))). The scan "
+    "is the only unbounded stage.",
+)
+def q_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    o = e.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    ).agg(F.count("*").alias("observed"))
+    o = o.localCheckpoint(eager=True)
+    t = o.groupBy("event_type").agg(
+        F.sum("observed").cast("bigint").alias("row_tot")
+    )
+    c = o.groupBy("dow").agg(
+        F.sum("observed").cast("bigint").alias("col_tot")
+    )
+    n = o.agg(
+        F.sum("observed").cast("bigint").alias("total"),
+        F.countDistinct("event_type").cast("bigint").alias("r"),
+        F.countDistinct("dow").cast("bigint").alias("cc"),
+    )
+    exp = (
+        F.col("row_tot").cast("double") * F.col("col_tot") / F.col("total")
+    )
+    cells = (
+        o.join(t, "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            (F.pow(F.col("observed") - exp, F.lit(2)) / exp).alias(
+                "term"
+            ),
+        )
+    )
+    s = cells.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct("
+            "event_type, dow, term))), x -> x.term),"
+            " 0.0D, (a, x) -> a + x)"
+        ).alias("chi2"),
+    )
+    v = F.sqrt(
+        F.col("chi2")
+        / (
+            F.col("total").cast("double")
+            * (F.least(F.col("r"), F.col("cc")) - F.lit(1))
+        )
+    )
+    return s.crossJoin(F.broadcast(n)).select(
+        F.col("total").alias("n_rows"),
+        "n_cells",
+        "r",
+        F.col("cc").alias("c"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+@register(
     "q_mad_outliers",
     # Median / MAD via exact interpolated percentiles (Spark
     # percentile == DuckDB quantile_cont, the q_session_duration

@@ -36,6 +36,9 @@ NESTED_LOOP_ALLOWED = {
     "q_ann_sq8": "two 1-row broadcasts: the per-dim min/max stats "
     "arrays and the quantized query vector (the q_sim_search shape); "
     "the scan side stays linear in the corpus",
+    "q_cramers_v": "1-row crossings: the 35-cell contingency table "
+    "meets its 1-row grand-total and chi2-fold aggregates (the "
+    "q_chi_square bounded-materialization shape)",
     "q_anova": "1-row x 1-row crossing: the k-row moment table's "
     "grand-total aggregate meets its sorted-fold aggregate (the "
     "q_welch_ttest bounded-materialization shape)",

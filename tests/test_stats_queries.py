@@ -1095,3 +1095,23 @@ def test_holt_winters_sparse_type_yields_null_forecasts(spark):
     # index 9 is out of bounds -> NULL (would CRASH with element_at)
     assert row["forecast_1"] == 100.0
     assert row["forecast_7"] is None
+
+
+def test_cramers_v_matches_python(spark):
+    """q_cramers_v replica: chi2 and V reproduce a plain Python
+    contingency computation over the raw events."""
+    got = _run(spark, "q_cramers_v").iloc[0]
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    e["dow"] = (e["ts"].dt.dayofweek + 1) % 7  # pandas Mon=0 -> Sun=0
+    tab = e.groupby(["event_type", "dow"]).size().unstack(fill_value=0)
+    n = tab.values.sum()
+    row = tab.sum(axis=1).values.reshape(-1, 1)
+    col = tab.sum(axis=0).values.reshape(1, -1)
+    expected = row * col / n
+    mask = expected > 0
+    chi2 = (((tab.values - expected) ** 2 / expected)[mask]).sum()
+    r, c = tab.shape
+    v = (chi2 / (n * (min(r, c) - 1))) ** 0.5
+    assert int(got["n_rows"]) == n and int(got["r"]) == r and int(got["c"]) == c
+    assert abs(got["chi2"] - chi2) < 1e-6 * max(chi2, 1.0)
+    assert abs(got["cramers_v"] - v) < 1e-6
