@@ -285,3 +285,52 @@ def test_plan_window_is_partitioned_not_single(spark):
     # naive move-everything Exchange — the whole point of the operator
     assert "Exchange SinglePartition" not in plan
     assert "__ps_pid" in plan
+
+
+def test_partitioned_running_totals_property(spark):
+    """Property sweep (hypothesis): for random (group incl. NULL,
+    unique id, value incl. NULL) tables and random partition widths,
+    the partitioned two-pass prefix sum equals
+    SUM/ROW_NUMBER OVER (PARTITION BY g ORDER BY id) exactly — the
+    generative twin of the fixed NULL-group and reset pins above.
+    Spark round-trips are slow, so few but adversarial examples."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    groups = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+    vals = st.one_of(st.none(), st.integers(-1000, 1000))
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        rows=st.lists(st.tuples(groups, vals), min_size=1, max_size=40),
+        n_parts=st.integers(1, 9),
+    )
+    def check(rows, n_parts):
+        data = [(g, i, v) for i, (g, v) in enumerate(rows)]
+        df = spark.createDataFrame(data, "g string, id int, v int")
+        got, totals = running_totals(
+            df,
+            ["id"],
+            sums={"cum": "v"},
+            count_col="rn",
+            num_partitions=n_parts,
+            partition_by=["g"],
+            with_totals=True,
+        )
+        w = Window.partitionBy("g").orderBy("id")
+        want = df.select(
+            "g",
+            "id",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+        )
+        gm = {(r["g"], r["id"]): (r["rn"], r["cum"]) for r in got.collect()}
+        wm = {(r["g"], r["id"]): (r["rn"], r["cum"]) for r in want.collect()}
+        assert gm == wm
+        assert totals["n_rows"] == len(data)
+        vs = [v for _, _, v in data if v is not None]
+        assert totals["cum"] == (sum(vs) if vs else None)
+
+    check()
