@@ -4072,6 +4072,123 @@ def q_anova(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_brown_forsythe",
+    # Levene's test with MEDIAN centers (Brown-Forsythe 1974): W is
+    # the one-way ANOVA F on z_ij = |x_ij − med_i|. Exactness trick:
+    # an integer sample's median is an integer or a half-integer, so
+    # u = 2·|cents − med| is an EXACT INTEGER (halves are exactly
+    # representable doubles; round() is an identity that just types
+    # the cast) — and W is scale-invariant (u = 2z scales SSB and SSW
+    # by the same 4), so the exact-moment ANOVA machinery runs on u
+    # unchanged: DECIMAL/HUGEINT (n, Σu, Σu²), sorted per-group fold,
+    # one double expression with identical parenthesization. Spark
+    # percentile ≡ DuckDB quantile_cont (the q_mad_outliers pin).
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment AS mktsegment,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), med AS (
+      SELECT mktsegment, quantile_cont(c, 0.5) AS med
+      FROM b GROUP BY mktsegment
+    ), z AS (
+      SELECT b.mktsegment,
+             CAST(CAST(round(2 * ABS(b.c - med.med)) AS BIGINT)
+                  AS HUGEINT) AS u
+      FROM b JOIN med USING (mktsegment)
+    ), per AS (
+      SELECT mktsegment, CAST(COUNT(*) AS BIGINT) AS n1,
+             SUM(u) AS s1, SUM(u * u) AS s2
+      FROM z GROUP BY mktsegment
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n1) AS BIGINT) AS nt,
+             CAST(SUM(s1) AS DOUBLE) AS std, CAST(SUM(s2) AS DOUBLE) AS s2td
+      FROM per
+    ), fold AS (
+      SELECT list_sum(list_transform(
+               list(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1
+                    ORDER BY mktsegment),
+               x -> x)) AS sb
+      FROM per
+    )
+    SELECT k, nt,
+           ROUND((sb - std * std / nt) / (CAST(k AS DOUBLE) - 1.0)
+                 / NULLIF((s2td - sb) / (CAST(nt AS DOUBLE) - k), 0.0),
+                 6) + 0.0 AS bf_w
+    FROM tot, fold
+    """,
+    doc="Brown-Forsythe variance-homogeneity test across market "
+    "segments (SURVEY §2.4 ext — the assumption check completing the "
+    "k-group trio: q_anova's F assumes equal group variances, and "
+    "this is THE robust test for that assumption — Levene with "
+    "MEDIAN centers, so heavy tails cannot fake heteroscedasticity). "
+    "W = the ANOVA F on |x − group median|, computed EXACTLY: "
+    "2·|cents − med| is an exact integer (integer medians land on "
+    "halves), W is scale-invariant, so the exact DECIMAL moment "
+    "machinery runs unchanged. One scan builds cents, the per-group "
+    "medians are a k-row percentile aggregate broadcast back, and "
+    "the deviation pass re-aggregates to k rows — two scans total at "
+    "any scale, everything downstream k-row-sized.",
+)
+def q_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    cu = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    b = o.join(cu, o.o_custkey == cu.c_custkey).select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("c"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    med = b.groupBy("mktsegment").agg(
+        F.expr("percentile(c, 0.5)").alias("med")
+    )
+    u = F.expr("cast(round(2 * abs(c - med)) as bigint)")
+    z = b.join(F.broadcast(med), "mktsegment").select(
+        "mktsegment", u.alias("u")
+    )
+    per = (
+        z.groupBy("mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n1"),
+            F.sum(dec(F.col("u"))).alias("s1"),
+            F.sum(d19(F.col("u")) * d19(F.col("u"))).alias("s2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n1").cast("bigint").alias("nt"),
+        F.sum("s1").cast("double").alias("std"),
+        F.sum("s2").cast("double").alias("s2td"),
+    )
+    fold = per.agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct("
+            "mktsegment AS m,"
+            " cast(s1 as double) * cast(s1 as double) / n1 AS t))),"
+            " s -> s.t), 0.0D, (a, x) -> a + x)"
+        ).alias("sb")
+    )
+    kd = F.col("k").cast("double")
+    ntd = F.col("nt").cast("double")
+    ssb = F.col("sb") - F.col("std") * F.col("std") / F.col("nt")
+    ssw = F.col("s2td") - F.col("sb")
+    z0 = F.lit(0.0)
+    return tot.crossJoin(F.broadcast(fold)).select(
+        "k",
+        "nt",
+        (
+            F.round(
+                ssb / (kd - F.lit(1.0))
+                / F.nullif(ssw / (ntd - F.col("k")), F.lit(0.0)),
+                6,
+            )
+            + z0
+        ).alias("bf_w"),
+    )
+
+
+@register(
     "q_kruskal_wallis",
     # Rank-based k-group test on the ALL-INTEGER tied-rank machinery
     # of q_mannwhitney: twice a tied value's average pooled rank is

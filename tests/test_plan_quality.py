@@ -39,6 +39,9 @@ NESTED_LOOP_ALLOWED = {
     "q_cramers_v": "1-row crossings: the 35-cell contingency table "
     "meets its 1-row grand-total and chi2-fold aggregates (the "
     "q_chi_square bounded-materialization shape)",
+    "q_brown_forsythe": "1-row x 1-row crossing: the k-row deviation "
+    "moment table's grand-total aggregate meets its sorted-fold "
+    "aggregate (the q_anova shape on |x - med_i|)",
     "q_anova": "1-row x 1-row crossing: the k-row moment table's "
     "grand-total aggregate meets its sorted-fold aggregate (the "
     "q_welch_ttest bounded-materialization shape)",

@@ -1115,3 +1115,22 @@ def test_cramers_v_matches_python(spark):
     assert int(got["n_rows"]) == n and int(got["r"]) == r and int(got["c"]) == c
     assert abs(got["chi2"] - chi2) < 1e-6 * max(chi2, 1.0)
     assert abs(got["cramers_v"] - v) < 1e-6
+
+
+def test_brown_forsythe_matches_python(spark):
+    """q_brown_forsythe replica: W reproduces the plain Python
+    median-centered Levene computation (ANOVA F on |x - med_i|)."""
+    got = _run(spark, "q_brown_forsythe").iloc[0]
+    base = _orders_by_segment()
+    groups = [
+        g["cents"].to_numpy(dtype=float) for _, g in base.groupby("seg")
+    ]
+    zs = [np.abs(g - np.median(g)) for g in groups]
+    k = len(zs)
+    nt = sum(len(z) for z in zs)
+    grand = np.concatenate(zs).mean()
+    ssb = sum(len(z) * (z.mean() - grand) ** 2 for z in zs)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    w = (ssb / (k - 1)) / (ssw / (nt - k))
+    assert int(got["k"]) == k and int(got["nt"]) == nt
+    assert abs(got["bf_w"] - w) / max(w, 1e-9) < 1e-4
