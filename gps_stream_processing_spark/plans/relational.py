@@ -4259,6 +4259,13 @@ def q_kruskal_wallis(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_mktsegment").alias("mktsegment"),
         F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v"),
     )
+    return kruskal_wallis_stats(b)
+
+
+def kruskal_wallis_stats(b: DataFrame) -> DataFrame:
+    """The q_kruskal_wallis core over any (mktsegment, v: bigint)
+    DataFrame — extracted so scale_curve.py times the plan's OWN code
+    (the _lttb_100b discipline)."""
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
     segv = (

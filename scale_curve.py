@@ -113,6 +113,7 @@ def main() -> None:
     from gps_stream_processing_spark.plans.llm import binary_ann_topk
     from gps_stream_processing_spark.plans.relational import (
         holt_winters_daily,
+        kruskal_wallis_stats,
         sax_symbols,
     )
     from gps_stream_processing_spark.session import get_spark
@@ -490,6 +491,19 @@ def main() -> None:
             "cap_group_limit": lambda: cap_per_group_stats(docs_sourced),
             "ann_binary": lambda: binary_ann_topk(emb),
             "holt_winters": lambda: holt_winters_daily(ev),
+            # Kruskal-Wallis over the replicated events (type = group,
+            # cents = value): replication multiplies ROWS but not the
+            # cents VALUE domain, so the per-value grid, its prefix-sum
+            # cumulative, and the rank sums stay value-domain-bounded —
+            # the ks_grid posture; expect sub-linear.
+            "kruskal_grid": lambda: kruskal_wallis_stats(
+                ev.select(
+                    F.col("event_type").alias("mktsegment"),
+                    F.expr("cast(round(value * 100) as bigint)").alias(
+                        "v"
+                    ),
+                )
+            ),
             "sq8_adc": lambda: (
                 lambda stats: emb.crossJoin(F.broadcast(stats))
                 .select(
