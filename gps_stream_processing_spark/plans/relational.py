@@ -9400,3 +9400,118 @@ def holt_winters_daily(e: DataFrame) -> DataFrame:
             + z
         ).alias("forecast_7"),
     )
+
+
+@register(
+    "q_forecast_backtest",
+    # Walk-forward one-step backtest of the EWMA forecaster on the
+    # per-type daily cents series: the SAME sequential fold discipline
+    # as q_ewma/q_holt_winters, with a 4-element LIST state
+    # [y, sum_abs_err, sum_smape, n_preds] — at each step the
+    # PREDICTION is the pre-update y (acc[1]), the error terms
+    # accumulate from it, then y updates; both engines construct the
+    # whole new state from the OLD acc atomically (DuckDB LIST
+    # accumulators are atomic; STRUCT ones are not — the documented
+    # 1.0 pitfall). sMAPE guards the zero-denominator day with the
+    # same CASE on both sides; literals written directly; outputs
+    # rounded (+ 0.0 normalizes -0.0).
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), series AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             list(cents ORDER BY day) AS vals
+      FROM daily GROUP BY event_type
+    ), folded AS (
+      SELECT event_type, n_days,
+        list_reduce(
+          list_concat(
+            [[vals[1], CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+              CAST(0 AS DOUBLE)]],
+            list_transform(vals[2:], x -> [x,
+              CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+          (acc, e) -> [
+            acc[1] * CAST(0.8 AS DOUBLE) + e[1] * CAST(0.2 AS DOUBLE),
+            acc[2] + ABS(e[1] - acc[1]),
+            acc[3] + CASE WHEN (ABS(e[1]) + ABS(acc[1])) > 0.0
+                          THEN CAST(2 AS DOUBLE) * ABS(e[1] - acc[1])
+                               / (ABS(e[1]) + ABS(acc[1]))
+                          ELSE CAST(0 AS DOUBLE) END,
+            acc[4] + CAST(1 AS DOUBLE)]) AS st
+      FROM series
+    )
+    SELECT event_type, n_days,
+           CAST(st[4] AS BIGINT) AS n_preds,
+           ROUND(st[2] / NULLIF(st[4], 0.0), 2) + 0.0 AS mae_cents,
+           ROUND(st[3] / NULLIF(st[4], 0.0), 6) + 0.0 AS smape
+    FROM folded
+    """,
+    doc="Walk-forward ONE-STEP BACKTEST of the EWMA forecaster "
+    "(SURVEY §2.4 ext — the metric completing the forecasting "
+    "family: q_ewma/q_holt_linear/q_holt_winters produce forecasts, "
+    "this says whether they are any GOOD, the way a capacity team "
+    "actually validates a smoother before trusting it): per "
+    "event_type, fold the daily cents series with alpha=0.2, at each "
+    "day score the PRE-update level as the 1-step-ahead prediction "
+    "(no lookahead by construction — the prediction for day t uses "
+    "only days < t), accumulate MAE and symmetric-MAPE in the same "
+    "fold state. Exact on both engines: 4-element LIST state, "
+    "identical expression trees, the prediction read from the OLD "
+    "accumulator atomically. Day grid is calendar-bounded; the scan "
+    "is the only unbounded stage.",
+)
+def q_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)"))
+        .cast("double")
+        .alias("cents")
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cents))),"
+            " s -> s.cents)"
+        ).alias("vals"),
+    )
+    st = F.expr(
+        "aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)),"
+        " array(element_at(vals, 1), 0.0D, 0.0D, 0.0D),"
+        " (acc, x) -> array("
+        "   element_at(acc, 1) * 0.8D + x * 0.2D,"
+        "   element_at(acc, 2) + abs(x - element_at(acc, 1)),"
+        "   element_at(acc, 3)"
+        "   + CASE WHEN (abs(x) + abs(element_at(acc, 1))) > 0.0D"
+        "          THEN cast(2 as double) * abs(x - element_at(acc, 1))"
+        "               / (abs(x) + abs(element_at(acc, 1)))"
+        "          ELSE 0.0D END,"
+        "   element_at(acc, 4) + cast(1 as double)))"
+    )
+    g = g.withColumn("st", st)
+    z = F.lit(0.0)
+    return g.select(
+        "event_type",
+        "n_days",
+        F.expr("element_at(st, 4)").cast("bigint").alias("n_preds"),
+        (
+            F.round(
+                F.expr("element_at(st, 2)")
+                / F.nullif(F.expr("element_at(st, 4)"), z),
+                2,
+            )
+            + z
+        ).alias("mae_cents"),
+        (
+            F.round(
+                F.expr("element_at(st, 3)")
+                / F.nullif(F.expr("element_at(st, 4)"), z),
+                6,
+            )
+            + z
+        ).alias("smape"),
+    )

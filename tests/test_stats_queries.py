@@ -1134,3 +1134,33 @@ def test_brown_forsythe_matches_python(spark):
     w = (ssb / (k - 1)) / (ssw / (nt - k))
     assert int(got["k"]) == k and int(got["nt"]) == nt
     assert abs(got["bf_w"] - w) / max(w, 1e-9) < 1e-4
+
+
+def test_forecast_backtest_matches_python_fold(spark):
+    """q_forecast_backtest replica: walk-forward MAE/sMAPE reproduce a
+    plain Python EWMA fold where each prediction uses only prior days
+    (no lookahead)."""
+    import pandas as pd
+
+    got = _run(spark, "q_forecast_backtest").set_index("event_type")
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    e["day"] = e["ts"].dt.floor("D")
+    e["cents"] = (e["value"] * 100).round().astype("int64")
+    daily = e.groupby(["event_type", "day"])["cents"].sum().reset_index()
+    for et, g in daily.groupby("event_type"):
+        vals = [float(v) for v in g.sort_values("day")["cents"]]
+        y, se, sp, n = vals[0], 0.0, 0.0, 0
+        for x in vals[1:]:
+            se += abs(x - y)
+            sp += (
+                2.0 * abs(x - y) / (abs(x) + abs(y))
+                if (abs(x) + abs(y)) > 0.0
+                else 0.0
+            )
+            n += 1
+            y = y * 0.8 + x * 0.2
+        r = got.loc[et]
+        assert int(r["n_days"]) == len(vals) and int(r["n_preds"]) == n
+        assert abs(r["mae_cents"] - round(se / n, 2)) < 1e-6
+        assert abs(r["smape"] - round(sp / n, 6)) < 1e-9
+        assert 0.0 <= r["smape"] <= 2.0  # sMAPE range bound
