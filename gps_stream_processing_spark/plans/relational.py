@@ -4195,8 +4195,15 @@ def q_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
     # 2C − c + 1 (integer), so each group's doubled rank sum 2Rᵢ is
     # exact DECIMAL/HUGEINT; Σᵢ Rᵢ²/nᵢ = Σᵢ (2Rᵢ)²/(4nᵢ) folds over
     # groups in mktsegment order (sorted fold), the tie correction
-    # Σ(c³−c) is exact, and only H runs in double — identical
-    # parenthesization, rounded 6 dp.
+    # Σ(c³−c) is exact, and the SQUARE runs in double on BOTH engines
+    # (cast 2Rᵢ to double, then multiply, identical parenthesization)
+    # — an exact decimal(19,0)²/HUGEINT² square overflows at 2Rᵢ ≈
+    # 1e19, i.e. a few billion rows concentrated in one segment, and
+    # the two engines' failure modes diverge there (ANSI error vs
+    # loud HUGEINT raise; ADVICE r15). Bit-identical below 2^53
+    # (every test SF by orders of magnitude); beyond that both
+    # engines lose the same low bits the final double division would
+    # have discarded anyway. H itself runs in double, rounded 6 dp.
     oracle="""
     WITH b AS (
       SELECT c_mktsegment AS mktsegment,
@@ -4221,7 +4228,7 @@ def q_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
     ), s AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS k,
              list_sum(list_transform(
-               list(CAST(r1x2 * r1x2 AS DOUBLE)
+               list(CAST(r1x2 AS DOUBLE) * CAST(r1x2 AS DOUBLE)
                     / (CAST(4 AS DOUBLE) * n1) ORDER BY mktsegment),
                x -> x)) AS sterm
       FROM r
@@ -4304,8 +4311,7 @@ def kruskal_wallis_stats(b: DataFrame) -> DataFrame:
         F.expr(
             "aggregate(transform(array_sort(collect_list(struct("
             "mktsegment AS m,"
-            " cast(cast(r1x2 as decimal(19,0)) * cast(r1x2 as"
-            " decimal(19,0)) as double)"
+            " cast(r1x2 as double) * cast(r1x2 as double)"
             " / (cast(4 as double) * n1) AS t))),"
             " s -> s.t), 0.0D, (a, x) -> a + x)"
         ).alias("sterm"),
@@ -6840,9 +6846,18 @@ def q_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
 # sequences — each key's history materializes as one array in one
 # aggregation buffer (~32 B/element: struct(ts, event_id, value)), so
 # 1M events/key ≈ 32 MB/row, the sane ceiling before the buffer is a
-# memory hazard. Violations fail with this message instead of silently
-# building multi-GB rows (VERDICT r14); unbounded keys belong on the
-# shipped O(1)-state twin q_stream_tws_ewma.
+# memory hazard. The guard is BEST-EFFORT, not a hard memory limit: it
+# evaluates on the aggregated row, i.e. AFTER collect_list has built
+# the buffer, so it fires only when the job survives to that point —
+# a key far enough over the cap can still OOM the executor first
+# (ADVICE r15). What it guarantees is that no over-cap result is ever
+# silently RETURNED; jobs whose buffers fit fail loudly with a named
+# key and a pointer to the fix. Callers for whom the cap must hold
+# pre-OOM should run the O(count-only) pre-check themselves
+# (events.groupBy(key).count().filter(cnt > cap) — hashes-only
+# shuffle) before invoking; the contract keys don't pay that extra
+# fact scan on every run. Unbounded keys belong on the shipped
+# O(1)-state twin q_stream_tws_ewma.
 SMOOTHER_MAX_EVENTS_PER_KEY = 1_000_000
 
 
@@ -6887,10 +6902,11 @@ def _smoother_cap_guard(key: str):
     "a sequential fold so the recursion is EXACT (no float-explosive "
     "closed form). Implementation contract: per-key history collects "
     "into one array, so this is for bounded per-key sequences "
-    "(sessions, days), ENFORCED by an assert_true tripwire at "
-    "SMOOTHER_MAX_EVENTS_PER_KEY — an over-cap key fails loudly "
-    "instead of silently building a multi-GB aggregation buffer "
-    "(VERDICT r14). The unbounded-stream twin is SHIPPED: "
+    "(sessions, days), checked by an assert_true tripwire at "
+    "SMOOTHER_MAX_EVENTS_PER_KEY — best-effort (it evaluates after "
+    "the buffer builds, so it names the offending key whenever the "
+    "job survives that far; see _smoother_cap_guard). The "
+    "unbounded-stream twin is SHIPPED: "
     "q_stream_tws_ewma (streaming/stateful.py make_ewma_processor), "
     "a TWS ValueState holding just (n, y_(t-1)) — O(1) per key "
     "forever, bit-identical fold.",

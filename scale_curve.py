@@ -537,6 +537,13 @@ def main() -> None:
             print(json.dumps(rec), flush=True)
         for d in (li, o, ev, docs, docs_sourced, emb):
             d.unpersist()
+        if tws_dir is not None:
+            # The landed replica is multi-GB at the 16x factor and
+            # per-factor unique — remove it or /tmp accumulates one
+            # copy per factor per harness run (ADVICE r15).
+            import shutil
+
+            shutil.rmtree(tws_dir, ignore_errors=True)
 
     # scaling exponent between 1x and 4x: log4(t4/t1)
     import math

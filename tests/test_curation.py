@@ -893,14 +893,34 @@ def test_cap_per_group_native_group_limit(spark):
     a 20M-row single-group probe; 0.9 s vs 0.33 s at sf0.1), and
     reverted to the one-window form — this pin is what makes that
     reliance safe against a toolchain change."""
+    import re
+
     df = REGISTRY["q_cap_per_group"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "WindowGroupLimit" in plan, (
-        "native window group limit missing — the one-window cap plan "
-        "is no longer extreme-group-safe; restore a two-pass form"
+    lines = plan.splitlines()
+    # Pin the SPECIFIC lines, not first-substring positions — an
+    # unrelated 'Partial'/'Exchange' token elsewhere in the plan (an
+    # AQE exchange, a partial-agg mode label) must not satisfy or
+    # break the pin (ADVICE r15). Plans print top-down, so the
+    # map-side (Partial) limit node appears on a LATER line than the
+    # Exchange it feeds.
+    partial = [
+        i for i, l in enumerate(lines)
+        if re.search(r"WindowGroupLimit\b.*\bPartial\b", l)
+    ]
+    assert partial, (
+        "no Partial-mode WindowGroupLimit line — the one-window cap "
+        "plan is no longer extreme-group-safe; restore a two-pass form"
     )
-    partial = plan.index("Partial")
-    exchange = plan.index("Exchange")
-    # plans print top-down: the Partial limit must be BELOW (after)
-    # the Exchange line — i.e. on the map side
-    assert partial > exchange, "Partial WindowGroupLimit not map-side"
+    exchanges_above = [
+        i for i, l in enumerate(lines)
+        if re.search(r"\bExchange hashpartitioning\b", l) and i < partial[0]
+    ]
+    assert exchanges_above, (
+        "Partial WindowGroupLimit not below a hash Exchange — limit "
+        "is not running map-side"
+    )
+    assert any(
+        re.search(r"WindowGroupLimit\b.*\bFinal\b", l)
+        for l in lines[: exchanges_above[-1]]
+    ), "no Final-mode WindowGroupLimit above the Exchange"
