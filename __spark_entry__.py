@@ -89,6 +89,7 @@ _COMMITTED_ROUNDS = (
     "CORRECTNESS_r12.json",
     "CORRECTNESS_r13.json",
     "CORRECTNESS_r14.json",
+    "CORRECTNESS_r15.json",
 )
 
 # Keys whose EXECUTION PLAN changed after their last green driver row,
@@ -326,6 +327,12 @@ _CHANGED_SINCE_VERIFIED = (
     # of an ANSI crash. Plan shapes changed → re-check.
     ("q_dedup_substring_cut", 15),
     ("q_holt_winters", 15),
+    # r16 (ADVICE r15): q_kruskal_wallis squares the doubled rank sum
+    # in DOUBLE on both engines (was exact decimal(19,0)²/HUGEINT²,
+    # which overflowed divergently at 2Rᵢ ≈ 1e19). Bit-identical below
+    # 2^53 — every test SF — hash-checked at sf0.001/0.01/0.1;
+    # expression changed → re-check.
+    ("q_kruskal_wallis", 16),
 )
 
 

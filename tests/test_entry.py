@@ -124,26 +124,30 @@ def test_doc_counts_match_registry():
 
 
 def test_committed_rounds_allowlist_tracks_disk():
-    """_COMMITTED_ROUNDS must cover every on-disk CORRECTNESS record up
-    to its own max round — a forgotten allowlist update would silently
-    freeze the emission order on stale state. Records from a round
-    NEWER than the allowlist's max are tolerated (the in-flight round's
-    driver output lands on disk before the next builder session updates
-    the list)."""
+    """_COMMITTED_ROUNDS must equal the FULL set of on-disk CORRECTNESS
+    records — including rounds newer than the allowlist's max. A
+    forgotten allowlist update silently freezes the emission order on
+    stale state AND leaves _CHANGED_SINCE_VERIFIED entries unable to
+    self-prune, wasting next-round window slots (VERDICT r15 item 1:
+    the chore was forgotten four consecutive rounds; this test makes
+    the new round's first pytest run fail until the new record is
+    allowlisted)."""
     import glob
     import os
-    import re
 
     import __spark_entry__ as e
 
     here = os.path.dirname(os.path.abspath(e.__file__))
-    rnum = lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1))  # noqa: E731
-    listed_max = max(rnum(f) for f in e._COMMITTED_ROUNDS)
     on_disk = {
         os.path.basename(p)
         for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-        if rnum(p) <= listed_max
     }
+    missing = on_disk - set(e._COMMITTED_ROUNDS)
+    assert not missing, (
+        f"CORRECTNESS records on disk but absent from _COMMITTED_ROUNDS: "
+        f"{sorted(missing)} — extend the allowlist in __spark_entry__.py "
+        "(two-minute chore; see VERDICT r15 item 1)"
+    )
     assert on_disk == set(e._COMMITTED_ROUNDS)
 
 
