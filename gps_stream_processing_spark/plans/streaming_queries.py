@@ -336,6 +336,7 @@ def q_stream_stream_full_join(spark: SparkSession, sf: str) -> DataFrame:
 TWS_GATED_KEYS = (
     "q_stream_tws_ewma",
     "q_stream_tws_holt",
+    "q_stream_tws_holt_winters",
     "q_stream_tws_fix_merge",
     "q_stream_tws_init_state",
     "q_stream_tws_map_state",
@@ -444,6 +445,59 @@ def q_stream_tws_holt(spark: SparkSession, sf: str) -> DataFrame:
             F.round("trend", 6).alias("trend"),
             F.round(
                 F.col("level") + F.lit(7.0) * F.col("trend"), 6
+            ).alias("forecast_7"),
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+def q_stream_tws_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.streaming.runner import events_stream
+    from gps_stream_processing_spark.streaming.stateful import (
+        streaming_holt_winters_tws,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = events_stream(spark, sf)
+        out = run_available_now(
+            streaming_holt_winters_tws(ev), output_mode="update"
+        )
+        # rounding + the 1-/7-step seasonal forecasts derive HERE with
+        # the batch q_holt_winters expression tree (level + 1.0*trend +
+        # s, NULL-propagating like try_element_at) — the processor
+        # state and emissions stay raw doubles
+        z = F.lit(0.0)
+        return out.select(
+            "event_type",
+            "n_days",
+            (F.round("level", 6) + z).alias("level"),
+            (F.round("trend", 6) + z).alias("trend"),
+            (
+                F.round(
+                    F.col("level")
+                    + F.lit(1.0) * F.col("trend")
+                    + F.col("s_next"),
+                    6,
+                )
+                + z
+            ).alias("forecast_1"),
+            (
+                F.round(
+                    F.col("level")
+                    + F.lit(7.0) * F.col("trend")
+                    + F.col("s_last"),
+                    6,
+                )
+                + z
             ).alias("forecast_7"),
         )
     finally:
@@ -680,6 +734,79 @@ else:
         "to q_holt_linear per user, h-step forecast derived at "
         "emission. At scale: state O(#keys), work O(batch).",
     )(q_stream_tws_holt)
+
+    q_stream_tws_holt_winters = register(
+        "q_stream_tws_holt_winters",
+        # The q_holt_winters oracle VERBATIM (plans/relational.py):
+        # same day grid, same seed, same flat 9-list fold, same
+        # literals — the availableNow one-batch replay folds every
+        # type's full day series, so streaming == batch bit-for-bit.
+        oracle="""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   AS cents
+          FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), series AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 list(cents ORDER BY day) AS vals
+          FROM daily GROUP BY event_type
+        ), seeded AS (
+          SELECT event_type, n_days, vals,
+                 list_sum(vals[1:7]) / CAST(7 AS DOUBLE) AS l0
+          FROM series
+        ), folded AS (
+          SELECT event_type, n_days,
+            list_reduce(
+              list_concat(
+                [list_concat([l0, CAST(0 AS DOUBLE)],
+                             list_transform(vals[1:7], x -> x - l0))],
+                list_transform(vals[8:], x -> [x,
+                  CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                  CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                  CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+              (acc, e) -> list_concat(list_concat(
+                [CAST(0.3 AS DOUBLE) * (e[1] - acc[3])
+                   + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2]),
+                 CAST(0.1 AS DOUBLE)
+                   * ((CAST(0.3 AS DOUBLE) * (e[1] - acc[3])
+                       + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+                   + CAST(0.9 AS DOUBLE) * acc[2]],
+                acc[4:9]),
+                [CAST(0.2 AS DOUBLE)
+                   * (e[1] - (CAST(0.3 AS DOUBLE) * (e[1] - acc[3])
+                              + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2])))
+                   + CAST(0.8 AS DOUBLE) * acc[3]])) AS hw
+          FROM seeded
+        )
+        SELECT event_type, n_days,
+               ROUND(hw[1], 6) + 0.0 AS level,
+               ROUND(hw[2], 6) + 0.0 AS trend,
+               ROUND(hw[1] + CAST(1 AS DOUBLE) * hw[2] + hw[3], 6) + 0.0
+                 AS forecast_1,
+               ROUND(hw[1] + CAST(7 AS DOUBLE) * hw[2] + hw[9], 6) + 0.0
+                 AS forecast_7
+        FROM folded
+        """,
+        doc="O(1)-state STREAMING Holt-Winters additive seasonal "
+        "smoothing on transformWithStateInPandas ValueState (SURVEY "
+        "§2.8 — the SEASONAL member completing the streaming smoother "
+        "family q_stream_tws_ewma → q_stream_tws_holt → here, the "
+        "twin the batch q_holt_winters names as its unbounded-key "
+        "path: VERDICT r15 item 3): per-type state is the batch "
+        "fold's flat 9-list [l, b, s1..s7] plus the pre-seed buffer "
+        "and the trailing OPEN day's exact integer cents — bounded "
+        "~150 bytes per key forever. Days close (cast to double, "
+        "fold) only when a later day arrives; each emission folds the "
+        "open day virtually, so a day split across micro-batches "
+        "folds exactly once with its full total and every emission "
+        "equals the batch fold over the days seen so far. "
+        "availableNow replay is bit-identical to q_holt_winters "
+        "(identical IEEE expression tree, literals written directly); "
+        "1-/7-step seasonal forecasts derive Spark-side at emission. "
+        "At scale: state O(#keys), work O(batch), the day grid never "
+        "materializes anywhere.",
+    )(q_stream_tws_holt_winters)
 
     q_stream_tws_timers = register(
         "q_stream_tws_timers",

@@ -1125,3 +1125,131 @@ def test_tws_holt_equals_batch_fold(spark):
     got = as_map(REGISTRY["q_stream_tws_holt"].fn(spark, sf))
     want = as_map(REGISTRY["q_holt_linear"].fn(spark, sf))
     assert got == want and len(got) > 0  # == on floats: bitwise claim
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (absent here)",
+)
+def test_tws_holt_winters_equals_batch_fold(spark):
+    """The seasonal streaming smoother must be BIT-identical to the
+    batch q_holt_winters per event_type — the equivalence completing
+    the streaming-twin story for the whole smoother family (VERDICT
+    r15 item 3): same day grid, same seed, same flat 9-list fold."""
+    sf = "/root/testdata/sf0.001"
+    from gps_stream_processing_spark.plans.registry import REGISTRY
+
+    def as_map(df):
+        return {
+            r["event_type"]: (
+                int(r["n_days"]),
+                float(r["level"]),
+                float(r["trend"]),
+                float(r["forecast_1"]),
+                float(r["forecast_7"]),
+            )
+            for r in df.toPandas().to_dict("records")
+        }
+
+    got = as_map(REGISTRY["q_stream_tws_holt_winters"].fn(spark, sf))
+    want = as_map(REGISTRY["q_holt_winters"].fn(spark, sf))
+    assert got == want and len(got) > 0  # == on floats: bitwise claim
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (absent here)",
+)
+def test_tws_holt_winters_day_split_across_batches(spark, tmp_path):
+    """The mechanism the seasonal twin adds over the EWMA/Holt twins —
+    the trailing OPEN day held as an exact integer total in state and
+    folded only VIRTUALLY at emission — must make a day whose rows
+    split across micro-batches fold exactly once with its full total.
+    Two mtime-ordered files under maxFilesPerTrigger=1: file 1 ends
+    with a PARTIAL day 9, file 2 delivers the rest of day 9 plus day
+    10. The final emission must equal the batch fold over the union;
+    a naive close-per-batch would have folded day 9 twice (once
+    truncated)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.plans.relational import (
+        holt_winters_daily,
+    )
+    from gps_stream_processing_spark.streaming.runner import (
+        run_available_now,
+    )
+    from gps_stream_processing_spark.streaming.stateful import (
+        streaming_holt_winters_tws,
+    )
+
+    d = str(tmp_path / "ev")
+    rows1 = [
+        ("a", f"2024-01-{day:02d} 12:00:00", float(day) * 1.37 + 0.11)
+        for day in range(1, 9)
+    ] + [("a", "2024-01-09 08:00:00", 3.25)]  # day 9, first half
+    rows2 = [
+        ("a", "2024-01-09 16:00:00", 4.75),  # day 9, second half
+        ("a", "2024-01-10 12:00:00", 9.49),
+    ]
+
+    def write_one(rows, fname, mtime):
+        df = spark.createDataFrame(
+            rows, "event_type string, ts_s string, value double"
+        ).select("event_type", F.to_timestamp("ts_s").alias("ts"), "value")
+        tmp = str(tmp_path / ("stage_" + fname))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp) if p.endswith(".parquet")
+        )
+        os.makedirs(d, exist_ok=True)
+        dst = os.path.join(d, fname)
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    write_one(rows1, "f1.parquet", now - 120)
+    write_one(rows2, "f2.parquet", now - 60)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = (
+            spark.readStream.schema("event_type string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = run_available_now(
+            streaming_holt_winters_tws(ev), output_mode="update"
+        ).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    # two batches ran: one emission per batch, n_days 9 then 10
+    assert sorted(out["n_days"]) == [9, 10]
+    final = out[out["n_days"] == 10].iloc[0]
+    batch = (
+        holt_winters_daily(spark.read.parquet(d))
+        .select("n_days", "level", "trend", "forecast_1", "forecast_7")
+        .toPandas()
+        .iloc[0]
+    )
+    # raw emission vs rounded batch plan: compare at the plan's output
+    # grain (round 6) — the underlying doubles are the same fold
+    assert int(final["n_days"]) == int(batch["n_days"]) == 10
+    assert round(float(final["level"]), 6) == float(batch["level"])
+    assert round(float(final["trend"]), 6) == float(batch["trend"])
+    f1 = float(final["level"]) + 1.0 * float(final["trend"]) + float(final["s_next"])
+    f7 = float(final["level"]) + 7.0 * float(final["trend"]) + float(final["s_last"])
+    assert round(f1, 6) == float(batch["forecast_1"])
+    assert round(f7, 6) == float(batch["forecast_7"])
