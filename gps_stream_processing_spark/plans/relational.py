@@ -3457,7 +3457,13 @@ def q_chi_square(spark: SparkSession, sf: str) -> DataFrame:
     "is the only unbounded stage.",
 )
 def q_cramers_v(spark: SparkSession, sf: str) -> DataFrame:
-    e = table(spark, sf, "events")
+    return cramers_v_stats(table(spark, sf, "events"))
+
+
+def cramers_v_stats(e: DataFrame) -> DataFrame:
+    """The q_cramers_v core over any (event_type, ts) DataFrame —
+    extracted so scale_curve.py times the plan's OWN code (the
+    _lttb_100b discipline)."""
     o = e.groupBy(
         "event_type", (F.dayofweek("ts") - 1).alias("dow")
     ).agg(F.count("*").alias("observed"))
@@ -4024,6 +4030,13 @@ def q_anova(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_mktsegment").alias("mktsegment"),
         F.expr("cast(round(o_totalprice * 100) as bigint)").alias("c"),
     )
+    return anova_stats(b)
+
+
+def anova_stats(b: DataFrame) -> DataFrame:
+    """The q_anova core over any (mktsegment, c: bigint) DataFrame —
+    extracted so scale_curve.py times the plan's OWN code (the
+    _lttb_100b discipline)."""
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
     c = F.col("c")
@@ -4137,6 +4150,13 @@ def q_brown_forsythe(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_mktsegment").alias("mktsegment"),
         F.expr("cast(round(o_totalprice * 100) as bigint)").alias("c"),
     )
+    return brown_forsythe_stats(b)
+
+
+def brown_forsythe_stats(b: DataFrame) -> DataFrame:
+    """The q_brown_forsythe core over any (mktsegment, c: bigint)
+    DataFrame — extracted so scale_curve.py times the plan's OWN code
+    (the _lttb_100b discipline)."""
     dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
     d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
     med = b.groupBy("mktsegment").agg(
@@ -9480,7 +9500,13 @@ def holt_winters_daily(e: DataFrame) -> DataFrame:
     "is the only unbounded stage.",
 )
 def q_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
-    e = table(spark, sf, "events")
+    return forecast_backtest_daily(table(spark, sf, "events"))
+
+
+def forecast_backtest_daily(e: DataFrame) -> DataFrame:
+    """The q_forecast_backtest core over any (event_type, ts, value)
+    DataFrame — extracted so scale_curve.py times the plan's OWN code
+    (the _lttb_100b discipline)."""
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(
@@ -9530,4 +9556,277 @@ def q_forecast_backtest(spark: SparkSession, sf: str) -> DataFrame:
             )
             + z
         ).alias("smape"),
+    )
+
+
+@register(
+    "q_forecast_backtest_models",
+    # MODEL-SELECTION walk-forward backtest (VERDICT r15 item 6): the
+    # q_forecast_backtest discipline run for all three smoothers —
+    # EWMA, Holt linear, Holt-Winters seasonal — over the SAME per-type
+    # daily cents series in ONE pass (one daily agg, one collect, three
+    # fold columns, stacked to tidy rows; no re-scan per model — the
+    # ReusedExchange trap the r15 strided-dedup fix documented). Each
+    # fold scores the PRE-update state as the 1-step prediction, then
+    # updates: EWMA state [y, sae, ssm, n] (the q_forecast_backtest
+    # fold verbatim, pred = y); Holt [l, b, sae, ssm, n] (pred = l+b,
+    # the q_holt_linear recursion with the level recomputed inside the
+    # trend update); Holt-Winters accumulators-FIRST [sae, ssm, n, l,
+    # b, s1..s7] so the metric positions survive a <7-day type (the
+    # seed is shorter than 12 there and the fold never runs — exactly
+    # the try_element_at degenerate posture of q_holt_winters), seeded
+    # like q_holt_winters (l0 = first-week left-fold mean, b0 = 0,
+    # s_i = x_i - l0), predictions start at day 8 (pred = (l+b)+s_next,
+    # left-assoc on both engines). All literals written directly;
+    # DuckDB folds use LIST accumulators with the seed as the explicit
+    # lifted first element (the documented 1.0 STRUCT pitfall).
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), series AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             list(cents ORDER BY day) AS vals
+      FROM daily GROUP BY event_type
+    ), seeded AS (
+      SELECT event_type, n_days, vals,
+             list_sum(vals[1:7]) / CAST(7 AS DOUBLE) AS l0
+      FROM series
+    ), folded AS (
+      SELECT event_type, n_days,
+        list_reduce(
+          list_concat(
+            [[vals[1], CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+              CAST(0 AS DOUBLE)]],
+            list_transform(vals[2:], x -> [x,
+              CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+          (acc, e) -> [
+            acc[1] * CAST(0.8 AS DOUBLE) + e[1] * CAST(0.2 AS DOUBLE),
+            acc[2] + ABS(e[1] - acc[1]),
+            acc[3] + CASE WHEN (ABS(e[1]) + ABS(acc[1])) > 0.0
+                          THEN CAST(2 AS DOUBLE) * ABS(e[1] - acc[1])
+                               / (ABS(e[1]) + ABS(acc[1]))
+                          ELSE CAST(0 AS DOUBLE) END,
+            acc[4] + CAST(1 AS DOUBLE)]) AS st_e,
+        list_reduce(
+          list_concat(
+            [[vals[1], CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+              CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]],
+            list_transform(vals[2:], x -> [x,
+              CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+              CAST(0 AS DOUBLE)])),
+          (acc, e) -> [
+            CAST(0.3 AS DOUBLE) * e[1]
+              + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2]),
+            CAST(0.1 AS DOUBLE)
+              * ((CAST(0.3 AS DOUBLE) * e[1]
+                  + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+              + CAST(0.9 AS DOUBLE) * acc[2],
+            acc[3] + ABS(e[1] - (acc[1] + acc[2])),
+            acc[4] + CASE WHEN (ABS(e[1]) + ABS(acc[1] + acc[2])) > 0.0
+                          THEN CAST(2 AS DOUBLE)
+                               * ABS(e[1] - (acc[1] + acc[2]))
+                               / (ABS(e[1]) + ABS(acc[1] + acc[2]))
+                          ELSE CAST(0 AS DOUBLE) END,
+            acc[5] + CAST(1 AS DOUBLE)]) AS st_h,
+        list_reduce(
+          list_concat(
+            [list_concat(
+              [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+               l0, CAST(0 AS DOUBLE)],
+              list_transform(vals[1:7], x -> x - l0))],
+            list_transform(vals[8:], x -> [x,
+              CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+              CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+              CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+              CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+          (acc, e) -> list_concat(list_concat(
+            [acc[1] + ABS(e[1] - (acc[4] + acc[5] + acc[6])),
+             acc[2] + CASE WHEN (ABS(e[1])
+                                 + ABS(acc[4] + acc[5] + acc[6])) > 0.0
+                           THEN CAST(2 AS DOUBLE)
+                                * ABS(e[1] - (acc[4] + acc[5] + acc[6]))
+                                / (ABS(e[1])
+                                   + ABS(acc[4] + acc[5] + acc[6]))
+                           ELSE CAST(0 AS DOUBLE) END,
+             acc[3] + CAST(1 AS DOUBLE),
+             CAST(0.3 AS DOUBLE) * (e[1] - acc[6])
+               + CAST(0.7 AS DOUBLE) * (acc[4] + acc[5]),
+             CAST(0.1 AS DOUBLE)
+               * ((CAST(0.3 AS DOUBLE) * (e[1] - acc[6])
+                   + CAST(0.7 AS DOUBLE) * (acc[4] + acc[5])) - acc[4])
+               + CAST(0.9 AS DOUBLE) * acc[5]],
+            acc[7:12]),
+            [CAST(0.2 AS DOUBLE)
+               * (e[1] - (CAST(0.3 AS DOUBLE) * (e[1] - acc[6])
+                          + CAST(0.7 AS DOUBLE) * (acc[4] + acc[5])))
+               + CAST(0.8 AS DOUBLE) * acc[6]])) AS st_w
+      FROM seeded
+    )
+    SELECT event_type, n_days, 'ewma' AS model,
+           CAST(st_e[4] AS BIGINT) AS n_preds,
+           ROUND(st_e[2] / NULLIF(st_e[4], 0.0), 2) + 0.0 AS mae_cents,
+           ROUND(st_e[3] / NULLIF(st_e[4], 0.0), 6) + 0.0 AS smape
+    FROM folded
+    UNION ALL
+    SELECT event_type, n_days, 'holt',
+           CAST(st_h[5] AS BIGINT),
+           ROUND(st_h[3] / NULLIF(st_h[5], 0.0), 2) + 0.0,
+           ROUND(st_h[4] / NULLIF(st_h[5], 0.0), 6) + 0.0
+    FROM folded
+    UNION ALL
+    SELECT event_type, n_days, 'holt_winters',
+           CAST(st_w[3] AS BIGINT),
+           ROUND(st_w[1] / NULLIF(st_w[3], 0.0), 2) + 0.0,
+           ROUND(st_w[2] / NULLIF(st_w[3], 0.0), 6) + 0.0
+    FROM folded
+    """,
+    doc="MODEL-SELECTION walk-forward backtest (SURVEY §2.4 ext — "
+    "the step completing the forecasting family: q_forecast_backtest "
+    "scores ONE smoother, this scores EWMA vs Holt vs Holt-Winters "
+    "on the same per-type daily series side by side — the comparison "
+    "every capacity forecaster runs before trusting a model): one "
+    "daily cents agg, one per-type collect, THREE sequential fold "
+    "columns over the same array (no re-scan per model), each "
+    "scoring the pre-update state as the 1-step-ahead prediction "
+    "(no lookahead by construction: the prediction for day t reads "
+    "only days < t), stacked to tidy (event_type, model) rows with "
+    "n_preds/MAE/sMAPE. Seasonal predictions start at day 8 (post-"
+    "seed), linear models at day 2 — n_preds says so explicitly. "
+    "Exact on both engines: LIST states, identical expression trees, "
+    "atomic accumulator construction. Day grid is calendar-bounded; "
+    "the scan is the only unbounded stage.",
+)
+def q_forecast_backtest_models(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)"))
+        .cast("double")
+        .alias("cents")
+    )
+    g = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, cents))),"
+            " s -> s.cents)"
+        ).alias("vals"),
+    )
+    g = g.withColumn(
+        "st_e",
+        F.expr(
+            "aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)),"
+            " array(element_at(vals, 1), 0.0D, 0.0D, 0.0D),"
+            " (acc, x) -> array("
+            "   element_at(acc, 1) * 0.8D + x * 0.2D,"
+            "   element_at(acc, 2) + abs(x - element_at(acc, 1)),"
+            "   element_at(acc, 3)"
+            "   + CASE WHEN (abs(x) + abs(element_at(acc, 1))) > 0.0D"
+            "          THEN cast(2 as double) * abs(x - element_at(acc, 1))"
+            "               / (abs(x) + abs(element_at(acc, 1)))"
+            "          ELSE 0.0D END,"
+            "   element_at(acc, 4) + cast(1 as double)))"
+        ),
+    ).withColumn(
+        "st_h",
+        F.expr(
+            "aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)),"
+            " array(element_at(vals, 1), 0.0D, 0.0D, 0.0D, 0.0D),"
+            " (acc, x) -> array("
+            "   0.3D * x"
+            "   + 0.7D * (element_at(acc, 1) + element_at(acc, 2)),"
+            "   0.1D * ((0.3D * x"
+            "            + 0.7D * (element_at(acc, 1) + element_at(acc, 2)))"
+            "           - element_at(acc, 1))"
+            "   + 0.9D * element_at(acc, 2),"
+            "   element_at(acc, 3)"
+            "   + abs(x - (element_at(acc, 1) + element_at(acc, 2))),"
+            "   element_at(acc, 4)"
+            "   + CASE WHEN (abs(x)"
+            "                + abs(element_at(acc, 1) + element_at(acc, 2)))"
+            "               > 0.0D"
+            "          THEN cast(2 as double)"
+            "               * abs(x - (element_at(acc, 1)"
+            "                          + element_at(acc, 2)))"
+            "               / (abs(x) + abs(element_at(acc, 1)"
+            "                               + element_at(acc, 2)))"
+            "          ELSE 0.0D END,"
+            "   element_at(acc, 5) + cast(1 as double)))"
+        ),
+    )
+    g = g.withColumn(
+        "l0",
+        F.expr(
+            "aggregate(slice(vals, 1, 7), 0.0D, (a, x) -> a + x)"
+            " / cast(7 as double)"
+        ),
+    ).withColumn(
+        "seed_w",
+        F.expr(
+            "concat(array(0.0D, 0.0D, 0.0D, l0, 0.0D),"
+            " transform(slice(vals, 1, 7), x -> x - l0))"
+        ),
+    )
+    g = g.withColumn(
+        "st_w",
+        F.expr(
+            "aggregate(slice(vals, 8, greatest(size(vals) - 7, 0)), seed_w,"
+            " (acc, x) -> concat("
+            "  array("
+            "   element_at(acc, 1)"
+            "   + abs(x - (element_at(acc, 4) + element_at(acc, 5)"
+            "              + element_at(acc, 6))),"
+            "   element_at(acc, 2)"
+            "   + CASE WHEN (abs(x)"
+            "                + abs(element_at(acc, 4) + element_at(acc, 5)"
+            "                      + element_at(acc, 6))) > 0.0D"
+            "          THEN cast(2 as double)"
+            "               * abs(x - (element_at(acc, 4)"
+            "                          + element_at(acc, 5)"
+            "                          + element_at(acc, 6)))"
+            "               / (abs(x)"
+            "                  + abs(element_at(acc, 4) + element_at(acc, 5)"
+            "                        + element_at(acc, 6)))"
+            "          ELSE 0.0D END,"
+            "   element_at(acc, 3) + cast(1 as double),"
+            "   0.3D * (x - element_at(acc, 6))"
+            "   + 0.7D * (element_at(acc, 4) + element_at(acc, 5)),"
+            "   0.1D * ((0.3D * (x - element_at(acc, 6))"
+            "            + 0.7D * (element_at(acc, 4) + element_at(acc, 5)))"
+            "           - element_at(acc, 4))"
+            "   + 0.9D * element_at(acc, 5)),"
+            "  slice(acc, 7, 6),"
+            "  array("
+            "   0.2D * (x - (0.3D * (x - element_at(acc, 6))"
+            "                + 0.7D * (element_at(acc, 4)"
+            "                          + element_at(acc, 5))))"
+            "   + 0.8D * element_at(acc, 6))))"
+        ),
+    )
+    return g.selectExpr(
+        "event_type",
+        "n_days",
+        "stack(3,"
+        " 'ewma',"
+        " cast(element_at(st_e, 4) as bigint),"
+        " round(element_at(st_e, 2) / nullif(element_at(st_e, 4), 0.0D), 2)"
+        "   + 0.0D,"
+        " round(element_at(st_e, 3) / nullif(element_at(st_e, 4), 0.0D), 6)"
+        "   + 0.0D,"
+        " 'holt',"
+        " cast(element_at(st_h, 5) as bigint),"
+        " round(element_at(st_h, 3) / nullif(element_at(st_h, 5), 0.0D), 2)"
+        "   + 0.0D,"
+        " round(element_at(st_h, 4) / nullif(element_at(st_h, 5), 0.0D), 6)"
+        "   + 0.0D,"
+        " 'holt_winters',"
+        " cast(element_at(st_w, 3) as bigint),"
+        " round(element_at(st_w, 1) / nullif(element_at(st_w, 3), 0.0D), 2)"
+        "   + 0.0D,"
+        " round(element_at(st_w, 2) / nullif(element_at(st_w, 3), 0.0D), 6)"
+        "   + 0.0D"
+        ") AS (model, n_preds, mae_cents, smape)",
     )

@@ -112,6 +112,10 @@ def main() -> None:
     )
     from gps_stream_processing_spark.plans.llm import binary_ann_topk
     from gps_stream_processing_spark.plans.relational import (
+        anova_stats,
+        brown_forsythe_stats,
+        cramers_v_stats,
+        forecast_backtest_daily,
         holt_winters_daily,
         kruskal_wallis_stats,
         sax_symbols,
@@ -170,13 +174,39 @@ def main() -> None:
         # the timed shape is the full availableNow replay through the
         # timers x ListState processor on the RocksDB state store.
         tws_dir = None
-        if not SHAPES_FILTER or "tws_session_cache" in SHAPES_FILTER:
+        if not SHAPES_FILTER or SHAPES_FILTER & {
+            "tws_session_cache",
+            "tws_ewma",
+        }:
             import tempfile
 
             tws_dir = tempfile.mkdtemp(prefix=f"scale_tws_{f}_")
             ev.select("user_id", "ts", "event_id", "value").coalesce(
                 8
             ).write.mode("overwrite").parquet(tws_dir)
+
+        def _tws_ewma_replay():
+            # ValueState-only smoother replay over the same landed
+            # replica: expect ~linear like the session cache (every
+            # event rides one state-server round trip), with a smaller
+            # constant (no ListState append, no timers).
+            from gps_stream_processing_spark.streaming.runner import (
+                run_available_now,
+            )
+            from gps_stream_processing_spark.streaming.stateful import (
+                streaming_ewma_tws,
+            )
+
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            schema = spark.read.parquet(tws_dir).schema
+            s = spark.readStream.schema(schema).parquet(tws_dir)
+            return run_available_now(
+                streaming_ewma_tws(s), output_mode="update"
+            )
 
         def _tws_replay(d=None):
             d = d or tws_dir
@@ -496,6 +526,33 @@ def main() -> None:
             # cents VALUE domain, so the per-value grid, its prefix-sum
             # cumulative, and the rank sums stay value-domain-bounded —
             # the ks_grid posture; expect sub-linear.
+            # r16 shapes (VERDICT r15 item 5): the k-group moment
+            # tests over the replicated events (type = group, cents =
+            # value) — k-row tables after one fact agg, expect flat;
+            # Cramér's V rides the r×7 contingency grid (constant) —
+            # expect flat; the walk-forward backtest rides the
+            # calendar-bounded day grid like holt_winters — expect
+            # flat; the TWS ValueState EWMA replay is O(events) state
+            # round trips — expect ~linear like tws_session_cache.
+            "anova_moments": lambda: anova_stats(
+                ev.select(
+                    F.col("event_type").alias("mktsegment"),
+                    F.expr("cast(round(value * 100) as bigint)").alias(
+                        "c"
+                    ),
+                )
+            ),
+            "brown_forsythe_dev": lambda: brown_forsythe_stats(
+                ev.select(
+                    F.col("event_type").alias("mktsegment"),
+                    F.expr("cast(round(value * 100) as bigint)").alias(
+                        "c"
+                    ),
+                )
+            ),
+            "cramers_grid": lambda: cramers_v_stats(ev),
+            "forecast_backtest": lambda: forecast_backtest_daily(ev),
+            "tws_ewma": lambda: _tws_ewma_replay(),
             "kruskal_grid": lambda: kruskal_wallis_stats(
                 ev.select(
                     F.col("event_type").alias("mktsegment"),

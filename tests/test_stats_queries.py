@@ -1164,3 +1164,100 @@ def test_forecast_backtest_matches_python_fold(spark):
         assert abs(r["mae_cents"] - round(se / n, 2)) < 1e-6
         assert abs(r["smape"] - round(sp / n, 6)) < 1e-9
         assert 0.0 <= r["smape"] <= 2.0  # sMAPE range bound
+
+
+def test_forecast_backtest_models_matches_python_and_no_lookahead(spark):
+    """q_forecast_backtest_models replica: the three walk-forward
+    folds (EWMA / Holt / Holt-Winters) reproduce plain Python folds
+    over the same daily series, AND the no-lookahead property is
+    pinned directly — the model state after the first t days yields
+    the same prediction for day t+1 as the full-series fold produced
+    at that step (predictions read only prior days)."""
+
+    def fold_ewma(vals):
+        y, se, sp, n, preds = vals[0], 0.0, 0.0, 0, []
+        for x in vals[1:]:
+            preds.append(y)
+            se += abs(x - y)
+            sp += (
+                2.0 * abs(x - y) / (abs(x) + abs(y))
+                if (abs(x) + abs(y)) > 0.0
+                else 0.0
+            )
+            n += 1
+            y = y * 0.8 + x * 0.2
+        return se, sp, n, preds
+
+    def fold_holt(vals):
+        l, b, se, sp, n, preds = vals[0], 0.0, 0.0, 0.0, 0, []
+        for x in vals[1:]:
+            pred = l + b
+            preds.append(pred)
+            se += abs(x - pred)
+            sp += (
+                2.0 * abs(x - pred) / (abs(x) + abs(pred))
+                if (abs(x) + abs(pred)) > 0.0
+                else 0.0
+            )
+            n += 1
+            nl = 0.3 * x + 0.7 * (l + b)
+            b = 0.1 * ((0.3 * x + 0.7 * (l + b)) - l) + 0.9 * b
+            l = nl
+        return se, sp, n, preds
+
+    def fold_hw(vals):
+        se, sp, n, preds = 0.0, 0.0, 0, []
+        if len(vals) < 7:
+            return se, sp, n, preds
+        s = 0.0
+        for v in vals[:7]:
+            s = s + v
+        l0 = s / 7.0
+        l, b, seas = l0, 0.0, [v - l0 for v in vals[:7]]
+        for x in vals[7:]:
+            pred = (l + b) + seas[0]
+            preds.append(pred)
+            se += abs(x - pred)
+            sp += (
+                2.0 * abs(x - pred) / (abs(x) + abs(pred))
+                if (abs(x) + abs(pred)) > 0.0
+                else 0.0
+            )
+            n += 1
+            nl = 0.3 * (x - seas[0]) + 0.7 * (l + b)
+            nb = 0.1 * ((0.3 * (x - seas[0]) + 0.7 * (l + b)) - l) + 0.9 * b
+            ns = 0.2 * (x - (0.3 * (x - seas[0]) + 0.7 * (l + b))) + 0.8 * seas[0]
+            l, b, seas = nl, nb, seas[1:] + [ns]
+        return se, sp, n, preds
+
+    folds = {"ewma": fold_ewma, "holt": fold_holt, "holt_winters": fold_hw}
+    got = _run(spark, "q_forecast_backtest_models").set_index(
+        ["event_type", "model"]
+    )
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    e["day"] = e["ts"].dt.floor("D")
+    e["cents"] = (e["value"] * 100).round().astype("int64")
+    daily = e.groupby(["event_type", "day"])["cents"].sum().reset_index()
+    n_checked = 0
+    for et, g in daily.groupby("event_type"):
+        vals = [float(v) for v in g.sort_values("day")["cents"]]
+        for model, fold in folds.items():
+            se, sp, n, preds = fold(vals)
+            r = got.loc[(et, model)]
+            assert int(r["n_days"]) == len(vals)
+            assert int(r["n_preds"]) == n, (et, model)
+            if n:
+                assert abs(r["mae_cents"] - round(se / n, 2)) < 1e-6
+                assert abs(r["smape"] - round(sp / n, 6)) < 1e-9
+                assert 0.0 <= r["smape"] <= 2.0
+            # NO-LOOKAHEAD pin: for a few cut points t, the fold over
+            # ONLY the first t days must produce exactly the
+            # prediction the full fold used for day t+1 — i.e. the
+            # prediction for day t+1 is a function of days 1..t alone
+            start = len(vals) - n  # first predicted day index
+            for t in {start, start + 1, len(vals) - 1}:
+                if start <= t < len(vals):
+                    *_, preds_trunc = fold(vals[:t] + [float("nan")])
+                    assert preds_trunc[-1] == preds[t - start], (et, model, t)
+            n_checked += 1
+    assert n_checked >= 3  # all three models actually exercised
