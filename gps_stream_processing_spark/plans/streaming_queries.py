@@ -337,6 +337,7 @@ TWS_GATED_KEYS = (
     "q_stream_tws_ewma",
     "q_stream_tws_holt",
     "q_stream_tws_holt_winters",
+    "q_stream_tws_forecast",
     "q_stream_tws_fix_merge",
     "q_stream_tws_init_state",
     "q_stream_tws_map_state",
@@ -501,6 +502,69 @@ def q_stream_tws_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("forecast_7"),
         )
     finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+def q_stream_tws_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import uuid
+
+    from gps_stream_processing_spark.streaming.runner import (
+        events_stream,
+        make_latest_upsert,
+    )
+    from gps_stream_processing_spark.streaming.stateful import (
+        streaming_holt_tws,
+    )
+
+    base = os.path.join(land_dir("tws_forecast", sf), uuid.uuid4().hex)
+    serving = os.path.join(base, "serving")
+    ckpt = os.path.join(base, "ckpt")
+    # latest emission per user wins — the serving table IS the
+    # dashboard's current forecast set
+    upsert = make_latest_upsert(spark, serving, "user_id")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = streaming_holt_tws(events_stream(spark, sf))
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # serving stores RAW state doubles; presentation rounding and
+        # the h-step forecasts derive at READ time with the batch
+        # q_holt_linear expression tree
+        z = F.lit(0.0)
+        return spark.read.parquet(serving).select(
+            "user_id",
+            "n_events",
+            (F.round("level", 6) + z).alias("level"),
+            (F.round("trend", 6) + z).alias("trend"),
+            (
+                F.round(F.col("level") + F.lit(1.0) * F.col("trend"), 6)
+                + z
+            ).alias("forecast_1"),
+            (
+                F.round(F.col("level") + F.lit(7.0) * F.col("trend"), 6)
+                + z
+            ).alias("forecast_7"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if prev is None:
             spark.conf.unset(provider_key)
         else:
@@ -807,6 +871,53 @@ else:
         "At scale: state O(#keys), work O(batch), the day grid never "
         "materializes anywhere.",
     )(q_stream_tws_holt_winters)
+
+    q_stream_tws_forecast = register(
+        "q_stream_tws_forecast",
+        # The q_holt_linear fold oracle with the 1-step forecast
+        # column added: the serving table holds the LATEST emission
+        # per user, which after the availableNow replay is the full
+        # batch fold — so the dashboard read equals the batch
+        # forecast at the final watermark.
+        oracle="""
+        SELECT user_id, CAST(cnt AS BIGINT) AS n_events,
+               ROUND(hw[1], 6) + 0.0 AS level,
+               ROUND(hw[2], 6) + 0.0 AS trend,
+               ROUND(hw[1] + CAST(1 AS DOUBLE) * hw[2], 6) + 0.0
+                 AS forecast_1,
+               ROUND(hw[1] + CAST(7 AS DOUBLE) * hw[2], 6) + 0.0
+                 AS forecast_7
+        FROM (
+          SELECT user_id, COUNT(*) AS cnt,
+                 list_reduce(
+                   list_transform(
+                     list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                     x -> [x, CAST(0 AS DOUBLE)]),
+                   (acc, x) -> [
+                     CAST(0.3 AS DOUBLE) * x[1]
+                     + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2]),
+                     CAST(0.1 AS DOUBLE)
+                     * ((CAST(0.3 AS DOUBLE) * x[1]
+                         + CAST(0.7 AS DOUBLE) * (acc[1] + acc[2]))
+                        - acc[1])
+                     + CAST(0.9 AS DOUBLE) * acc[2]]) AS hw
+          FROM events GROUP BY user_id
+        ) t(user_id, cnt, hw)
+        """,
+        doc="LIVE FORECAST SERVING — the composed end-to-end 'capacity "
+        "dashboard' key (SURVEY §2.8, VERDICT r15 item 8): the "
+        "q_stream_tws_holt O(1)-state smoother's per-batch emissions "
+        "flow through the q_stream_upsert_sink atomic-swap upsert "
+        "keyed by user_id, so the serving parquet always holds each "
+        "user's LATEST (n, level, trend) and the dashboard derives "
+        "1-/7-step forecasts at read time. Zero new state machinery — "
+        "two shipped pieces composed; oracle = the batch fold at the "
+        "final watermark (the serving table's defining property). At "
+        "scale: state O(#keys) in RocksDB, serving table O(#keys), "
+        "per-batch work O(batch) + an O(#keys) merge-swap (in "
+        "production the sink is a MERGE INTO a lakehouse table - "
+        "plan shape identical).",
+    )(q_stream_tws_forecast)
 
     q_stream_tws_timers = register(
         "q_stream_tws_timers",

@@ -307,3 +307,37 @@ def run_process_all(
         except Exception:  # noqa: BLE001 — view may not exist if start() failed
             pass
         _unload_idle_state_stores(spark)
+
+
+def make_latest_upsert(spark: SparkSession, serving: str, key_col: str):
+    """foreachBatch body for the LATEST-EMISSION-WINS serving pattern
+    (q_stream_upsert_sink's atomic parquet swap, factored so the
+    composed serving keys and their tests share one implementation):
+    each batch's rows replace the serving rows with matching
+    ``key_col``; everything else is kept; the swap is rename-atomic so
+    a concurrent reader sees the old or the new table, never a
+    partial write. In production this body is a MERGE INTO against a
+    lakehouse table — identical plan shape (anti-join + union)."""
+    import shutil
+
+    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if os.path.exists(serving):
+            existing = spark.read.parquet(serving).localCheckpoint(
+                eager=True
+            )
+            keep = existing.join(
+                batch_df.select(key_col), key_col, "left_anti"
+            )
+            merged = keep.unionByName(batch_df)
+        else:
+            merged = batch_df
+        staging = serving + ".staging"
+        merged.coalesce(1).write.mode("overwrite").parquet(staging)
+        old = serving + ".old"
+        if os.path.exists(serving):
+            os.rename(serving, old)
+        os.rename(staging, serving)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return upsert

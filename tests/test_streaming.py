@@ -1253,3 +1253,110 @@ def test_tws_holt_winters_day_split_across_batches(spark, tmp_path):
     f7 = float(final["level"]) + 7.0 * float(final["trend"]) + float(final["s_last"])
     assert round(f1, 6) == float(batch["forecast_1"])
     assert round(f7, 6) == float(batch["forecast_7"])
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (absent here)",
+)
+def test_tws_forecast_serving_latest_wins_across_batches(spark, tmp_path):
+    """The composed forecast-serving key's defining property: after a
+    multi-batch replay, the serving table holds each user's LATEST
+    smoother state — i.e. exactly the batch fold over ALL rows — with
+    the upsert's existing-table merge path actually exercised (two
+    mtime-ordered files under maxFilesPerTrigger=1; both batches carry
+    both users, so batch 2 REPLACES batch-1 serving rows rather than
+    just appending)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.streaming.runner import (
+        make_latest_upsert,
+    )
+    from gps_stream_processing_spark.streaming.stateful import (
+        streaming_holt_tws,
+    )
+
+    d = str(tmp_path / "ev")
+    rows1 = [
+        (u, f"2024-01-01 10:00:{i:02d}", i, float(u) + i * 0.5)
+        for u in (1, 2)
+        for i in range(4)
+    ]
+    rows2 = [
+        (u, f"2024-01-01 11:00:{i:02d}", 100 + i, float(u) * 2 + i * 0.25)
+        for u in (1, 2)
+        for i in range(3)
+    ]
+
+    def write_one(rows, fname, mtime):
+        df = spark.createDataFrame(
+            rows,
+            "user_id bigint, ts_s string, event_id bigint, value double",
+        ).select(
+            "user_id", F.to_timestamp("ts_s").alias("ts"), "event_id", "value"
+        )
+        tmp = str(tmp_path / ("stage_" + fname))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.makedirs(d, exist_ok=True)
+        dst = os.path.join(d, fname)
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    write_one(rows1, "f1.parquet", now - 120)
+    write_one(rows2, "f2.parquet", now - 60)
+
+    serving = str(tmp_path / "serving")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = (
+            spark.readStream.schema(
+                "user_id bigint, ts timestamp, event_id bigint, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            streaming_holt_tws(ev)
+            .writeStream.outputMode("update")
+            .foreachBatch(make_latest_upsert(spark, serving, "user_id"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    srv = {
+        int(r["user_id"]): (int(r["n_events"]), float(r["level"]), float(r["trend"]))
+        for r in spark.read.parquet(serving).toPandas().to_dict("records")
+    }
+    # one row per user (latest wins, no batch-1 leftovers), n = 7 each
+    assert sorted(srv) == [1, 2]
+    assert all(v[0] == 7 for v in srv.values())
+    # and the values are the batch fold over the UNION — replayed in
+    # (ts, event_id) order with the exact plan literals
+    for u in (1, 2):
+        vals = [v for (uu, _, _, v) in sorted(
+            rows1 + rows2, key=lambda r: (r[1], r[2])
+        ) if uu == u]
+        l, b = vals[0], 0.0
+        for x in vals[1:]:
+            nl = 0.3 * x + 0.7 * (l + b)
+            b = 0.1 * ((0.3 * x + 0.7 * (l + b)) - l) + 0.9 * b
+            l = nl
+        assert srv[u] == (7, l, b)  # == on floats: bitwise claim
