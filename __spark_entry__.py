@@ -333,6 +333,15 @@ _CHANGED_SINCE_VERIFIED = (
     # 2^53 — every test SF — hash-checked at sf0.001/0.01/0.1;
     # expression changed → re-check.
     ("q_kruskal_wallis", 16),
+    # r16 (VERDICT r15 item 5): q_anova/q_brown_forsythe/q_cramers_v/
+    # q_forecast_backtest bodies extracted into *_stats/*_daily cores
+    # so scale_curve.py times the plans' own code — plan trees are
+    # UNCHANGED (pure function extraction), hash-checked at sf0.01;
+    # re-check anyway per the r15 refactor precedent.
+    ("q_anova", 16),
+    ("q_brown_forsythe", 16),
+    ("q_cramers_v", 16),
+    ("q_forecast_backtest", 16),
 )
 
 
