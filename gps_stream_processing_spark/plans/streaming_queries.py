@@ -547,22 +547,38 @@ def q_stream_tws_forecast(spark: SparkSession, sf: str) -> DataFrame:
         q.awaitTermination()
         # serving stores RAW state doubles; presentation rounding and
         # the h-step forecasts derive at READ time with the batch
-        # q_holt_linear expression tree
+        # q_holt_linear expression tree. The result is snapshotted
+        # (eager localCheckpoint) and the per-call uuid dir removed —
+        # a bench/driver session calls this key repeatedly and must
+        # not accumulate O(#users) serving tables on disk (the
+        # run_available_now memory-sink hygiene discipline).
         z = F.lit(0.0)
-        return spark.read.parquet(serving).select(
-            "user_id",
-            "n_events",
-            (F.round("level", 6) + z).alias("level"),
-            (F.round("trend", 6) + z).alias("trend"),
-            (
-                F.round(F.col("level") + F.lit(1.0) * F.col("trend"), 6)
-                + z
-            ).alias("forecast_1"),
-            (
-                F.round(F.col("level") + F.lit(7.0) * F.col("trend"), 6)
-                + z
-            ).alias("forecast_7"),
+        res = (
+            spark.read.parquet(serving)
+            .select(
+                "user_id",
+                "n_events",
+                (F.round("level", 6) + z).alias("level"),
+                (F.round("trend", 6) + z).alias("trend"),
+                (
+                    F.round(
+                        F.col("level") + F.lit(1.0) * F.col("trend"), 6
+                    )
+                    + z
+                ).alias("forecast_1"),
+                (
+                    F.round(
+                        F.col("level") + F.lit(7.0) * F.col("trend"), 6
+                    )
+                    + z
+                ).alias("forecast_7"),
+            )
+            .localCheckpoint(eager=True)
         )
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        return res
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if prev is None:
