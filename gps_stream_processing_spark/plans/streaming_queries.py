@@ -1305,28 +1305,14 @@ def q_stream_upsert_sink(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     import uuid
 
+    from gps_stream_processing_spark.streaming.runner import (
+        make_latest_upsert,
+    )
+
     base = os.path.join(land_dir("upsert", sf), uuid.uuid4().hex)
     serving = os.path.join(base, "serving")
     ckpt = os.path.join(base, "ckpt")
-
-    def upsert(batch_df, _batch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint(eager=True)  # detach from the
-        # streaming plan AND from the serving files we're about to swap
-        if os.path.exists(serving):
-            existing = spark.read.parquet(serving).localCheckpoint(eager=True)
-            keep = existing.join(
-                batch_df.select("event_type"), "event_type", "left_anti"
-            )
-            merged = keep.unionByName(batch_df)
-        else:
-            merged = batch_df
-        staging = serving + ".staging"
-        merged.coalesce(1).write.mode("overwrite").parquet(staging)
-        old = serving + ".old"
-        if os.path.exists(serving):
-            os.rename(serving, old)
-        os.rename(staging, serving)
-        shutil.rmtree(old, ignore_errors=True)
+    upsert = make_latest_upsert(spark, serving, "event_type")
 
     agg = (
         events_stream(spark, sf)
@@ -1344,7 +1330,11 @@ def q_stream_upsert_sink(spark: SparkSession, sf: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(serving)
+    # snapshot + remove the per-call uuid dir (the q_stream_tws_forecast
+    # hygiene — repeated bench/driver calls must not accumulate tables)
+    res = spark.read.parquet(serving).localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return res
 
 
 @register(

@@ -769,27 +769,17 @@ def test_stream_upsert_sink_merges_across_batches(spark, tmp_path):
     mechanics) into the same merge logic shape."""
     import os
 
+    from gps_stream_processing_spark.streaming.runner import (
+        make_latest_upsert,
+    )
+
     inc = str(tmp_path / "incoming")
     ckpt = str(tmp_path / "ckpt")
     serving = str(tmp_path / "serving")
-    import shutil
-
-    def upsert(batch_df, _bid):
-        batch_df = batch_df.localCheckpoint(eager=True)
-        if os.path.exists(serving):
-            existing = spark.read.parquet(serving).localCheckpoint(eager=True)
-            merged = existing.join(
-                batch_df.select("k"), "k", "left_anti"
-            ).unionByName(batch_df)
-        else:
-            merged = batch_df
-        staging = serving + ".staging"
-        merged.coalesce(1).write.mode("overwrite").parquet(staging)
-        old = serving + ".old"
-        if os.path.exists(serving):
-            os.rename(serving, old)
-        os.rename(staging, serving)
-        shutil.rmtree(old, ignore_errors=True)
+    # the SHARED serving-upsert body (what q_stream_upsert_sink and
+    # q_stream_tws_forecast run) — this test pins its multi-batch
+    # replace/insert/survive contract
+    upsert = make_latest_upsert(spark, serving, "k")
 
     def drive():
         q = (
