@@ -342,6 +342,13 @@ _CHANGED_SINCE_VERIFIED = (
     ("q_brown_forsythe", 16),
     ("q_cramers_v", 16),
     ("q_forecast_backtest", 16),
+    # r16: q_stream_upsert_sink's foreachBatch body now comes from the
+    # shared make_latest_upsert factory (same anti-join + union +
+    # atomic swap, extracted for the q_stream_tws_forecast composition)
+    # and the key snapshots + removes its per-call dir. Values
+    # invariant (same merge logic; pinned by the multi-batch contract
+    # test), hash-checked at sf0.01 — re-check anyway.
+    ("q_stream_upsert_sink", 16),
 )
 
 
