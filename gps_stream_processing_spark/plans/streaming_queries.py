@@ -338,6 +338,7 @@ TWS_GATED_KEYS = (
     "q_stream_tws_holt",
     "q_stream_tws_holt_winters",
     "q_stream_tws_forecast",
+    "q_stream_tws_anomaly",
     "q_stream_tws_fix_merge",
     "q_stream_tws_init_state",
     "q_stream_tws_map_state",
@@ -581,6 +582,39 @@ def q_stream_tws_forecast(spark: SparkSession, sf: str) -> DataFrame:
         return res
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+def q_stream_tws_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    from gps_stream_processing_spark.streaming.runner import events_stream
+    from gps_stream_processing_spark.streaming.stateful import (
+        streaming_ew_anomaly_tws,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = events_stream(spark, sf)
+        out = run_available_now(
+            streaming_ew_anomaly_tws(ev), output_mode="update"
+        )
+        # presentation rounding HERE — processor state stays raw
+        z = F.lit(0.0)
+        return out.select(
+            "user_id",
+            "n_events",
+            (F.round("ew_mean", 6) + z).alias("ew_mean"),
+            (F.round("ew_var", 6) + z).alias("ew_var"),
+            "n_anomalies",
+        )
+    finally:
         if prev is None:
             spark.conf.unset(provider_key)
         else:
@@ -934,6 +968,61 @@ else:
         "production the sink is a MERGE INTO a lakehouse table - "
         "plan shape identical).",
     )(q_stream_tws_forecast)
+
+    q_stream_tws_anomaly = register(
+        "q_stream_tws_anomaly",
+        # The same fold in DuckDB: 4-list state [m, v, na, n], lifted
+        # first element as init ([x1, 0, 0, 1]), flag scored from the
+        # PRE-update state (n >= 5 warm-up), RiskMetrics EW variance
+        # with the OLD mean in the deviation — identical expression
+        # trees, sqrt is IEEE on both engines.
+        oracle="""
+        SELECT user_id, CAST(st[4] AS BIGINT) AS n_events,
+               ROUND(st[1], 6) + 0.0 AS ew_mean,
+               ROUND(st[2], 6) + 0.0 AS ew_var,
+               CAST(st[3] AS BIGINT) AS n_anomalies
+        FROM (
+          SELECT user_id,
+            list_reduce(
+              list_concat(
+                [[vals[1], CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                  CAST(1 AS DOUBLE)]],
+                list_transform(vals[2:], x -> [x,
+                  CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                  CAST(0 AS DOUBLE)])),
+              (acc, e) -> [
+                acc[1] * CAST(0.8 AS DOUBLE) + e[1] * CAST(0.2 AS DOUBLE),
+                acc[2] * CAST(0.8 AS DOUBLE)
+                  + (e[1] - acc[1]) * (e[1] - acc[1])
+                    * CAST(0.2 AS DOUBLE),
+                acc[3] + CASE WHEN acc[4] >= CAST(5 AS DOUBLE)
+                               AND ABS(e[1] - acc[1])
+                                   > CAST(3 AS DOUBLE) * sqrt(acc[2])
+                              THEN CAST(1 AS DOUBLE)
+                              ELSE CAST(0 AS DOUBLE) END,
+                acc[4] + CAST(1 AS DOUBLE)]) AS st
+          FROM (
+            SELECT user_id,
+                   list(CAST(value AS DOUBLE) ORDER BY ts, event_id)
+                     AS vals
+            FROM events GROUP BY user_id
+          ) s(user_id, vals)
+        ) t(user_id, st)
+        """,
+        doc="O(1)-state STREAMING ANOMALY detection on "
+        "transformWithStateInPandas ValueState (SURVEY §2.8 — the "
+        "live SLO-alert member of the TWS family, pairing the batch "
+        "q_anomaly_rolling which needs a 20-row window per key): "
+        "per-user state is (n, ew_mean, ew_var, n_anomalies) — 32 "
+        "bytes per key forever — each event is scored against the "
+        "PRE-update state (flag when n >= 5 and |x - m| > 3*sqrt(v); "
+        "no lookahead, warm-up guarded), then the RiskMetrics EW "
+        "mean/variance update with the OLD mean in the deviation. "
+        "availableNow replay is bit-identical to the DuckDB fold "
+        "(IEEE sqrt, literals written directly). At scale: state "
+        "O(#keys), work O(batch) — the alert evaluates inline with "
+        "ingestion, no windowed re-aggregation pass.",
+    )(q_stream_tws_anomaly)
 
     q_stream_tws_timers = register(
         "q_stream_tws_timers",

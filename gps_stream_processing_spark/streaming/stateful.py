@@ -1090,3 +1090,109 @@ def streaming_holt_winters_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+EW_ANOMALY_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, ew_mean double, ew_var double,"
+    " n_anomalies bigint"
+)
+EW_ANOMALY_STATE_SCHEMA = "n bigint, m double, v double, na bigint"
+
+
+def make_ew_anomaly_processor(alpha: float = 0.2, k: float = 3.0):
+    """Per-key exponentially-weighted ANOMALY detector on a typed
+    ValueState — the live SLO-alert sibling of the batch
+    ``q_anomaly_rolling`` (which needs a 20-row window per key): state
+    is (n, ew_mean, ew_var, n_anomalies) — 32 bytes per key forever.
+
+    Recursion (RiskMetrics EW variance, scored PRE-update so the flag
+    for event t reads only events < t — the q_forecast_backtest
+    no-lookahead discipline): a row is anomalous when n ≥ 5 (warm-up:
+    the first few deviations are not evidence) and |x − m| > k·√v;
+    then m' = (1−α)m + αx and v' = (1−α)v + α(x − m)² with the OLD
+    mean in the deviation. All literals written directly (0.8/0.2,
+    3.0); Python floats are IEEE doubles and math.sqrt is the IEEE
+    sqrt, so the availableNow one-batch replay is bit-identical to the
+    DuckDB list_reduce oracle. Per-batch fold order: (unix-µs ts,
+    event_id), the family contract."""
+    import math
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    a, ka = alpha, 1.0 - alpha
+
+    class _EwAnomalyProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "ew_anomaly", EW_ANOMALY_STATE_SCHEMA
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            if self._state.exists():
+                n0, m, v, na0 = self._state.get()
+                n, na, seeded = int(n0), int(na0), True
+                m, v = float(m), float(v)
+            else:
+                n, m, v, na, seeded = 0, 0.0, 0.0, 0, False
+            pdf = pd.concat(list(rows), ignore_index=True).sort_values(
+                ["us", "event_id"], kind="stable"
+            )
+            for x in pdf["value"]:
+                x = float(x)
+                if seeded:
+                    if n >= 5 and abs(x - m) > k * math.sqrt(v):
+                        na += 1
+                    nm = m * ka + x * a
+                    v = v * ka + (x - m) * (x - m) * a
+                    m = nm
+                else:
+                    m, v, seeded = x, 0.0, True
+                n += 1
+            self._state.update((n, m, v, na))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "n_events": n,
+                        "ew_mean": m,
+                        "ew_var": v,
+                        "n_anomalies": na,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _EwAnomalyProcessor()
+
+
+def streaming_ew_anomaly_tws(
+    events: DataFrame, alpha: float = 0.2, k: float = 3.0
+) -> DataFrame:
+    """Per-user streaming EW anomaly detection on
+    ``transformWithStateInPandas`` (ValueState; RocksDB provider).
+    Emits the running (n, mean, var, anomaly count) per key per batch
+    in update mode — raw doubles, callers round for presentation."""
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.streaming.protobuf_compat import (
+        configure_worker_env,
+        ensure_protobuf,
+    )
+
+    ensure_protobuf()
+    configure_worker_env(events.sparkSession)
+    slim = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "value",
+    )
+    return slim.groupBy("user_id").transformWithStateInPandas(
+        make_ew_anomaly_processor(alpha, k),
+        outputStructType=EW_ANOMALY_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

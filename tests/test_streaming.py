@@ -1350,3 +1350,120 @@ def test_tws_forecast_serving_latest_wins_across_batches(spark, tmp_path):
             b = 0.1 * ((0.3 * x + 0.7 * (l + b)) - l) + 0.9 * b
             l = nl
         assert srv[u] == (7, l, b)  # == on floats: bitwise claim
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (absent here)",
+)
+def test_tws_anomaly_equals_python_fold(spark):
+    """The streaming EW anomaly detector must be BIT-identical to a
+    plain Python fold over each user's (ts, event_id)-ordered values —
+    flags scored pre-update (no lookahead), RiskMetrics variance with
+    the old mean in the deviation, n >= 5 warm-up."""
+    import math
+
+    sf = "/root/testdata/sf0.001"
+    from gps_stream_processing_spark.plans.registry import REGISTRY
+
+    got = {
+        int(r["user_id"]): (
+            int(r["n_events"]),
+            float(r["ew_mean"]),
+            float(r["ew_var"]),
+            int(r["n_anomalies"]),
+        )
+        for r in REGISTRY["q_stream_tws_anomaly"]
+        .fn(spark, sf)
+        .toPandas()
+        .to_dict("records")
+    }
+    e = spark.read.parquet(f"{sf}/events.parquet").toPandas()
+    n_checked = 0
+    for uid, g in e.groupby("user_id"):
+        vals = [
+            float(v)
+            for v in g.sort_values(["ts", "event_id"])["value"]
+        ]
+        n, m, v, na = 0, 0.0, 0.0, 0
+        for x in vals:
+            if n > 0:
+                if n >= 5 and abs(x - m) > 3.0 * math.sqrt(v):
+                    na += 1
+                nm = m * 0.8 + x * 0.2
+                v = v * 0.8 + (x - m) * (x - m) * 0.2
+                m = nm
+            else:
+                m, v = x, 0.0
+            n += 1
+        r = got[int(uid)]
+        assert r[0] == n
+        assert r[1] == round(m, 6) + 0.0  # == on floats: bitwise claim
+        assert r[2] == round(v, 6) + 0.0
+        assert r[3] == na
+        assert 0 <= na <= max(n - 5, 0)  # warm-up bound
+        n_checked += 1
+    assert n_checked > 0
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (absent here)",
+)
+def test_tws_anomaly_flags_injected_spike(spark, tmp_path):
+    """Detector discrimination pin: a flat series with one injected
+    10-sigma spike flags EXACTLY the spike (and possibly nothing
+    else), never the flat rows — and a fully flat series flags
+    nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gps_stream_processing_spark.streaming.runner import (
+        run_available_now,
+    )
+    from gps_stream_processing_spark.streaming.stateful import (
+        streaming_ew_anomaly_tws,
+    )
+
+    rows = []
+    # user 1: gentle noise then a huge spike at i=20
+    for i in range(30):
+        val = 100.0 + (0.5 if i % 2 else -0.5) + (500.0 if i == 20 else 0.0)
+        rows.append((1, f"2024-01-01 10:00:{i:02d}", i, val))
+    # user 2: perfectly flat — zero variance, zero deviations, no flags
+    for i in range(30):
+        rows.append((2, f"2024-01-01 10:00:{i:02d}", i, 42.0))
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "user_id bigint, ts_s string, event_id bigint, value double"
+    ).select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "event_id", "value"
+    ).coalesce(1).write.parquet(d)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        ev = spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_id bigint, value double"
+        ).parquet(d)
+        out = run_available_now(
+            streaming_ew_anomaly_tws(ev), output_mode="update"
+        ).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    res = {int(r["user_id"]): int(r["n_anomalies"]) for r in out.to_dict("records")}
+    # the spike itself flags; the post-spike mean/var shock may flag a
+    # couple of re-settling rows, but the detector must fire and the
+    # flat user must stay silent
+    assert res[1] >= 1
+    assert res[1] <= 5  # not blanket-flagging the flat remainder
+    assert res[2] == 0
