@@ -9830,3 +9830,149 @@ def q_forecast_backtest_models(spark: SparkSession, sf: str) -> DataFrame:
         "   + 0.0D"
         ") AS (model, n_preds, mae_cents, smape)",
     )
+
+
+@register(
+    "q_seasonal_decompose",
+    # Classical additive seasonal-trend decomposition on the per-type
+    # daily cents series (the statsmodels seasonal_decompose shape,
+    # period 7): trend = centered 7-day moving average (RANGE window
+    # over epoch-day ints, so calendar GAPS cannot misalign the frame;
+    # NULL unless all 7 days are present), seasonal = per-(type, dow)
+    # mean of the detrended series, resid = cents − trend − seasonal.
+    # Engine-exact by the integer-algebra trick: the detrended value
+    # cents − sum7/7 is scaled to dev = 7·cents − sum7, an EXACT
+    # BIGINT, so the seasonal mean is one exact integer SUM with ONE
+    # double division Σdev/(7·n) — no order-dependent double
+    # accumulation anywhere (the k-group-fold discipline without
+    # needing a fold). The seasonal indices are the raw dow means of
+    # the detrended series (not de-meaned across dows — the residual
+    # absorbs the constant; trend + seasonal + resid reconstructs
+    # cents exactly wherever trend is defined, by construction). dow
+    # convention: Spark dayofweek−1 ≡ DuckDB EXTRACT(dow), 0=Sunday
+    # (the q_cramers_v pairing).
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(EXTRACT(dow FROM CAST(ts AS DATE)) AS BIGINT) AS dow,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), win AS (
+      SELECT event_type, day, dow, cents,
+             CAST(SUM(cents) OVER (
+               PARTITION BY event_type
+               ORDER BY (day - DATE '1970-01-01')
+               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+             ) AS BIGINT) AS sum7,
+             CAST(COUNT(*) OVER (
+               PARTITION BY event_type
+               ORDER BY (day - DATE '1970-01-01')
+               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING
+             ) AS BIGINT) AS cnt7
+      FROM daily
+    ), dev AS (
+      SELECT *,
+             CASE WHEN cnt7 = 7 THEN 7 * cents - sum7 END AS dev
+      FROM win
+    ), seas AS (
+      SELECT event_type, dow,
+             CAST(SUM(dev) AS BIGINT) AS s_sum,
+             CAST(COUNT(dev) AS BIGINT) AS s_cnt
+      FROM dev GROUP BY event_type, dow
+    )
+    SELECT d.event_type, d.day, d.cents,
+           ROUND(CASE WHEN d.cnt7 = 7
+                      THEN CAST(d.sum7 AS DOUBLE) / CAST(7 AS DOUBLE)
+                 END, 6) + 0.0 AS trend,
+           ROUND(CAST(s.s_sum AS DOUBLE)
+                 / (CAST(7 AS DOUBLE) * CAST(s.s_cnt AS DOUBLE)),
+                 6) + 0.0 AS seasonal,
+           ROUND(CAST(d.cents AS DOUBLE)
+                 - CASE WHEN d.cnt7 = 7
+                        THEN CAST(d.sum7 AS DOUBLE) / CAST(7 AS DOUBLE)
+                   END
+                 - CAST(s.s_sum AS DOUBLE)
+                   / (CAST(7 AS DOUBLE) * CAST(s.s_cnt AS DOUBLE)),
+                 6) + 0.0 AS resid
+    FROM dev d JOIN seas s USING (event_type, dow)
+    """,
+    doc="Classical ADDITIVE seasonal-trend decomposition of the "
+    "per-type daily series, period 7 (SURVEY §2.4 ext — the "
+    "statsmodels seasonal_decompose shape, the diagnostic every "
+    "forecaster runs BEFORE choosing a model, completing the "
+    "seasonal family: q_seasonal_profile shows the raw weekly "
+    "pattern, q_holt_winters fits it, q_forecast_backtest_models "
+    "scores the fit, THIS splits the series into trend + seasonal + "
+    "residual so you can see which component dominates): trend is a "
+    "centered 7-day moving average over a RANGE window on epoch-day "
+    "ints (calendar gaps cannot misalign the frame; NULL unless the "
+    "full week is present), seasonal is the per-dow mean of the "
+    "detrended series computed EXACTLY (dev = 7*cents - sum7 is "
+    "exact integer; one double division at the end), resid "
+    "reconstructs cents wherever trend is defined. At 100 TB the "
+    "only unbounded stage is the scan + one (type, day) hash-agg — "
+    "the windows and the dow join run on the calendar-bounded day "
+    "grid (the q_holt_winters posture), and the 35-row seasonal "
+    "table broadcasts.",
+)
+def q_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)"))
+        .cast("bigint")
+        .alias("cents")
+    ).select(
+        "event_type",
+        "day",
+        (F.dayofweek("day") - 1).cast("bigint").alias("dow"),
+        "cents",
+        F.expr("unix_date(day)").alias("d"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rangeBetween(-3, 3)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "dow",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("sum7"),
+        F.count("*").over(w).cast("bigint").alias("cnt7"),
+    )
+    dev = win.withColumn(
+        "dev",
+        F.when(F.col("cnt7") == 7, 7 * F.col("cents") - F.col("sum7")),
+    )
+    seas = dev.groupBy("event_type", "dow").agg(
+        F.sum("dev").cast("bigint").alias("s_sum"),
+        F.count("dev").cast("bigint").alias("s_cnt"),
+    )
+    trend_raw = F.when(
+        F.col("cnt7") == 7,
+        F.col("sum7").cast("double") / F.lit(7.0),
+    )
+    seasonal_raw = F.col("s_sum").cast("double") / (
+        F.lit(7.0) * F.col("s_cnt").cast("double")
+    )
+    z = F.lit(0.0)
+    return dev.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "cents",
+        (F.round(trend_raw, 6) + z).alias("trend"),
+        (F.round(seasonal_raw, 6) + z).alias("seasonal"),
+        (
+            F.round(
+                F.col("cents").cast("double") - trend_raw - seasonal_raw,
+                6,
+            )
+            + z
+        ).alias("resid"),
+    )

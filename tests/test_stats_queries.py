@@ -1261,3 +1261,71 @@ def test_forecast_backtest_models_matches_python_and_no_lookahead(spark):
                     assert preds_trunc[-1] == preds[t - start], (et, model, t)
             n_checked += 1
     assert n_checked >= 3  # all three models actually exercised
+
+
+def test_seasonal_decompose_matches_pandas_and_reconstructs(spark):
+    """q_seasonal_decompose replica: centered 7-day MA trend, per-dow
+    mean of the detrended series, residual — against a plain pandas
+    computation; plus the defining identities (trend NULL exactly at
+    the <full-week edges; trend + seasonal + resid reconstructs cents
+    wherever trend is defined)."""
+    import pandas as pd
+
+    got = _run(spark, "q_seasonal_decompose")
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    e["day"] = e["ts"].dt.floor("D")
+    e["cents"] = (e["value"] * 100).round().astype("int64")
+    daily = (
+        e.groupby(["event_type", "day"])["cents"].sum().reset_index()
+    )
+    n_rows = 0
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        days = {d: i for i, d in enumerate(g["day"])}
+        sub = got[got["event_type"] == et].copy()
+        sub["day"] = pd.to_datetime(sub["day"])  # date -> Timestamp keys
+        sub = sub.set_index("day")
+        # trend: mean of days within +-3 calendar days, full weeks only
+        dev_by_dow: dict[int, list[float]] = {}
+        trend = {}
+        for _, r in g.iterrows():
+            window = g[abs((g["day"] - r["day"]).dt.days) <= 3]
+            t = (
+                float(window["cents"].sum()) / 7.0
+                if len(window) == 7
+                else None
+            )
+            trend[r["day"]] = t
+            if t is not None:
+                dow = (r["day"].dayofweek + 1) % 7  # pandas Mon=0 -> Sun=0
+                dev_by_dow.setdefault(dow, []).append(
+                    7 * int(r["cents"]) - int(window["cents"].sum())
+                )
+        for _, r in g.iterrows():
+            row = sub.loc[r["day"]]
+            dow = (r["day"].dayofweek + 1) % 7
+            seasonal = (
+                float(sum(dev_by_dow[dow]))
+                / (7.0 * len(dev_by_dow[dow]))
+                if dow in dev_by_dow
+                else None
+            )
+            t = trend[r["day"]]
+            assert int(row["cents"]) == int(r["cents"])
+            if t is None:
+                assert pd.isna(row["trend"]) and pd.isna(row["resid"])
+            else:
+                assert abs(row["trend"] - round(t, 6)) < 1e-9
+                assert abs(
+                    row["resid"]
+                    - round(float(r["cents"]) - t - seasonal, 6)
+                ) < 1e-6
+                # reconstruction identity at rounding grain
+                assert abs(
+                    (row["trend"] + row["seasonal"] + row["resid"])
+                    - float(r["cents"])
+                ) < 2e-6
+            if seasonal is not None:
+                assert abs(row["seasonal"] - round(seasonal, 6)) < 1e-9
+            n_rows += 1
+    assert n_rows == len(got) > 0
