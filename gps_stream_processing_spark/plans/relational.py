@@ -9976,3 +9976,183 @@ def q_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
             + z
         ).alias("resid"),
     )
+
+
+@register(
+    "q_friedman",
+    # Friedman rank test (non-parametric repeated-measures ANOVA):
+    # blocks = days, treatments = event types, on the per-(type, day)
+    # daily cents. The k-group family's REPEATED-MEASURES member: the
+    # q_kruskal_wallis machinery applied WITHIN each day block. Only
+    # COMPLETE blocks (days carrying all k types) enter — the
+    # classical complete-block design, enforced by a 1-row broadcast
+    # of the global type count. All-integer tied ranks per block
+    # (2r = 2C − c + 1 over the day's value multiset), doubled rank
+    # sums 2Rⱼ exact BIGINT, squares in double on both engines (the
+    # r16 kruskal overflow posture), tie term Σ(c³−c) exact; Q and
+    # its tie-corrected form fold over the k treatments in sorted
+    # order. Q = 12/(n·k·(k+1))·ΣRⱼ² − 3·n·(k+1); corr = 1 −
+    # ΣT/(n·k·(k²−1)).
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), ktot AS (
+      SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM daily
+    ), complete AS (
+      SELECT day FROM daily GROUP BY day
+      HAVING COUNT(*) = (SELECT k FROM ktot)
+    ), cb AS (
+      SELECT d.* FROM daily d JOIN complete USING (day)
+    ), vals AS (
+      SELECT day, cents, CAST(COUNT(*) AS BIGINT) AS c
+      FROM cb GROUP BY day, cents
+    ), cum AS (
+      SELECT day, cents, c,
+             CAST(SUM(c) OVER (
+               PARTITION BY day ORDER BY cents
+             ) AS BIGINT) AS cc
+      FROM vals
+    ), r AS (
+      SELECT cb.event_type,
+             CAST(SUM(2 * cum.cc - cum.c + 1) AS BIGINT) AS r2x2,
+             CAST(COUNT(*) AS BIGINT) AS nb
+      FROM cb JOIN cum USING (day, cents)
+      GROUP BY cb.event_type
+    ), ties AS (
+      SELECT CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE) AS tsum
+      FROM vals
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(MIN(nb) AS BIGINT) AS n_blocks,
+             list_sum(list_transform(
+               list(CAST(r2x2 AS DOUBLE) * CAST(r2x2 AS DOUBLE)
+                    / CAST(4 AS DOUBLE) ORDER BY event_type),
+               x -> x)) AS sterm
+      FROM r
+    )
+    SELECT k, n_blocks,
+           ROUND(CAST(12 AS DOUBLE)
+                 / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                    * (CAST(k AS DOUBLE) + 1.0))
+                 * sterm
+                 - 3.0 * CAST(n_blocks AS DOUBLE)
+                   * (CAST(k AS DOUBLE) + 1.0), 6) + 0.0 AS q_stat,
+           ROUND((CAST(12 AS DOUBLE)
+                  / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                     * (CAST(k AS DOUBLE) + 1.0))
+                  * sterm
+                  - 3.0 * CAST(n_blocks AS DOUBLE)
+                    * (CAST(k AS DOUBLE) + 1.0))
+                 / NULLIF(1.0 - tsum
+                          / (CAST(n_blocks AS DOUBLE)
+                             * CAST(k AS DOUBLE)
+                             * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                                - 1.0)),
+                          0.0), 6) + 0.0 AS q_corrected
+    FROM s, ties
+    """,
+    doc="Friedman rank test across event types with days as blocks "
+    "(SURVEY §2.4 ext — the REPEATED-MEASURES member completing the "
+    "k-group family: q_anova assumes normality, q_kruskal_wallis "
+    "drops it but pools all observations, Friedman additionally "
+    "removes between-day level shifts by ranking WITHIN each day — "
+    "the right test for 'do the types differ, day after day?' and "
+    "the canonical model-comparison test over shared datasets): only "
+    "complete day blocks enter (all k types present — a 1-row "
+    "broadcast of the global type count gates them), within-block "
+    "tied ranks are exact integers (2r = 2C − c + 1), doubled rank "
+    "sums exact BIGINT, squares in double on both engines, the tie "
+    "term Σ(c³−c) exact, Q and its tie-corrected form derived with "
+    "engine-identical parenthesization and a sorted fold over the k "
+    "treatments. At 100 TB the only unbounded stage is the scan + "
+    "one (type, day) hash-agg: every window partitions by DAY over "
+    "≤ k rows, and all aggregates land on the calendar-bounded day "
+    "grid or the k-row treatment table.",
+)
+def q_friedman(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    daily = daily.localCheckpoint(eager=True)
+    ktot = daily.agg(
+        F.countDistinct("event_type").cast("bigint").alias("k")
+    )
+    complete = (
+        daily.groupBy("day")
+        .agg(F.count("*").alias("n_types"))
+        .crossJoin(F.broadcast(ktot))
+        .filter(F.col("n_types") == F.col("k"))
+        .select("day")
+    )
+    cb = daily.join(F.broadcast(complete), "day")
+    vals = cb.groupBy("day", "cents").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    cum = vals.select(
+        "day",
+        "cents",
+        "c",
+        F.sum("c")
+        .over(Window.partitionBy("day").orderBy("cents"))
+        .cast("bigint")
+        .alias("cc"),
+    )
+    r = (
+        cb.join(cum, ["day", "cents"])
+        .groupBy("event_type")
+        .agg(
+            F.sum(2 * F.col("cc") - F.col("c") + 1)
+            .cast("bigint")
+            .alias("r2x2"),
+            F.count("*").cast("bigint").alias("nb"),
+        )
+    )
+    cv = F.col("c")
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    ties = vals.agg(
+        F.sum(d19(cv) * d19(cv) * d19(cv) - dec(cv))
+        .cast("double")
+        .alias("tsum")
+    )
+    s = r.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.min("nb").cast("bigint").alias("n_blocks"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct("
+            "event_type AS m,"
+            " cast(r2x2 as double) * cast(r2x2 as double)"
+            " / cast(4 as double) AS t))),"
+            " s -> s.t), 0.0D, (a, x) -> a + x)"
+        ).alias("sterm"),
+    )
+    nd = F.col("n_blocks").cast("double")
+    kd = F.col("k").cast("double")
+    q = (
+        F.lit(12.0).cast("double")
+        / (nd * kd * (kd + F.lit(1.0)))
+        * F.col("sterm")
+        - F.lit(3.0) * nd * (kd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("tsum") / (
+        nd * kd * (kd * kd - F.lit(1.0))
+    )
+    z = F.lit(0.0)
+    return s.crossJoin(F.broadcast(ties)).select(
+        "k",
+        "n_blocks",
+        (F.round(q, 6) + z).alias("q_stat"),
+        (F.round(q / F.nullif(corr, F.lit(0.0)), 6) + z).alias(
+            "q_corrected"
+        ),
+    )

@@ -48,6 +48,11 @@ NESTED_LOOP_ALLOWED = {
     "q_kruskal_wallis": "1-row x 1-row crossing: the k-group "
     "rank-sum fold meets the 1-row tie-correction aggregate (the "
     "q_mannwhitney shape)",
+    "q_friedman": "two bounded crossings: the CALENDAR-bounded "
+    "day-count grid meets the 1-row global type count (the "
+    "complete-block gate), and the k-treatment rank-sum fold meets "
+    "the 1-row tie-correction aggregate (the q_kruskal_wallis "
+    "shape)",
     "q_ann_binary": "two 1-row broadcasts: the per-dim midrange "
     "array and the centered query vector (the q_ann_sq8 shape); the "
     "scan side is linear in the corpus at 16 bytes/vector of code",

@@ -1329,3 +1329,52 @@ def test_seasonal_decompose_matches_pandas_and_reconstructs(spark):
                 assert abs(row["seasonal"] - round(seasonal, 6)) < 1e-9
             n_rows += 1
     assert n_rows == len(got) > 0
+
+
+def test_friedman_matches_numpy_ranks(spark):
+    """q_friedman replica: within-day average ranks (numpy, tie-aware),
+    the classical Q formula with tie correction, complete blocks only —
+    against the registered plan; plus Q >= 0 and the tie-corrected
+    inflation direction (corr <= 1 so |Q_corr| >= |Q|)."""
+    import numpy as np
+    import pandas as pd
+
+    got = _run(spark, "q_friedman").iloc[0]
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    e["day"] = e["ts"].dt.floor("D")
+    e["cents"] = (e["value"] * 100).round().astype("int64")
+    daily = (
+        e.groupby(["event_type", "day"])["cents"].sum().reset_index()
+    )
+    k = daily["event_type"].nunique()
+    piv = daily.pivot(index="day", columns="event_type", values="cents")
+    piv = piv.dropna()  # complete blocks only
+    n = len(piv)
+
+    def avg_ranks(row):
+        v = row.to_numpy()
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), dtype=float)
+        i = 0
+        sv = v[order]
+        while i < len(v):
+            j = i
+            while j + 1 < len(v) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+            i = j + 1
+        return ranks
+
+    R = np.zeros(k)
+    tsum = 0.0
+    for _, row in piv.iterrows():
+        R += avg_ranks(row)
+        _, counts = np.unique(row.to_numpy(), return_counts=True)
+        tsum += float(np.sum(counts.astype(float) ** 3 - counts))
+    q = 12.0 / (n * k * (k + 1)) * float(np.sum(R**2)) - 3.0 * n * (k + 1)
+    corr = 1.0 - tsum / (n * k * (k * k - 1.0))
+    assert int(got["k"]) == k and int(got["n_blocks"]) == n
+    assert abs(got["q_stat"] - round(q, 6)) < 1e-6
+    assert abs(got["q_corrected"] - round(q / corr, 6)) < 1e-6
+    assert got["q_stat"] >= 0.0
+    assert abs(got["q_corrected"]) >= abs(got["q_stat"]) - 1e-9
