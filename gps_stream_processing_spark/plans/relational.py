@@ -9917,9 +9917,15 @@ def q_forecast_backtest_models(spark: SparkSession, sf: str) -> DataFrame:
     "table broadcasts.",
 )
 def q_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
+    return seasonal_decompose_daily(table(spark, sf, "events"))
+
+
+def seasonal_decompose_daily(e: DataFrame) -> DataFrame:
+    """The q_seasonal_decompose core over any (event_type, ts, value)
+    DataFrame — extracted so scale_curve.py times the plan's OWN code
+    (the _lttb_100b discipline)."""
     from pyspark.sql import Window
 
-    e = table(spark, sf, "events")
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(
@@ -10073,9 +10079,15 @@ def q_seasonal_decompose(spark: SparkSession, sf: str) -> DataFrame:
     "grid or the k-row treatment table.",
 )
 def q_friedman(spark: SparkSession, sf: str) -> DataFrame:
+    return friedman_stats(table(spark, sf, "events"))
+
+
+def friedman_stats(e: DataFrame) -> DataFrame:
+    """The q_friedman core over any (event_type, ts, value) DataFrame —
+    extracted so scale_curve.py times the plan's OWN code (the
+    _lttb_100b discipline)."""
     from pyspark.sql import Window
 
-    e = table(spark, sf, "events")
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(

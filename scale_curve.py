@@ -116,9 +116,11 @@ def main() -> None:
         brown_forsythe_stats,
         cramers_v_stats,
         forecast_backtest_daily,
+        friedman_stats,
         holt_winters_daily,
         kruskal_wallis_stats,
         sax_symbols,
+        seasonal_decompose_daily,
     )
     from gps_stream_processing_spark.session import get_spark
     from gps_stream_processing_spark.sources.tables import load_table
@@ -551,6 +553,10 @@ def main() -> None:
                 )
             ),
             "cramers_grid": lambda: cramers_v_stats(ev),
+            # r16b: both ride the calendar-bounded day grid after one
+            # fact hash-agg (the holt_winters posture) — expect flat.
+            "seasonal_decompose": lambda: seasonal_decompose_daily(ev),
+            "friedman_blocks": lambda: friedman_stats(ev),
             "forecast_backtest": lambda: forecast_backtest_daily(ev),
             "tws_ewma": lambda: _tws_ewma_replay(),
             "kruskal_grid": lambda: kruskal_wallis_stats(
