@@ -10168,3 +10168,174 @@ def friedman_stats(e: DataFrame) -> DataFrame:
             "q_corrected"
         ),
     )
+
+
+@register(
+    "q_mann_kendall",
+    # Mann-Kendall trend test per event type on the daily cents series
+    # (the monitoring-world standard for 'is this series trending?' —
+    # distribution-free, the significance-test companion of the
+    # q_theil_sen slope): S = Σ_{i<j} sign(x_j − x_i) over day pairs,
+    # tie-corrected variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]
+    # / 18, continuity-corrected z. ALL-INTEGER until the final
+    # divisions: signs and S are exact BIGINT via a day-grid self-join
+    # (i < j on epoch day — CALENDAR-bounded quadratic, ~n²/2 pairs per
+    # type on the DAY GRID, never the fact table; the q_holt_winters
+    # documented-acceptable posture), the variance polynomial exact in
+    # DECIMAL, one sqrt + division in double with engine-identical
+    # parenthesization. tau = S / (n(n−1)/2) as double.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), pairs AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.day > a.day
+      GROUP BY a.event_type
+    ), nn AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type
+    ), ties AS (
+      SELECT event_type,
+             CAST(COALESCE(SUM(CAST(c AS HUGEINT) * (c - 1)
+                               * (2 * c + 5)), 0) AS BIGINT) AS tsum
+      FROM (
+        SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS c
+        FROM daily GROUP BY event_type, cents
+      ) g WHERE c > 1 GROUP BY event_type
+    )
+    SELECT n.event_type, n.n_days, p.s_stat,
+           ROUND(CAST(p.s_stat AS DOUBLE)
+                 / (CAST(n.n_days AS DOUBLE)
+                    * (CAST(n.n_days AS DOUBLE) - 1.0)
+                    / CAST(2 AS DOUBLE)), 6) + 0.0 AS tau,
+           ROUND(CASE
+             WHEN p.s_stat > 0 THEN (CAST(p.s_stat AS DOUBLE) - 1.0)
+               / sqrt(CAST(n.n_days * (n.n_days - 1)
+                           * (2 * n.n_days + 5)
+                           - COALESCE(t.tsum, 0) AS DOUBLE)
+                      / CAST(18 AS DOUBLE))
+             WHEN p.s_stat < 0 THEN (CAST(p.s_stat AS DOUBLE) + 1.0)
+               / sqrt(CAST(n.n_days * (n.n_days - 1)
+                           * (2 * n.n_days + 5)
+                           - COALESCE(t.tsum, 0) AS DOUBLE)
+                      / CAST(18 AS DOUBLE))
+             ELSE 0.0 END, 6) + 0.0 AS z_score
+    FROM nn n
+    JOIN pairs p USING (event_type)
+    LEFT JOIN ties t USING (event_type)
+    """,
+    doc="Mann-Kendall trend test per event type on the daily cents "
+    "series (SURVEY §2.4 ext — the monitoring standard for 'is this "
+    "metric trending?', completing the trend toolkit: q_theil_sen "
+    "gives the robust slope, q_runs_test checks randomness, THIS "
+    "gives the distribution-free trend significance): S = sum of "
+    "pairwise signs over day pairs, exact BIGINT via a day-grid "
+    "self-join (calendar-bounded ~n²/2 pairs per type on the DAY "
+    "GRID, never the fact — the documented acceptable quadratic "
+    "posture), tie-corrected variance exact integer polynomial, "
+    "continuity-corrected z and Kendall tau in double with "
+    "engine-identical parenthesization. At 100 TB the only unbounded "
+    "stage is the scan + one (type, day) hash-agg.",
+)
+def q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
+    e = table(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    daily = daily.localCheckpoint(eager=True)
+    a = daily.select(
+        F.col("event_type"),
+        F.col("day").alias("day_a"),
+        F.col("cents").alias("cents_a"),
+    )
+    b = daily.select(
+        F.col("event_type"),
+        F.col("day").alias("day_b"),
+        F.col("cents").alias("cents_b"),
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("day_b") > F.col("day_a"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("cents_b") > F.col("cents_a"), 1)
+                .when(F.col("cents_b") < F.col("cents_a"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("event_type", "cents")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .filter(F.col("c") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("c").cast("decimal(19,0)")
+                    * (F.col("c") - 1)
+                    * (2 * F.col("c") + 5)
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+            .cast("bigint")
+            .alias("tsum")
+        )
+    )
+    nd = F.col("n_days").cast("double")
+    sd = F.col("s_stat").cast("double")
+    var = (
+        (
+            F.col("n_days") * (F.col("n_days") - 1)
+            * (2 * F.col("n_days") + 5)
+            - F.coalesce(F.col("tsum"), F.lit(0))
+        ).cast("double")
+        / F.lit(18.0).cast("double")
+    )
+    z = F.lit(0.0)
+    return (
+        nn.join(pairs, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            (
+                F.round(
+                    sd / (nd * (nd - F.lit(1.0)) / F.lit(2.0).cast("double")),
+                    6,
+                )
+                + z
+            ).alias("tau"),
+            (
+                F.round(
+                    F.when(
+                        F.col("s_stat") > 0, (sd - F.lit(1.0)) / F.sqrt(var)
+                    )
+                    .when(
+                        F.col("s_stat") < 0, (sd + F.lit(1.0)) / F.sqrt(var)
+                    )
+                    .otherwise(F.lit(0.0)),
+                    6,
+                )
+                + z
+            ).alias("z_score"),
+        )
+    )

@@ -1378,3 +1378,46 @@ def test_friedman_matches_numpy_ranks(spark):
     assert abs(got["q_corrected"] - round(q / corr, 6)) < 1e-6
     assert got["q_stat"] >= 0.0
     assert abs(got["q_corrected"]) >= abs(got["q_stat"]) - 1e-9
+
+
+def test_mann_kendall_matches_numpy_replica(spark):
+    """q_mann_kendall replica: pairwise sign sum, tie-corrected
+    variance, continuity-corrected z — against a direct numpy
+    computation; plus the bounds |tau| <= 1 and S in
+    [-n(n-1)/2, n(n-1)/2]."""
+    import numpy as np
+    import pandas as pd
+
+    got = _run(spark, "q_mann_kendall").set_index("event_type")
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    e["day"] = e["ts"].dt.floor("D")
+    e["cents"] = (e["value"] * 100).round().astype("int64")
+    daily = (
+        e.groupby(["event_type", "day"])["cents"].sum().reset_index()
+    )
+    n_checked = 0
+    for et, g in daily.groupby("event_type"):
+        x = g.sort_values("day")["cents"].to_numpy()
+        n = len(x)
+        s = int(np.sign(x[None, :] - x[:, None])[np.triu_indices(n, 1)].sum())
+        _, counts = np.unique(x, return_counts=True)
+        tsum = int(
+            sum(c * (c - 1) * (2 * c + 5) for c in counts if c > 1)
+        )
+        var = (n * (n - 1) * (2 * n + 5) - tsum) / 18.0
+        if s > 0:
+            zs = (s - 1.0) / np.sqrt(var)
+        elif s < 0:
+            zs = (s + 1.0) / np.sqrt(var)
+        else:
+            zs = 0.0
+        tau = s / (n * (n - 1) / 2.0)
+        r = got.loc[et]
+        assert int(r["n_days"]) == n
+        assert int(r["s_stat"]) == s
+        assert abs(r["tau"] - round(tau, 6)) < 1e-9
+        assert abs(r["z_score"] - round(zs, 6)) < 1e-6
+        assert -1.0 <= r["tau"] <= 1.0
+        assert abs(s) <= n * (n - 1) // 2
+        n_checked += 1
+    assert n_checked > 0
