@@ -10339,3 +10339,159 @@ def q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("z_score"),
         )
     )
+
+
+@register(
+    "q_ljung_box",
+    # Ljung-Box portmanteau test per event type on the daily cents
+    # series, h = 7 (the 'is there ANY autocorrelation left?' test
+    # every forecaster runs on residuals, and on raw series the
+    # one-number companion of q_autocorr's per-lag view). The
+    # q_autocorr ALL-INTEGER estimator per type: y_t = n·cents_t − S
+    # exact DECIMAL (the n² scale factors cancel in every ρ ratio), so
+    # each ρ_k = Σ y_t·y_{t+k} / Σ y_t² has exact integer numerator
+    # and denominator with ONE double division; the lag terms
+    # ρ_k²/(n−k) then fold over k in sorted order (the k-group fold
+    # discipline) and Q = n(n+2)·Σ — identical parenthesization both
+    # engines. Lags beyond the series length simply produce no pairs
+    # (absent from the fold on BOTH engines).
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM daily GROUP BY event_type
+    ), y AS (
+      SELECT d.event_type,
+             row_number() OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+             ) AS rn,
+             CAST(t.n AS HUGEINT) * d.cents - t.s AS y,
+             t.n
+      FROM daily d JOIN tot t USING (event_type)
+    ), den AS (
+      SELECT event_type, CAST(SUM(y * y) AS DOUBLE) AS dd
+      FROM y GROUP BY event_type
+    ), num AS (
+      SELECT a.event_type, CAST(b.rn - a.rn AS BIGINT) AS lag,
+             CAST(SUM(a.y * b.y) AS DOUBLE) AS nm,
+             CAST(MIN(a.n) AS BIGINT) AS n
+      FROM y a JOIN y b
+        ON a.event_type = b.event_type
+       AND b.rn - a.rn BETWEEN 1 AND 7
+      GROUP BY a.event_type, b.rn - a.rn
+    ), terms AS (
+      SELECT num.event_type, num.lag, num.n,
+             (num.nm / NULLIF(den.dd, 0))
+             * (num.nm / NULLIF(den.dd, 0))
+             / CAST(num.n - num.lag AS DOUBLE) AS term
+      FROM num JOIN den USING (event_type)
+    )
+    SELECT event_type,
+           CAST(MIN(n) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS h,
+           ROUND(CAST(MIN(n) AS DOUBLE)
+                 * (CAST(MIN(n) AS DOUBLE) + 2.0)
+                 * list_sum(list_transform(
+                     list(term ORDER BY lag), x -> x)), 6) + 0.0
+             AS q_lb
+    FROM terms GROUP BY event_type
+    """,
+    doc="Ljung-Box portmanteau test per event type, h = 7 lags, on "
+    "the daily cents series (SURVEY §2.4 ext — the one-number 'is "
+    "there ANY autocorrelation?' test completing the series "
+    "diagnostics: q_autocorr shows ρ per lag, q_runs_test checks "
+    "sign randomness, THIS is what a forecaster runs on residuals "
+    "to certify a model captured the structure): the q_autocorr "
+    "all-integer estimator applied per type — centered series "
+    "scaled by n is exact integer, every ρ_k one double division — "
+    "then Q = n(n+2)·Σ ρ_k²/(n−k) with the lag terms folded in "
+    "sorted order. At 100 TB the only unbounded stage is the scan + "
+    "one (type, day) hash-agg; the lag self-join is 7×|days| rows "
+    "per type on the calendar-bounded day grid.",
+)
+def q_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    daily = daily.localCheckpoint(eager=True)
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    y = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("rn"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("cents")
+            - F.col("s")
+        ).alias("y"),
+        "n",
+    )
+    y = y.localCheckpoint(eager=True)
+    den = y.groupBy("event_type").agg(
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("dd")
+    )
+    a = y.select(
+        "event_type", F.col("rn").alias("rn_a"), F.col("y").alias("ya"),
+        "n",
+    )
+    b = y.select(
+        "event_type", F.col("rn").alias("rn_b"), F.col("y").alias("yb")
+    )
+    num = (
+        a.join(b, "event_type")
+        .filter(
+            (F.col("rn_b") - F.col("rn_a") >= 1)
+            & (F.col("rn_b") - F.col("rn_a") <= 7)
+        )
+        .groupBy(
+            "event_type",
+            (F.col("rn_b") - F.col("rn_a")).cast("bigint").alias("lag"),
+        )
+        .agg(
+            F.sum(F.col("ya") * F.col("yb")).cast("double").alias("nm"),
+            F.min("n").cast("bigint").alias("n"),
+        )
+    )
+    rho = F.col("nm") / F.nullif(F.col("dd"), F.lit(0.0))
+    terms = num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        "lag",
+        "n",
+        (rho * rho / (F.col("n") - F.col("lag")).cast("double")).alias(
+            "term"
+        ),
+    )
+    nd = F.min("n").cast("double")
+    z = F.lit(0.0)
+    return terms.groupBy("event_type").agg(
+        F.min("n").cast("bigint").alias("n_days"),
+        F.count("*").cast("bigint").alias("h"),
+        (
+            F.round(
+                F.min("n").cast("double")
+                * (F.min("n").cast("double") + F.lit(2.0))
+                * F.expr(
+                    "aggregate(transform(array_sort(collect_list("
+                    "struct(lag, term))), s -> s.term),"
+                    " 0.0D, (a, x) -> a + x)"
+                ),
+                6,
+            )
+            + z
+        ).alias("q_lb"),
+    )

@@ -1421,3 +1421,42 @@ def test_mann_kendall_matches_numpy_replica(spark):
         assert abs(s) <= n * (n - 1) // 2
         n_checked += 1
     assert n_checked > 0
+
+
+def test_ljung_box_matches_numpy_replica(spark):
+    """q_ljung_box replica: per-type biased ACF then
+    Q = n(n+2)·Σ ρ_k²/(n−k) over h = 7 lags — against a direct numpy
+    computation; plus Q >= 0 and h = min(7, n-1)."""
+    import numpy as np
+    import pandas as pd
+
+    got = _run(spark, "q_ljung_box").set_index("event_type")
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    e["day"] = e["ts"].dt.floor("D")
+    e["cents"] = (e["value"] * 100).round().astype("int64")
+    daily = (
+        e.groupby(["event_type", "day"])["cents"].sum().reset_index()
+    )
+    n_checked = 0
+    for et, g in daily.groupby("event_type"):
+        x = g.sort_values("day")["cents"].to_numpy(dtype=float)
+        n = len(x)
+        xc = x - x.mean()
+        dd = float((xc * xc).sum())
+        q = 0.0
+        h = 0
+        for k in range(1, 8):
+            if k >= n:
+                break
+            rho = float((xc[:-k] * xc[k:]).sum()) / dd
+            q += rho * rho / (n - k)
+            h += 1
+        q *= n * (n + 2.0)
+        r = got.loc[et]
+        assert int(r["n_days"]) == n and int(r["h"]) == h
+        # numpy centers with the float mean; the plan is exact-integer
+        # — envelope compare, not bitwise
+        assert abs(r["q_lb"] - q) < 1e-5 * max(1.0, q)
+        assert r["q_lb"] >= 0.0
+        n_checked += 1
+    assert n_checked > 0
