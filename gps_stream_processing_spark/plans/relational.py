@@ -10495,3 +10495,202 @@ def q_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
             + z
         ).alias("q_lb"),
     )
+
+
+def _durbin_levinson_exprs(h: int = 7) -> list[tuple[str, str]]:
+    """The Durbin-Levinson recursion unrolled to h levels as (name,
+    sql) pairs in dependency order, over input columns r1..rh (the
+    ACF values). The SAME generated text feeds Spark (withColumn
+    chain) and the DuckDB oracle (nested-CTE chain), so the float
+    expression trees are identical BY CONSTRUCTION — the
+    engine-portable-DP discipline (operators/unigram.py) applied to
+    the AR recursion. phi_kk is the lag-k PACF; NULLIF guards a
+    degenerate zero denominator; left-assoc sums on both engines."""
+    exprs: list[tuple[str, str]] = [("p1_1", "r1")]
+    for k in range(2, h + 1):
+        num = f"r{k} - (" + " + ".join(
+            f"p{k-1}_{j} * r{k-j}" for j in range(1, k)
+        ) + ")"
+        den = "cast(1 as double) - (" + " + ".join(
+            f"p{k-1}_{j} * r{j}" for j in range(1, k)
+        ) + ")"
+        exprs.append((f"num{k}", num))
+        exprs.append((f"den{k}", den))
+        exprs.append(
+            (f"p{k}_{k}", f"num{k} / nullif(den{k}, cast(0 as double))")
+        )
+        for j in range(1, k):
+            exprs.append(
+                (f"p{k}_{j}", f"p{k-1}_{j} - p{k}_{k} * p{k-1}_{k-j}")
+            )
+    return exprs
+
+
+def _pacf_oracle(h: int = 7) -> str:
+    """DuckDB twin of q_pacf, assembled from the SAME generated
+    Durbin-Levinson text as the Spark plan (see
+    _durbin_levinson_exprs)."""
+    rho_cols = ",\n             ".join(
+        f"MAX(CASE WHEN lag = {k} THEN rho END) AS r{k}"
+        for k in range(1, h + 1)
+    )
+    layers = []
+    prev = "wide"
+    for i, (name, sql) in enumerate(_durbin_levinson_exprs(h)):
+        layers.append(f"l{i} AS (SELECT *, {sql} AS {name} FROM {prev})")
+        prev = f"l{i}"
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT event_type, n_days, CAST({k} AS BIGINT) AS lag,"
+        f" ROUND(p{k}_{k}, 6) + 0.0 AS pacf FROM {prev}"
+        for k in range(1, h + 1)
+    )
+    layer_sql = ",\n    ".join(layers)
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM daily GROUP BY event_type
+    ), y AS (
+      SELECT d.event_type,
+             row_number() OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+             ) AS rn,
+             CAST(t.n AS HUGEINT) * d.cents - t.s AS y,
+             t.n
+      FROM daily d JOIN tot t USING (event_type)
+    ), den AS (
+      SELECT event_type, CAST(SUM(y * y) AS DOUBLE) AS dd
+      FROM y GROUP BY event_type
+    ), num AS (
+      SELECT a.event_type, CAST(b.rn - a.rn AS BIGINT) AS lag,
+             CAST(SUM(a.y * b.y) AS DOUBLE) AS nm,
+             CAST(MIN(a.n) AS BIGINT) AS n
+      FROM y a JOIN y b
+        ON a.event_type = b.event_type
+       AND b.rn - a.rn BETWEEN 1 AND {h}
+      GROUP BY a.event_type, b.rn - a.rn
+    ), rho AS (
+      SELECT num.event_type, num.lag, num.n,
+             num.nm / NULLIF(den.dd, 0) AS rho
+      FROM num JOIN den USING (event_type)
+    ), wide AS (
+      SELECT event_type, CAST(MIN(n) AS BIGINT) AS n_days,
+             {rho_cols}
+      FROM rho GROUP BY event_type
+    ), {layer_sql}
+    {unions}
+    """
+
+
+@register(
+    "q_pacf",
+    # Partial autocorrelation at lags 1-7 per event type — the OTHER
+    # half of the q_autocorr diagnostic pair (ACF tails off / PACF
+    # cuts off at p is THE classical AR(p) order-selection read).
+    # ρ_k comes from the q_autocorr/q_ljung_box all-integer estimator
+    # (exact integer numerator/denominator per type, one double
+    # division); the Durbin-Levinson recursion φ_kk is then unrolled
+    # to 7 levels from ONE generated expression text shared verbatim
+    # with the oracle (_durbin_levinson_exprs), so both engines
+    # evaluate identical float trees — no fold machinery, no
+    # approximation. A type with fewer than 8 days has NULL ρ at the
+    # missing lags and the NULLs propagate through the recursion to
+    # NULL PACF rows identically on both engines.
+    oracle=_pacf_oracle(7),
+    doc="Partial autocorrelation function at lags 1-7 per event type "
+    "(SURVEY §2.4 ext — completing the Box-Jenkins diagnostic pair: "
+    "q_autocorr's ACF tails off for AR processes while THIS cuts off "
+    "sharply at the true order, the classical AR(p) selection read; "
+    "with q_ljung_box that is the full pre-model identification "
+    "toolkit): per-type ρ from the all-integer centered-series "
+    "estimator, then the Durbin-Levinson recursion unrolled to 7 "
+    "levels from ONE generated expression text shared verbatim "
+    "between the Spark plan and the DuckDB oracle — identical float "
+    "trees by construction (the operators/unigram.py "
+    "engine-portable-DP discipline). At 100 TB the only unbounded "
+    "stage is the scan + one (type, day) hash-agg; everything after "
+    "runs on the k-row-per-type lag table.",
+)
+def q_pacf(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    h = 7
+    e = table(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    daily = daily.localCheckpoint(eager=True)
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    y = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("rn"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("cents")
+            - F.col("s")
+        ).alias("y"),
+        "n",
+    )
+    y = y.localCheckpoint(eager=True)
+    den = y.groupBy("event_type").agg(
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("dd")
+    )
+    a = y.select(
+        "event_type", F.col("rn").alias("rn_a"), F.col("y").alias("ya"),
+        "n",
+    )
+    b = y.select(
+        "event_type", F.col("rn").alias("rn_b"), F.col("y").alias("yb")
+    )
+    num = (
+        a.join(b, "event_type")
+        .filter(
+            (F.col("rn_b") - F.col("rn_a") >= 1)
+            & (F.col("rn_b") - F.col("rn_a") <= h)
+        )
+        .groupBy(
+            "event_type",
+            (F.col("rn_b") - F.col("rn_a")).cast("bigint").alias("lag"),
+        )
+        .agg(
+            F.sum(F.col("ya") * F.col("yb")).cast("double").alias("nm"),
+            F.min("n").cast("bigint").alias("n"),
+        )
+    )
+    rho = num.join(F.broadcast(den), "event_type").select(
+        "event_type",
+        "lag",
+        "n",
+        (F.col("nm") / F.nullif(F.col("dd"), F.lit(0.0))).alias("rho"),
+    )
+    wide = rho.groupBy("event_type").agg(
+        F.min("n").cast("bigint").alias("n_days"),
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("rho"))).alias(f"r{k}")
+            for k in range(1, h + 1)
+        ],
+    )
+    for name, sql in _durbin_levinson_exprs(h):
+        wide = wide.withColumn(name, F.expr(sql))
+    stack_args = ", ".join(
+        f"cast({k} as bigint), round(p{k}_{k}, 6) + cast(0 as double)"
+        for k in range(1, h + 1)
+    )
+    return wide.selectExpr(
+        "event_type",
+        "n_days",
+        f"stack({h}, {stack_args}) AS (lag, pacf)",
+    )

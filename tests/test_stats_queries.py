@@ -1460,3 +1460,59 @@ def test_ljung_box_matches_numpy_replica(spark):
         assert r["q_lb"] >= 0.0
         n_checked += 1
     assert n_checked > 0
+
+
+def test_pacf_matches_numpy_durbin_levinson(spark):
+    """q_pacf replica: biased ACF then the Durbin-Levinson recursion
+    in plain numpy — against the registered plan; plus the defining
+    identities (pacf(1) == acf(1); |pacf| <= 1 for a well-conditioned
+    series)."""
+    import numpy as np
+    import pandas as pd
+
+    got = _run(spark, "q_pacf").set_index(["event_type", "lag"])
+    e = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    e["day"] = e["ts"].dt.floor("D")
+    e["cents"] = (e["value"] * 100).round().astype("int64")
+    daily = (
+        e.groupby(["event_type", "day"])["cents"].sum().reset_index()
+    )
+    n_checked = 0
+    for et, g in daily.groupby("event_type"):
+        x = g.sort_values("day")["cents"].to_numpy(dtype=float)
+        n = len(x)
+        xc = x - x.mean()
+        dd = float((xc * xc).sum())
+        r = {
+            k: float((xc[:-k] * xc[k:]).sum()) / dd
+            for k in range(1, 8)
+            if k < n
+        }
+        phi = {(1, 1): r[1]}
+        for k in range(2, 8):
+            if k not in r:
+                break
+            num = r[k] - sum(
+                phi[(k - 1, j)] * r[k - j] for j in range(1, k)
+            )
+            den = 1.0 - sum(
+                phi[(k - 1, j)] * r[j] for j in range(1, k)
+            )
+            phi[(k, k)] = num / den
+            for j in range(1, k):
+                phi[(k, j)] = (
+                    phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+                )
+        for k in range(1, 8):
+            row = got.loc[(et, k)]
+            if (k, k) in phi:
+                # numpy centers with the float mean; the plan is
+                # exact-integer — envelope compare
+                assert abs(row["pacf"] - phi[(k, k)]) < 1e-6, (et, k)
+                assert abs(row["pacf"]) <= 1.0 + 1e-9
+            else:
+                assert pd.isna(row["pacf"])
+            n_checked += 1
+        # defining identity: lag-1 PACF is the lag-1 ACF
+        assert abs(got.loc[(et, 1), "pacf"] - round(r[1], 6)) < 1e-6
+    assert n_checked > 0
