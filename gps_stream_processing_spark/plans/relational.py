@@ -10245,7 +10245,13 @@ def friedman_stats(e: DataFrame) -> DataFrame:
     "stage is the scan + one (type, day) hash-agg.",
 )
 def q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
-    e = table(spark, sf, "events")
+    return mann_kendall_stats(table(spark, sf, "events"))
+
+
+def mann_kendall_stats(e: DataFrame) -> DataFrame:
+    """The q_mann_kendall core over any (event_type, ts, value)
+    DataFrame — extracted so scale_curve.py times the plan's OWN code
+    (the _lttb_100b discipline)."""
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(
@@ -10415,9 +10421,15 @@ def q_mann_kendall(spark: SparkSession, sf: str) -> DataFrame:
     "per type on the calendar-bounded day grid.",
 )
 def q_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
+    return ljung_box_stats(table(spark, sf, "events"))
+
+
+def ljung_box_stats(e: DataFrame) -> DataFrame:
+    """The q_ljung_box core over any (event_type, ts, value)
+    DataFrame — extracted so scale_curve.py times the plan's OWN code
+    (the _lttb_100b discipline)."""
     from pyspark.sql import Window
 
-    e = table(spark, sf, "events")
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(
@@ -10617,10 +10629,16 @@ def _pacf_oracle(h: int = 7) -> str:
     "runs on the k-row-per-type lag table.",
 )
 def q_pacf(spark: SparkSession, sf: str) -> DataFrame:
+    return pacf_stats(table(spark, sf, "events"))
+
+
+def pacf_stats(e: DataFrame) -> DataFrame:
+    """The q_pacf core over any (event_type, ts, value) DataFrame —
+    extracted so scale_curve.py times the plan's OWN code (the
+    _lttb_100b discipline)."""
     from pyspark.sql import Window
 
     h = 7
-    e = table(spark, sf, "events")
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(

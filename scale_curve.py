@@ -119,6 +119,9 @@ def main() -> None:
         friedman_stats,
         holt_winters_daily,
         kruskal_wallis_stats,
+        ljung_box_stats,
+        mann_kendall_stats,
+        pacf_stats,
         sax_symbols,
         seasonal_decompose_daily,
     )
@@ -557,6 +560,9 @@ def main() -> None:
             # fact hash-agg (the holt_winters posture) — expect flat.
             "seasonal_decompose": lambda: seasonal_decompose_daily(ev),
             "friedman_blocks": lambda: friedman_stats(ev),
+            "mann_kendall": lambda: mann_kendall_stats(ev),
+            "ljung_box": lambda: ljung_box_stats(ev),
+            "pacf_dl": lambda: pacf_stats(ev),
             "forecast_backtest": lambda: forecast_backtest_daily(ev),
             "tws_ewma": lambda: _tws_ewma_replay(),
             "kruskal_grid": lambda: kruskal_wallis_stats(
