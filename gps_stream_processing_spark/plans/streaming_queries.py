@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 
 from gps_stream_processing_spark.plans.nmea_oracle import ORACLE_STREAM_FIX_MERGE
 from gps_stream_processing_spark.plans.registry import register, table
-from gps_stream_processing_spark.streaming.runner import events_stream, run_available_now
+from gps_stream_processing_spark.streaming.runner import (
+    TWS_STATE_PARTITIONS,
+    events_stream,
+    rocksdb_state_store,
+    run_available_now,
+)
 from gps_stream_processing_spark.workdir import land_dir
 
 
@@ -378,20 +383,13 @@ def q_stream_tws_fix_merge(spark: SparkSession, sf: str) -> DataFrame:
     d = land_dir("nmea_stream", sf)
     if not os.path.exists(os.path.join(d, "nmea.jsonl")):
         write_nmea_fixture_json(d, n_tracks=3, n_seconds=120)
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_state_store(spark):
         parsed = parse_sentences(nmea_json_stream(spark, d))
-        return run_available_now(streaming_fix_merge_tws(parsed), output_mode="update")
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
+        return run_available_now(
+            streaming_fix_merge_tws(parsed),
+            output_mode="update",
+            state_partitions=TWS_STATE_PARTITIONS,
+        )
 
 
 def q_stream_tws_ewma(spark: SparkSession, sf: str) -> DataFrame:
@@ -400,26 +398,19 @@ def q_stream_tws_ewma(spark: SparkSession, sf: str) -> DataFrame:
         streaming_ewma_tws,
     )
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_state_store(spark):
         ev = events_stream(spark, sf)
-        out = run_available_now(streaming_ewma_tws(ev), output_mode="update")
+        out = run_available_now(
+            streaming_ewma_tws(ev),
+            output_mode="update",
+            state_partitions=TWS_STATE_PARTITIONS,
+        )
         # presentation rounding happens HERE (Spark-side, the same
         # F.round as the batch q_ewma) — the processor state and its
         # emissions stay raw doubles so the recursion never re-rounds
         return out.select(
             "user_id", "n_events", F.round("ewma", 6).alias("ewma")
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
 
 def q_stream_tws_holt(spark: SparkSession, sf: str) -> DataFrame:
@@ -428,15 +419,13 @@ def q_stream_tws_holt(spark: SparkSession, sf: str) -> DataFrame:
         streaming_holt_tws,
     )
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_state_store(spark):
         ev = events_stream(spark, sf)
-        out = run_available_now(streaming_holt_tws(ev), output_mode="update")
+        out = run_available_now(
+            streaming_holt_tws(ev),
+            output_mode="update",
+            state_partitions=TWS_STATE_PARTITIONS,
+        )
         # rounding + the h-step forecast derive HERE (Spark-side, the
         # same expressions as the batch q_holt_linear) — the processor
         # state stays raw doubles
@@ -449,11 +438,6 @@ def q_stream_tws_holt(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("level") + F.lit(7.0) * F.col("trend"), 6
             ).alias("forecast_7"),
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
 
 def q_stream_tws_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
@@ -462,16 +446,12 @@ def q_stream_tws_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
         streaming_holt_winters_tws,
     )
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_state_store(spark):
         ev = events_stream(spark, sf)
         out = run_available_now(
-            streaming_holt_winters_tws(ev), output_mode="update"
+            streaming_holt_winters_tws(ev),
+            output_mode="update",
+            state_partitions=TWS_STATE_PARTITIONS,
         )
         # rounding + the 1-/7-step seasonal forecasts derive HERE with
         # the batch q_holt_winters expression tree (level + 1.0*trend +
@@ -502,11 +482,6 @@ def q_stream_tws_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
                 + z
             ).alias("forecast_7"),
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
 
 def q_stream_tws_forecast(spark: SparkSession, sf: str) -> DataFrame:
@@ -528,24 +503,21 @@ def q_stream_tws_forecast(spark: SparkSession, sf: str) -> DataFrame:
     # dashboard's current forecast set
     upsert = make_latest_upsert(spark, serving, "user_id")
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.shuffle.partitions", str(TWS_STATE_PARTITIONS)
     )
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        out = streaming_holt_tws(events_stream(spark, sf))
-        q = (
-            out.writeStream.outputMode("update")
-            .foreachBatch(upsert)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with rocksdb_state_store(spark):
+            out = streaming_holt_tws(events_stream(spark, sf))
+            q = (
+                out.writeStream.outputMode("update")
+                .foreachBatch(upsert)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         # serving stores RAW state doubles; presentation rounding and
         # the h-step forecasts derive at READ time with the batch
         # q_holt_linear expression tree. The result is snapshotted
@@ -582,10 +554,6 @@ def q_stream_tws_forecast(spark: SparkSession, sf: str) -> DataFrame:
         return res
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
 
 def q_stream_tws_anomaly(spark: SparkSession, sf: str) -> DataFrame:
@@ -594,16 +562,12 @@ def q_stream_tws_anomaly(spark: SparkSession, sf: str) -> DataFrame:
         streaming_ew_anomaly_tws,
     )
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_state_store(spark):
         ev = events_stream(spark, sf)
         out = run_available_now(
-            streaming_ew_anomaly_tws(ev), output_mode="update"
+            streaming_ew_anomaly_tws(ev),
+            output_mode="update",
+            state_partitions=TWS_STATE_PARTITIONS,
         )
         # presentation rounding HERE — processor state stays raw
         z = F.lit(0.0)
@@ -614,11 +578,6 @@ def q_stream_tws_anomaly(spark: SparkSession, sf: str) -> DataFrame:
             (F.round("ew_var", 6) + z).alias("ew_var"),
             "n_anomalies",
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
 
 def q_stream_tws_timers(spark: SparkSession, sf: str) -> DataFrame:
@@ -627,22 +586,13 @@ def q_stream_tws_timers(spark: SparkSession, sf: str) -> DataFrame:
         streaming_activity_close_tws,
     )
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_state_store(spark):
         ev = events_stream(spark, sf)
         return run_available_now(
-            streaming_activity_close_tws(ev), output_mode="update"
+            streaming_activity_close_tws(ev),
+            output_mode="update",
+            state_partitions=TWS_STATE_PARTITIONS,
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
 
 def q_stream_tws_timer_list(spark: SparkSession, sf: str) -> DataFrame:
@@ -651,22 +601,13 @@ def q_stream_tws_timer_list(spark: SparkSession, sf: str) -> DataFrame:
         streaming_session_cache_tws,
     )
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_state_store(spark):
         ev = events_stream(spark, sf)
         return run_available_now(
-            streaming_session_cache_tws(ev), output_mode="update"
+            streaming_session_cache_tws(ev),
+            output_mode="update",
+            state_partitions=TWS_STATE_PARTITIONS,
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
 
 def q_stream_tws_map_state(spark: SparkSession, sf: str) -> DataFrame:
@@ -675,22 +616,13 @@ def q_stream_tws_map_state(spark: SparkSession, sf: str) -> DataFrame:
         streaming_type_counts_tws,
     )
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_state_store(spark):
         ev = events_stream(spark, sf)
         return run_available_now(
-            streaming_type_counts_tws(ev), output_mode="update"
+            streaming_type_counts_tws(ev),
+            output_mode="update",
+            state_partitions=TWS_STATE_PARTITIONS,
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
 
 def q_stream_tws_recent_k(spark: SparkSession, sf: str) -> DataFrame:
@@ -702,13 +634,7 @@ def q_stream_tws_recent_k(spark: SparkSession, sf: str) -> DataFrame:
         streaming_recent_k_tws,
     )
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_state_store(spark):
         ev = events_stream(spark, sf)
         # run_data_drained, NOT availableNow/processAllAvailable: in
         # timeMode=ProcessingTime (required to arm state TTL) the
@@ -717,13 +643,10 @@ def q_stream_tws_recent_k(spark: SparkSession, sf: str) -> DataFrame:
         # quiescence condition is ever met — the drained-commit poll in
         # the runner is the terminating drive for this mode.
         return run_data_drained(
-            streaming_recent_k_tws(ev), output_mode="update"
+            streaming_recent_k_tws(ev),
+            output_mode="update",
+            state_partitions=TWS_STATE_PARTITIONS,
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
 
 # Full oracle for the ListState last-k retention: per user, the 5 most
@@ -1782,13 +1705,7 @@ def q_stream_tws_init_state(spark: SparkSession, sf: str) -> DataFrame:
         streaming_seeded_totals_tws,
     )
 
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_state_store(spark):
         cutoff = "2024-01-15 00:00:00"
         # Batch backfill aggregate = the initial state; the live stream
         # carries only post-cutoff events.
@@ -1800,16 +1717,13 @@ def q_stream_tws_init_state(spark: SparkSession, sf: str) -> DataFrame:
         )
         live = events_stream(spark, sf).filter(F.col("ts") >= cutoff)
         snap = run_available_now(
-            streaming_seeded_totals_tws(live, seed), output_mode="update"
+            streaming_seeded_totals_tws(live, seed),
+            output_mode="update",
+            state_partitions=TWS_STATE_PARTITIONS,
         )
         return snap.select(
             "user_id", "n_events", F.round("sum_value", 6).alias("sum_value")
         )
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
 
 
 if _tws_available():

@@ -11,6 +11,7 @@ verified here are the plans that would run live.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import uuid
 
@@ -18,6 +19,77 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from gps_stream_processing_spark.workdir import land_dir
+
+# State-partition width for the transformWithStateInPandas keys. The
+# JVM-only stateful streams (windowed aggs, dedup, session windows,
+# stream-stream joins) keep the measured-best 4 (see run_available_now
+# docstring); the TWS keys carry PER-KEY PYTHON work (the processor's
+# handleInputRows/handleExpiredTimer plus one state round-trip set per
+# key), which parallelizes across state partitions — at 4 partitions a
+# 32-core host runs the whole Python phase on 4 cores. Measured on
+# q_stream_tws_timer_list at sf0.1/local[32], warm 5-pass medians:
+# 4 parts 10.6s / 8 parts 6.8s / 16 parts 3.6-6.8s (diminishing, more
+# store instances); q_stream_tws_ewma 4.4s -> 3.4s. 8 is the default;
+# production sizes this to keyspace x throughput via the env knob (the
+# count is pinned per checkpoint at first start, so it is a deliberate
+# per-stream decision either way).
+TWS_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_TWS_STATE_PARTITIONS", "8"))
+
+# Arrow batch width for the streaming Python boundary (guide §4.2
+# posture: keep batches large enough for vectorization to pay off).
+# The default 10k rows chunks a 100k-row micro-batch into 10 Arrow
+# batches per partition; the TWS input iterator re-chunks per KEY
+# anyway, so larger transfer batches are pure overhead reduction
+# (measured -9..-13% on the ewma/timer_list keys). Per-key results
+# cannot depend on chunking — every processor sees all of a key's rows
+# through its own iterator regardless of Arrow framing.
+_STREAM_ARROW_BATCH = "131072"
+
+
+@contextlib.contextmanager
+def _stream_arrow_batch(spark: SparkSession):
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _STREAM_ARROW_BATCH)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+@contextlib.contextmanager
+def rocksdb_state_store(spark: SparkSession):
+    """Scoped state-store config for the TWS keys: the RocksDB provider
+    (required by transformWithStateInPandas) plus CHANGELOG
+    CHECKPOINTING — each commit uploads the batch's delta instead of a
+    full .zip snapshot of every store instance (snapshots still happen,
+    in background maintenance). Measured ~-14% on the timer_list key at
+    sf0.1; at production state volumes changelog commits are the
+    documented posture for latency-sensitive RocksDB streams. Restores
+    both confs on exit (the previous per-key boilerplate restored only
+    the provider)."""
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, p in prev.items():
+            if p is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, p)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,14 +222,15 @@ def run_available_now(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _stream_arrow_batch(spark):
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return spark.table(name).localCheckpoint(eager=True)
     finally:
         # Hygiene runs on FAILURE too: a stream that dies after start()
@@ -187,14 +260,17 @@ def run_foreach_batch_parquet(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q = (
-            sdf.writeStream.foreachBatch(
-                lambda batch_df, batch_id: batch_df.write.mode("append").parquet(out_dir)
+        with _stream_arrow_batch(spark):
+            q = (
+                sdf.writeStream.foreachBatch(
+                    lambda batch_df, batch_id: batch_df.write.mode("append").parquet(
+                        out_dir
+                    )
+                )
+                .trigger(availableNow=True)
+                .start()
             )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(out_dir)
@@ -226,6 +302,9 @@ def run_data_drained(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     q = None
+    arrow_ctx = _stream_arrow_batch(spark)
+    arrow_ctx.__enter__()  # restored in the finally — the stream's
+    # batches keep planning past any single with-block scope
     try:
         q = (
             sdf.writeStream.format("memory")
@@ -255,6 +334,7 @@ def run_data_drained(
         q.awaitTermination()
         return spark.table(name).localCheckpoint(eager=True)
     finally:
+        arrow_ctx.__exit__(None, None, None)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if q is not None and q.isActive:
             try:
@@ -283,6 +363,8 @@ def run_process_all(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     q = None
+    arrow_ctx = _stream_arrow_batch(spark)
+    arrow_ctx.__enter__()  # restored in the finally (multi-batch run)
     try:
         q = (
             sdf.writeStream.format("memory")
@@ -296,6 +378,7 @@ def run_process_all(
         q.awaitTermination()
         return spark.table(name).localCheckpoint(eager=True)
     finally:
+        arrow_ctx.__exit__(None, None, None)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if q is not None and q.isActive:
             try:
