@@ -762,50 +762,64 @@ def ivf_pq_ann(
         embeddings, cents, query_vec_id, n_probe, id_col, vec
     )
     # residual table: rv = v − centroid(assigned list); the centroid
-    # side is |labels| rows, broadcast.
+    # side is |labels| rows, broadcast. PERSISTED for the pipeline's
+    # lifetime (the operators/clustering.py Lloyd discipline): its
+    # lineage (scan → centroid agg → assignment agg → join) is
+    # consumed by every training round (init collect + pq_rounds
+    # update collects) AND the probed-candidate scan — without the
+    # persist each of those ~5 jobs re-derives the whole subtree
+    # (measured: the plan string alone was 62 KB of duplicated
+    # subtrees; whole key 8.5 s at sf0.1). Unpersisted in the finally
+    # after the candidate set is eagerly snapshotted off the cache.
     resid = assigned.join(F.broadcast(cents), "list_id").select(
         id_col,
         "list_id",
         "v",
         F.zip_with("v", "cv", lambda a, b: a - b).alias("rv"),
-    )
-    cb, cb_rows = _pq_train(
-        resid.select(id_col, F.col("rv").alias("v")),
-        m,
-        n_codes,
-        sub,
-        id_col,
-        n_rounds=pq_rounds,
-    )
-    qrow = _pq_query_row(base, cb, query_vec_id, m, sub, id_col)
-    # per-list q·c_i constants (n_lists rows, broadcast back on list_id)
-    qc = cents.crossJoin(F.broadcast(qrow.select("qv"))).select(
-        "list_id", dot(F.col("cv"), F.col("qv")).alias("qc_dot")
-    )
-    probed = (
-        resid.filter(
-            (F.col("list_id").isin(probe_lists))
-            & (F.col(id_col) != query_vec_id)
-        )
-        .select(
+    ).persist()
+    try:
+        cb, cb_rows = _pq_train(
+            resid.select(id_col, F.col("rv").alias("v")),
+            m,
+            n_codes,
+            sub,
             id_col,
-            "list_id",
-            "v",
-            make_pq_encoder(cb_rows, m, sub)(F.col("rv")).alias("codes"),
+            n_rounds=pq_rounds,
         )
-        .join(F.broadcast(qc), "list_id")
-        .crossJoin(F.broadcast(qrow))
-    )
-    cand = (
-        probed.select(
-            id_col,
-            "v",
-            "qv",
-            F.round(F.col("qc_dot") + _pq_adc(m), 6).alias("approx_dot"),
+        qrow = _pq_query_row(base, cb, query_vec_id, m, sub, id_col)
+        # per-list q·c_i constants (n_lists rows, broadcast on list_id)
+        qc = cents.crossJoin(F.broadcast(qrow.select("qv"))).select(
+            "list_id", dot(F.col("cv"), F.col("qv")).alias("qc_dot")
         )
-        .orderBy(F.desc("approx_dot"), id_col)
-        .limit(n_cand)
-    )
+        probed = (
+            resid.filter(
+                (F.col("list_id").isin(probe_lists))
+                & (F.col(id_col) != query_vec_id)
+            )
+            .select(
+                id_col,
+                "list_id",
+                "v",
+                make_pq_encoder(cb_rows, m, sub)(F.col("rv")).alias("codes"),
+            )
+            .join(F.broadcast(qc), "list_id")
+            .crossJoin(F.broadcast(qrow))
+        )
+        # n_cand rows, snapshotted eagerly so the returned plan reads
+        # off the checkpoint, not the (about-to-be-unpersisted) cache
+        cand = (
+            probed.select(
+                id_col,
+                "v",
+                "qv",
+                F.round(F.col("qc_dot") + _pq_adc(m), 6).alias("approx_dot"),
+            )
+            .orderBy(F.desc("approx_dot"), id_col)
+            .limit(n_cand)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        resid.unpersist()
     return (
         cand.select(
             id_col,
