@@ -103,16 +103,53 @@ def _bpe_rounds(
     ).cast("bigint")
     out = []
     try:
+        # One tiny vocab-table agg up front buys back a whole job per
+        # round below: a word's symbol count is its pair count + 1, so
+        # n_symbols(wf) = total_pairs(wf) + Σf — round i+1's pair scan
+        # therefore yields round i's n_symbols_after for free, and the
+        # separate per-round n_after aggregation job disappears
+        # (16 jobs → 10 for the 8-round loop; same integers, the
+        # oracle is unchanged).
+        total_f = int(
+            wf.agg(F.sum("f").alias("tf")).collect()[0]["tf"] or 0
+        )
+        pending = None  # (rnd, l, r, cnt) awaiting its n_symbols_after
+        prev = None  # last round's wf — unpersisted only after the
+        # NEXT job has materialized the current wf's cache (an eager
+        # unpersist would force the new table's first materialization
+        # to replay the whole replace-chain lineage from the source)
         for rnd in range(1, n_merges + 1):
-            best = (
+            # ONE fused agg per round: the winning pair (min over
+            # struct(-cnt, l, r) ≡ ORDER BY cnt DESC, l, r LIMIT 1 —
+            # bigint negation is exact, strings compare binary in both
+            # forms) plus the total pair count for the PREVIOUS
+            # round's n_symbols_after.
+            agg = (
                 _pair_counts(wf)
-                .orderBy(F.desc("cnt"), "l", "r")
-                .limit(1)
-                .collect()
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("cnt")).alias("neg_cnt"),
+                            F.col("l"),
+                            F.col("r"),
+                        )
+                    ).alias("best"),
+                    F.sum("cnt").alias("total_pairs"),
+                )
+                .collect()[0]
             )
-            if not best:  # fully merged corpus: no pairs left
+            if prev is not None:  # wf's cache is materialized now
+                prev.unpersist()
+                prev = None
+            if pending is not None:
+                out.append(
+                    (*pending, int(agg["total_pairs"] or 0) + total_f)
+                )
+                pending = None
+            if agg["best"] is None:  # fully merged corpus: no pairs left
                 break
-            l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+            l, r = agg["best"]["l"], agg["best"]["r"]
+            cnt = -int(agg["best"]["neg_cnt"])
             merged = wf.select(
                 "word",
                 "f",
@@ -122,13 +159,18 @@ def _bpe_rounds(
                     F.lit(SEP + l + r + SEP),
                 ).alias("ws"),
             ).persist()
-            n_after = int(merged.agg(n_sym.alias("n")).collect()[0]["n"])
-            wf.unpersist()
+            prev = wf
             wf = merged
-            out.append((rnd, l, r, cnt, n_after))
+            pending = (rnd, l, r, cnt)
+        if pending is not None:
+            # the last merge has no following pair scan — one n_sym agg
+            n_after = int(wf.agg(n_sym.alias("n")).collect()[0]["n"])
+            out.append((*pending, n_after))
         final = wf.localCheckpoint(eager=True) if want_final else None
     finally:
         wf.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return out, final
 
 
