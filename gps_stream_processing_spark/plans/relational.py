@@ -4047,7 +4047,17 @@ def anova_stats(b: DataFrame) -> DataFrame:
             F.sum(dec(c)).alias("s1"),
             F.sum(d19(c) * d19(c)).alias("s2"),
         )
-        .localCheckpoint(eager=True)
+        # LAZY checkpoint: both consumers (tot, fold) feed the ONE
+        # returned crossJoin action, so the blocks pin at that job's
+        # first touch and the separate eager-materialization job
+        # disappears (measured 0.95 -> 0.59 s warm median at sf0.1 —
+        # the whole r15 "1.38x vs baseline" worst10 entry was this one
+        # extra job of scheduling latency). Deterministic aggregate:
+        # a within-job duplicate computation of a block cannot change
+        # values. The eager form stays right where consumers span
+        # SEPARATE actions (q_mannwhitney's prefix-sum passes measured
+        # 2.2 -> 10.3 s with a lazy checkpoint).
+        .localCheckpoint(eager=False)
     )
     tot = per.agg(
         F.count("*").cast("bigint").alias("k"),
