@@ -701,9 +701,13 @@ def per_source_bfs(
             .join(visited, ["source", "id"], "left_anti")
             .localCheckpoint(eager=True)
         )
+        # visited stays a lazy union of already-checkpointed levels —
+        # one union deep per round; re-materializing it was one pure
+        # scheduling-latency job per round (the betweenness_sampled
+        # measurement, same shape).
         visited = visited.unionByName(
             nxt.select("source", "id", F.lit(rnd).alias("dist"))
-        ).localCheckpoint(eager=True)
+        )
         frontier = nxt
     return visited
 
@@ -764,9 +768,14 @@ def betweenness_sampled(
             .join(visited, ["source", "id"], "left_anti")
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionByName(
-            nxt.select("source", "id")
-        ).localCheckpoint(eager=True)
+        # NO checkpoint for the visited set: it is a union of frames
+        # that are each already checkpointed (the seed table and every
+        # level's nxt), so the lineage stays one union deep per round
+        # and re-materializing it bought nothing but a job of
+        # scheduling latency per round (measured below on the
+        # registered key; the per-level nxt checkpoints — the actual
+        # lineage truncation — stay).
+        visited = visited.unionByName(nxt.select("source", "id"))
         levels.append(nxt)
         f = nxt
     # Backward dependency accumulation, deepest level first.
