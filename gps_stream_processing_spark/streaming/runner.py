@@ -29,11 +29,22 @@ from gps_stream_processing_spark.workdir import land_dir
 # 32-core host runs the whole Python phase on 4 cores. Measured on
 # q_stream_tws_timer_list at sf0.1/local[32], warm 5-pass medians:
 # 4 parts 10.6s / 8 parts 6.8s / 16 parts 3.6-6.8s (diminishing, more
-# store instances); q_stream_tws_ewma 4.4s -> 3.4s. 8 is the default;
-# production sizes this to keyspace x throughput via the env knob (the
-# count is pinned per checkpoint at first start, so it is a deliberate
-# per-stream decision either way).
-TWS_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_TWS_STATE_PARTITIONS", "8"))
+# store instances); q_stream_tws_ewma 4.4s -> 3.4s. Default: 8 capped
+# at the host's core budget (below 8 cores the extra store instances
+# buy no parallelism, so the width follows the cores down to the
+# JVM-stateful floor of 4); production sizes this to keyspace x
+# throughput via the env knob (the count is pinned per checkpoint at
+# first start, so it is a deliberate per-stream decision either way).
+def _default_tws_partitions() -> int:
+    explicit = os.environ.get("SPARK_GRAFT_TWS_STATE_PARTITIONS")
+    if explicit:
+        return int(explicit)
+    from gps_stream_processing_spark.session import default_parallelism
+
+    return min(8, max(4, default_parallelism()))
+
+
+TWS_STATE_PARTITIONS = _default_tws_partitions()
 
 # Arrow batch width for the streaming Python boundary (guide §4.2
 # posture: keep batches large enough for vectorization to pay off).
