@@ -349,6 +349,30 @@ _CHANGED_SINCE_VERIFIED = (
     # invariant (same merge logic; pinned by the multi-batch contract
     # test), hash-checked at sf0.01 — re-check anyway.
     ("q_stream_upsert_sink", 16),
+    # r16 OPTIMIZATION round. TWS family: state partitions 4 → 8 (env-
+    # tunable), RocksDB changelog checkpointing, larger streaming Arrow
+    # transfer batches — values invariant by construction (per-key
+    # processors see all of a key's rows regardless of partition or
+    # Arrow framing; replay determinism unchanged), full-oracle
+    # parity re-proved at sf0.001+sf0.01 — re-check the heaviest four.
+    ("q_stream_tws_timer_list", 16),
+    ("q_stream_tws_recent_k", 16),
+    ("q_stream_tws_map_state", 16),
+    ("q_stream_tws_init_state", 16),
+    # r16 optimization: ivf_pq_ann persists the residual table across
+    # Lloyd rounds (same deterministic plan, one derivation instead of
+    # five); _bpe_rounds fuses the per-round top-pair and symbol-count
+    # jobs (same integers: n_symbols = total_pairs + Σf, min(struct) ≡
+    # the ORDER BY); the sampled-BFS walkers keep their visited set as
+    # a lazy union of checkpointed levels; q_anova's moment table is a
+    # lazy checkpoint (one action, two deterministic consumers —
+    # already queued above by its round-16 extraction entry). All
+    # hash-checked at sf0.001/sf0.01 — re-check.
+    ("q_ann_ivfpq", 16),
+    ("q_bpe_train", 16),
+    ("q_bpe_encode", 16),
+    ("q_betweenness_sampled", 16),
+    ("q_harmonic_centrality", 16),
 )
 
 

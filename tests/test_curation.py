@@ -617,6 +617,32 @@ def test_bpe_train_greedy_merge_and_tiebreak(spark):
     assert out.loc[3, "n_symbols_after"] == 9
 
 
+def test_bpe_fully_merged_corpus_breaks_early_with_final_count(spark):
+    """r16 optimization pin: _bpe_rounds fuses the per-round top-pair
+    and symbol-count jobs (round i+1's pair-total carries round i's
+    n_symbols_after = total_pairs + Σf). The fully-merged corpus is
+    the path where the FOLLOWING round's agg is empty: the loop must
+    still emit the last merge's n_symbols_after (0 pairs + Σf) and
+    stop — one row, exact counts, no round emitted for the empty
+    scan."""
+    from gps_stream_processing_spark.operators.bpe import bpe_train
+
+    rows = [(0, "ab ab ab")]
+    out = (
+        bpe_train(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            n_merges=8,  # far past exhaustion
+        )
+        .toPandas()
+        .set_index("round")
+    )
+    assert list(out.index) == [1]
+    # (a,b) weighted 3; each word collapses to ONE symbol -> Σf = 3.
+    assert out.loc[1, ["merge_left", "merge_right"]].tolist() == ["a", "b"]
+    assert out.loc[1, "pair_count"] == 3
+    assert out.loc[1, "n_symbols_after"] == 3
+
+
 def test_bpe_merge_adjacent_pair_repeats(spark):
     """Adjacent non-overlapping occurrences of the winning pair ALL
     merge in one round. A single-delimiter replace drops every other

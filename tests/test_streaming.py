@@ -814,6 +814,68 @@ def test_stream_upsert_sink_merges_across_batches(spark, tmp_path):
     not _has_protobuf(),
     reason="transformWithStateInPandas needs google.protobuf (absent here)",
 )
+def test_rocksdb_state_store_scope_sets_and_restores_confs(spark):
+    """r16 optimization pin: the rocksdb_state_store contextmanager
+    (which replaced 12 copies of per-key provider boilerplate) must
+    set BOTH the provider and changelog checkpointing inside the
+    scope, and restore BOTH previous values on exit — including the
+    unset-before case the old boilerplate handled for the provider
+    only."""
+    from gps_stream_processing_spark.streaming.runner import (
+        rocksdb_state_store,
+    )
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    clog_key = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    # case 1: both previously unset -> unset again afterwards
+    for k in (prov_key, clog_key):
+        try:
+            spark.conf.unset(k)
+        except Exception:  # noqa: BLE001 — already unset
+            pass
+    with rocksdb_state_store(spark):
+        assert "RocksDBStateStoreProvider" in spark.conf.get(prov_key)
+        assert spark.conf.get(clog_key) == "true"
+    assert spark.conf.get(prov_key, None) in (
+        None,
+        # Spark returns the built-in default for this key when unset
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+    )
+    # case 2: pre-existing values -> restored verbatim
+    spark.conf.set(prov_key, "com.example.FakeProvider")
+    spark.conf.set(clog_key, "false")
+    try:
+        with rocksdb_state_store(spark):
+            assert "RocksDBStateStoreProvider" in spark.conf.get(prov_key)
+            assert spark.conf.get(clog_key) == "true"
+        assert spark.conf.get(prov_key) == "com.example.FakeProvider"
+        assert spark.conf.get(clog_key) == "false"
+    finally:
+        spark.conf.unset(prov_key)
+        spark.conf.unset(clog_key)
+
+
+def test_tws_state_partition_default_follows_core_budget(monkeypatch):
+    """r16 optimization pin: the TWS state-partition default is 8
+    capped at the host's core budget (floor 4 — the JVM-stateful
+    width), and the env knob overrides it outright."""
+    from gps_stream_processing_spark.streaming import runner as R
+
+    monkeypatch.delenv("SPARK_GRAFT_TWS_STATE_PARTITIONS", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    assert R._default_tws_partitions() == 8
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "4")
+    assert R._default_tws_partitions() == 4
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "6")
+    assert R._default_tws_partitions() == 6
+    monkeypatch.setenv("SPARK_GRAFT_TWS_STATE_PARTITIONS", "12")
+    assert R._default_tws_partitions() == 12
+
+
 def test_state_store_provider_posture(spark, stream_fixture_dir, nmea_df):
     """Pins the state-backend posture both ways (SCALE.md knob table):
 
