@@ -373,6 +373,13 @@ _CHANGED_SINCE_VERIFIED = (
     ("q_bpe_encode", 16),
     ("q_betweenness_sampled", 16),
     ("q_harmonic_centrality", 16),
+    # r16 optimization: q_ks_test pivots the k segments into columns
+    # of the per-value table so ONE two-pass prefix sum carries all
+    # k+1 cumulatives (was: k×|values| grid + a second partitioned
+    # pass). Identical doubles (same division shapes, NULL-prefix
+    # cumulatives coalesce to 0 exactly like the grid's missing
+    # cells); hash-checked at sf0.001/sf0.01 — re-check.
+    ("q_ks_test", 16),
 )
 
 

@@ -76,9 +76,10 @@ NESTED_LOOP_ALLOWED = {
     "crossed onto the 5-row per-segment table (the q_chi_square "
     "shape); the complement side is decimal subtraction, zero extra "
     "scans",
-    "q_ks_test": "1-row broadcast pooled-count aggregate + the 5-row "
-    "segment table crossed onto the per-VALUE cumulative table — "
-    "every crossing side is aggregate- or value-domain-sized",
+    "q_ks_test": "prefix-sum offset broadcast only (r16: the segment "
+    "axis is pivoted into columns, so the former 5-row segment "
+    "crossJoin and pooled-count broadcast are gone) — every crossing "
+    "side is partition-count-sized",
     "q_mannwhitney": "1-row broadcast tie-correction aggregate "
     "crossed onto the 5-row rank-sum table",
     "q_two_proportion_z": "1-row broadcast grand-total aggregate "
