@@ -3793,6 +3793,13 @@ def q_ks_test(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_mktsegment").alias("mktsegment"),
         F.expr("cast(round(o_totalprice * 100) as bigint)").alias("v"),
     )
+    return ks_stats(b)
+
+
+def ks_stats(b: DataFrame) -> DataFrame:
+    """The q_ks_test core over any (mktsegment, v: bigint) DataFrame —
+    extracted so scale_curve.py times the plan's OWN code (the
+    anova_stats discipline)."""
     # per-(segment, value) counts are the ONLY corpus-sized aggregate;
     # vals/segs both re-aggregate its output, so one eager checkpoint
     # pins the plan to a single orders⋈customer pass

@@ -114,6 +114,7 @@ def main() -> None:
     from gps_stream_processing_spark.plans.relational import (
         anova_stats,
         brown_forsythe_stats,
+        ks_stats,
         cramers_v_stats,
         forecast_backtest_daily,
         friedman_stats,
@@ -351,41 +352,21 @@ def main() -> None:
                 .distinct(),
                 n_iterations=4,
             ),
-            "ks_grid": lambda: (
-                lambda segv: (
-                    lambda vals, segs: segs.crossJoin(
-                        vals.select(
-                            "v",
-                            F.sum("cnt")
-                            .over(W.orderBy("v"))
-                            .alias("cum_all"),
-                        )
-                    )
-                    .join(segv, ["seg", "v"], "left")
-                    .select(
-                        "seg",
-                        "n1",
-                        F.sum(F.coalesce("cnt_seg", F.lit(0)))
-                        .over(W.partitionBy("seg").orderBy("v"))
-                        .alias("cum_seg"),
-                        "cum_all",
-                    )
-                    .groupBy("seg")
-                    .agg(F.max(F.abs(F.col("cum_seg") / F.col("n1"))).alias("d"))
-                )(
-                    segv.groupBy("v").agg(F.sum("cnt_seg").alias("cnt")),
-                    segv.groupBy("seg").agg(F.sum("cnt_seg").alias("n1")),
-                )
-            )(
+            # r16: the shape now times the plan's OWN core (ks_stats —
+            # the anova_stats discipline): per-value counts with the k
+            # segments pivoted into columns, one two-pass prefix sum
+            # carrying all k+1 cumulatives (the former 5x|values| grid
+            # + second partitioned pass is gone from the registered
+            # key too).
+            "ks_grid": lambda: ks_stats(
                 o.select(
-                    (F.col("o_custkey") % 5).alias("seg"),
+                    (F.col("o_custkey") % 5)
+                    .cast("string")
+                    .alias("mktsegment"),
                     F.expr(
                         "cast(round(o_totalprice * 100) as bigint)"
                     ).alias("v"),
                 )
-                .groupBy("seg", "v")
-                .agg(F.count("*").alias("cnt_seg"))
-                .localCheckpoint(eager=True)
             ),
             # r13 shapes (VERDICT r12 item 5): pivot-sampled harmonic
             # centrality (multi-source BFS from a fixed ~0.1% customer
