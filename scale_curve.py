@@ -197,42 +197,44 @@ def main() -> None:
             # event rides one state-server round trip), with a smaller
             # constant (no ListState append, no timers).
             from gps_stream_processing_spark.streaming.runner import (
+                TWS_STATE_PARTITIONS,
+                rocksdb_state_store,
                 run_available_now,
             )
             from gps_stream_processing_spark.streaming.stateful import (
                 streaming_ewma_tws,
             )
 
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass",
-                "org.apache.spark.sql.execution.streaming.state."
-                "RocksDBStateStoreProvider",
-            )
-            schema = spark.read.parquet(tws_dir).schema
-            s = spark.readStream.schema(schema).parquet(tws_dir)
-            return run_available_now(
-                streaming_ewma_tws(s), output_mode="update"
-            )
+            # the shipped posture (r16): registered width + changelog
+            with rocksdb_state_store(spark):
+                schema = spark.read.parquet(tws_dir).schema
+                s = spark.readStream.schema(schema).parquet(tws_dir)
+                return run_available_now(
+                    streaming_ewma_tws(s),
+                    output_mode="update",
+                    state_partitions=TWS_STATE_PARTITIONS,
+                )
 
         def _tws_replay(d=None):
             d = d or tws_dir
             from gps_stream_processing_spark.streaming.runner import (
+                TWS_STATE_PARTITIONS,
+                rocksdb_state_store,
                 run_available_now,
             )
             from gps_stream_processing_spark.streaming.stateful import (
                 streaming_session_cache_tws,
             )
 
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass",
-                "org.apache.spark.sql.execution.streaming.state."
-                "RocksDBStateStoreProvider",
-            )
-            schema = spark.read.parquet(d).schema
-            s = spark.readStream.schema(schema).parquet(d)
-            return run_available_now(
-                streaming_session_cache_tws(s), output_mode="update"
-            )
+            # the shipped posture (r16): registered width + changelog
+            with rocksdb_state_store(spark):
+                schema = spark.read.parquet(d).schema
+                s = spark.readStream.schema(schema).parquet(d)
+                return run_available_now(
+                    streaming_session_cache_tws(s),
+                    output_mode="update",
+                    state_partitions=TWS_STATE_PARTITIONS,
+                )
 
         shapes = {
             "hash_agg": lambda: li.groupBy("l_returnflag", "l_linestatus").agg(
