@@ -90,6 +90,7 @@ _COMMITTED_ROUNDS = (
     "CORRECTNESS_r13.json",
     "CORRECTNESS_r14.json",
     "CORRECTNESS_r15.json",
+    "CORRECTNESS_r16.json",
 )
 
 # Keys whose EXECUTION PLAN changed after their last green driver row,

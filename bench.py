@@ -426,6 +426,54 @@ def main() -> None:
         summary["worst10_vs_baseline"] = dict(
             sorted(ratios.items(), key=lambda kv: -kv[1])[:10]
         )
+    # Restore the driver's per-query contract (VERDICT r16 item 1): the
+    # contract line promises a "queries" map, but the full 351-key map
+    # serializes to ~8 KB while the driver captures only the LAST ~2000
+    # chars of stdout — through r16 the summary therefore carried no
+    # per-key data at all and PERF per_query/geomean/scaling were empty.
+    # Additions-only fix, two channels:
+    #   1. The final line gains a "queries" map of the MOST EXPENSIVE
+    #      keys, greedily packed under a serialized-size budget that
+    #      keeps the whole line safely inside the capture window. The
+    #      full map still prints (line above) and nothing is renamed;
+    #      the truncation is declared in-band (queries_truncated /
+    #      n_queries_in_line) and covers exactly the keys whose movement
+    #      dominates the total — the ones a per-query comparison needs.
+    #   2. The COMPLETE adjudicated per-key record is written beside
+    #      this file as BENCH_PERQ.json (plus a cpus-suffixed copy so a
+    #      lower-core scaling run doesn't clobber the main one) for any
+    #      consumer that can read files rather than a stdout tail.
+    here = os.path.dirname(os.path.abspath(__file__))
+    perq = {
+        "metric": "engine_per_query_medians",
+        "sf": out["sf"],
+        "cpus": CPUS,
+        "value": total,
+        "n_queries": len(timings),
+        "queries": timings,
+    }
+    if not only_keys and not quick:  # full-suite runs only — a protocol
+        # or --quick run must not clobber the full per-key artifact
+        for perq_name in ("BENCH_PERQ.json", f"BENCH_PERQ_c{CPUS}.json"):
+            try:
+                with open(os.path.join(here, perq_name), "w") as f:
+                    json.dump(perq, f)
+            except OSError:  # read-only checkout — stdout channels still work
+                pass
+        summary["per_query_file"] = "BENCH_PERQ.json"
+    line_budget = 1900  # driver capture window is ~2000 chars (BENCH_r16)
+    base_len = len(json.dumps(summary))
+    inline: dict[str, float] = {}
+    used = base_len + len('"queries": {}, "queries_truncated": true, "n_queries_in_line": 999')
+    for k, v in sorted(timings.items(), key=lambda kv: -kv[1]):
+        cost = len(json.dumps({k: v})) + 1
+        if used + cost > line_budget:
+            break
+        inline[k] = v
+        used += cost
+    summary["queries"] = inline
+    summary["queries_truncated"] = len(inline) < len(timings)
+    summary["n_queries_in_line"] = len(inline)
     print(json.dumps(summary))
 
 

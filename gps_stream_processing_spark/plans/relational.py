@@ -3825,16 +3825,27 @@ def ks_stats(b: DataFrame) -> DataFrame:
     # doubles: cum_i is NULL until segment i's first value and
     # coalesces to 0 exactly like the grid's missing-cell rows, and
     # the D-statistic divisions keep the double/bigint shape.
+    # NULL-tolerant segment ordering (ADVICE r16): a NULL segment sorts
+    # first (DuckDB's NULLS FIRST ASC default) instead of crashing the
+    # tuple sort; the per-segment pivot below matches it via eqNullSafe.
     segs = sorted(
-        (r["mktsegment"], int(r["n1"]))
-        for r in segv.groupBy("mktsegment")
-        .agg(F.sum("cnt_seg").cast("bigint").alias("n1"))
-        .collect()
+        (
+            (r["mktsegment"], int(r["n1"]))
+            for r in segv.groupBy("mktsegment")
+            .agg(F.sum("cnt_seg").cast("bigint").alias("n1"))
+            .collect()
+        ),
+        key=lambda t: (t[0] is not None, t[0]),
     )
+    if not segs:  # empty input: empty result, same schema (ADVICE r16 —
+        # int(totals[...]) below would raise on the all-NULL totals row)
+        return segv.sparkSession.createDataFrame(
+            [], "mktsegment string, n_seg bigint, n_rest bigint, ks_d double"
+        )
     vals = segv.groupBy("v").agg(
         F.sum("cnt_seg").cast("bigint").alias("cnt"),
         *[
-            F.sum(F.when(F.col("mktsegment") == s, F.col("cnt_seg")))
+            F.sum(F.when(F.col("mktsegment").eqNullSafe(F.lit(s)), F.col("cnt_seg")))
             .cast("bigint")
             .alias(f"c{i}")
             for i, (s, _) in enumerate(segs)
@@ -3871,15 +3882,26 @@ def ks_stats(b: DataFrame) -> DataFrame:
             for i, (_, n1) in enumerate(segs)
         ]
     )
-    stack_args = ", ".join(
-        f"'{s}', {n1}L, {nt - n1}L, d{i}" for i, (s, n1) in enumerate(segs)
-    )
+    # One row per segment via explode(array(struct...)) with F.lit
+    # literals — same row order and values as the previous stack()
+    # (array order = arg order), but no data-derived strings are ever
+    # interpolated into SQL text (ADVICE r16: a segment value carrying
+    # a quote broke the f-string form; F.lit also round-trips NULL).
     return maxes.select(
-        F.expr(
-            f"stack({len(segs)}, {stack_args})"
-            " as (mktsegment, n_seg, n_rest, ks_d)"
-        )
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("string").alias("mktsegment"),
+                        F.lit(n1).cast("bigint").alias("n_seg"),
+                        F.lit(nt - n1).cast("bigint").alias("n_rest"),
+                        F.col(f"d{i}").alias("ks_d"),
+                    )
+                    for i, (s, n1) in enumerate(segs)
+                ]
+            ).alias("row")
+        ).alias("row")
+    ).select("row.*")
 
 
 @register(

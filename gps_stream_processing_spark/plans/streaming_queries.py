@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from gps_stream_processing_spark.plans.nmea_oracle import ORACLE_STREAM_FIX_MERGE
 from gps_stream_processing_spark.plans.registry import register, table
 from gps_stream_processing_spark.streaming.runner import (
-    TWS_STATE_PARTITIONS,
+    tws_state_partitions,
     events_stream,
     rocksdb_state_store,
     run_available_now,
@@ -388,7 +388,7 @@ def q_stream_tws_fix_merge(spark: SparkSession, sf: str) -> DataFrame:
         return run_available_now(
             streaming_fix_merge_tws(parsed),
             output_mode="update",
-            state_partitions=TWS_STATE_PARTITIONS,
+            state_partitions=tws_state_partitions(),
         )
 
 
@@ -403,7 +403,7 @@ def q_stream_tws_ewma(spark: SparkSession, sf: str) -> DataFrame:
         out = run_available_now(
             streaming_ewma_tws(ev),
             output_mode="update",
-            state_partitions=TWS_STATE_PARTITIONS,
+            state_partitions=tws_state_partitions(),
         )
         # presentation rounding happens HERE (Spark-side, the same
         # F.round as the batch q_ewma) — the processor state and its
@@ -424,7 +424,7 @@ def q_stream_tws_holt(spark: SparkSession, sf: str) -> DataFrame:
         out = run_available_now(
             streaming_holt_tws(ev),
             output_mode="update",
-            state_partitions=TWS_STATE_PARTITIONS,
+            state_partitions=tws_state_partitions(),
         )
         # rounding + the h-step forecast derive HERE (Spark-side, the
         # same expressions as the batch q_holt_linear) — the processor
@@ -451,7 +451,7 @@ def q_stream_tws_holt_winters(spark: SparkSession, sf: str) -> DataFrame:
         out = run_available_now(
             streaming_holt_winters_tws(ev),
             output_mode="update",
-            state_partitions=TWS_STATE_PARTITIONS,
+            state_partitions=tws_state_partitions(),
         )
         # rounding + the 1-/7-step seasonal forecasts derive HERE with
         # the batch q_holt_winters expression tree (level + 1.0*trend +
@@ -505,7 +505,7 @@ def q_stream_tws_forecast(spark: SparkSession, sf: str) -> DataFrame:
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(TWS_STATE_PARTITIONS)
+        "spark.sql.shuffle.partitions", str(tws_state_partitions())
     )
     try:
         with rocksdb_state_store(spark):
@@ -567,7 +567,7 @@ def q_stream_tws_anomaly(spark: SparkSession, sf: str) -> DataFrame:
         out = run_available_now(
             streaming_ew_anomaly_tws(ev),
             output_mode="update",
-            state_partitions=TWS_STATE_PARTITIONS,
+            state_partitions=tws_state_partitions(),
         )
         # presentation rounding HERE — processor state stays raw
         z = F.lit(0.0)
@@ -591,7 +591,7 @@ def q_stream_tws_timers(spark: SparkSession, sf: str) -> DataFrame:
         return run_available_now(
             streaming_activity_close_tws(ev),
             output_mode="update",
-            state_partitions=TWS_STATE_PARTITIONS,
+            state_partitions=tws_state_partitions(),
         )
 
 
@@ -606,7 +606,7 @@ def q_stream_tws_timer_list(spark: SparkSession, sf: str) -> DataFrame:
         return run_available_now(
             streaming_session_cache_tws(ev),
             output_mode="update",
-            state_partitions=TWS_STATE_PARTITIONS,
+            state_partitions=tws_state_partitions(),
         )
 
 
@@ -621,7 +621,7 @@ def q_stream_tws_map_state(spark: SparkSession, sf: str) -> DataFrame:
         return run_available_now(
             streaming_type_counts_tws(ev),
             output_mode="update",
-            state_partitions=TWS_STATE_PARTITIONS,
+            state_partitions=tws_state_partitions(),
         )
 
 
@@ -645,7 +645,7 @@ def q_stream_tws_recent_k(spark: SparkSession, sf: str) -> DataFrame:
         return run_data_drained(
             streaming_recent_k_tws(ev),
             output_mode="update",
-            state_partitions=TWS_STATE_PARTITIONS,
+            state_partitions=tws_state_partitions(),
         )
 
 
@@ -1719,7 +1719,7 @@ def q_stream_tws_init_state(spark: SparkSession, sf: str) -> DataFrame:
         snap = run_available_now(
             streaming_seeded_totals_tws(live, seed),
             output_mode="update",
-            state_partitions=TWS_STATE_PARTITIONS,
+            state_partitions=tws_state_partitions(),
         )
         return snap.select(
             "user_id", "n_events", F.round("sum_value", 6).alias("sum_value")

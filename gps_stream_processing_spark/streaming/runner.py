@@ -38,13 +38,26 @@ from gps_stream_processing_spark.workdir import land_dir
 def _default_tws_partitions() -> int:
     explicit = os.environ.get("SPARK_GRAFT_TWS_STATE_PARTITIONS")
     if explicit:
-        return int(explicit)
+        try:
+            return int(explicit)
+        except ValueError:
+            import warnings
+
+            warnings.warn(
+                f"SPARK_GRAFT_TWS_STATE_PARTITIONS={explicit!r} is not an "
+                "int; falling back to the computed default",
+                stacklevel=2,
+            )
     from gps_stream_processing_spark.session import default_parallelism
 
     return min(8, max(4, default_parallelism()))
 
 
-TWS_STATE_PARTITIONS = _default_tws_partitions()
+def tws_state_partitions() -> int:
+    """Resolved LAZILY at each use site (ADVICE r16): a module-level
+    constant would crash every import of this package on a malformed
+    env value and freeze the knob at first-import time."""
+    return _default_tws_partitions()
 
 # Arrow batch width for the streaming Python boundary (guide §4.2
 # posture: keep batches large enough for vectorization to pay off).

@@ -197,7 +197,7 @@ def main() -> None:
             # event rides one state-server round trip), with a smaller
             # constant (no ListState append, no timers).
             from gps_stream_processing_spark.streaming.runner import (
-                TWS_STATE_PARTITIONS,
+                tws_state_partitions,
                 rocksdb_state_store,
                 run_available_now,
             )
@@ -212,13 +212,13 @@ def main() -> None:
                 return run_available_now(
                     streaming_ewma_tws(s),
                     output_mode="update",
-                    state_partitions=TWS_STATE_PARTITIONS,
+                    state_partitions=tws_state_partitions(),
                 )
 
         def _tws_replay(d=None):
             d = d or tws_dir
             from gps_stream_processing_spark.streaming.runner import (
-                TWS_STATE_PARTITIONS,
+                tws_state_partitions,
                 rocksdb_state_store,
                 run_available_now,
             )
@@ -233,7 +233,7 @@ def main() -> None:
                 return run_available_now(
                     streaming_session_cache_tws(s),
                     output_mode="update",
-                    state_partitions=TWS_STATE_PARTITIONS,
+                    state_partitions=tws_state_partitions(),
                 )
 
         shapes = {
