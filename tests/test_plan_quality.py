@@ -230,3 +230,24 @@ def test_plan_scale_invariants(spark, name):
             f"{name}: row-at-a-time Python UDF in the plan — use Arrow "
             f"(pandas_udf / mapInPandas) instead"
         )
+
+
+def test_ks_test_single_prefix_sum_pass(spark):
+    """VERDICT r16 item 6 pin: the r16 segment-pivot rewrite bought
+    q_ks_test a SINGLE two-pass prefix sum — the returned plan must
+    carry exactly ONE pass-2 cumulative Window and ONE prefix-sum
+    offset attach (the __ps_pid-keyed exchange/join), where the r14
+    grid form ran a second partitioned pass over the k x |values|
+    evaluation grid. (Pass 1 executes behind the operator's pinned
+    localCheckpoint, so the range exchange itself is upstream of the
+    returned frame; the window + offset join are the in-plan
+    signature of one running_totals invocation.)"""
+    import re
+
+    plan = _plan_of(REGISTRY["q_ks_test"].fn(spark, SF))
+    n_windows = len(re.findall(r"^\(\d+\) Window", plan, re.M))
+    assert n_windows == 1, f"expected 1 cumulative Window, got {n_windows}"
+    n_off = plan.count("hashpartitioning(__ps_pid")
+    assert n_off == 1, (
+        f"expected 1 prefix-sum offset exchange (__ps_pid), got {n_off}"
+    )
