@@ -3340,6 +3340,19 @@ def _cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     d = table(spark, sf, "documents").select(
         "doc_id", "text", F.length("text").alias("len")
     )
+    # r17 optimization (guide §2.2/§6 — split-size vs compute): the
+    # documents parquet is ONE scan split at bench SFs (file ≪
+    # maxPartitionBytes), so the O(total-bytes) boundary-window md5
+    # sweep below ran on a single core (measured: executorCpuTime ≈
+    # wall ≈ 2.3 s with 31 cores idle). Hash-repartition by doc_id
+    # (unique → uniform, an explicit width so AQE does not coalesce
+    # the tiny shuffle back to one task) to spread the sweep across
+    # the session's core budget; every downstream value is per-doc
+    # deterministic (sorted boundary list, per-row chunk arithmetic),
+    # so placement cannot move results. At 100 TB the scan is
+    # many-splits and this exchange is a cheap doc-keyed reshuffle
+    # that also pre-keys the boundary groupBy.
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     # Guard: F.sequence generates DESCENDING when stop < start, so a
     # sub-9-char doc must yield an empty candidate set (as the oracle's
     # range() does), not positions [2, 1].

@@ -8104,8 +8104,17 @@ def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
         .when(F.col("u") < 0.9994058151824183, 5)
         .otherwise(6)
     )
+    # r17 optimization (guide §2.2/§6): events is ONE scan split at
+    # bench SFs, so the 32x explode + md5 inverse-CDF evaluation ran
+    # on a single core (executorCpuTime ≈ wall ≈ 2.9 s). Spread it
+    # with an explicit-width hash repartition on the unique event_id
+    # (uniform; AQE keeps user-specified widths). Replica sums are
+    # exact bigints — placement cannot move them.
     reps = (
-        ev.select("event_id", "c", F.explode(F.sequence(F.lit(1), F.lit(32))).alias("r"))
+        ev.repartition(
+            ev.sparkSession.sparkContext.defaultParallelism, "event_id"
+        )
+        .select("event_id", "c", F.explode(F.sequence(F.lit(1), F.lit(32))).alias("r"))
         .withColumn("u", u)
         .withColumn("wt", wt)
         .groupBy("r")
@@ -8123,8 +8132,19 @@ def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
         .over(W.orderBy("m", "r"))  # 32 rows — replica-sized window
         .alias("rn"),
     )
-    lo = ranked.filter(F.col("rn") == 2).select(F.col("m").alias("lo"))
-    hi = ranked.filter(F.col("rn") == 31).select(F.col("m").alias("hi"))
+    # r17 optimization (guide §5 / §7.2 duplicated-subtree rule): the
+    # former per-rank filters (rn=2 / rn=31) rode TWO separate
+    # broadcast subtrees, each re-deriving the whole 32x md5 expansion
+    # + range window from the parquet scan (ReuseExchange does not
+    # fire across independently-planned broadcast subqueries — see
+    # plans/r17/q_bootstrap_ci_before.txt: 3 scans, 2 Generates). ONE
+    # conditional aggregate picks both ranks from a single derivation:
+    # exactly one row carries each rank (row_number is distinct), so
+    # min(when(rn=k, m)) IS that row's m — values identical.
+    ci = ranked.agg(
+        F.min(F.when(F.col("rn") == 2, F.col("m"))).alias("lo"),
+        F.min(F.when(F.col("rn") == 31, F.col("m"))).alias("hi"),
+    )
     base = table(spark, sf, "events").agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.sum(F.expr("cast(round(value * 100) as bigint)"))
@@ -8132,8 +8152,7 @@ def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
         .alias("tot"),
     )
     return (
-        base.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+        base.crossJoin(F.broadcast(ci))
         .select(
             "n_events",
             F.round(
