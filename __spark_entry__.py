@@ -381,6 +381,23 @@ _CHANGED_SINCE_VERIFIED = (
     # cumulatives coalesce to 0 exactly like the grid's missing
     # cells); hash-checked at sf0.001/sf0.01 — re-check.
     ("q_ks_test", 16),
+    # r17 optimization round. q_bootstrap_ci: the rn=2/rn=31 rank
+    # picks fused into one conditional aggregate over a single 32x
+    # expansion (was two broadcast subtrees re-deriving it), plus an
+    # explicit-width hash repartition on event_id before the md5
+    # sweep — replica sums are exact bigints, placement-independent.
+    # q_chunk_cdc / q_dedup_chunk_cross: hash repartition by doc_id
+    # before the boundary-window md5 sweep (per-doc deterministic).
+    # q_agg_percentile: repartition on l_orderkey before the exact-
+    # percentile buffering (count-map merge, order-independent).
+    # q_ks_test: output rows now built via explode(array(struct(lit)))
+    # instead of f-string stack() SQL (same order/values; ADVICE r16).
+    # All hash-checked at sf0.001/sf0.01 — re-check.
+    ("q_bootstrap_ci", 17),
+    ("q_chunk_cdc", 17),
+    ("q_dedup_chunk_cross", 17),
+    ("q_agg_percentile", 17),
+    ("q_ks_test", 17),
 )
 
 

@@ -251,3 +251,34 @@ def test_ks_test_single_prefix_sum_pass(spark):
     assert n_off == 1, (
         f"expected 1 prefix-sum offset exchange (__ps_pid), got {n_off}"
     )
+
+
+def test_scan_stage_parallelism_pins(spark):
+    """r17 optimization pins: the bench-SF tables are single parquet
+    splits, so these keys' heavy pre-exchange compute (md5 sweeps,
+    exact-percentile buffering) must ride an explicit-width
+    repartition (REPARTITION_BY_NUM survives AQE coalescing) instead
+    of running single-core behind the scan. Values are placement-
+    independent by construction for all three (exact bigint sums,
+    per-doc deterministic chunking, count-map percentile merge)."""
+    for name in ("q_chunk_cdc", "q_agg_percentile"):
+        plan = _plan_of(REGISTRY[name].fn(spark, SF))
+        assert "REPARTITION_BY_NUM" in plan, (
+            f"{name}: the scan-stage parallelising repartition is gone"
+        )
+
+
+def test_bootstrap_ci_single_expansion(spark):
+    """r17 optimization pin: q_bootstrap_ci derives the 32x replica
+    expansion ONCE — one Generate (explode) and at most two parquet
+    scans (base aggregate + expansion) in the returned plan; the old
+    rn=2 / rn=31 broadcast-subtree pair carried a second expansion
+    (see plans/r17/q_bootstrap_ci_{before,after}.txt)."""
+    import re
+
+    plan = _plan_of(REGISTRY["q_bootstrap_ci"].fn(spark, SF))
+    n_gen = len(re.findall(r"^\(\d+\) Generate", plan, re.M))
+    assert n_gen == 1, f"expected 1 Generate (replica explode), got {n_gen}"
+    n_scan = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scan <= 2, f"expected <=2 parquet scans, got {n_scan}"
+    assert "REPARTITION_BY_NUM" in plan
