@@ -35,7 +35,7 @@ from gps_stream_processing_spark.operators.similarity import (
     knn_per_label,
     lsh_bucket_ann,
 )
-from gps_stream_processing_spark.plans.registry import register, table
+from gps_stream_processing_spark.plans.registry import register, spread_scan, table
 
 # Session-scoped memo for the shingle→Jaccard-pair→cluster chain shared
 # by q_dedup_ngram_jaccard / q_dedup_near / q_dup_clusters /
@@ -3344,15 +3344,15 @@ def _cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     # documents parquet is ONE scan split at bench SFs (file ≪
     # maxPartitionBytes), so the O(total-bytes) boundary-window md5
     # sweep below ran on a single core (measured: executorCpuTime ≈
-    # wall ≈ 2.3 s with 31 cores idle). Hash-repartition by doc_id
-    # (unique → uniform, an explicit width so AQE does not coalesce
-    # the tiny shuffle back to one task) to spread the sweep across
-    # the session's core budget; every downstream value is per-doc
-    # deterministic (sorted boundary list, per-row chunk arithmetic),
-    # so placement cannot move results. At 100 TB the scan is
-    # many-splits and this exchange is a cheap doc-keyed reshuffle
-    # that also pre-keys the boundary groupBy.
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # wall ≈ 2.3 s with 31 cores idle). spread_scan hash-repartitions
+    # by doc_id (unique → uniform; explicit width so AQE does not
+    # coalesce the tiny shuffle back to one task) ONLY when the scan
+    # is narrower than the core budget — at production split counts
+    # it is a no-op and no exchange is added. Every downstream value
+    # is per-doc deterministic (sorted boundary list, per-row chunk
+    # arithmetic), so placement cannot move results; the doc_id
+    # keying doubles as the boundary groupBy's distribution.
+    d = spread_scan(d, "doc_id")
     # Guard: F.sequence generates DESCENDING when stop < start, so a
     # sub-9-char doc must yield an empty candidate set (as the oracle's
     # range() does), not positions [2, 1].

@@ -159,6 +159,29 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def spread_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition a scan-rooted frame across the session's core
+    budget when — and only when — its current width is below it
+    (guide §2.2/§6). The bench SFs read single-split parquet (file ≪
+    maxPartitionBytes), which serializes every pre-exchange compute
+    pipeline on one core; at production split counts the width check
+    makes this a NO-OP (no exchange is added), so the plan stays the
+    scale-correct one. Callers must only use this where values are
+    placement-independent (exact integer/decimal sums, per-key
+    deterministic derivations, count-map merges) — float-summing
+    aggregations reassociate under a new partitioning and are out.
+    ``key_cols`` should be unique/high-cardinality so the hash
+    spreads evenly; the explicit width survives AQE coalescing
+    (REPARTITION_BY_NUM). Falls back to the frame unchanged under
+    Spark Connect (no sparkContext to size against)."""
+    if not is_classic_session(df.sparkSession):
+        return df
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *key_cols)
+
+
 def is_classic_session(spark: SparkSession) -> bool:
     """True when ``spark`` is a classic in-JVM session (py4j backend
     available); False under Spark Connect, whose session/DataFrame

@@ -27,6 +27,7 @@ from gps_stream_processing_spark.operators.asof import asof_join
 from gps_stream_processing_spark.plans.registry import (
     is_classic_session,
     register,
+    spread_scan,
     table,
 )
 from gps_stream_processing_spark.workdir import land_dir
@@ -1193,16 +1194,18 @@ def q_agg_having(spark: SparkSession, sf: str) -> DataFrame:
 def q_agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
     # r17 optimization (guide §2.2/§6): lineitem is one scan split at
     # bench SFs, so the exact-percentile partial aggregation (a
-    # value-count map over every row) ran single-core. Explicit-width
-    # hash repartition on l_orderkey spreads the buffering; the
+    # value-count map over every row) ran single-core. spread_scan
+    # hash-repartitions on l_orderkey only when the scan is narrower
+    # than the core budget (no-op at production split counts); the
     # percentile merge is a count-map union — order- and placement-
     # independent, values verified identical. 1.8 → 1.1 s warm.
     return (
-        table(spark, sf, "lineitem")
-        .select(
-            "l_returnflag", "l_quantity", "l_extendedprice", "l_orderkey"
+        spread_scan(
+            table(spark, sf, "lineitem").select(
+                "l_returnflag", "l_quantity", "l_extendedprice", "l_orderkey"
+            ),
+            "l_orderkey",
         )
-        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
         .groupBy("l_returnflag")
         .agg(
             F.round(F.median("l_quantity"), 6).alias("median_qty"),
@@ -8116,14 +8119,13 @@ def q_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
     )
     # r17 optimization (guide §2.2/§6): events is ONE scan split at
     # bench SFs, so the 32x explode + md5 inverse-CDF evaluation ran
-    # on a single core (executorCpuTime ≈ wall ≈ 2.9 s). Spread it
-    # with an explicit-width hash repartition on the unique event_id
-    # (uniform; AQE keeps user-specified widths). Replica sums are
-    # exact bigints — placement cannot move them.
+    # on a single core (executorCpuTime ≈ wall ≈ 2.9 s). spread_scan
+    # hash-repartitions on the unique event_id ONLY when the scan is
+    # narrower than the core budget — a no-op at production split
+    # counts. Replica sums are exact bigints — placement cannot move
+    # them.
     reps = (
-        ev.repartition(
-            ev.sparkSession.sparkContext.defaultParallelism, "event_id"
-        )
+        spread_scan(ev, "event_id")
         .select("event_id", "c", F.explode(F.sequence(F.lit(1), F.lit(32))).alias("r"))
         .withColumn("u", u)
         .withColumn("wt", wt)

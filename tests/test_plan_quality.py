@@ -282,3 +282,21 @@ def test_bootstrap_ci_single_expansion(spark):
     n_scan = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
     assert n_scan <= 2, f"expected <=2 parquet scans, got {n_scan}"
     assert "REPARTITION_BY_NUM" in plan
+
+
+def test_spread_scan_is_noop_at_production_widths(spark):
+    """spread_scan must add its exchange ONLY for narrow scans: a frame
+    already at/above the session's core budget comes back unchanged
+    (at production split counts the optimization must vanish, keeping
+    the scale-correct plan), while a single-partition frame gains the
+    explicit-width REPARTITION_BY_NUM exchange."""
+    from gps_stream_processing_spark.plans.registry import spread_scan
+
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, n + 1)
+    assert spread_scan(wide, "id") is wide
+    narrow = spark.range(0, 1000, 1, 1)
+    out = spread_scan(narrow, "id")
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == n
+    assert sorted(r.id for r in out.collect()) == list(range(1000))
