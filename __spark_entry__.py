@@ -398,6 +398,17 @@ _CHANGED_SINCE_VERIFIED = (
     ("q_dedup_chunk_cross", 17),
     ("q_agg_percentile", 17),
     ("q_ks_test", 17),
+    # r17 optimization (late batch): the per-row scalar-demo pipelines
+    # over the single-split lineitem scan ride spread_scan (q_math_fns,
+    # q_try_arith directly; q_haversine/q_unit_conv via _coords
+    # spread=True — their trig is the one-core cost; geofence and
+    # point_in_polygon measured flat/regressed and stay unspread).
+    # Per-row deterministic values, placement-independent; hash-checked
+    # at sf0.001/sf0.01 — re-check.
+    ("q_math_fns", 17),
+    ("q_try_arith", 17),
+    ("q_haversine", 17),
+    ("q_unit_conv", 17),
 )
 
 

@@ -17,7 +17,7 @@ from gps_stream_processing_spark.functions.geo import (
     knots_to_kmh,
 )
 from gps_stream_processing_spark.functions.nmea import nmea_time_to_timestamp
-from gps_stream_processing_spark.plans.registry import register, table
+from gps_stream_processing_spark.plans.registry import register, spread_scan, table
 
 
 @register(
@@ -166,7 +166,10 @@ def q_date_fns(spark: SparkSession, sf: str) -> DataFrame:
     "int-cast arithmetic, class.nmea.parser.php:340-343; SURVEY §2.6).",
 )
 def q_math_fns(spark: SparkSession, sf: str) -> DataFrame:
-    return table(spark, sf, "lineitem").select(
+    # r17: single-split scan -> the per-row math pipeline ran one-core
+    # (cpu ~= wall ~= 0.74 s); spread_scan is a no-op at production
+    # split widths and values are per-row deterministic (guide S2.2/S6).
+    return spread_scan(table(spark, sf, "lineitem"), "l_orderkey").select(
         "l_orderkey",
         "l_linenumber",
         F.round("l_extendedprice", 1).alias("price_r1"),
@@ -206,7 +209,7 @@ _COORDS_SQL = """
     "scalar (SURVEY §2.6 q_haversine), pure column arithmetic.",
 )
 def q_haversine(spark: SparkSession, sf: str) -> DataFrame:
-    c = _coords(spark, sf)
+    c = _coords(spark, sf, spread=True)
     return c.select(
         "l_orderkey",
         "l_linenumber",
@@ -216,8 +219,16 @@ def q_haversine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _coords(spark: SparkSession, sf: str) -> DataFrame:
+def _coords(spark: SparkSession, sf: str, spread: bool = False) -> DataFrame:
+    # r17: ``spread`` opts a consumer into spread_scan on the single-
+    # split lineitem scan (placement-safe: per-row trig / exact counts;
+    # guide S2.2/S6). Measured per consumer: the trig-heavy per-row
+    # keys (haversine 0.78 s one-core cpu, unit_conv 0.49 s) gain
+    # ~2x; the light ones (point_in_polygon 0.33 -> 0.53 s,
+    # geofence flat) LOSE to the added exchange and stay unspread.
     l = table(spark, sf, "lineitem")
+    if spread:
+        l = spread_scan(l, "l_orderkey")
     return l.select(
         "l_orderkey",
         "l_linenumber",
@@ -246,7 +257,7 @@ def _coords(spark: SparkSession, sf: str) -> DataFrame:
     "bearing via atan2 (SURVEY §2.6).",
 )
 def q_unit_conv(spark: SparkSession, sf: str) -> DataFrame:
-    c = _coords(spark, sf)
+    c = _coords(spark, sf, spread=True)
     return c.select(
         "l_orderkey",
         "l_linenumber",
@@ -609,7 +620,8 @@ def q_interval_arith(spark: SparkSession, sf: str) -> DataFrame:
     "with explicit CASE guards (DuckDB has no try_ family).",
 )
 def q_try_arith(spark: SparkSession, sf: str) -> DataFrame:
-    li = table(spark, sf, "lineitem")
+    # r17: spread the one-core per-row try_* pipeline (see q_math_fns)
+    li = spread_scan(table(spark, sf, "lineitem"), "l_orderkey")
     rare_bonus = F.when(F.col("l_orderkey") % 500 == 0, 1000).otherwise(0)
     return li.select(
         "l_orderkey",
